@@ -1,0 +1,70 @@
+"""Table catalog over a testdata scale-factor directory.
+
+The driver's tables (TPC-H-ish star schema + events/documents/embeddings)
+live as one parquet per table under ``<sf_dir>/``. ``load`` returns lazy
+DataFrames so Catalyst sees the parquet scan directly — predicate pushdown
+and column pruning reach the file reader (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough (bounded by SF * ~200k rows) to broadcast in joins.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects. Read the nanos as long (runtime conf — works on any
+    session the driver hands us) and convert to a microsecond timestamp
+    column; sub-microsecond precision is dropped, matching how every
+    downstream temporal operator (hour buckets, ms gaps) consumes it."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

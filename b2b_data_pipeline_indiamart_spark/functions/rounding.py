@@ -1,0 +1,75 @@
+"""Engine-portable decimal rounding.
+
+``round()`` implementations disagree at exact half-way points: Spark
+rounds the *exact binary value* via BigDecimal HALF_UP, while DuckDB
+rounds via scaled floating multiply — e.g. 0.86875 at 4dp becomes
+0.8687 in one engine and 0.8688 in the other. Since the oracle gate
+hash-compares values, every checked output instead uses
+
+    floor(x * 10^n + 0.5) / 10^n
+
+which is a pure IEEE-double composition: given bit-equal inputs it is
+bit-equal everywhere. (Half-way values round toward +inf in both
+engines — a consistent convention, which is what parity needs.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_half_up(col: Column | str, scale: int = 0) -> Column:
+    """floor(x * 10^scale + 0.5) / 10^scale, NULL-safe.
+
+    Accepts a column or a column name (same contract as ``F.round``).
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    p = float(10**scale)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def floorize_round_sql(sql: str) -> str:
+    """Rewrite every ``round(EXPR, n)`` in a SQL string to the
+    floor-based form above. Balanced-paren aware; applied to oracle SQL
+    at registration time so the source stays readable."""
+    out = []
+    i = 0
+    lower = sql.lower()
+    while True:
+        j = lower.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        # make sure it's not part of a longer identifier
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i : j + 6])
+            i = j + 6
+            continue
+        out.append(sql[i:j])
+        depth = 0
+        k = j + 5  # position of '('
+        last_comma = -1
+        while True:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                last_comma = k
+            k += 1
+        inner = sql[j + 6 : k]
+        if last_comma < 0:
+            scale = 0
+            expr = inner
+        else:
+            expr = sql[j + 6 : last_comma]
+            scale = int(sql[last_comma + 1 : k].strip())
+        p = float(10**scale)
+        out.append(f"(floor(({expr}) * {p} + 0.5) / {p})")
+        i = k + 1
+    return "".join(out)

@@ -1,0 +1,151 @@
+"""Chart-backing analytics operators.
+
+Parity: reference ``analysis.py`` (the 10-chart aggregations) and the
+``reports/*.csv`` EDA outputs. Every operator is a declarative
+aggregation plan: map-side partial aggregation is free, top-k goes
+through ``ORDER BY … LIMIT k`` (Spark plans TakeOrderedAndProject — no
+global sort materialization), and group cardinalities here are small
+(brands, priorities, nations) so the final reduce is trivial at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_up
+
+
+def top_groups(df: DataFrame, group_col: str, n: int = 10) -> DataFrame:
+    """Frequency top-N (analysis.py:277-296 bar chart, :433-456 treemap).
+
+    Deterministic under ties via the group value as tiebreak.
+    """
+    return (
+        df.groupBy(F.col(group_col).alias("group_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("group_value").asc())
+        .limit(n)
+    )
+
+
+def avg_by_group(df: DataFrame, group_col: str, value_col: str, n: int = 10) -> DataFrame:
+    """Mean-by-group, top-N by mean desc (analysis.py:252-275 line chart)."""
+    return (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group_value"))
+        .agg(round_half_up(F.avg(value_col), 2).alias("avg_value"))
+        .orderBy(F.col("avg_value").desc(), F.col("group_value").asc())
+        .limit(n)
+    )
+
+
+def share_top_n_others(df: DataFrame, group_col: str, n: int = 5) -> DataFrame:
+    """Top-N share + "Others" residual (analysis.py:298-331 donut).
+
+    Two small shuffles on a low-cardinality key; the re-aggregation
+    over the labelled groups is a handful of rows.
+    """
+    counts = df.groupBy(F.col(group_col).alias("group_value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("group_value").asc())
+    labelled = counts.withColumn(
+        "label",
+        F.when(F.row_number().over(w) <= n, F.col("group_value")).otherwise(F.lit("Others")),
+    )
+    # Total via an unpartitioned window over the (tiny) relabelled
+    # aggregate — no separate driver-side count job, single plan.
+    w_all = Window.partitionBy()
+    return (
+        labelled.groupBy("label")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("share_pct", round_half_up(F.col("cnt") * 100.0 / F.sum("cnt").over(w_all), 2))
+        .select("label", F.col("cnt").cast("long").alias("cnt"), "share_pct")
+    )
+
+
+def fixed_histogram(df: DataFrame, col: str, bin_width: float, max_bin: int) -> DataFrame:
+    """Fixed-width histogram (analysis.py:333-355).
+
+    Fixed bounds (not data-dependent) keep binning a pure map-side
+    expression — exactly reproducible across engines and requiring a
+    single tiny shuffle on the bin id.
+    """
+    bin_id = F.least(F.floor(F.col(col) / F.lit(bin_width)), F.lit(max_bin)).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("bin_id", bin_id)
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bin_low", round_half_up(F.col("bin_id") * bin_width, 2))
+        .select("bin_id", "bin_low", "cnt")
+    )
+
+
+def count_avg_combo(df: DataFrame, group_col: str, value_col: str, n: int = 8) -> DataFrame:
+    """Per-group count + avg, top-N by count (analysis.py:390-431 combo)."""
+    return (
+        df.groupBy(F.col(group_col).alias("group_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            round_half_up(F.avg(value_col), 2).alias("avg_value"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("group_value").asc())
+        .limit(n)
+    )
+
+
+def topk_cumulative(df: DataFrame, value_col: str, key_col: str, k: int = 10) -> DataFrame:
+    """Top-k by value + running cumulative sum (analysis.py:458-495).
+
+    The limit-k happens FIRST (TakeOrderedAndProject), then the window
+    runs over k rows only — the global window never sees the full table.
+    """
+    top = df.orderBy(F.col(value_col).desc(), F.col(key_col).asc()).limit(k)
+    w = (
+        Window.orderBy(F.col(value_col).desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.col(key_col).alias("item_key"),
+        round_half_up(F.col(value_col), 2).alias("value"),
+        round_half_up(F.sum(value_col).over(w), 2).alias("cumulative"),
+    )
+
+
+def missing_pct_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """NULL-percentage of ``value_col`` per group
+    (reports/missing_price_by_keyword.csv)."""
+    return (
+        df.groupBy(F.col(group_col).alias("group_value"))
+        .agg(
+            round_half_up(
+                F.avg(F.when(F.col(value_col).isNull(), 1.0).otherwise(0.0)) * 100.0, 2
+            ).alias("missing_pct"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def kpi_summary(df: DataFrame, distincts: dict[str, str], value_col: str) -> DataFrame:
+    """Single-row KPI scorecard (analysis.py:205-250,
+    reports/summary_stats.csv): count, distinct counts, exact median,
+    avg/min/max, missing pct.
+
+    Exact ``percentile`` is the oracle-parity mode; swap for
+    ``approx_percentile`` on the 100 TB path (see operators.outliers).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("total_rows")]
+    for alias, c in distincts.items():
+        aggs.append(F.countDistinct(F.col(c)).alias(alias))
+    aggs += [
+        round_half_up(F.expr(f"percentile({value_col}, 0.5)"), 2).alias("median_value"),
+        round_half_up(F.avg(value_col), 2).alias("avg_value"),
+        round_half_up(F.min(value_col), 2).alias("min_value"),
+        round_half_up(F.max(value_col), 2).alias("max_value"),
+        round_half_up(
+            F.avg(F.when(F.col(value_col).isNull(), 1.0).otherwise(0.0)) * 100.0, 2
+        ).alias("missing_value_pct"),
+    ]
+    return df.agg(*aggs)

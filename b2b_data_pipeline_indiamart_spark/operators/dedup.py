@@ -1,0 +1,258 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Parity: the reference deduplicates listings exactly by key
+(etl.py:358-368). A training-data pipeline needs the near-dup family
+too; all four operators here are built for the 100 TB shape:
+
+- **exact**: md5(normalized text) hash → groupBy hash. One shuffle on
+  the 16-byte digest; representative = min(doc_id) for determinism.
+- **MinHash+LSH**: k permutation-minima per doc computed from exploded
+  shingles (narrow per-doc aggregation, shuffle keyed by doc_id), then
+  banding: each doc emits b band-hash keys and candidate pairs come
+  from a self-equi-join on (band, band_hash). Shuffle volume is
+  O(corpus * b), never O(corpus^2) — the crucial scale property.
+- **SimHash**: 64-bit signature via per-bit weighted sums of token
+  hashes (64 aggregate expressions, all JVM-side), candidates via
+  chunk-banding (pigeonhole: hamming<=3 pairs share one of 4 16-bit
+  chunks), verified with ``bit_count(xor) <= k``.
+- **n-gram Jaccard**: verification of candidate pairs via
+  ``array_intersect``/``array_union`` on per-doc shingle sets — row
+  compute proportional to the candidate set, not the corpus.
+
+Everything is pure DataFrame/Catalyst — no Python UDFs; the hash
+functions are Spark's xxhash64/md5 intrinsics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_up
+
+from ..functions.text import clean_text
+
+
+def normalize_doc(col) -> F.Column:
+    """Dedup normalization: lower + trim + whitespace-collapse."""
+    return F.lower(clean_text(col))
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups by md5(normalized text).
+
+    Returns one row per distinct content hash:
+    (content_hash, n_docs, representative_id = min id).
+    """
+    return (
+        docs.select(
+            F.md5(normalize_doc(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("representative_id"),
+        )
+    )
+
+
+def char_shingles(col, n: int = 5) -> F.Column:
+    """Distinct character n-gram shingles of the normalized text.
+
+    Pure Catalyst: sequence + transform + substring (no explode at this
+    stage — the array stays with the row).
+    """
+    s = normalize_doc(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, shingle_n: int = 5
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) MinHash signature per document.
+
+    Each of the k hash functions is xxhash64 seeded by the permutation
+    index; the minimum over the doc's shingles approximates the
+    permutation-minimum. Explode + groupBy(doc_id) is a single shuffle
+    keyed by doc id — partial (map-side) min aggregation keeps shuffle
+    rows at one per (doc, hash), not one per shingle.
+    """
+    exploded = docs.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(k)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", k: int = 64, bands: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash signatures.
+
+    Docs agreeing on ALL rows of any band collide; with k=64, b=16
+    (r=4) the S-curve threshold is ~(1/16)^(1/4) ≈ 0.5 Jaccard.
+    Pair generation is a self-equi-join on (band_id, band_hash):
+    shuffle ∝ corpus × bands. Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(id_col, "bb.band_id", "bb.band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, bands: int = 16
+) -> DataFrame:
+    """End-to-end MinHash+LSH candidate pairs (id_a, id_b)."""
+    return lsh_candidate_pairs(
+        minhash_signatures(docs, text_col, id_col, k=k), id_col=id_col, k=k, bands=bands
+    )
+
+
+def word_tokens(col) -> F.Column:
+    """Whitespace word tokens of the normalized text (non-empty)."""
+    return F.filter(F.split(normalize_doc(col), r"\s+"), lambda t: t != "")
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document → (id, simhash).
+
+    Token multiset hashed with xxhash64; bit i of the signature is the
+    sign of sum over tokens of (+1 if bit i of hash else -1). The 64
+    per-bit sums are 64 JVM-side aggregate expressions over the
+    exploded tokens — one shuffle keyed by doc id, partial aggregation
+    map-side.
+    """
+    toks = docs.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    per_bit = toks.groupBy(id_col).agg(*aggs)
+    sig = functools.reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.shiftleft(F.when(F.col(f"b_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+        ),
+        range(1, 64),
+        F.when(F.col("b_0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return per_bit.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into ``chunks``
+    16-bit chunks; any pair within ``chunks - 1`` differing bits shares
+    at least one identical chunk, so the candidate join is an equi-join
+    on (chunk_id, chunk_value) — shuffle ∝ corpus, and the exact
+    hamming check (``bit_count(xor)``) runs only on bucket collisions.
+    Requires max_hamming < chunks for completeness.
+    """
+    sigs = simhash64(docs, text_col, id_col)
+    width = 64 // chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_value"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("cc")).select(
+        id_col, "simhash", "cc.chunk_id", "cc.chunk_value"
+    )
+    left, right = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.chunk_id") == F.col("r.chunk_id"),
+                F.col("l.chunk_value") == F.col("r.chunk_value"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate (id_a, id_b) pairs with exact n-gram Jaccard.
+
+    Per-doc shingle sets are joined onto the pair table (two equi-joins
+    keyed by doc id) and the Jaccard is an array intersection/union on
+    the pair row — compute ∝ |pairs|, never corpus².
+    """
+    grams = docs.select(
+        F.col(id_col).alias("gid"), char_shingles(F.col(text_col), shingle_n).alias("grams")
+    )
+    out = (
+        pairs.join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
+        .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("uni", F.size(F.array_union("g_a", "g_b")))
+        .withColumn(
+            "jaccard",
+            round_half_up(F.col("inter") / F.when(F.col("uni") > 0, F.col("uni")), 4),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -1,0 +1,44 @@
+"""Column profiling operator.
+
+Parity: reference ``etl.py`` ``build_profile_report`` (etl.py:379-400):
+per-column rows / non-null / nulls / null-pct / distinct. The reference
+loops columns in pandas; here ALL per-column aggregates are computed in
+ONE pass over the data (a single aggregate projection), then unpivoted
+into the row-per-column report shape. One job, no per-column scans —
+at 100 TB this is the difference between 1 scan and N scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_report(df: DataFrame) -> DataFrame:
+    """n_rows/non_null/nulls/null_pct/distinct per column, one scan."""
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__uq_{c}"))
+    wide = df.agg(*aggs)
+
+    # Unpivot the single wide row into (column, rows, non_null, ...) rows.
+    stacks = []
+    for c in cols:
+        stacks.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("non_null"),
+                (F.col("__rows") - F.col(f"__nn_{c}")).alias("nulls"),
+                F.round(
+                    (F.col("__rows") - F.col(f"__nn_{c}")) * 100.0 / F.col("__rows"), 2
+                ).alias("null_pct"),
+                F.col(f"__uq_{c}").alias("distinct_values"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*stacks)).alias("p"))
+        .select("p.column", "p.n_rows", "p.non_null", "p.nulls", "p.null_pct", "p.distinct_values")
+    )

@@ -1,0 +1,217 @@
+"""Embedding similarity: cosine near-dup pairs and top-k ANN search.
+
+No reference parity (the reference has no vector ops); these are the
+LLM-data-pipeline extensions, designed Spark-first:
+
+- cosine is a pure Catalyst expression (``zip_with`` + ``aggregate``
+  fold over ``array<double>``) — JVM-side, no Python boundary. The
+  fold is sequential left-to-right, which keeps the float semantics
+  deterministic and oracle-comparable.
+- ``brute_force_topk`` broadcasts the (small) query set and cross-joins
+  it against the corpus: one pass over the corpus per batch of
+  queries, ranked with a per-query window — the exact baseline.
+- ``lsh_bucketed_pairs``/``ann_lsh_topk`` use random-hyperplane LSH:
+  each vector gets a ``n_planes``-bit signature (sign of dot product
+  with fixed pseudo-random planes); candidates come from an equi-join
+  on the bucket id, so shuffle is O(corpus), not O(corpus²). That is
+  the 100 TB path; brute force is the small-query-set fallback.
+
+The hyperplanes are generated driver-side from a fixed seed and
+embedded as literals — a few KB shipped inside the plan, no data
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_up
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cosine similarity; NULL when either norm is 0."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def _pseudo_random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-free hyperplanes from a seeded generator.
+
+    numpy is available in this environment, but a hand-rolled LCG keeps
+    the signature reproducible across library versions.
+    """
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """n_planes-bit LSH bucket id: bit i = sign(vec · plane_i) > 0."""
+    planes = _pseudo_random_planes(dim, n_planes, seed)
+    v = as_double_array(vec)
+    sig: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs (id_a, id_b, cos_sim) with cosine >= threshold.
+
+    Exact O(N²) formulation for oracle parity / modest N. The scale
+    path is ``lsh_bucketed_pairs`` (same output contract, candidate
+    recall < 1). The self-join condition id_a < id_b halves the work
+    and makes output deterministic.
+    """
+    v = emb.select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            round_half_up(sim, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_bucketed_pairs(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs restricted to same-LSH-bucket candidates.
+
+    Equi-join on the signature → shuffle O(corpus); high-cosine pairs
+    collide with probability (1 - θ/π)^n_planes. Output contract
+    matches ``cosine_neardup_pairs`` (approximate recall).
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, [F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            round_half_up(sim, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k corpus neighbors per query vector.
+
+    The query set is broadcast (small by construction); the corpus is
+    scanned once. Ranking uses a per-query window over the candidate
+    scores — with broadcast queries the shuffle is only on query_id
+    with ≤ corpus rows. Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. Same output contract as ``brute_force_topk`` (approximate
+    recall); candidate generation is an equi-join on bucket id."""
+    sig = lambda c: hyperplane_signature(c, dim, n_planes, seed)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qv"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("cv"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+document fingerprinting.
+
+Extends the reference's text handling (etl.py clean_text /
+reports/top_product_tokens.csv tokenization) with the document-level
+statistics a training-data pipeline needs. Every operator is a pure
+Catalyst projection + (at most) one low-cardinality aggregation — the
+per-document scoring is map-side only, so the operators scale linearly
+and shuffle nothing unless the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_up
+
+from ..functions.hashing import md5_fingerprint
+from .dedup import normalize_doc, word_tokens
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deliberately small + deterministic so the same lists are usable in
+#: an ANSI-SQL oracle.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit"),
+}
+#: deterministic tie-break priority (first wins on equal score)
+LANG_PRIORITY = ("en", "es", "fr", "de")
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity) of any of ``words`` in toks."""
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language ID → (id, pred_lang, best_score).
+
+    Scores every language's stopword list against the token stream and
+    picks the max, ties broken by LANG_PRIORITY order. Falls back to
+    'unknown' when nothing matches. Pure projection — no shuffle.
+    """
+    toks = word_tokens(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            _stopword_hits(toks, LANG_STOPWORDS[lang]).alias(f"score_{lang}")
+            for lang in LANG_PRIORITY
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PRIORITY])
+    pred: Column = F.lit("unknown")
+    for lang in reversed(LANG_PRIORITY):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return scored.select(
+        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("best_score")
+    )
+
+
+def doc_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality scores per document.
+
+    Emits n_chars / n_tokens / avg token length / digit ratio /
+    punctuation ratio / (english-)stopword ratio and a composite
+    quality_score in [0, 1]. All ratios guarded against empty docs.
+    """
+    s = normalize_doc(F.col(text_col))
+    toks = word_tokens(F.col(text_col))
+    n_chars = F.length(s)
+    n_tokens = F.size(toks)
+    n_digits = n_chars - F.length(F.regexp_replace(s, r"[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    n_stop = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
+    safe_toks = F.when(n_tokens > 0, n_tokens.cast("double"))
+    digit_ratio = F.coalesce(n_digits / safe_chars, F.lit(0.0))
+    punct_ratio = F.coalesce(n_punct / safe_chars, F.lit(0.0))
+    stop_ratio = F.coalesce(n_stop / safe_toks, F.lit(0.0))
+    avg_tok_len = F.coalesce(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_toks, F.lit(0.0)
+    )
+    length_score = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(digit_ratio + punct_ratio, F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        round_half_up(avg_tok_len, 4).alias("avg_token_len"),
+        round_half_up(digit_ratio, 4).alias("digit_ratio"),
+        round_half_up(punct_ratio, 4).alias("punct_ratio"),
+        round_half_up(stop_ratio, 4).alias("stopword_ratio"),
+        round_half_up(quality, 4).alias("quality_score"),
+    )
+
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single other marks
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc → corpus rollup input.
+
+    (id, ws_tokens, bpe_tokens, chars_per_bpe_token) — the BPE-ish
+    count uses regexp_extract_all with a letter-run/digit-run/punct
+    split, a deterministic stand-in for a real BPE vocab.
+    """
+    s = normalize_doc(F.col(text_col))
+    ws_tokens = F.size(word_tokens(F.col(text_col)))
+    bpe_tokens = F.size(F.regexp_extract_all(s, F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        F.col(id_col),
+        ws_tokens.cast("long").alias("ws_tokens"),
+        bpe_tokens.cast("long").alias("bpe_tokens"),
+        round_half_up(
+            F.coalesce(F.length(s) / F.when(bpe_tokens > 0, bpe_tokens.cast("double")), F.lit(0.0)),
+            4,
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 of normalized text + 64-bit xxhash and
+    a prefix fingerprint (first 64 normalized chars) for fast blocking."""
+    s = normalize_doc(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        md5_fingerprint(s).alias("fingerprint_md5"),
+        F.xxhash64(s).alias("fingerprint_x64"),
+        F.md5(F.substring(s, 1, 64)).alias("prefix_md5"),
+    )

@@ -1,0 +1,1173 @@
+"""The SURVEY.md §2 query registry: one (spark, sf_dir) -> DataFrame
+callable per operator key, plus the matching DuckDB oracle SQL.
+
+This module is consumed by ``__spark_entry__`` (the driver contract)
+and by ``tests/test_oracle_parity.py`` (a local mirror of the driver's
+correctness gate). Conventions that make the hash-compare stable:
+
+- every computed column is aliased identically in Spark and SQL;
+- every double aggregate is ``round(…, 2)`` or ``round(…, 4)`` on both
+  sides (papers over last-ulp float-summation-order noise);
+- temporal outputs are formatted to strings (engine-neutral);
+- integer aggregates are cast to BIGINT in the oracle (DuckDB sums
+  integers into HUGEINT, Spark into LONG);
+- quantile thresholds are rounded to 2dp *before* any comparison so a
+  1-ulp difference in the interpolated percentile cannot move a row
+  across the cut line.
+
+Scale notes live with each query; dimension tables are explicitly
+``broadcast()`` (also caught by autoBroadcastJoinThreshold, but the
+hint documents intent and survives a conservative cluster config).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import floorize_round_sql, round_half_up
+
+from .. import catalog
+from ..functions.hashing import DEFAULT_SALT, digits_only, salted_sha256
+from ..functions.prices import price_bucket
+from ..operators import analytics, cleaning, dedup, outliers, profiling, similarity, temporal, textstats
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            # round() → floor-based rounding: see functions.rounding —
+            # engines disagree on round() at exact half-way points.
+            ORACLE[name] = floorize_round_sql(sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QUERIES["q1_pricing_summary"](spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# SQL fragments shared by the document-oriented oracles. ``_NORM`` is the
+# DuckDB spelling of operators.dedup.normalize_doc (trim + whitespace
+# collapse + null-token scrub + lower).
+# --------------------------------------------------------------------------
+_NORM = (
+    "lower(CASE WHEN lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) "
+    "IN ('nan', 'none', 'null', '') THEN NULL "
+    "ELSE regexp_replace(trim(text), '\\s+', ' ', 'g') END)"
+)
+_TOKS = "list_filter(string_split_regex(s, '\\s+'), x -> x <> '')"
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ==========================================================================
+# §2A — cleaning / standardization (etl.py parity)
+# ==========================================================================
+
+
+@_register(
+    "clean_standardize",
+    f"""
+    SELECT doc_id, {_NORM} AS text_clean, length({_NORM}) AS n_chars_clean
+    FROM documents
+    """,
+)
+def clean_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim + whitespace-collapse + null-token scrub + lowercase.
+
+    Parity: etl.py:99-106 (clean_text) applied table-wide. Pure
+    projection — map-side only, no shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    s = dedup.normalize_doc(F.col("text"))
+    return docs.select(
+        "doc_id", s.alias("text_clean"), F.length(s).cast("int").alias("n_chars_clean")
+    )
+
+
+@_register(
+    "parse_price",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                WHEN p_partkey % 7 = 3 THEN round(floor(p_retailprice), 2)
+                ELSE round(p_retailprice, 2) END AS price_num,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                WHEN p_partkey % 7 = 3 THEN 'Set'
+                WHEN p_partkey % 7 = 1 THEN 'Piece'
+                ELSE 'Unit' END AS price_unit
+    FROM part
+    """,
+)
+def parse_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency-string parsing (etl.py:109-126) exercised end-to-end.
+
+    The testdata has no dirty currency strings, so the query CONSTRUCTS
+    them deterministically from part ("Ask Price", "₹ <p>/Piece",
+    "<p> INR/Unit", "₹1,234/Set" with a real thousands separator) and
+    parses them back with the production expressions; the oracle states
+    the expected parse directly. Construction + parse are both pure
+    Catalyst projections.
+    """
+    from ..functions.prices import parse_price_number, parse_price_unit
+
+    part = _t(spark, sf_dir, "part")
+    m = F.col("p_partkey") % 7
+    int_price = F.floor("p_retailprice").cast("long")
+    raw = (
+        F.when(m == 0, F.lit("Ask Price"))
+        .when(m == 1, F.concat(F.lit("₹ "), F.col("p_retailprice").cast("string"), F.lit("/Piece")))
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("₹"),
+                (int_price / 1000).cast("long").cast("string"),
+                F.lit(","),
+                F.lpad((int_price % 1000).cast("string"), 3, "0"),
+                F.lit("/Set"),
+            ),
+        )
+        .otherwise(F.concat(F.col("p_retailprice").cast("string"), F.lit(" INR/Unit")))
+    )
+    priced = part.withColumn("raw_price", raw)
+    return priced.select(
+        "p_partkey",
+        round_half_up(parse_price_number(F.col("raw_price")), 2).alias("price_num"),
+        parse_price_unit(F.col("raw_price")).alias("price_unit"),
+    )
+
+
+@_register(
+    "price_bucket",
+    """
+    SELECT CASE WHEN price IS NULL THEN 'Unknown'
+                WHEN price < 10000 THEN 'Low (<10k)'
+                WHEN price < 50000 THEN 'Mid (10k-50k)'
+                ELSE 'High (50k+)' END AS price_bucket,
+           COUNT(*) AS cnt,
+           round(sum(coalesce(price, 0)), 2) AS sum_price
+    FROM (SELECT CASE WHEN l_quantity < 2 THEN NULL ELSE l_extendedprice END AS price
+          FROM lineitem)
+    GROUP BY 1
+    """,
+)
+def price_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price bucketing (etl.py:200-207) over lineitem prices; rows with
+    l_quantity < 2 are nulled to exercise the Unknown bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.when(F.col("l_quantity") < 2, F.lit(None).cast("double")).otherwise(
+        F.col("l_extendedprice")
+    )
+    return (
+        li.select(price.alias("price"))
+        .groupBy(price_bucket(F.col("price")).alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            round_half_up(F.sum(F.coalesce(F.col("price"), F.lit(0.0))), 2).alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "region_rollup",
+    """
+    SELECT r_name, COUNT(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo rollup (etl.py:178-197 state→region, star-schema form):
+    customer → nation → region with both dims broadcast — zero
+    shuffle on the fact side until the tiny final aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round_half_up(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+@_register(
+    "anonymize_hash",
+    f"""
+    SELECT c_custkey,
+           sha256('{DEFAULT_SALT}::' || c_name) AS name_hash,
+           nullif(regexp_replace(c_name, '\\D', '', 'g'), '') AS name_digits
+    FROM customer
+    """,
+)
+def anonymize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHA-256 anonymization + digit extraction
+    (etl.py:140-152). sha2/regexp are JVM intrinsics — map-side only."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        salted_sha256(F.col("c_name")).alias("name_hash"),
+        digits_only(F.col("c_name")).alias("name_digits"),
+    )
+
+
+@_register(
+    "winsorize_price",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT o_orderkey,
+           round(least(greatest(o_totalprice, q1 - 1.5 * (q3 - q1)),
+                       q3 + 1.5 * (q3 - q1)), 2) AS price_winsor
+    FROM orders, b
+    """,
+)
+def winsorize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR winsorization (etl.py:210-222). Exact percentile here for
+    oracle parity; ``operators.outliers.winsorize(exact=False)`` is the
+    t-digest 100 TB path. Bounds broadcast; clip is map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    out = outliers.winsorize(orders, "o_totalprice", out_col="price_winsor", exact=True)
+    return out.select("o_orderkey", round_half_up("price_winsor", 2).alias("price_winsor"))
+
+
+@_register(
+    "quality_issues",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS row_key, 'high_price' AS issue
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), 'old_order'
+    FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01'
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), 'bad_status'
+    FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+    """,
+)
+def quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level validation issue collection (etl.py:315-346): each
+    check is a pushed-down filter over the shared scan, unioned."""
+    orders = _t(spark, sf_dir, "orders")
+    checks = {
+        "high_price": F.col("o_totalprice") > 400000,
+        "old_order": F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp"),
+        "bad_status": ~F.col("o_orderstatus").isin("F", "O", "P"),
+    }
+    return cleaning.collect_quality_issues(orders, checks, F.col("o_orderkey"))
+
+
+@_register(
+    "missing_fill",
+    """
+    SELECT coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END, 'Unknown') AS lang_filled,
+           COUNT(*) AS cnt
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def missing_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-with-Unknown (etl.py:349-355): nulls constructed
+    deterministically (doc_id % 7) since the testdata is complete."""
+    docs = _t(spark, sf_dir, "documents")
+    lang2 = F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(F.col("lang"))
+    filled = cleaning.fill_unknown(docs.select(lang2.alias("lang_filled")), ["lang_filled"])
+    return filled.groupBy("lang_filled").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_register(
+    "dedup_keep_first",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, round(l_quantity, 2) AS quantity
+    FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup (etl.py:358-368) on
+    (l_orderkey, l_partkey), "first" = lowest line number. One shuffle
+    on the dedup key — the minimum the semantics admit."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = cleaning.dedup_keep_first(
+        li,
+        ["l_orderkey", "l_partkey"],
+        [F.col("l_linenumber").asc(), F.col("l_quantity").asc(), F.col("l_extendedprice").asc()],
+    )
+    return out.select(
+        "l_orderkey", "l_partkey", "l_linenumber", round_half_up("l_quantity", 2).alias("quantity")
+    )
+
+
+@_register(
+    "profile_report",
+    """
+    WITH t AS (SELECT * FROM orders)
+    SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows, COUNT(o_orderkey) AS non_null,
+           COUNT(*) - COUNT(o_orderkey) AS nulls,
+           round((COUNT(*) - COUNT(o_orderkey)) * 100.0 / COUNT(*), 2) AS null_pct,
+           COUNT(DISTINCT o_orderkey) AS distinct_values FROM t
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(*) - COUNT(o_custkey),
+           round((COUNT(*) - COUNT(o_custkey)) * 100.0 / COUNT(*), 2),
+           COUNT(DISTINCT o_custkey) FROM t
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(*) - COUNT(o_orderstatus),
+           round((COUNT(*) - COUNT(o_orderstatus)) * 100.0 / COUNT(*), 2),
+           COUNT(DISTINCT o_orderstatus) FROM t
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(*) - COUNT(o_totalprice),
+           round((COUNT(*) - COUNT(o_totalprice)) * 100.0 / COUNT(*), 2),
+           COUNT(DISTINCT o_totalprice) FROM t
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate), COUNT(*) - COUNT(o_orderdate),
+           round((COUNT(*) - COUNT(o_orderdate)) * 100.0 / COUNT(*), 2),
+           COUNT(DISTINCT o_orderdate) FROM t
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority), COUNT(*) - COUNT(o_orderpriority),
+           round((COUNT(*) - COUNT(o_orderpriority)) * 100.0 / COUNT(*), 2),
+           COUNT(DISTINCT o_orderpriority) FROM t
+    """,
+)
+def profile_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (etl.py:379-400) over orders — ALL columns in
+    ONE scan (single aggregate projection, then unpivot), vs the
+    reference's per-column pandas loop."""
+    orders = _t(spark, sf_dir, "orders")
+    return profiling.profile_report(orders)
+
+
+@_register(
+    "etl_pipeline_e2e",
+    """
+    WITH listing AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             lower(CASE WHEN lower(regexp_replace(trim(p.p_name), '\\s+', ' ', 'g'))
+                        IN ('nan', 'none', 'null', '') THEN NULL
+                   ELSE regexp_replace(trim(p.p_name), '\\s+', ' ', 'g') END) AS product_name,
+             s.s_name AS supplier_name, r.r_name AS region_name,
+             l.l_extendedprice AS price
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY product_name, supplier_name
+                                     ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM listing
+      ) WHERE rn = 1
+    )
+    SELECT region_name,
+           CASE WHEN price IS NULL THEN 'Unknown'
+                WHEN price < 10000 THEN 'Low (<10k)'
+                WHEN price < 50000 THEN 'Mid (10k-50k)'
+                ELSE 'High (50k+)' END AS price_bucket,
+           COUNT(*) AS cnt, round(avg(price), 2) AS avg_price
+    FROM deduped
+    GROUP BY 1, 2
+    """,
+)
+def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full clean → join → dedup → bucket → aggregate composition
+    (etl.py:453-473 run_pipeline shape) on the star schema: fact-side
+    joins broadcast every dim; dedup shuffles once on the dedup key;
+    the final rollup is a low-cardinality aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    listing = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            dedup.normalize_doc(F.col("p_name")).alias("product_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("r_name").alias("region_name"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+    deduped = cleaning.dedup_keep_first(
+        listing,
+        ["product_name", "supplier_name"],
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+    )
+    return deduped.groupBy(
+        "region_name", price_bucket(F.col("price")).alias("price_bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"), round_half_up(F.avg("price"), 2).alias("avg_price"))
+
+
+# ==========================================================================
+# §2B — analytics (analysis.py + reports parity)
+# ==========================================================================
+
+
+@_register(
+    "kpi_summary",
+    """
+    SELECT COUNT(*) AS total_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_value,
+           round(avg(o_totalprice), 2) AS avg_value,
+           round(min(o_totalprice), 2) AS min_value,
+           round(max(o_totalprice), 2) AS max_value,
+           round(avg(CASE WHEN o_totalprice IS NULL THEN 1.0 ELSE 0.0 END) * 100.0, 2)
+             AS missing_value_pct
+    FROM orders
+    """,
+)
+def kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI scorecard (analysis.py:205-250, reports/summary_stats.csv).
+    Exact median for parity; approx_percentile is the 100 TB swap."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.kpi_summary(
+        orders,
+        {"n_customers": "o_custkey", "n_priorities": "o_orderpriority"},
+        "o_totalprice",
+    )
+
+
+@_register(
+    "avg_price_by_group",
+    """
+    SELECT p_brand AS group_value, round(avg(p_retailprice), 2) AS avg_value
+    FROM part WHERE p_retailprice IS NOT NULL AND p_brand IS NOT NULL
+    GROUP BY p_brand
+    ORDER BY avg_value DESC, group_value ASC LIMIT 10
+    """,
+)
+def avg_price_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-by-group top-10 (analysis.py:252-275)."""
+    part = _t(spark, sf_dir, "part")
+    return analytics.avg_by_group(part, "p_brand", "p_retailprice", n=10)
+
+
+@_register(
+    "top_groups",
+    """
+    SELECT n_name AS group_value, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY cnt DESC, group_value ASC LIMIT 10
+    """,
+)
+def top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency top-N (analysis.py:277-296 city bar chart ≙ customers
+    per nation). Dim join broadcast; top-k is TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    return analytics.top_groups(joined, "n_name", n=10)
+
+
+@_register(
+    "share_top5_others",
+    """
+    WITH counts AS (
+      SELECT p_brand AS group_value, COUNT(*) AS cnt FROM part GROUP BY p_brand
+    ), labelled AS (
+      SELECT CASE WHEN row_number() OVER (ORDER BY cnt DESC, group_value ASC) <= 5
+                  THEN group_value ELSE 'Others' END AS label, cnt
+      FROM counts
+    )
+    SELECT label, CAST(sum(cnt) AS BIGINT) AS cnt,
+           round(sum(cnt) * 100.0 / sum(sum(cnt)) OVER (), 2) AS share_pct
+    FROM labelled GROUP BY label
+    """,
+)
+def share_top5_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 share + Others residual (analysis.py:298-331 donut)."""
+    part = _t(spark, sf_dir, "part")
+    return analytics.share_top_n_others(part, "p_brand", n=5)
+
+
+@_register(
+    "price_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000), 20) AS BIGINT) AS bin_id,
+           round(CAST(least(floor(o_totalprice / 25000), 20) AS BIGINT) * 25000, 2) AS bin_low,
+           COUNT(*) AS cnt
+    FROM orders WHERE o_totalprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (analysis.py:333-355): binning is a pure
+    map-side expression; one tiny shuffle on the bin id."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.fixed_histogram(orders, "o_totalprice", bin_width=25000.0, max_bin=20)
+
+
+@_register(
+    "count_avg_combo",
+    """
+    SELECT n_name AS group_value, COUNT(*) AS cnt, round(avg(c_acctbal), 2) AS avg_value
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY cnt DESC, group_value ASC LIMIT 8
+    """,
+)
+def count_avg_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group count + avg combo chart (analysis.py:390-431)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    return analytics.count_avg_combo(joined, "n_name", "c_acctbal", n=8)
+
+
+@_register(
+    "topk_cumulative",
+    """
+    SELECT o_orderkey AS item_key, round(o_totalprice, 2) AS value,
+           round(sum(o_totalprice) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cumulative
+    FROM (SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
+    """,
+)
+def topk_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 prices + cumulative (analysis.py:458-495). limit-k runs
+    FIRST (TakeOrderedAndProject) so the window sees 10 rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.topk_cumulative(orders, "o_totalprice", "o_orderkey", k=10)
+
+
+@_register(
+    "scatter_sample",
+    """
+    WITH thr AS (SELECT round(quantile_cont(o_totalprice, 0.99), 2) AS p99 FROM orders)
+    SELECT o_orderkey, round(o_totalprice, 2) AS price, round(c_acctbal, 2) AS rating
+    FROM orders JOIN customer ON o_custkey = c_custkey, thr
+    WHERE o_totalprice <= p99 AND o_orderkey % 37 = 0
+    """,
+)
+def scatter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p99-clipped deterministic sample (analysis.py:496-520 scatter).
+    The reference uses a seeded random sample; a distributed engine
+    gets determinism from a key-hash predicate (orderkey % 37) instead.
+    The p99 threshold is rounded to 2dp before comparison so engines
+    cannot disagree at the ulp level."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    thr = orders.agg(round_half_up(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .crossJoin(F.broadcast(thr))
+        .filter((F.col("o_totalprice") <= F.col("p99")) & (F.col("o_orderkey") % 37 == 0))
+        .select(
+            "o_orderkey",
+            round_half_up("o_totalprice", 2).alias("price"),
+            round_half_up("c_acctbal", 2).alias("rating"),
+        )
+    )
+
+
+@_register(
+    "missing_by_group",
+    """
+    SELECT o_orderpriority AS group_value,
+           round(avg(CASE WHEN price IS NULL THEN 1.0 ELSE 0.0 END) * 100.0, 2) AS missing_pct,
+           COUNT(*) AS cnt
+    FROM (SELECT o_orderpriority,
+                 CASE WHEN o_totalprice > 300000 THEN NULL ELSE o_totalprice END AS price
+          FROM orders)
+    GROUP BY 1
+    """,
+)
+def missing_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-pct per group (reports/missing_price_by_keyword.csv);
+    missingness constructed deterministically (price > 300k → NULL)."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.when(F.col("o_totalprice") > 300000, F.lit(None).cast("double")).otherwise(
+        F.col("o_totalprice")
+    )
+    masked = orders.select("o_orderpriority", price.alias("price"))
+    return analytics.missing_pct_by_group(masked, "o_orderpriority", "price")
+
+
+@_register(
+    "outliers_top_pct",
+    """
+    WITH thr AS (SELECT round(quantile_cont(o_totalprice, 0.99), 2) AS p99 FROM orders)
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders, thr WHERE o_totalprice > p99
+    """,
+)
+def outliers_top_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows above the p99 threshold (reports/outliers_top_1pct).
+    Threshold-based with a 2dp-rounded cut (engine-stable); the exact
+    percentile swaps for approx_percentile at 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    thr = orders.agg(round_half_up(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"))
+    return (
+        orders.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("p99"))
+        .select("o_orderkey", round_half_up("o_totalprice", 2).alias("price"))
+    )
+
+
+@_register(
+    "token_counts",
+    """
+    SELECT tok AS token, COUNT(*) AS cnt
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(p_name)), '[^a-z0-9]+'),
+                                    t -> length(t) >= 3)) AS tok
+          FROM part)
+    GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-name tokenization top-20 (reports/top_product_tokens).
+    Explode + count: shuffle carries (token, partial count) pairs only
+    thanks to map-side combine."""
+    from ..functions.text import tokens
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(tokens(F.col("p_name"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "unknown_share",
+    """
+    SELECT CAST(sum(CASE WHEN loc = 'Unknown' THEN 1 ELSE 0 END) AS BIGINT) AS unknown_cnt,
+           COUNT(*) AS total_cnt,
+           round(sum(CASE WHEN loc = 'Unknown' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+             AS unknown_share_pct
+    FROM (SELECT coalesce(CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE n_name END,
+                          'Unknown') AS loc
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    """,
+)
+def unknown_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown-location share (reports/unknown_location_share.csv);
+    unknowns constructed via c_custkey % 13 then filled."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    loc = F.coalesce(
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None).cast("string")).otherwise(F.col("n_name")),
+        F.lit("Unknown"),
+    )
+    base = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(loc.alias("loc"))
+    unknown = F.sum(F.when(F.col("loc") == "Unknown", 1).otherwise(0))
+    return base.agg(
+        unknown.cast("long").alias("unknown_cnt"),
+        F.count(F.lit(1)).alias("total_cnt"),
+        round_half_up(unknown * 100.0 / F.count(F.lit(1)), 2).alias("unknown_share_pct"),
+    )
+
+
+@_register(
+    "price_rating_corr",
+    """
+    SELECT round(corr(c_acctbal, o_totalprice), 4) AS pearson_corr, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def price_rating_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr(rating, price) (EDA_INSIGHTS.md). 4dp rounding
+    absorbs one-pass vs two-pass float noise between engines."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(
+            round_half_up(F.corr("c_acctbal", "o_totalprice"), 4).alias("pearson_corr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ==========================================================================
+# §2C — relational core (scale-path flagship queries)
+# ==========================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style wide aggregate — the flagship / ``entry()`` query.
+
+    Scale shape: full scan with the shipdate predicate pushed to
+    parquet, 4-group aggregation with complete map-side partial
+    aggregation — shuffle carries ~4 rows per task regardless of SF.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(F.sum(charge), 2).alias("sum_charge"),
+            round_half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + agg + top-k.
+
+    customer (filtered, broadcast) ⋈ orders ⋈ lineitem: the only big
+    shuffle is orders⋈lineitem on orderkey; both date predicates push
+    to the parquet scans; top-10 is TakeOrderedAndProject.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round_half_up(F.sum(revenue), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join.
+
+    One fact-fact shuffle (orders⋈lineitem on orderkey); customer,
+    supplier, nation, region all broadcast — at 100 TB the dims stay
+    ≤ GBs while the facts never reshuffle after the orderkey join.
+    """
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(round_half_up(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "windowed_rank",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def windowed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — per-group window rank. Single
+    shuffle on the partition key; rank filter prunes before projecting.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            round_half_up("o_totalprice", 2).alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+# ==========================================================================
+# §2D — events / temporal
+# ==========================================================================
+
+
+@_register(
+    "events_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, COUNT(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over event time (batch form; the
+    streaming twin lives in streaming/jobs.py)."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.tumbling_agg(events, bucket="hour")
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), ids AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS session_ms,
+           round(sum(value), 2) AS sum_value
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative boundary sum
+    — one shuffle on user_id, local sort within user."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.sessionize(events, gap_minutes=30)
+
+
+@_register(
+    "events_props_parse",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           round(avg(k_value), 4) AS avg_k,
+           CAST(sum(CASE WHEN k_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props extraction + per-type aggregate (get_json_object is a
+    JVM intrinsic — no Python in the path)."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.parse_props(events, "props", "k")
+
+
+# ==========================================================================
+# §2E — LLM-data-pipeline operators (documents / embeddings)
+# ==========================================================================
+
+
+@_register(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5({_NORM}) AS content_hash, COUNT(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS representative_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5(normalized text) hash-groupBy; shuffle keyed
+    by the 16-byte digest, representative = min(doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+@_register("dedup_minhash_lsh")  # rows-only oracle: hash family is Spark-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=64) + LSH(16 bands × 4) candidate near-dup pairs.
+    Shuffle O(corpus × bands) — never corpus². Rows-only check: the
+    xxhash64 permutation family has no DuckDB equivalent."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=64, bands=16)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@_register("dedup_simhash")  # rows-only oracle
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dups (hamming ≤ 3) via chunk banding +
+    bit_count verification. Rows-only check (xxhash64 family)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@_register("ngram_jaccard")  # rows-only oracle
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard verification of the LSH candidate pairs —
+    compute ∝ |candidates|. Rows-only check (candidates come from the
+    Spark-specific LSH)."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(docs, k=64, bands=16)
+    return dedup.ngram_jaccard_pairs(cand, docs, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@_register(
+    "embedding_neardup",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                             * sqrt(list_dot_product(b.e, b.e)) > 0
+                        THEN list_dot_product(a.e, b.e)
+                             / (sqrt(list_dot_product(a.e, a.e))
+                                * sqrt(list_dot_product(b.e, b.e)))
+                   END, 4) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.9
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.9). Exact O(N²) pair join
+    for the oracle; ``similarity.lsh_bucketed_pairs`` is the
+    O(corpus)-shuffle scale path with the same output contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.9)
+
+
+@_register(
+    "ann_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(qe, qe))
+                             * sqrt(list_dot_product(v.e, v.e)) > 0
+                        THEN list_dot_product(qe, v.e)
+                             / (sqrt(list_dot_product(qe, qe))
+                                * sqrt(list_dot_product(v.e, v.e)))
+                   END, 4) AS cos_sim
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5: queries
+    broadcast, corpus scanned once, per-query window rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+@_register("ann_lsh")  # rows-only oracle: plane family is Spark-side
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH approximate top-10 for vec_id < 5 —
+    equi-join on bucket id, shuffle O(corpus). Rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
+
+
+_LANG_SQL_SCORES = ",\n      ".join(
+    f"len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS[lang])}, x)))"
+    f" AS s_{lang}"
+    for lang in textstats.LANG_PRIORITY
+)
+
+
+@_register(
+    "lang_id",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM n),
+    scored AS (
+      SELECT doc_id,
+      {_LANG_SQL_SCORES}
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unknown'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS pred_lang,
+           CAST(greatest(s_en, s_es, s_fr, s_de) AS BIGINT) AS best_score
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID — pure projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lang_id(docs)
+
+
+@_register(
+    "doc_quality",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, s, {_TOKS} AS tk FROM n),
+    m AS (
+      SELECT doc_id, s, tk,
+             length(s) AS n_chars, len(tk) AS n_tokens,
+             length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS n_digits,
+             length(s) - length(regexp_replace(s, '[^\\w\\s]', '', 'g')) AS n_punct,
+             len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS["en"])}, x)))
+               AS n_stop,
+             CASE WHEN length(s) > 0 THEN CAST(length(s) AS DOUBLE) END AS safe_chars,
+             CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END AS safe_toks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(coalesce(list_sum(list_transform(tk, x -> length(x))) / safe_toks, 0.0), 4)
+             AS avg_token_len,
+           round(coalesce(n_digits / safe_chars, 0.0), 4) AS digit_ratio,
+           round(coalesce(n_punct / safe_chars, 0.0), 4) AS punct_ratio,
+           round(coalesce(n_stop / safe_toks, 0.0), 4) AS stopword_ratio,
+           round(0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                 + 0.3 * least(coalesce(n_stop / safe_toks, 0.0) * 5.0, 1.0)
+                 + 0.3 * (1.0 - least(coalesce(n_digits / safe_chars, 0.0)
+                                      + coalesce(n_punct / safe_chars, 0.0), 1.0)), 4)
+             AS quality_score
+    FROM m
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc quality scores — pure projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.doc_quality(docs)
+
+
+@_register(
+    "token_stats",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    m AS (SELECT doc_id, s, len({_TOKS}) AS ws_tokens,
+                 len(regexp_extract_all(s, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+          FROM n)
+    SELECT doc_id, CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           round(coalesce(length(s) / CASE WHEN bpe_tokens > 0
+                                           THEN CAST(bpe_tokens AS DOUBLE) END, 0.0), 4)
+             AS chars_per_bpe_token
+    FROM m
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts — pure projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_stats(docs)
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents)
+    SELECT doc_id, md5(s) AS fingerprint_md5, md5(s[1:64]) AS prefix_md5
+    FROM n
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 of normalized text + 64-char-prefix
+    blocking key). The xxhash64 variant exists in operators.textstats
+    but is excluded here (no DuckDB xxhash64)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.doc_fingerprint(docs)
+    return out.select("doc_id", "fingerprint_md5", "prefix_md5")
