@@ -75,18 +75,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) MinHash signature per document.
 
-    Each of the k hash functions is xxhash64 seeded by the permutation
-    index; the minimum over the doc's shingles approximates the
-    permutation-minimum. Explode + groupBy(doc_id) is a single shuffle
-    keyed by doc id — partial (map-side) min aggregation keeps shuffle
-    rows at one per (doc, hash), not one per shingle.
+    Each shingle string is hashed ONCE to a 64-bit base value (the
+    explode materializes the hashed array, so the string hash is not
+    recomputed per permutation — a pure-projection formulation would
+    let Catalyst inline the array into all k expressions and redo the
+    string hashing k times). The k permutation minima then re-hash the
+    fixed-width long with xxhash64 seeded by the permutation index.
+    groupBy(doc_id) with map-side partial min keeps shuffle rows at
+    k per doc, not per shingle.
     """
     exploded = docs.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("shingle")
+        F.col(id_col),
+        F.explode(
+            F.transform(char_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("__h"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(k)
-    ]
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}") for i in range(k)]
     return exploded.groupBy(id_col).agg(*aggs)
 
 

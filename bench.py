@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() materializes every
+partition) after a JVM/session warm-up pass, so the numbers measure
+plan execution, not session startup. Set SPARK_GRAFT_BENCH_KEYS to a
+comma list to override the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+from b2b_data_pipeline_indiamart_spark.session import get_spark
+
+#: headline set: the scale-critical relational core + one representative
+#: of each heavy operator family (window, sessionization, dedup/LSH,
+#: text scoring, vector search).
+DEFAULT_KEYS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "windowed_rank",
+    "etl_pipeline_e2e",
+    "events_sessionize",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "doc_quality",
+    "ann_topk",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    keys = [k.strip() for k in keys_env.split(",")] if keys_env else DEFAULT_KEYS
+    spark = get_spark("b2b-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: run the cheapest query once so JVM/codegen warm-up and
+    # parquet footer reads don't land in the first measured query.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        t0 = time.perf_counter()
+        QUERIES[key](spark, sf_dir).count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
