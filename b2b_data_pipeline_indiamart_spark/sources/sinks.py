@@ -1,0 +1,113 @@
+"""Sinks: parquet (partitioned), CSV, JSON, SQLite.
+
+Reference parity: etl.py:411-435 (``export_outputs``) writes the
+curated CSV with ``na_rep="NaN"`` in ``utf-8-sig`` plus an optional
+SQLite table. At 100 TB the real sinks are partitioned parquet and a
+warehouse JDBC write; CSV/JSON/SQLite are kept for drop-in parity with
+the reference's outputs and are documented as small-result sinks.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """The scale sink. ``partition_by`` (e.g. region / date) gives
+    downstream readers partition pruning; writes stay fully parallel —
+    one file per task per partition value."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    na_rep: str = "NaN",
+    header: bool = True,
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """CSV export with literal ``na_rep`` for nulls (etl.py:429-430
+    writes ``na_rep="NaN"`` "so you can SEE missing values").
+    ``single_file`` coalesces to one partition — only for curated /
+    report-sized outputs; the default keeps one file per partition."""
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("nullValue", na_rep)
+        .option("emptyValue", na_rep)
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    *,
+    if_exists: str = "replace",
+    batch_size: int = 10_000,
+) -> int:
+    """SQLite sink (etl.py:430-434 ``to_sql(..., if_exists="replace")``
+    parity). Returns rows written.
+
+    SQLite is a single-file, single-writer store, so this is inherently
+    a driver-side sink — it streams partitions through
+    ``toLocalIterator`` (never materializes the whole DataFrame on the
+    driver) and inserts in batches. Use it for curated/aggregated
+    outputs like the reference does; the 100 TB path is
+    ``df.write.jdbc`` against a real warehouse or :func:`write_parquet`.
+    """
+    if if_exists not in ("replace", "append", "fail"):
+        raise ValueError(f"if_exists must be replace|append|fail, got {if_exists!r}")
+    cols = df.columns
+    qcols = ", ".join(f'"{c}"' for c in cols)
+    placeholders = ", ".join("?" for _ in cols)
+    conn = sqlite3.connect(db_path)
+    try:
+        cur = conn.cursor()
+        exists = cur.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (table,)
+        ).fetchone()
+        if exists and if_exists == "fail":
+            raise ValueError(f"table {table!r} already exists")
+        if if_exists == "replace":
+            cur.execute(f'DROP TABLE IF EXISTS "{table}"')
+            exists = None
+        if not exists:
+            col_defs = ", ".join(f'"{c}"' for c in cols)
+            cur.execute(f'CREATE TABLE "{table}" ({col_defs})')
+        n = 0
+        batch: list[tuple] = []
+        insert = f'INSERT INTO "{table}" ({qcols}) VALUES ({placeholders})'
+        for row in df.toLocalIterator():
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                cur.executemany(insert, batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            cur.executemany(insert, batch)
+            n += len(batch)
+        conn.commit()
+        return n
+    finally:
+        conn.close()

@@ -1,0 +1,22 @@
+"""Structured Streaming jobs: windowed counts, sessionization, stateful
+running aggregates, checkpointed file→parquet ingest."""
+
+from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+    event_stream_schema,
+    read_event_stream,
+    running_user_totals,
+    start_memory_sink,
+    start_parquet_ingest,
+    streaming_session_aggregate,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "event_stream_schema",
+    "read_event_stream",
+    "windowed_event_counts",
+    "streaming_session_aggregate",
+    "running_user_totals",
+    "start_memory_sink",
+    "start_parquet_ingest",
+]

@@ -1,0 +1,196 @@
+"""Structured Streaming jobs over the events stream.
+
+Reference parity: the scraper (scraper.py:581-621) is an incremental,
+checkpointed producer — it appends finished batches to a partial CSV
+and records progress in a JSON checkpoint so a crash resumes without
+re-scraping. The Spark-native equivalent is a file-source stream with a
+``checkpointLocation``: Structured Streaming's write-ahead offset log
+plus idempotent sink commit gives exactly-once file→parquet ingestion,
+strictly stronger than the reference's at-least-once manifest.
+
+Everything here is expressed with built-in streaming operators
+(``window``, ``session_window``, watermarks) so state lives in the
+JVM's state store; only :func:`running_user_totals` drops to
+``applyInPandasWithState`` — deliberately, as the template for custom
+stateful operators the built-ins can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def event_stream_schema() -> T.StructType:
+    """Schema of the events stream (mirrors testdata ``events``:
+    ts/user_id/event_type/value/props). File streams require an
+    explicit schema — inference would re-list the directory."""
+    return T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def read_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    fmt: str = "json",
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream. ``maxFilesPerTrigger`` bounds per-batch work
+    so one giant backlog directory can't produce an unbounded batch."""
+    reader = spark.readStream.format(fmt).schema(schema or event_stream_schema())
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(input_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts + value sum per event_type.
+
+    The watermark bounds state: windows older than
+    ``max(event time) - watermark`` are finalized and evicted, so state
+    size is O(active windows × event types) regardless of stream
+    length — the property that lets this run forever at scale.
+    """
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_aggregate(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Gap-based sessionization with the native ``session_window``.
+
+    Same semantics as the batch ``events_sessionize`` operator (gap >
+    ``gap`` starts a new session) but incremental: the state store
+    merges adjacent session windows per user and the watermark closes
+    sessions whose end precedes it. No Python in the loop.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_TOTALS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user event count + value total via
+    ``applyInPandasWithState`` — the custom-stateful-operator template.
+
+    State is one (count, sum) pair per user, updated from Arrow batches
+    and re-emitted each micro-batch (update mode). Use this shape for
+    operators the built-ins can't express; for anything expressible as
+    a windowed/session aggregate prefer those — JVM state store, no
+    Python round-trip.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOTALS_OUT,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def start_memory_sink(
+    sdf: DataFrame, name: str, *, output_mode: str = "update"
+) -> StreamingQuery:
+    """Test/debug sink: results land in an in-memory table ``name``."""
+    return (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def start_parquet_ingest(
+    sdf: DataFrame, output_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Checkpointed file→parquet ingestion (exactly-once). Restarting
+    with the same ``checkpoint_dir`` resumes from the recorded offsets —
+    the scraper's checkpoint/partial-CSV resume, Spark-native."""
+    return (
+        sdf.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,126 @@
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from b2b_data_pipeline_indiamart_spark.sources import (
+    load_manifest,
+    read_csv_normalized,
+    resumable_ingest,
+    to_snake_case,
+    write_csv,
+    write_parquet,
+    write_sqlite,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Product Name", "product_name"),
+        ("  Price (INR)  ", "price_inr"),
+        ("supplier-name", "suppliername"),
+        ("Rating %", "rating_"),
+        ("﻿Search Keyword", "search_keyword"),
+        ("ALREADY_SNAKE", "already_snake"),
+    ],
+)
+def test_to_snake_case(raw, expected):
+    assert to_snake_case(raw) == expected
+
+
+def test_read_csv_normalized_headers_and_backfill(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "Product Name,Price (INR),Supplier Name\n"
+        "Widget,1200,Acme\n"
+        "Gadget,900,Globex\n",
+        encoding="utf-8-sig",
+    )
+    df = read_csv_normalized(spark, str(p))
+    assert df.columns == ["product_name", "price_inr", "supplier_name", "scraped_at"]
+    rows = df.collect()
+    assert len(rows) == 2
+    # backfilled scraped_at is the file mtime — non-empty ISO string
+    assert all(r["scraped_at"] for r in rows)
+
+
+def test_read_csv_keeps_existing_scraped_at(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "Product Name,Scraped At\nWidget,2026-01-01T00:00:00+00:00\nGadget,\n"
+    )
+    df = read_csv_normalized(spark, str(p))
+    vals = {r["product_name"]: r["scraped_at"] for r in df.collect()}
+    assert vals["Widget"].startswith("2026-01-01")
+    assert vals["Gadget"]  # null filled with mtime fallback
+
+
+def _write_batch(path, rows):
+    path.write_text("id,name\n" + "\n".join(f"{i},{n}" for i, n in rows) + "\n")
+
+
+def test_resumable_ingest_skips_completed_and_dedups(spark, tmp_path):
+    f1, f2 = tmp_path / "b1.csv", tmp_path / "b2.csv"
+    _write_batch(f1, [(1, "a"), (2, "b")])
+    _write_batch(f2, [(2, "b2"), (3, "c")])  # id=2 is a cross-file dup
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest.json")
+
+    done = resumable_ingest(
+        spark, [str(f1)], out, manifest, key_cols=["id"]
+    )
+    assert done == [str(f1)]
+    # second call: f1 skipped (manifest), f2 ingested with id=2 dropped
+    done = resumable_ingest(
+        spark, [str(f1), str(f2)], out, manifest, key_cols=["id"]
+    )
+    assert done == [str(f2)]
+    result = spark.read.parquet(out)
+    assert sorted(r["id"] for r in result.collect()) == [1, 2, 3]
+    m = load_manifest(manifest)
+    assert set(m["completed_files"]) == {str(f1), str(f2)}
+    # idempotent: nothing left to do
+    assert resumable_ingest(spark, [str(f1), str(f2)], out, manifest) == []
+
+
+def test_load_manifest_tolerates_garbage(tmp_path):
+    p = tmp_path / "m.json"
+    p.write_text("not json {{{")
+    assert load_manifest(str(p)) == {"completed_files": [], "updated_at": None}
+    p.write_text(json.dumps([1, 2]))
+    assert load_manifest(str(p))["completed_files"] == []
+
+
+def test_write_csv_na_rep(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "name"])
+    out = tmp_path / "out_csv"
+    write_csv(df, str(out), single_file=True)
+    text = next(out.glob("part-*.csv")).read_text()
+    assert "NaN" in text  # etl.py:429 na_rep parity
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], ["id", "grp"])
+    out = tmp_path / "out_pq"
+    write_parquet(df, str(out), partition_by=["grp"])
+    assert (out / "grp=x").exists() and (out / "grp=y").exists()
+    assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_write_sqlite_replace_and_append(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "name"])
+    db = str(tmp_path / "out.db")
+    assert write_sqlite(df, db, "products") == 2
+    assert write_sqlite(df, db, "products", if_exists="replace") == 2
+    assert write_sqlite(df, db, "products", if_exists="append") == 2
+    con = sqlite3.connect(db)
+    n, nulls = con.execute(
+        "SELECT COUNT(*), SUM(name IS NULL) FROM products"
+    ).fetchone()
+    con.close()
+    assert n == 4 and nulls == 2
+    with pytest.raises(ValueError):
+        write_sqlite(df, db, "products", if_exists="fail")

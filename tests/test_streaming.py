@@ -1,0 +1,121 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from b2b_data_pipeline_indiamart_spark.streaming import (
+    read_event_stream,
+    running_user_totals,
+    start_memory_sink,
+    start_parquet_ingest,
+    streaming_session_aggregate,
+    windowed_event_counts,
+)
+
+
+def _write_events(path, rows):
+    with open(path, "w") as f:
+        for ts, uid, etype, value in rows:
+            f.write(
+                json.dumps(
+                    {"ts": ts, "user_id": uid, "event_type": etype, "value": value, "props": "{}"}
+                )
+                + "\n"
+            )
+
+
+BATCH1 = [
+    ("2026-01-01T10:00:00", 1, "view", 1.0),
+    ("2026-01-01T10:05:00", 1, "click", 2.0),
+    ("2026-01-01T10:59:00", 2, "view", 3.0),
+    ("2026-01-01T11:30:00", 2, "buy", 4.0),
+]
+BATCH2 = [
+    ("2026-01-01T12:01:00", 1, "view", 5.0),
+    ("2026-01-01T14:00:00", 3, "view", 6.0),  # advances watermark past 11:xx
+]
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_update_mode(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(src / "b1.json", BATCH1)
+    sdf = windowed_event_counts(read_event_stream(spark, str(src)), window="1 hour")
+    q = start_memory_sink(sdf, "win_counts", output_mode="update")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT window_start, event_type, n_events, sum_value FROM win_counts"
+    ).collect()
+    got = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in rows}
+    assert got[("2026-01-01 10:00:00", "view")] == (2, 4.0)
+    assert got[("2026-01-01 10:00:00", "click")] == (1, 2.0)
+    assert got[("2026-01-01 11:00:00", "buy")] == (1, 4.0)
+
+
+def test_session_window_merges_and_closes(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(src / "b1.json", BATCH1)
+    _write_events(src / "b2.json", BATCH2)
+    sdf = streaming_session_aggregate(
+        read_event_stream(spark, str(src)), gap="30 minutes", watermark="1 minute"
+    )
+    # session-window aggregations stream in append mode: a session is
+    # emitted once, when the watermark passes its end
+    q = start_memory_sink(sdf, "sessions", output_mode="append")
+    _drain(q)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events at 10:00/10:05 merge into one session (gap 5m < 30m)
+    u1 = [r for r in by_user[1] if str(r["session_start"]).startswith("2026-01-01 10")]
+    assert any(r["n_events"] == 2 and r["session_value"] == 3.0 for r in u1)
+    # user 2: 10:59 vs 11:30 is a 31-minute gap → separate sessions
+    assert len(by_user[2]) == 2
+    # user 3's 14:00 session is still open (nothing past the watermark closes it)
+    assert 3 not in by_user
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(src / "b1.json", BATCH1)
+    _write_events(src / "b2.json", BATCH2)
+    sdf = running_user_totals(read_event_stream(spark, str(src), max_files_per_trigger=1))
+    q = start_memory_sink(sdf, "totals", output_mode="update")
+    _drain(q)
+    # update mode re-emits per micro-batch; the last row per user wins
+    rows = spark.sql("SELECT * FROM totals").collect()
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 8.0)
+    assert final[2] == (2, 7.0)
+    assert final[3] == (1, 6.0)
+
+
+def test_parquet_ingest_checkpoint_resume(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(src / "b1.json", BATCH1)
+    q = start_parquet_ingest(read_event_stream(spark, str(src)), out, ckpt)
+    _drain(q)
+    assert spark.read.parquet(out).count() == len(BATCH1)
+
+    # restart with the SAME checkpoint: only the new file is ingested
+    _write_events(src / "b2.json", BATCH2)
+    q = start_parquet_ingest(read_event_stream(spark, str(src)), out, ckpt)
+    _drain(q)
+    df = spark.read.parquet(out)
+    assert df.count() == len(BATCH1) + len(BATCH2)  # no duplicates from b1
+    assert df.select("user_id").distinct().count() == 3
