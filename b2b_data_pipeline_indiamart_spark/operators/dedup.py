@@ -60,14 +60,28 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def char_shingles(col, n: int = 5) -> F.Column:
-    """Distinct character n-gram shingles of the normalized text.
+    """Distinct character n-gram shingles of an ALREADY-NORMALIZED text
+    column.
 
     Pure Catalyst: sequence + transform + substring (no explode at this
     stage — the array stays with the row).
+
+    PERF: pass a plain column attribute, not a nested expression. The
+    ``transform`` lambda references the string once per shingle index,
+    so an inlined expression (e.g. ``normalize_doc(...)``'s regex
+    chain) would be re-evaluated per index — measured 10× slower at
+    sf0.01. Callers project normalization into its own column first
+    (see :func:`_with_normalized`).
     """
-    s = normalize_doc(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
+
+
+def _with_normalized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __norm) projection. Materializing the normalization in its
+    own Project node means the regex chain runs once per row; the
+    shingling ``transform`` downstream then reads a plain attribute."""
+    return docs.select(F.col(id_col), normalize_doc(F.col(text_col)).alias("__norm"))
 
 
 def minhash_signatures(
@@ -84,10 +98,10 @@ def minhash_signatures(
     groupBy(doc_id) with map-side partial min keeps shuffle rows at
     k per doc, not per shingle.
     """
-    exploded = docs.select(
+    exploded = _with_normalized(docs, text_col, id_col).select(
         F.col(id_col),
         F.explode(
-            F.transform(char_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+            F.transform(char_shingles(F.col("__norm"), shingle_n), lambda s: F.xxhash64(s))
         ).alias("__h"),
     )
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}") for i in range(k)]
@@ -103,6 +117,12 @@ def lsh_candidate_pairs(
     (r=4) the S-curve threshold is ~(1/16)^(1/4) ≈ 0.5 Jaccard.
     Pair generation is a self-equi-join on (band_id, band_hash):
     shuffle ∝ corpus × bands. Returns distinct (id_a, id_b), id_a < id_b.
+
+    The banded table is persisted (memory-and-disk) before the
+    self-join: without it Spark recomputes the whole
+    shingle→signature pipeline for BOTH join sides (measured ~2× the
+    signature cost at sf0.01). At cluster scale the same role is
+    played by writing signatures to a parquet stage table.
     """
     r = k // bands
     band_structs = F.array(
@@ -117,6 +137,7 @@ def lsh_candidate_pairs(
     banded = (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, "bb.band_id", "bb.band_hash")
+        .persist()
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -157,7 +178,9 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     exploded tokens — one shuffle keyed by doc id, partial aggregation
     map-side.
     """
-    toks = docs.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    norm = _with_normalized(docs, text_col, id_col)
+    tokens = F.filter(F.split(F.col("__norm"), r"\s+"), lambda t: t != "")
+    toks = norm.select(F.col(id_col), F.explode(tokens).alias("tok"))
     h = F.xxhash64(F.col("tok"))
     aggs = [
         F.sum(
@@ -205,8 +228,12 @@ def simhash_neardup_pairs(
             for c in range(chunks)
         ]
     )
-    chunked = sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("cc")).select(
-        id_col, "simhash", "cc.chunk_id", "cc.chunk_value"
+    # persisted for the same reason as the LSH band table: the self-
+    # join would otherwise recompute the token→signature pipeline twice
+    chunked = (
+        sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("cc"))
+        .select(id_col, "simhash", "cc.chunk_id", "cc.chunk_value")
+        .persist()
     )
     left, right = chunked.alias("l"), chunked.alias("r")
     cand = (
@@ -246,9 +273,9 @@ def ngram_jaccard_pairs(
     keyed by doc id) and the Jaccard is an array intersection/union on
     the pair row — compute ∝ |pairs|, never corpus².
     """
-    grams = docs.select(
-        F.col(id_col).alias("gid"), char_shingles(F.col(text_col), shingle_n).alias("grams")
-    )
+    grams = _with_normalized(docs, text_col, id_col).select(
+        F.col(id_col).alias("gid"), char_shingles(F.col("__norm"), shingle_n).alias("grams")
+    ).persist()
     out = (
         pairs.join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
         .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
