@@ -1,0 +1,71 @@
+"""§5.5 plan assertions: the scale-critical queries must produce the
+physical plans we designed for — broadcast dim joins, pushed filters,
+whole-stage codegen, and no row-at-a-time Python evaluation anywhere in
+the registry."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+
+def _plan(spark, sf_small, key: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[key](spark, sf_small).explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("key", ["q3_shipping_priority", "q5_region_revenue", "etl_pipeline_e2e"])
+def test_dim_joins_broadcast(spark, sf_small, key):
+    plan = _plan(spark, sf_small, key)
+    assert "BroadcastHashJoin" in plan
+    # dim joins must not fall back to shuffling both sides
+    assert "SortMergeJoin" not in plan or key == "q3_shipping_priority"
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_small):
+    plan = _plan(spark, sf_small, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_scans_prune_columns(spark, sf_small):
+    # q1 reads 7 of lineitem's 16 columns; the scan schema must shrink
+    plan = _plan(spark, sf_small, "q1_pricing_summary")
+    scan = next(s for s in plan.split("\n\n") if "Scan parquet" in s and "lineitem" in s)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_small):
+    # AQE's formatted plan hides codegen spans pre-execution; the
+    # "codegen" explain mode lists the compiled subtrees directly
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["q1_pricing_summary"](spark, sf_small).explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_no_row_at_a_time_python(spark, sf_small, key):
+    # BatchEvalPython = per-row Python UDF — banned from every plan.
+    # (ArrowEvalPython / mapInPandas would be acceptable where declared;
+    # the registry currently needs neither.)
+    plan = _plan(spark, sf_small, key)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_small):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
+    # global sort of the whole relation
+    plan = _plan(spark, sf_small, "top_groups")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_topk_broadcasts_queries(spark, sf_small):
+    plan = _plan(spark, sf_small, "ann_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
