@@ -67,6 +67,34 @@ def dedup_keep_first(df: DataFrame, keys: Sequence[str], order_by: Sequence[Colu
     )
 
 
+def dedup_keep_first_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    payload: Sequence[str],
+) -> DataFrame:
+    """Keep-first dedup as ``groupBy(keys).agg(min(struct(...)))``.
+
+    Same result as :func:`dedup_keep_first` when ``order_cols`` are
+    ascending AND unique per row (e.g. a primary key): the struct min
+    is lexicographic, so ordering fields come first and ``payload``
+    fields are carried along (they can only influence selection on a
+    total tie of the order columns).
+
+    Scale rationale: the window formulation shuffles EVERY row and
+    sorts each partition; this formulation gets map-side partial
+    aggregation — duplicate groups collapse before the shuffle, so
+    shuffle volume is O(distinct keys), and there is no sort at all.
+    At a 9:1 dup ratio that is a 9× shuffle reduction; the higher the
+    duplication (the common case for dedup!), the bigger the win.
+    Output columns: keys + order_cols + payload.
+    """
+    first = F.min(F.struct(*[F.col(c) for c in [*order_cols, *payload]])).alias("__first")
+    return df.groupBy(*[F.col(k) for k in keys]).agg(first).select(
+        *keys, *[F.col(f"__first.{c}").alias(c) for c in [*order_cols, *payload]]
+    )
+
+
 def curate(df: DataFrame, final_columns: Sequence[str]) -> DataFrame:
     """Guarantee exact output column set + order (etl.py:403-408).
 

@@ -314,10 +314,11 @@ def dedup_keep_first_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_orderkey, l_partkey), "first" = lowest line number. One shuffle
     on the dedup key — the minimum the semantics admit."""
     li = _t(spark, sf_dir, "lineitem")
-    out = cleaning.dedup_keep_first(
+    out = cleaning.dedup_keep_first_agg(
         li,
         ["l_orderkey", "l_partkey"],
-        [F.col("l_linenumber").asc(), F.col("l_quantity").asc(), F.col("l_extendedprice").asc()],
+        ["l_linenumber", "l_quantity", "l_extendedprice"],
+        [],
     )
     return out.select(
         "l_orderkey", "l_partkey", "l_linenumber", round_half_up("l_quantity", 2).alias("quantity")
@@ -418,10 +419,11 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("price"),
         )
     )
-    deduped = cleaning.dedup_keep_first(
+    deduped = cleaning.dedup_keep_first_agg(
         listing,
         ["product_name", "supplier_name"],
-        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        ["l_orderkey", "l_linenumber"],
+        ["region_name", "price"],
     )
     return deduped.groupBy(
         "region_name", price_bucket(F.col("price")).alias("price_bucket")
