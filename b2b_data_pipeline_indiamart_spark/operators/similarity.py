@@ -156,6 +156,11 @@ def cosine_neardup_blocked(
         f"id_a long, id_b long, cos_sim double"
     )
 
+    # round-robin repartition: a single-file corpus scans as one task,
+    # which would serialize the gemm; the rows being shuffled are just
+    # (id, vec) — cheap relative to the O(N²) scoring they unlock
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+
     def score(batches):
         b_ids, b_mat = bc.value
         for pdf in batches:
