@@ -60,6 +60,27 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``load`` + adaptive round-robin repartition for fact-side scans.
+
+    A single-file, single-row-group parquet (the shape of the testdata)
+    scans as ONE task no matter how many cores exist, serializing every
+    downstream join/window/regex until the first shuffle. When the scan
+    yields fewer partitions than ``defaultParallelism``, repartition up
+    to it; on a real multi-file dataset (the 100 TB case) the scan
+    already has ≥ cores partitions and this is a no-op — no shuffle is
+    added. Catalyst still pushes filters through the repartition into
+    the scan. Use for fact tables feeding compute-heavy plans; keep
+    plain ``load`` for scan→aggregate plans where map-side partial
+    aggregation makes an extra shuffle a pure loss.
+    """
+    df = load(spark, sf_dir, table)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

@@ -54,6 +54,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fact-side load: adaptive scan-parallelism (catalog.load_parallel)
+    for plans with heavy per-row work between scan and first shuffle."""
+    return catalog.load_parallel(spark, sf_dir, name)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, sf_dir)
 
@@ -400,7 +406,7 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (etl.py:453-473 run_pipeline shape) on the star schema: fact-side
     joins broadcast every dim; dedup shuffles once on the dedup key;
     the final rollup is a low-cardinality aggregate."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     part = F.broadcast(_t(spark, sf_dir, "part"))
     supp = F.broadcast(_t(spark, sf_dir, "supplier"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
