@@ -213,6 +213,152 @@ def lsh_bucketed_pairs(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> "list[list[float]]":
+    """Deterministic Lloyd-iteration centroids for the IVF index.
+
+    Training runs driver-side in numpy over a bounded sample (first
+    ``sample_cap`` vectors by id — deterministic, no RNG in the data
+    path); the cluster-scale story is that centroid TRAINING is always
+    a small-sample problem (n_cells × dim floats), while ASSIGNMENT —
+    the O(corpus) part — stays distributed. Seeds are the first
+    ``n_cells`` sample rows shuffled by a seeded LCG permutation.
+    """
+    import numpy as np
+
+    id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+    sample = (
+        emb.select(as_double_array(F.col(vec_col)).alias("v"), F.col(id_col).alias("i"))
+        .orderBy("i")
+        .limit(sample_cap)
+        .toPandas()
+    )
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    # seeded LCG permutation → reproducible across numpy versions
+    state, order = seed & 0x7FFFFFFF, []
+    taken = set()
+    while len(order) < min(n_cells, len(mat)):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        j = state % len(mat)
+        if j not in taken:
+            taken.add(j)
+            order.append(j)
+    cents = mat[order].copy()
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)  # cosine on unit vectors
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents.tolist()
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: "list[list[float]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+    out_id: str = "id",
+) -> DataFrame:
+    """(id, cell, v) — nearest-centroid cell(s) per vector.
+
+    ``n_probe`` > 1 emits that many nearest cells per vector (used on
+    the query side). Assignment is mapInPandas: one (batch × n_cells)
+    gemm per Arrow batch — O(corpus · n_cells · dim) total, narrow, no
+    shuffle; the centroid matrix travels as a task-broadcast literal.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = np.array(centroids, dtype=np.float64)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+    n = emb.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    if n < target:
+        src = src.repartition(target)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(vecs) == 0:
+                continue
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (vecs / norms) @ c.T
+            k = min(n_probe, sims.shape[1])
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, k),
+                    "cell": top.ravel().astype("int32"),
+                    "v": [list(row) for row in np.repeat(vecs, k, axis=0)],
+                }
+            )
+
+    return src.mapInPandas(assign, schema=f"{out_id} long, cell int, v array<double>")
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors whose cell is
+    among the query's ``n_probe`` nearest cells.
+
+    Same output contract as :func:`brute_force_topk` (approximate
+    recall). Candidate generation is an equi-join on the cell id —
+    shuffle ∝ corpus × 1 (each corpus vector sits in exactly one cell);
+    recall/cost is tuned by ``n_probe``/``n_cells``. The third member
+    of the ANN family: brute force (exact), hyperplane LSH (stateless
+    buckets), IVF (data-adaptive buckets — fewest candidates per unit
+    of recall when the corpus clusters).
+    """
+    cents = kmeans_centroids(emb, dim, n_cells=n_cells, vec_col=vec_col, seed=seed)
+    corpus = ivf_assign(emb, cents, vec_col, id_col, n_probe=1, out_id="neighbor_id")
+    probes = ivf_assign(queries, cents, vec_col, id_col, n_probe=n_probe, out_id="query_id")
+    probes = probes.withColumnRenamed("v", "qv")
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,

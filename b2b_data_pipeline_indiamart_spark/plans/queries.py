@@ -1075,6 +1075,17 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
 
 
+@_register("ann_ivf")  # rows-only oracle: centroid family is Spark-side
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for vec_id < 5: deterministic k-means
+    centroids (driver-trained on a bounded sample), distributed cell
+    assignment via per-batch gemm, candidates from an equi-join on the
+    cell id. Rows-only check (centroid family is engine-specific)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_ivf_topk(emb, queries, dim=64, k=10, n_cells=16, n_probe=4)
+
+
 _LANG_SQL_SCORES = ",\n      ".join(
     f"len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS[lang])}, x)))"
     f" AS s_{lang}"

@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from b2b_data_pipeline_indiamart_spark import catalog
+from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    df = catalog.load(spark, sf_small, "embeddings")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 5)
+
+
+@pytest.fixture(scope="module")
+def exact_topk(emb, queries):
+    rows = similarity.brute_force_topk(emb, queries, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return by_q
+
+
+def _contract(df):
+    assert df.columns == ["query_id", "neighbor_id", "cos_sim", "rnk"]
+
+
+def test_ivf_contract_and_determinism(emb, queries):
+    out = similarity.ann_ivf_topk(emb, queries, dim=64, k=10, n_cells=16, n_probe=4)
+    _contract(out)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.ann_ivf_topk(
+                emb.repartition(5), queries, dim=64, k=10, n_cells=16, n_probe=4
+            ).collect(),
+        )
+    )
+    assert a == b  # stable across partitionings AND re-runs
+    per_q = {}
+    for qid, *_ in a:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(n <= 10 for n in per_q.values())
+
+
+def test_ivf_recall_beats_probe_floor(emb, queries, exact_topk):
+    rows = similarity.ann_ivf_topk(
+        emb, queries, dim=64, k=10, n_cells=8, n_probe=4
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing half the cells on clustered-ish data should recover a
+    # meaningful share of the exact top-10 (loose floor: flaky-proof)
+    hits = sum(len(got.get(q, set()) & exact) for q, exact in exact_topk.items())
+    total = sum(len(v) for v in exact_topk.values())
+    assert hits / total >= 0.3, f"IVF recall {hits}/{total}"
+
+
+def test_kmeans_centroids_deterministic(emb):
+    c1 = similarity.kmeans_centroids(emb, dim=64, n_cells=8)
+    c2 = similarity.kmeans_centroids(emb, dim=64, n_cells=8)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == 64
+
+
+def test_lsh_topk_subset_of_exact_scores(emb, queries, exact_topk):
+    # LSH results are a subset of the candidate-restricted ranking —
+    # sanity: the contract holds and every rnk run is 1..n consecutive
+    out = similarity.ann_lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
+    _contract(out)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
