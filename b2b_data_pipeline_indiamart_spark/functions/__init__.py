@@ -1,1 +1,1 @@
-from . import geo, hashing, prices, text  # noqa: F401
+from . import geo, hashing, prices, rounding, text  # noqa: F401

@@ -21,9 +21,15 @@ NULL_TOKENS = ("nan", "none", "null", "")
 def clean_text(col: Column) -> Column:
     """Trim, collapse internal whitespace, scrub null-ish tokens to NULL.
 
-    Parity: etl.py:99-106 (``clean_text``).
+    Parity: etl.py:99-106 (``clean_text``). Order matters: collapse
+    FIRST, then trim — SQL ``trim`` strips only spaces (U+0020) while
+    Python ``str.strip`` strips every whitespace char, so
+    trim-then-collapse would leave ``"\\rhello"`` as ``" hello"``.
+    Collapsing first turns any edge whitespace into plain spaces that
+    trim then removes; this also makes the expression idempotent
+    (property-tested in tests/test_properties.py).
     """
-    s = F.regexp_replace(F.trim(col.cast("string")), r"\s+", " ")
+    s = F.trim(F.regexp_replace(col.cast("string"), r"\s+", " "))
     return F.when(F.lower(s).isin(*NULL_TOKENS), F.lit(None).cast("string")).otherwise(s)
 
 

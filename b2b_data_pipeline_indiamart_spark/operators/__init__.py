@@ -2,6 +2,7 @@ from . import (  # noqa: F401
     analytics,
     cleaning,
     dedup,
+    multimodal,
     outliers,
     profiling,
     similarity,

@@ -70,9 +70,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collapse + null-token scrub + lower).
 # --------------------------------------------------------------------------
 _NORM = (
-    "lower(CASE WHEN lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) "
+    "lower(CASE WHEN lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
     "IN ('nan', 'none', 'null', '') THEN NULL "
-    "ELSE regexp_replace(trim(text), '\\s+', ' ', 'g') END)"
+    "ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) END)"
 )
 _TOKS = "list_filter(string_split_regex(s, '\\s+'), x -> x <> '')"
 
@@ -374,9 +374,9 @@ def profile_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH listing AS (
       SELECT l.l_orderkey, l.l_linenumber,
-             lower(CASE WHEN lower(regexp_replace(trim(p.p_name), '\\s+', ' ', 'g'))
+             lower(CASE WHEN lower(trim(regexp_replace(p.p_name, '\\s+', ' ', 'g')))
                         IN ('nan', 'none', 'null', '') THEN NULL
-                   ELSE regexp_replace(trim(p.p_name), '\\s+', ' ', 'g') END) AS product_name,
+                   ELSE trim(regexp_replace(p.p_name, '\\s+', ' ', 'g')) END) AS product_name,
              s.s_name AS supplier_name, r.r_name AS region_name,
              l.l_extendedprice AS price
       FROM lineitem l
