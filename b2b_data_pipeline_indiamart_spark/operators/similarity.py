@@ -372,18 +372,43 @@ def brute_force_topk(
     scanned once. Ranking uses a per-query window over the candidate
     scores — with broadcast queries the shuffle is only on query_id
     with ≤ corpus rows. Self-matches are excluded.
+
+    Both sides L2-normalize in their own narrow projection (norm
+    computed once per VECTOR), so the per-pair work is a single dot
+    product instead of three — cosine(a,b) = dot(â,b̂), NULL preserved
+    via the norm guards. The corpus side repartitions up to
+    defaultParallelism when the scan arrives under-parallelized.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv"))
+
+    def normalized(df, out_id):
+        # norm materializes as its own column: referenced from inside
+        # the transform lambda it must be a plain attribute, or the
+        # whole fold would re-evaluate per element (the same inlining
+        # trap as dedup._with_normalized; CollapseProject keeps the
+        # barrier because __n is non-cheap and referenced twice)
+        v = as_double_array(F.col(vec_col))
+        step = df.select(F.col(id_col).alias(out_id), v.alias("__v"), norm(v).alias("__n"))
+        return step.select(
+            out_id,
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col("__v"), lambda e: e / F.col("__n")),
+            ).alias(f"{out_id}_v"),
+        )
+
+    q = normalized(queries, "query_id")
+    spark = emb.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
+    c = normalized(emb, "neighbor_id")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            round_half_up(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            round_half_up(dot(F.col("query_id_v"), F.col("neighbor_id_v")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
