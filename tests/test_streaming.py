@@ -101,6 +101,65 @@ def test_running_user_totals_stateful(spark, tmp_path):
     assert final[3] == (1, 6.0)
 
 
+def test_windowed_aggregation_state_survives_restart(spark, tmp_path):
+    """Restarting a windowed aggregation from its checkpoint must
+    restore the state store: a window partially filled before the stop
+    gets the post-restart events merged in, not recounted from zero."""
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = windowed_event_counts(
+            read_event_stream(spark, str(src)), window="1 hour", watermark="1 minute"
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        _drain(q)
+
+    # phase 1: three 10:xx events close (watermark passes 11:00 via the
+    # 12:00 event); the 12:00 window stays OPEN in state with count 1
+    _write_events(
+        src / "b1.json",
+        [
+            ("2026-01-01T10:00:00", 1, "view", 1.0),
+            ("2026-01-01T10:10:00", 2, "view", 2.0),
+            ("2026-01-01T10:20:00", 1, "view", 3.0),
+            ("2026-01-01T12:00:00", 1, "view", 10.0),
+        ],
+    )
+    run_once()
+    first = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first[("2026-01-01 10:00:00", "view")] == 3
+    assert ("2026-01-01 12:00:00", "view") not in first  # still open
+
+    # phase 2: restart; two more 12:xx events must MERGE into the
+    # restored window state before the 14:00 event closes it at 1+2=3
+    _write_events(
+        src / "b2.json",
+        [
+            ("2026-01-01T12:10:00", 2, "view", 20.0),
+            ("2026-01-01T12:20:00", 3, "view", 30.0),
+            ("2026-01-01T14:00:00", 1, "click", 1.0),
+        ],
+    )
+    run_once()
+    final = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert final[("2026-01-01 12:00:00", "view")] == (3, 60.0)
+
+
 def test_parquet_ingest_checkpoint_resume(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
