@@ -4,8 +4,9 @@
 summary) on sf0.001. ``queries()`` / ``oracle_sql()`` expose the
 SURVEY.md §2 registry from
 ``b2b_data_pipeline_indiamart_spark.plans.queries`` — every SQL-
-expressible operator carries a DuckDB oracle; the MinHash/SimHash/LSH
-operators (engine-specific hash families) are rows-only by design.
+expressible operator carries a DuckDB oracle; the MinHash/SimHash/LSH/
+IVF operators (engine-specific hash/centroid families) are rows-only
+by design.
 """
 
 from __future__ import annotations

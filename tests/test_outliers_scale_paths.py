@@ -1,0 +1,25 @@
+"""The approx=False paths are the documented 100 TB story for every
+quantile-based operator — they must run and land near the exact
+answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from b2b_data_pipeline_indiamart_spark import catalog
+from b2b_data_pipeline_indiamart_spark.operators import outliers
+
+
+def test_winsorize_approx_close_to_exact(spark, sf_small):
+    orders = catalog.load(spark, sf_small, "orders")
+    exact = outliers.winsorize(orders, "o_totalprice", exact=True)
+    approx = outliers.winsorize(orders, "o_totalprice", exact=False)
+    e = exact.agg(F.sum("o_totalprice_winsor")).collect()[0][0]
+    a = approx.agg(F.sum("o_totalprice_winsor")).collect()[0][0]
+    assert abs(a - e) / abs(e) < 0.02  # t-digest bounds within 2% here
+
+
+def test_quantiles_approx_runs(spark, sf_small):
+    orders = catalog.load(spark, sf_small, "orders")
+    row = outliers.quantiles(orders, "o_totalprice", (0.25, 0.5, 0.75), exact=False).collect()[0]
+    assert row["q_0"] <= row["q_1"] <= row["q_2"]

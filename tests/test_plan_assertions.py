@@ -69,3 +69,22 @@ def test_topk_uses_take_ordered(spark, sf_small):
 def test_ann_topk_broadcasts_queries(spark, sf_small):
     plan = _plan(spark, sf_small, "ann_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    # the partitioned parquet sink must give readers partition pruning:
+    # a filter on the partition column becomes a PartitionFilters entry,
+    # not a data filter over every file
+    from b2b_data_pipeline_indiamart_spark.sources import write_parquet
+
+    df = spark.createDataFrame(
+        [(i, "EUROPE" if i % 2 else "ASIA") for i in range(100)], ["id", "region"]
+    )
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["region"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.parquet(out).filter("region = 'ASIA'").explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(region" in plan
+    assert "PushedFilters: []" in plan  # nothing left to push into data
