@@ -190,6 +190,56 @@ def run_pipeline(spark: SparkSession, config: ETLConfig) -> dict[str, DataFrame]
     return {"final": final, "profile": profile, "issues": issues}
 
 
+def analyze(final: DataFrame) -> dict[str, DataFrame]:
+    """The reference's full chart set (analysis.py:205-520) over a
+    curated listing table — one lazy DataFrame per chart, all built
+    from the generic ``operators.analytics`` plans.
+
+    The scatter uses the same deterministic key-hash predicate as the
+    ``scatter_sample`` registry query (a seeded random sample is not a
+    stable concept across partitionings); p99 clipping mirrors
+    analysis.py's outlier handling.
+    """
+    from .operators import analytics, outliers
+
+    charts: dict[str, DataFrame] = {
+        "kpi_cards": analytics.kpi_summary(
+            final,
+            {"n_keywords": "search_keyword", "n_cities": "city"},
+            "price_numeric",
+        ),
+        "avg_price_by_keyword": analytics.avg_by_group(
+            final, "search_keyword", "price_numeric", n=10
+        ),
+        "top_cities": analytics.top_groups(final, "city", n=10),
+        "keyword_share": analytics.share_top_n_others(final, "search_keyword", n=5),
+        "city_index": analytics.top_groups(final, "city", n=1000),
+        "count_avg_combo": analytics.count_avg_combo(
+            final, "search_keyword", "price_numeric", n=8
+        ),
+        "treemap_top8": analytics.top_groups(final, "search_keyword", n=8),
+        "top10_price_cumulative": analytics.topk_cumulative(
+            final.filter(F.col("price_numeric").isNotNull()),
+            "price_numeric",
+            "product_name",
+            k=10,
+        ),
+    }
+    priced = final.filter(F.col("price_numeric").isNotNull())
+    thr = priced.agg(
+        F.expr("percentile(price_numeric, 0.99)").alias("p99")
+    )
+    clipped = priced.crossJoin(F.broadcast(thr)).filter(F.col("price_numeric") <= F.col("p99"))
+    charts["price_histogram"] = analytics.fixed_histogram(
+        clipped, "price_numeric", bin_width=5000.0, max_bin=40
+    )
+    if "dispid" in final.columns:
+        charts["rating_price_scatter"] = clipped.filter(F.col("dispid") % 7 == 0).select(
+            "dispid", "rating", "price_numeric"
+        )
+    return charts
+
+
 def main() -> None:  # pragma: no cover - CLI shim
     import argparse
 

@@ -93,6 +93,31 @@ def test_run_pipeline_end_to_end(spark, raw_csv, tmp_path):
     assert n == 2 and regions == 1  # both survivors roll up to South
 
 
+def test_analyze_chart_set(spark, raw_csv, tmp_path):
+    from b2b_data_pipeline_indiamart_spark.pipeline import analyze
+
+    cfg = ETLConfig(
+        input_file=str(raw_csv),
+        output_csv=str(tmp_path / "clean.csv"),
+        profile_report=str(tmp_path / "profile.csv"),
+        quality_issues=str(tmp_path / "issues.csv"),
+        export_sqlite=False,
+    )
+    final = run_pipeline(spark, cfg)["final"]
+    charts = analyze(final)
+    assert set(charts) >= {
+        "kpi_cards", "avg_price_by_keyword", "top_cities", "keyword_share",
+        "city_index", "count_avg_combo", "treemap_top8",
+        "top10_price_cumulative", "price_histogram", "rating_price_scatter",
+    }
+    kpi = charts["kpi_cards"].collect()[0]
+    assert kpi["total_rows"] == 2 and kpi["n_keywords"] == 2
+    share = {r["label"]: r["share_pct"] for r in charts["keyword_share"].collect()}
+    assert abs(sum(share.values()) - 100.0) < 0.02
+    hist = charts["price_histogram"].collect()
+    assert sum(r["cnt"] for r in hist) == 1  # one priced row survives the clip
+
+
 def test_pipeline_without_phone_or_sqlite(spark, tmp_path):
     p = tmp_path / "raw.csv"
     p.write_text(
