@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     outliers,
     profiling,
     similarity,
+    skew,
     temporal,
     textstats,
 )
