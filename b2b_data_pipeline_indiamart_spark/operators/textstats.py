@@ -38,6 +38,22 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
 
 
+def _with_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __norm, __toks) projection shared by the scoring operators.
+
+    Unlike the higher-order-function case (dedup._with_normalized,
+    where a lambda body defeats common-subexpression elimination),
+    duplicated expressions in a FLAT projection are CSE'd by
+    whole-stage codegen, so this materialization is measured
+    perf-neutral — it is kept for plan readability and as a guard
+    against future lambda-based scoring expressions."""
+    return docs.select(
+        F.col(id_col),
+        normalize_doc(F.col(text_col)).alias("__norm"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-overlap language ID → (id, pred_lang, best_score).
 
@@ -45,8 +61,8 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     picks the max, ties broken by LANG_PRIORITY order. Falls back to
     'unknown' when nothing matches. Pure projection — no shuffle.
     """
-    toks = word_tokens(F.col(text_col))
-    scored = docs.select(
+    toks = F.col("__toks")
+    scored = _with_tokens(docs, text_col, id_col).select(
         F.col(id_col),
         *[
             _stopword_hits(toks, LANG_STOPWORDS[lang]).alias(f"score_{lang}")
@@ -70,8 +86,9 @@ def doc_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     punctuation ratio / (english-)stopword ratio and a composite
     quality_score in [0, 1]. All ratios guarded against empty docs.
     """
-    s = normalize_doc(F.col(text_col))
-    toks = word_tokens(F.col(text_col))
+    docs = _with_tokens(docs, text_col, id_col)
+    s = F.col("__norm")
+    toks = F.col("__toks")
     n_chars = F.length(s)
     n_tokens = F.size(toks)
     n_digits = n_chars - F.length(F.regexp_replace(s, r"[0-9]", ""))
@@ -114,8 +131,9 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     count uses regexp_extract_all with a letter-run/digit-run/punct
     split, a deterministic stand-in for a real BPE vocab.
     """
-    s = normalize_doc(F.col(text_col))
-    ws_tokens = F.size(word_tokens(F.col(text_col)))
+    docs = _with_tokens(docs, text_col, id_col)
+    s = F.col("__norm")
+    ws_tokens = F.size(F.col("__toks"))
     bpe_tokens = F.size(F.regexp_extract_all(s, F.lit(BPE_ISH_PATTERN), 0))
     return docs.select(
         F.col(id_col),
@@ -131,7 +149,8 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of normalized text + 64-bit xxhash and
     a prefix fingerprint (first 64 normalized chars) for fast blocking."""
-    s = normalize_doc(F.col(text_col))
+    docs = _with_tokens(docs, text_col, id_col)
+    s = F.col("__norm")
     return docs.select(
         F.col(id_col),
         md5_fingerprint(s).alias("fingerprint_md5"),
