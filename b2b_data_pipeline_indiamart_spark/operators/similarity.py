@@ -142,6 +142,9 @@ def cosine_neardup_blocked(
         .toPandas()
         .values
     )
+    spark0 = emb.sparkSession
+    if len(rows) == 0:
+        return spark0.createDataFrame([], "id_a long, id_b long, cos_sim double")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -164,6 +167,8 @@ def cosine_neardup_blocked(
     def score(batches):
         b_ids, b_mat = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             a_norms = np.sqrt((a_vecs * a_vecs).sum(axis=1))
@@ -240,6 +245,8 @@ def kmeans_centroids(
         .limit(sample_cap)
         .toPandas()
     )
+    if len(sample) == 0:
+        raise ValueError("kmeans_centroids: empty embedding table")
     mat = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

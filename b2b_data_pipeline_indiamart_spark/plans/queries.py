@@ -1075,6 +1075,19 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
 
 
+@_register("multimodal_features")  # rows-only: binary payloads are Spark-built
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → binary media table →
+    mapInPandas feature extraction (stubbed decode, deterministic).
+    Rows-only check — exercises the Arrow binary-column path under the
+    driver's session."""
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = multimodal.media_from_documents(docs)
+    return multimodal.extract_media_features(media).orderBy("media_id")
+
+
 @_register("ann_ivf")  # rows-only oracle: centroid family is Spark-side
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for vec_id < 5: deterministic k-means

@@ -1,0 +1,63 @@
+"""Operators must behave on empty inputs — at 100 TB a filter or a
+partition-pruned read can legitimately produce zero rows mid-pipeline,
+and a crash there takes down the whole job."""
+
+from __future__ import annotations
+
+import pytest
+
+from b2b_data_pipeline_indiamart_spark.operators import (
+    cleaning,
+    dedup,
+    multimodal,
+    outliers,
+    profiling,
+    similarity,
+    textstats,
+)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+
+def test_dedup_family_on_empty(empty_docs):
+    assert dedup.exact_dedup_groups(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.simhash_neardup_pairs(empty_docs).count() == 0
+
+
+def test_textstats_on_empty(empty_docs):
+    assert textstats.lang_id(empty_docs).count() == 0
+    assert textstats.doc_quality(empty_docs).count() == 0
+    assert textstats.token_stats(empty_docs).count() == 0
+    assert textstats.doc_fingerprint(empty_docs).count() == 0
+
+
+def test_similarity_on_empty(empty_emb):
+    assert similarity.cosine_neardup_blocked(empty_emb, threshold=0.5).count() == 0
+    assert similarity.brute_force_topk(empty_emb, empty_emb).count() == 0
+    with pytest.raises(ValueError):
+        similarity.kmeans_centroids(empty_emb, dim=64)
+
+
+def test_multimodal_on_empty(empty_docs):
+    media = multimodal.media_from_documents(empty_docs)
+    assert multimodal.extract_media_features(media).count() == 0
+    assert multimodal.resize_images(media, 64, 64).count() == 0
+    assert multimodal.sample_frames(media).count() == 0
+
+
+def test_cleaning_profiling_outliers_on_empty(spark):
+    df = spark.createDataFrame([], "k string, v double, ord long")
+    assert cleaning.dedup_keep_first_agg(df, ["k"], ["ord"], ["v"]).count() == 0
+    assert cleaning.drop_critical_missing(df, ["k"]).count() == 0
+    assert profiling.profile_report(df).count() == 3  # one row per column
+    # winsorize on empty: quantiles are NULL → clip is a no-op, no crash
+    assert outliers.winsorize(df, "v").count() == 0
