@@ -2,6 +2,7 @@
 running aggregates, checkpointed file→parquet ingest."""
 
 from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+    dedup_stream,
     event_stream_schema,
     read_event_stream,
     running_user_totals,
@@ -17,6 +18,7 @@ __all__ = [
     "windowed_event_counts",
     "streaming_session_aggregate",
     "running_user_totals",
+    "dedup_stream",
     "start_memory_sink",
     "start_parquet_ingest",
 ]

@@ -169,6 +169,26 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    *,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
+    key state once the watermark passes it — bounded state, unlike a
+    plain streaming ``dropDuplicates`` whose key set grows forever.
+    This is the streaming face of the batch ``dedup_exact_docs``
+    operator: at-most-once emission per key per watermark window, the
+    shape an ingest pipeline needs to suppress re-sent documents.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["user_id", "event_type"]
+    )
+
+
 def start_memory_sink(
     sdf: DataFrame, name: str, *, output_mode: str = "update"
 ) -> StreamingQuery:

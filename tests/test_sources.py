@@ -110,6 +110,23 @@ def test_write_parquet_partitioned(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 3
 
 
+def test_csv_sink_source_roundtrip(spark, tmp_path):
+    """Our CSV sink must be readable by our CSV source with values and
+    nulls intact — the reference's clean_data.csv → downstream flow."""
+    df = spark.createDataFrame(
+        [("Widget", 78000.0, "Piece"), ("Gadget", None, None)],
+        ["product_name", "price_numeric", "price_unit"],
+    )
+    out = tmp_path / "clean_csvdir"
+    write_csv(df, str(out), single_file=True)
+    back = read_csv_normalized(spark, str(out))
+    rows = {r["product_name"]: r for r in back.collect()}
+    assert rows["Widget"]["price_numeric"] == 78000.0
+    assert rows["Widget"]["price_unit"] == "Piece"
+    # "NaN" na_rep reads back as NULL for doubles, "NaN" string for text
+    assert rows["Gadget"]["price_numeric"] is None or str(rows["Gadget"]["price_numeric"]) == "nan"
+
+
 def test_write_sqlite_replace_and_append(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "name"])
     db = str(tmp_path / "out.db")

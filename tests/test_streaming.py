@@ -5,6 +5,7 @@ import json
 import pytest
 
 from b2b_data_pipeline_indiamart_spark.streaming import (
+    dedup_stream,
     read_event_stream,
     running_user_totals,
     start_memory_sink,
@@ -99,6 +100,27 @@ def test_running_user_totals_stateful(spark, tmp_path):
     assert final[1] == (3, 8.0)
     assert final[2] == (2, 7.0)
     assert final[3] == (1, 6.0)
+
+
+def test_dedup_stream_suppresses_resends(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    # same (user_id, event_type) re-sent within the watermark horizon
+    _write_events(
+        src / "b1.json",
+        [
+            ("2026-01-01T10:00:00", 1, "view", 1.0),
+            ("2026-01-01T10:05:00", 1, "view", 99.0),   # duplicate key
+            ("2026-01-01T10:06:00", 2, "view", 2.0),
+            ("2026-01-01T10:07:00", 1, "click", 3.0),
+        ],
+    )
+    sdf = dedup_stream(read_event_stream(spark, str(src)), watermark="30 minutes")
+    q = start_memory_sink(sdf, "dedup_out", output_mode="append")
+    _drain(q)
+    rows = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
+    got = sorted((r["user_id"], r["event_type"]) for r in rows)
+    assert got == [(1, "click"), (1, "view"), (2, "view")]
 
 
 def test_windowed_aggregation_state_survives_restart(spark, tmp_path):
