@@ -1206,3 +1206,151 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = textstats.doc_fingerprint(docs)
     return out.select("doc_id", "fingerprint_md5", "prefix_md5")
+
+
+# ==========================================================================
+# §2G — extended verified coverage (beyond the reference's own surface):
+# corpus rollups, temporal funnels, dense-rank windows, grouping sets
+# ==========================================================================
+
+
+@_register(
+    "docs_lang_distribution",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM n),
+    scored AS (
+      SELECT doc_id,
+      {_LANG_SQL_SCORES}
+      FROM t
+    ),
+    lid AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unknown'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr'
+                  ELSE 'de' END AS pred_lang,
+             greatest(s_en, s_es, s_fr, s_de) AS best_score
+      FROM scored
+    )
+    SELECT pred_lang, COUNT(*) AS n_docs,
+           round(avg(best_score), 4) AS avg_score
+    FROM lid GROUP BY pred_lang
+    """,
+)
+def docs_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level language distribution: the per-doc language ID
+    rolled up to (lang, n_docs, avg confidence) — the dataset-card
+    summary a training-data pipeline publishes. One projection + one
+    low-cardinality aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    lid = textstats.lang_id(docs)
+    return lid.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round_half_up(F.avg("best_score"), 4).alias("avg_score"),
+    )
+
+
+@_register(
+    "events_user_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked_after_view,
+           CAST(sum(CASE WHEN t_click > t_view AND t_buy > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bought_after_click
+    FROM per_user
+    """,
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel via conditional
+    first-occurrence aggregation: one shuffle on user_id (map-side
+    partial mins), then a single-row reduce — the scalable funnel
+    shape (no per-user sequence materialization, no window sort)."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    clicked = (F.col("t_click") > F.col("t_view")).cast("long")
+    bought = ((F.col("t_click") > F.col("t_view")) & (F.col("t_buy") > F.col("t_click"))).cast("long")
+    return per_user.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.sum(F.coalesce(clicked, F.lit(0))).alias("n_clicked_after_view"),
+        F.sum(F.coalesce(bought, F.lit(0))).alias("n_bought_after_click"),
+    )
+
+
+@_register(
+    "supplier_revenue_rank",
+    """
+    SELECT l_suppkey, l_partkey, revenue, rnk FROM (
+      SELECT l_suppkey, l_partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             dense_rank() OVER (PARTITION BY l_suppkey
+                                ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                                         l_partkey ASC) AS rnk
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ) WHERE rnk <= 3
+    """,
+)
+def supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per supplier by revenue — dense_rank over a
+    pre-aggregated relation. The aggregation shuffles once on
+    (suppkey, partkey); the window re-shuffles on suppkey only over the
+    already-collapsed rows. Rank runs on rounded revenue so the cut is
+    engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    agg = li.groupBy("l_suppkey", "l_partkey").agg(rev.alias("revenue"))
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    return (
+        agg.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", "rnk")
+    )
+
+
+@_register(
+    "orders_priority_rollup",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP grouping sets: (priority, status)
+    → (priority) → grand total, one pass — Spark expands the grouping
+    sets inside a single aggregate, so the fact table is scanned once
+    instead of once per level. gid disambiguates subtotal rows from
+    real NULL groups."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "gid",
+            "cnt",
+            "total_value",
+        )
+    )
