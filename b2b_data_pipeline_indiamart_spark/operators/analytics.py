@@ -128,19 +128,28 @@ def missing_pct_by_group(df: DataFrame, group_col: str, value_col: str) -> DataF
     )
 
 
-def kpi_summary(df: DataFrame, distincts: dict[str, str], value_col: str) -> DataFrame:
+def kpi_summary(
+    df: DataFrame, distincts: dict[str, str], value_col: str, exact: bool = True
+) -> DataFrame:
     """Single-row KPI scorecard (analysis.py:205-250,
     reports/summary_stats.csv): count, distinct counts, exact median,
     avg/min/max, missing pct.
 
-    Exact ``percentile`` is the oracle-parity mode; swap for
-    ``approx_percentile`` on the 100 TB path (see operators.outliers).
+    ``exact=True`` is the oracle-parity mode; ``exact=False`` is the
+    100 TB path — t-digest median (``approx_percentile``) and HLL++
+    distinct counts, both single-pass and mergeable map-side.
     """
+    uq = F.countDistinct if exact else F.approx_count_distinct
+    median = (
+        F.expr(f"percentile({value_col}, 0.5)")
+        if exact
+        else F.expr(f"approx_percentile({value_col}, 0.5)")
+    )
     aggs: list[Column] = [F.count(F.lit(1)).alias("total_rows")]
     for alias, c in distincts.items():
-        aggs.append(F.countDistinct(F.col(c)).alias(alias))
+        aggs.append(uq(F.col(c)).alias(alias))
     aggs += [
-        round_half_up(F.expr(f"percentile({value_col}, 0.5)"), 2).alias("median_value"),
+        round_half_up(median, 2).alias("median_value"),
         round_half_up(F.avg(value_col), 2).alias("avg_value"),
         round_half_up(F.min(value_col), 2).alias("min_value"),
         round_half_up(F.max(value_col), 2).alias("max_value"),

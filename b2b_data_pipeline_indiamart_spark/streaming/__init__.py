@@ -4,6 +4,7 @@ running aggregates, checkpointed file→parquet ingest."""
 from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
     dedup_stream,
     event_stream_schema,
+    view_click_attribution,
     read_event_stream,
     running_user_totals,
     start_memory_sink,
@@ -19,6 +20,7 @@ __all__ = [
     "streaming_session_aggregate",
     "running_user_totals",
     "dedup_stream",
+    "view_click_attribution",
     "start_memory_sink",
     "start_parquet_ingest",
 ]

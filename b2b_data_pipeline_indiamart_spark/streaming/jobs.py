@@ -169,6 +169,48 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def view_click_attribution(
+    events: DataFrame,
+    *,
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream join: each click attributed to the same user's
+    preceding view within ``within``.
+
+    Both sides are the one input stream filtered by type (the scan is
+    shared). The time-bound condition + watermarks let Spark bound both
+    join-state buffers — views older than the bound are evicted, so
+    state is O(traffic × within), not O(stream). The canonical
+    attribution-join shape for clickstream pipelines.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return views.join(clicks, cond, "inner").select(
+        F.col("v_user").alias("user_id"), "view_ts", "click_ts", "click_value"
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -23,3 +23,30 @@ def test_quantiles_approx_runs(spark, sf_small):
     orders = catalog.load(spark, sf_small, "orders")
     row = outliers.quantiles(orders, "o_totalprice", (0.25, 0.5, 0.75), exact=False).collect()[0]
     assert row["q_0"] <= row["q_1"] <= row["q_2"]
+
+
+def test_profile_report_approx_distinct(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.operators import profiling
+
+    orders = catalog.load(spark, sf_small, "orders")
+    exact = {r["column"]: r["distinct_values"] for r in profiling.profile_report(orders).collect()}
+    approx = {
+        r["column"]: r["distinct_values"]
+        for r in profiling.profile_report(orders, exact_distinct=False).collect()
+    }
+    for col, e in exact.items():
+        if e:
+            assert abs(approx[col] - e) / e < 0.1  # HLL++ ~2% rsd, loose bound
+
+
+def test_kpi_summary_approx_mode(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.operators import analytics
+
+    orders = catalog.load(spark, sf_small, "orders")
+    e = analytics.kpi_summary(orders, {"n_cust": "o_custkey"}, "o_totalprice").collect()[0]
+    a = analytics.kpi_summary(
+        orders, {"n_cust": "o_custkey"}, "o_totalprice", exact=False
+    ).collect()[0]
+    assert abs(a["n_cust"] - e["n_cust"]) / e["n_cust"] < 0.1
+    assert abs(a["median_value"] - e["median_value"]) / e["median_value"] < 0.05
+    assert a["total_rows"] == e["total_rows"]

@@ -11,6 +11,7 @@ from b2b_data_pipeline_indiamart_spark.streaming import (
     start_memory_sink,
     start_parquet_ingest,
     streaming_session_aggregate,
+    view_click_attribution,
     windowed_event_counts,
 )
 
@@ -100,6 +101,27 @@ def test_running_user_totals_stateful(spark, tmp_path):
     assert final[1] == (3, 8.0)
     assert final[2] == (2, 7.0)
     assert final[3] == (1, 6.0)
+
+
+def test_view_click_attribution_stream_stream_join(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [
+            ("2026-01-01T10:00:00", 1, "view", 0.0),
+            ("2026-01-01T10:20:00", 1, "click", 5.0),   # within 1h of the view
+            ("2026-01-01T12:30:00", 1, "click", 7.0),   # > 1h after the view
+            ("2026-01-01T10:30:00", 2, "click", 9.0),   # no preceding view
+            ("2026-01-01T09:00:00", 3, "view", 0.0),
+            ("2026-01-01T08:00:00", 3, "click", 1.0),   # click BEFORE view
+        ],
+    )
+    sdf = view_click_attribution(read_event_stream(spark, str(src)), within="1 hour")
+    q = start_memory_sink(sdf, "attrib", output_mode="append")
+    _drain(q)
+    rows = spark.sql("SELECT user_id, click_value FROM attrib").collect()
+    assert [(r["user_id"], r["click_value"]) for r in rows] == [(1, 5.0)]
 
 
 def test_dedup_stream_suppresses_resends(spark, tmp_path):
