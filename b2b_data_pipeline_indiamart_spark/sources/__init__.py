@@ -11,6 +11,7 @@ from b2b_data_pipeline_indiamart_spark.sources.checkpoint import (
     save_manifest,
 )
 from b2b_data_pipeline_indiamart_spark.sources.sinks import (
+    write_bucketed,
     write_csv,
     write_json,
     write_parquet,
@@ -24,6 +25,7 @@ __all__ = [
     "save_manifest",
     "resumable_ingest",
     "write_parquet",
+    "write_bucketed",
     "write_csv",
     "write_json",
     "write_sqlite",

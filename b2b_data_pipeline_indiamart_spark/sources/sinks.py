@@ -31,6 +31,35 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: Sequence[str],
+    *,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT an exchange on either side — the shuffle is paid once
+    at write time and amortized over every subsequent join/aggregation
+    on that key. This is the stage-table layout for the repeated
+    fact⋈fact joins (orders⋈lineitem on orderkey) at 100 TB; `sortBy`
+    additionally pre-sorts within buckets so sort-merge joins skip the
+    sort. Registered through the session catalog (`saveAsTable`) —
+    bucketing metadata lives in the catalog, not the files.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

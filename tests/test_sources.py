@@ -110,6 +110,45 @@ def test_write_parquet_partitioned(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 3
 
 
+def test_bucketed_join_avoids_exchange(spark, sf_small, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    exchange on either side — the write-once-join-many layout."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.sources import write_bucketed
+
+    li = catalog.load(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    orders = catalog.load(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "bkt_li", 4, ["l_orderkey"], sort_cols=["l_orderkey"],
+                   path=str(tmp_path / "bkt_li"))
+    write_bucketed(orders, "bkt_orders", 4, ["o_orderkey"], sort_cols=["o_orderkey"],
+                   path=str(tmp_path / "bkt_orders"))
+    # at test sizes the planner would broadcast (making bucketing moot);
+    # disable it to reproduce the at-scale fact⋈fact condition
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_li").join(
+            spark.table("bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucket layout IS the partitioning
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
 def test_csv_sink_source_roundtrip(spark, tmp_path):
     """Our CSV sink must be readable by our CSV source with values and
     nulls intact — the reference's clean_data.csv → downstream flow."""
