@@ -1354,3 +1354,69 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_register(
+    "events_sliding",
+    """
+    WITH contrib AS (
+      SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS w_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) AS o(k)
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM contrib
+    WHERE w_start >= TIMESTAMP '1970-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2h window, 1h slide): each event
+    lands in width/slide windows — Spark's ``window()`` expands this
+    inside the plan (one Generate, no self-join), then a partial-agg
+    shuffle on (window, type). The oracle states the same expansion as
+    an explicit 2-row cross join."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            round_half_up(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "orders_status_pivot",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority × status. Uses ``pivot`` with an
+    EXPLICIT value list — without one Spark first runs a distinct scan
+    to discover columns (an extra job) and the output schema becomes
+    data-dependent, which a production pipeline can't have."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
