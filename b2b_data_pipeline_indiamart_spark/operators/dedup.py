@@ -185,6 +185,96 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster ids from near-dup pairs: (node, cluster_id) where
+    cluster_id = min doc id reachable in the pair graph.
+
+    This is the step that turns candidate PAIRS into dedup GROUPS (keep
+    one representative per component). Iterative min-label propagation:
+    each round every node adopts the smallest label among itself and
+    its neighbors; convergence needs O(component diameter) rounds —
+    near-dup graphs are dense clusters with tiny diameters, so a handful
+    of rounds suffices (``max_iterations`` caps pathological chains).
+
+    Distribution shape per round: one join of labels onto the edge list
+    (shuffle ∝ edges) + a min-groupBy (map-side combine). Each round's
+    labels are ``localCheckpoint``-ed: a plain persist is NOT enough —
+    unpersisting round k's labels cascade-invalidates round k+1's cache
+    (it depends on them), so every round would silently recompute the
+    whole history (measured ~3× growth per round). Checkpointing
+    truncates the lineage so each round starts from materialized
+    blocks. The convergence check is one count per round: iterative
+    algorithms are the one place a per-step driver action is the
+    intended Spark idiom (cf. GraphX/ML iteration).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash → LSH pairs → connected
+    components → (doc_id, cluster_id, is_representative). Docs with no
+    near-dup partner form singleton clusters of themselves."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, k=k, bands=bands)
+    comps = connected_components(pairs)
+    out = docs.select(F.col(id_col)).join(
+        comps, F.col(id_col) == comps.node, "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (F.col(id_col) == cluster).alias("is_representative"),
+    )
+
+
 def word_tokens(col) -> F.Column:
     """Whitespace word tokens of the normalized text (non-empty)."""
     return F.filter(F.split(normalize_doc(col), r"\s+"), lambda t: t != "")

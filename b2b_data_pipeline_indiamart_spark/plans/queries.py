@@ -991,6 +991,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+@_register("dedup_clusters")  # rows-only: pairs come from the Spark-side LSH
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs → connected components
+    (iterative min-label propagation) → per-doc cluster id + keep-flag.
+    The operator that turns pair lists into an actual deduped corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs).orderBy("doc_id")
+
+
 @_register("dedup_simhash")  # rows-only oracle
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dups (hamming ≤ 3) via chunk banding +

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from b2b_data_pipeline_indiamart_spark import catalog
+from b2b_data_pipeline_indiamart_spark.operators import dedup
+
+
+def test_connected_components_on_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton 20 not in pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_invariants(spark, sf_small):
+    docs = catalog.load(spark, sf_small, "documents")
+    out = dedup.dedup_clusters(docs).persist()
+    n_docs = docs.count()
+    assert out.count() == n_docs  # every doc labelled
+    # cluster_id is the min member (representative) of its cluster
+    mins = out.groupBy("cluster_id").agg(F.min("doc_id").alias("m"))
+    assert mins.filter(F.col("cluster_id") != F.col("m")).count() == 0
+    # exactly one representative per cluster
+    reps = out.filter("is_representative").count()
+    clusters = out.select("cluster_id").distinct().count()
+    assert reps == clusters
+    # every LSH pair ends up in one cluster
+    pairs = dedup.minhash_lsh_pairs(docs)
+    joined = (
+        pairs.join(out.select(F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("c_a")), "id_a")
+        .join(out.select(F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("c_b")), "id_b")
+    )
+    assert joined.filter(F.col("c_a") != F.col("c_b")).count() == 0
+    out.unpersist()
+
+
+def test_dedup_clusters_deterministic(spark, sf_small):
+    docs = catalog.load(spark, sf_small, "documents")
+    a = sorted(map(tuple, dedup.dedup_clusters(docs).collect()))
+    b = sorted(map(tuple, dedup.dedup_clusters(docs.repartition(7)).collect()))
+    assert a == b
