@@ -4,9 +4,10 @@
 summary) on sf0.001. ``queries()`` / ``oracle_sql()`` expose the
 SURVEY.md §2 registry from
 ``b2b_data_pipeline_indiamart_spark.plans.queries`` — every SQL-
-expressible operator carries a DuckDB oracle; the MinHash/SimHash/LSH/
-IVF operators (engine-specific hash/centroid families) are rows-only
-by design.
+expressible operator carries a DuckDB oracle; the rows-only entries
+(MinHash/SimHash/LSH/IVF/clustering families and the multimodal
+plumbing) have engine-specific hash/centroid/payload construction with
+no DuckDB equivalent and are determinism-tested instead.
 """
 
 from __future__ import annotations
