@@ -1429,3 +1429,33 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
     )
+
+
+@_register(
+    "docs_token_topk",
+    f"""
+    WITH n AS (SELECT {_NORM} AS s FROM documents),
+    t AS (SELECT unnest({_TOKS}) AS token FROM n)
+    SELECT token, COUNT(*) AS cnt
+    FROM t WHERE length(token) >= 3
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 50
+    """,
+)
+def docs_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (token, count) over documents — the
+    dataset-card / tokenizer-planning rollup. Explode → count groupBy
+    (map-side combine collapses the Zipf head before the shuffle) →
+    TakeOrderedAndProject for the top-k; ties broken by token so the
+    cut is engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(dedup.word_tokens(F.col("text"))).alias("token")
+    ).filter(F.length("token") >= 3)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(50)
+    )
