@@ -59,10 +59,11 @@ def test_no_row_at_a_time_python(spark, sf_small, key):
     assert "ArrowEvalPython" not in plan
 
 
-def test_topk_uses_take_ordered(spark, sf_small):
+@pytest.mark.parametrize("key", ["top_groups", "docs_token_topk", "q3_shipping_priority"])
+def test_topk_uses_take_ordered(spark, sf_small, key):
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
     # global sort of the whole relation
-    plan = _plan(spark, sf_small, "top_groups")
+    plan = _plan(spark, sf_small, key)
     assert "TakeOrderedAndProject" in plan
 
 
