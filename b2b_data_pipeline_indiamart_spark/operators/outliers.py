@@ -51,7 +51,13 @@ def winsorize(df: DataFrame, col: str, out_col: str | None = None, exact: bool =
         )
     )
     joined = df.crossJoin(F.broadcast(bounds))
-    clipped = F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
+    # greatest/least skip NULLs in Spark (unlike pandas clip, which
+    # propagates NaN) — guard so NULL input stays NULL instead of
+    # collapsing to the lower bound.
+    clipped = F.when(
+        F.col(col).isNotNull(),
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+    )
     return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
 
 

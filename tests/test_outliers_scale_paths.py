@@ -19,6 +19,18 @@ def test_winsorize_approx_close_to_exact(spark, sf_small):
     assert abs(a - e) / abs(e) < 0.02  # t-digest bounds within 2% here
 
 
+def test_winsorize_preserves_nulls(spark):
+    # pandas clip propagates NaN; Spark greatest/least skip NULLs, so an
+    # unguarded clip would rewrite NULL to the lower IQR bound. NULL in
+    # must stay NULL out, with the non-null rows still clipped.
+    vals = [(float(i),) for i in range(1, 21)] + [(1_000_000.0,), (None,), (None,)]
+    df = spark.createDataFrame(vals, "v double")
+    out = {r["v"]: r["v_winsor"] for r in outliers.winsorize(df, "v").collect()}
+    assert out[None] is None
+    assert out[1_000_000.0] < 1_000_000.0  # outlier clipped to hi bound
+    assert out[10.0] == 10.0  # in-range value untouched
+
+
 def test_quantiles_approx_runs(spark, sf_small):
     orders = catalog.load(spark, sf_small, "orders")
     row = outliers.quantiles(orders, "o_totalprice", (0.25, 0.5, 0.75), exact=False).collect()[0]

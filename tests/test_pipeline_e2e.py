@@ -118,6 +118,33 @@ def test_analyze_chart_set(spark, raw_csv, tmp_path):
     assert sum(r["cnt"] for r in hist) == 1  # one priced row survives the clip
 
 
+def test_winsorize_branch_keeps_null_price_unknown(spark, tmp_path):
+    # ≥10 non-null prices triggers the winsorize branch (etl.py:303-306);
+    # the rows with no price must still bucket to 'Unknown' — an unguarded
+    # clip would rewrite NULL to the lower IQR bound and mis-bucket them.
+    p = tmp_path / "raw.csv"
+    priced = [
+        f"Widget {i},Acme,₹ {1000 * (i + 1)}/Piece,{i}" for i in range(12)
+    ]
+    unpriced = ["NoPrice A,Acme,Ask Price,100", "NoPrice B,Acme,Get Quote,101"]
+    p.write_text(
+        "Product Name,Supplier Name,Price,DispId\n" + "\n".join(priced + unpriced) + "\n"
+    )
+    cfg = ETLConfig(
+        input_file=str(p),
+        output_csv=str(tmp_path / "clean.csv"),
+        profile_report=str(tmp_path / "profile.csv"),
+        quality_issues=str(tmp_path / "issues.csv"),
+        export_sqlite=False,
+    )
+    rows = {r["dispid"]: r for r in run_pipeline(spark, cfg)["final"].collect()}
+    assert len(rows) == 14
+    for key in (100.0, 101.0):
+        assert rows[key]["price_numeric"] is None
+        assert rows[key]["price_bucket"] == "Unknown"
+    assert rows[0.0]["price_bucket"] == "Low (<10k)"
+
+
 def test_pipeline_without_phone_or_sqlite(spark, tmp_path):
     p = tmp_path / "raw.csv"
     p.write_text(
