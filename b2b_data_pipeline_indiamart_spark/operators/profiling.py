@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_half_up
+
 
 def profile_report(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
     """n_rows/non_null/nulls/null_pct/distinct per column, one scan.
@@ -40,7 +42,7 @@ def profile_report(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
                 F.col("__rows").alias("n_rows"),
                 F.col(f"__nn_{c}").alias("non_null"),
                 (F.col("__rows") - F.col(f"__nn_{c}")).alias("nulls"),
-                F.round(
+                round_half_up(
                     (F.col("__rows") - F.col(f"__nn_{c}")) * 100.0 / F.col("__rows"), 2
                 ).alias("null_pct"),
                 F.col(f"__uq_{c}").alias("distinct_values"),
