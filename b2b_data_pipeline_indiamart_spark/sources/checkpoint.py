@@ -16,8 +16,11 @@ driver memory footprint at 100 TB.
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
+import shutil
 from datetime import datetime, timezone
 from typing import Callable, Sequence
 
@@ -77,6 +80,17 @@ def resumable_ingest(
     plus a key-projected scan of the output, and the manifest keeps
     re-runs idempotent at the file level, so the join is a per-file
     increment, not a full re-read per row.
+
+    Crash idempotency (with or without ``key_cols``): each file's
+    batch is written to ``<output_dir>/_staging/<tag>`` (underscore
+    prefix → invisible to Spark reads), then its part files are
+    renamed into ``output_dir`` under deterministic
+    ``ingest-<tag>-*`` names, and only then is the manifest updated.
+    A retry after a crash at any point first scrubs that file's
+    committed parts and rewrites them, so rows are never duplicated.
+    The rename-commit assumes a POSIX filesystem; on an object store,
+    swap the commit step for the store's atomic-commit protocol
+    (e.g. a Hadoop committer / table format).
     """
     if reader is None:
         from b2b_data_pipeline_indiamart_spark.sources.csv_source import read_csv_normalized
@@ -91,6 +105,12 @@ def resumable_ingest(
     for path in input_files:
         if path in done:
             continue
+        tag = hashlib.md5(path.encode("utf-8")).hexdigest()[:16]
+        # Scrub parts committed by a crashed earlier attempt BEFORE the
+        # anti-join reads the output, so a retry never sees (or keeps)
+        # its own partial commit.
+        for leftover in glob.glob(os.path.join(output_dir, f"ingest-{tag}-*.parquet")):
+            os.remove(leftover)
         batch = reader(spark, path)
         if key_cols:
             if os.path.isdir(output_dir) and any(
@@ -99,12 +119,20 @@ def resumable_ingest(
                 existing_keys = spark.read.parquet(output_dir).select(*key_cols).distinct()
                 batch = batch.join(existing_keys, on=list(key_cols), how="left_anti")
             batch = batch.dropDuplicates(list(key_cols))
-        batch.write.mode("append").parquet(output_dir)
+        staging = os.path.join(output_dir, "_staging", tag)
+        batch.write.mode("overwrite").parquet(staging)
+        parts = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        for i, part in enumerate(parts):
+            os.replace(
+                os.path.join(staging, part),
+                os.path.join(output_dir, f"ingest-{tag}-{i:05d}.parquet"),
+            )
+        shutil.rmtree(staging, ignore_errors=True)
         completed.append(path)
         processed.append(path)
         # Checkpoint after every file (scraper.py:616-621 appends the
         # batch then saves the checkpoint) so a crash loses at most the
-        # in-flight file, and its partial parquet output is replaced
-        # idempotently on retry by the key-based anti-join.
+        # in-flight file — and the scrub above replaces that file's
+        # partial commit on retry.
         save_manifest(manifest_path, completed)
     return processed

@@ -9,6 +9,7 @@ from b2b_data_pipeline_indiamart_spark.sources import (
     load_manifest,
     read_csv_normalized,
     resumable_ingest,
+    save_manifest,
     to_snake_case,
     write_csv,
     write_parquet,
@@ -84,6 +85,24 @@ def test_resumable_ingest_skips_completed_and_dedups(spark, tmp_path):
     assert set(m["completed_files"]) == {str(f1), str(f2)}
     # idempotent: nothing left to do
     assert resumable_ingest(spark, [str(f1), str(f2)], out, manifest) == []
+
+
+def test_resumable_ingest_crash_retry_no_dupes_without_keys(spark, tmp_path):
+    # Crash window: data committed but manifest not yet saved. A retry
+    # must replace that file's output, not append a second copy — even
+    # with no key_cols to dedup on.
+    f1, f2 = tmp_path / "b1.csv", tmp_path / "b2.csv"
+    _write_batch(f1, [(1, "a"), (2, "b")])
+    _write_batch(f2, [(3, "c")])
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest.json")
+
+    resumable_ingest(spark, [str(f1), str(f2)], out, manifest)
+    assert spark.read.parquet(out).count() == 3
+    # simulate the crash: roll the manifest back as if f2's save never ran
+    save_manifest(manifest, [str(f1)])
+    assert resumable_ingest(spark, [str(f1), str(f2)], out, manifest) == [str(f2)]
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
 
 
 def test_load_manifest_tolerates_garbage(tmp_path):
