@@ -113,21 +113,27 @@ def cosine_neardup_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
+    """Exact all-pairs cosine ≥ threshold via distributed block-pair gemm.
 
-    Same output contract as :func:`cosine_neardup_pairs` but ~50×
-    faster: the (id, L2-normalized vector) matrix is collected once and
-    task-broadcast; ``mapInPandas`` then scores each corpus block
-    against it with ONE BLAS gemm per Arrow batch and emits only pairs
-    above threshold with id_a < id_b. Compute is still O(N²) — that is
-    the *semantics* — but per-pair cost drops from an interpreted
-    64-element Catalyst fold to a fused multiply-add.
+    Same output contract as :func:`cosine_neardup_pairs` — fully
+    distributed, nothing materializes on the driver. Each vector is
+    hashed to one of ``n_blocks`` blocks; every unordered block pair
+    (bi ≤ bj) becomes one ``applyInPandas`` group holding both blocks'
+    rows, scored with ONE BLAS gemm and emitting only pairs above
+    threshold with id_a < id_b. Each unordered vector pair lands in
+    exactly one block pair, so the output has no duplicates.
 
-    Scale shape: one side must fit in memory (N×dim doubles — 1 M × 64
-    ≈ 0.5 GB). Beyond that, block BOTH sides (crossJoin of block ids)
-    or switch to :func:`lsh_bucketed_pairs`, the O(corpus)-shuffle
-    approximate path.
+    Scale shape: shuffle is O(N · n_blocks) rows (each row replicated
+    once per block pair it joins); per-task memory is
+    O((N / n_blocks) · dim) doubles. Compute stays O(N²) — that is the
+    *semantics* — so size ``n_blocks`` so two blocks fit in executor
+    memory (1 M × 64 doubles at n_blocks=32 → ~32 MB per block), or
+    switch to :func:`lsh_bucketed_pairs`, the O(corpus)-shuffle
+    approximate path. Block assignment only picks *where* a pair is
+    scored, never which pairs exist or their values, so the output is
+    invariant to ``n_blocks`` and partitioning.
 
     Values match the pure-Catalyst formulation after the 4dp round:
     gemm reorders float additions, but a ~1e-15 perturbation cannot
@@ -137,52 +143,54 @@ def cosine_neardup_blocked(
     import numpy as np
     import pandas as pd
 
-    rows = (
-        emb.select(F.col(id_col).cast("long"), as_double_array(F.col(vec_col)))
-        .toPandas()
-        .values
-    )
-    spark0 = emb.sparkSession
-    if len(rows) == 0:
-        return spark0.createDataFrame([], "id_a long, id_b long, cos_sim double")
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    safe = norms > 0
-    mat[safe] = mat[safe] / norms[safe, None]
-    mat[~safe] = 0.0  # zero-norm vectors match nothing (cosine NULL)
-
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    out_schema = (
-        f"id_a long, id_b long, cos_sim double"
+    v = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+    # replicate each row into every block pair it belongs to: row in
+    # block b joins pair group (min(b, o), max(b, o)) for each o
+    rep = v.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("oblk"),
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "oblk").alias("bi"),
+        F.greatest("blk", "oblk").alias("bj"),
     )
 
-    # round-robin repartition: a single-file corpus scans as one task,
-    # which would serialize the gemm; the rows being shuffled are just
-    # (id, vec) — cheap relative to the O(N²) scoring they unlock
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    def _unit(mat: "np.ndarray") -> "np.ndarray":
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        ok = norms > 0
+        mat[ok] = mat[ok] / norms[ok, None]
+        mat[~ok] = 0.0  # zero-norm vectors match nothing (cosine NULL)
+        return mat
 
-    def score(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            a_norms = np.sqrt((a_vecs * a_vecs).sum(axis=1))
-            ok = a_norms > 0
-            a_vecs[ok] = a_vecs[ok] / a_norms[ok, None]
-            a_vecs[~ok] = 0.0
-            sims = a_vecs @ b_mat.T  # one gemm per Arrow batch
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = _unit(np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]]))
+        bi, bj = int(pdf["bi"].iat[0]), int(pdf["bj"].iat[0])
+        if bi == bj:
+            sims = mat @ mat.T  # one gemm per block pair
             sims = np.floor(sims * 10000.0 + 0.5) / 10000.0  # round_half_up(4)
-            ii, jj = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ii], "id_b": b_ids[jj], "cos_sim": sims[ii, jj]}
-            )
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            id_a, id_b = ids[ii], ids[jj]
+        else:
+            amask = (pdf["blk"] == bi).to_numpy()
+            a_ids, b_ids = ids[amask], ids[~amask]
+            sims = mat[amask] @ mat[~amask].T
+            sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+            ii, jj = np.nonzero(sims >= threshold)
+            id_a = np.minimum(a_ids[ii], b_ids[jj])
+            id_b = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": sims[ii, jj]})
 
-    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(score, schema=out_schema)
+    return rep.groupBy("bi", "bj").applyInPandas(
+        score, schema="id_a long, id_b long, cos_sim double"
+    )
 
 
 def lsh_bucketed_pairs(

@@ -1036,11 +1036,13 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥ 0.35 — the testdata embeddings
-    are i.i.d.-ish, max pair cosine ≈ 0.5, so 0.35 exercises the tail): exact semantics via the
-    blocked-gemm path (broadcast normalized matrix + one BLAS multiply
-    per Arrow batch — 30× the interpreted pair-join formulation, same
-    values after the 4dp round). ``similarity.lsh_bucketed_pairs`` is
-    the O(corpus)-shuffle approximate path when N² itself is too big."""
+    are i.i.d.-ish, max pair cosine ≈ 0.5, so 0.35 exercises the tail):
+    exact semantics via the distributed block-pair gemm (each unordered
+    block pair scored by one BLAS multiply inside ``applyInPandas``; no
+    driver materialization, shuffle O(N·n_blocks), same values as the
+    interpreted pair join after the 4dp round).
+    ``similarity.lsh_bucketed_pairs`` is the O(corpus)-shuffle
+    approximate path when N² compute itself is too big."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_blocked(emb, threshold=0.35)
 

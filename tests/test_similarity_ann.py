@@ -65,6 +65,37 @@ def test_ivf_recall_beats_probe_floor(emb, queries, exact_topk):
     assert hits / total >= 0.3, f"IVF recall {hits}/{total}"
 
 
+def test_neardup_blocked_matches_catalyst_pairs(emb):
+    # the distributed block-pair gemm must reproduce the pure-Catalyst
+    # pair join exactly (after the shared 4dp round), and be invariant
+    # to the block count — blocking picks where a pair is scored, never
+    # which pairs exist or their values
+    small = emb.filter(F.col("vec_id") < 120)
+    exact = sorted(
+        map(tuple, similarity.cosine_neardup_pairs(small, threshold=0.3).collect())
+    )
+    for n_blocks in (1, 3, 8):
+        blocked = sorted(
+            map(
+                tuple,
+                similarity.cosine_neardup_blocked(
+                    small, threshold=0.3, n_blocks=n_blocks
+                ).collect(),
+            )
+        )
+        assert blocked == exact, f"n_blocks={n_blocks}"
+
+
+def test_neardup_blocked_is_fully_distributed():
+    # the registered embedding_neardup path must not materialize the
+    # corpus on the driver (no toPandas/collect/broadcast of the table)
+    import inspect
+
+    src = inspect.getsource(similarity.cosine_neardup_blocked)
+    for forbidden in ("toPandas", ".collect(", "sparkContext.broadcast"):
+        assert forbidden not in src, forbidden
+
+
 def test_kmeans_centroids_deterministic(emb):
     c1 = similarity.kmeans_centroids(emb, dim=64, n_cells=8)
     c2 = similarity.kmeans_centroids(emb, dim=64, n_cells=8)
