@@ -185,86 +185,106 @@ def minhash_lsh_pairs(
     )
 
 
+def _canonical_edges(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge list canonicalized to (u > v), no self-loops."""
+    return (
+        df.filter(F.col(a) != F.col(b))
+        .select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Cluster ids from near-dup pairs: (node, cluster_id) where
     cluster_id = min doc id reachable in the pair graph.
 
     This is the step that turns candidate PAIRS into dedup GROUPS (keep
-    one representative per component). Iterative min-label propagation:
-    each round every node adopts the smallest label among itself and
-    its neighbors; convergence needs O(component diameter) rounds —
-    near-dup graphs are dense clusters with tiny diameters, so a handful
-    of rounds suffices (``max_iterations`` caps pathological chains).
+    one representative per component). Alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round every node hangs its larger neighbors
+    (large-star) then its smaller neighbors (small-star) directly off
+    the minimum of its neighborhood, which contracts components into
+    min-centered stars in O(log²) rounds — on chain-shaped graphs far
+    fewer rounds than per-hop min-label propagation, and the edge list
+    SHRINKS toward one edge per non-min node as it converges (label
+    propagation keeps the full edge list live every round).
 
-    Distribution shape per round: one join of labels onto the edge list
-    (shuffle ∝ edges) + a min-groupBy (map-side combine). Each round's
-    labels are ``localCheckpoint``-ed: a plain persist is NOT enough —
-    unpersisting round k's labels cascade-invalidates round k+1's cache
-    (it depends on them), so every round would silently recompute the
-    whole history (measured ~3× growth per round). Checkpointing
-    truncates the lineage so each round starts from materialized
-    blocks. The convergence check is one count per round: iterative
-    algorithms are the one place a per-step driver action is the
-    intended Spark idiom (cf. GraphX/ML iteration).
+    Distribution shape per round: two groupBy-min aggregations (map-side
+    combine) + two equi-joins, all keyed on node id, shuffle ∝ current
+    edges. Each round's edge list is ``localCheckpoint``-ed — a plain
+    persist is NOT enough: unpersisting round k cascade-invalidates
+    round k+1's cache, silently recomputing the whole history.
+    Convergence is checked every ``check_every`` rounds with one small
+    aggregate (edge count + order-independent hash/id sums — no
+    edge-table self-join), stopping when the edge set is stable; the
+    star fixpoint is idempotent under both steps.
     """
-    edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    raw = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
-    edges = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionAll(raw.select(F.col("b").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    edges = _canonical_edges(raw, "a", "b").localCheckpoint()
+
+    def _signature(e: DataFrame):
+        return tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("u", "v")),
+                F.sum("u"),
+                F.sum("v"),
+            ).collect()[0]
         )
-        propagated = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                "label"
-            ),
+
+    prev_sig = None
+    for it in range(max_iterations):
+        # large-star: for each u, hang every LARGER neighbor v off
+        # m = min({u} ∪ N(u))
+        sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
         )
-        # label compression (pointer jumping): follow one more hop
-        # through the label table itself — label[n] := label[label[n]].
-        # Combined with the neighbor step this roughly halves the round
-        # count on chain-shaped components (min distance covered doubles
-        # per round), and the extra join is on the small label table,
-        # not the edge list.
-        parent = propagated.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        ls = _canonical_edges(
+            sym.join(mins, "u").filter(F.col("v") > F.col("u")), "v", "m"
         )
-        new_labels = (
-            propagated.join(parent, propagated.label == parent.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+        # small-star: edges now directed u > v; for each u, hang every
+        # smaller neighbor (and u itself) off m = min of the smaller set
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = _canonical_edges(
+            ls.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(smins.select(F.col("u").alias("a"), F.col("m").alias("b"))),
+            "a",
+            "b",
+        ).localCheckpoint()
+        edges = ss
+        if (it + 1) % check_every == 0 or it == max_iterations - 1:
+            sig = _signature(edges)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    # at the fixpoint every non-center node has exactly one (smaller)
+    # neighbor: the component min; centers and isolated nodes label
+    # themselves
+    centers = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return nodes.join(centers, nodes.node == centers.u, "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("cluster_id")
+    )
 
 
 def dedup_clusters(
