@@ -240,16 +240,24 @@ def connected_components(
     edges = _canonical_edges(raw, "a", "b").localCheckpoint()
 
     def _signature(e: DataFrame):
+        # Order-independent AND overflow-free: bit_xor over int64 never
+        # overflows, unlike F.sum(xxhash64(...)) which throws
+        # ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode on any
+        # non-trivial edge list (xxhash64 values are uniform over the
+        # full long range). count disambiguates xor collisions from
+        # even-multiplicity edge swaps; the per-column xors guard the
+        # (astronomically unlikely) pair-hash collision.
         return tuple(
             e.agg(
                 F.count(F.lit(1)),
-                F.sum(F.xxhash64("u", "v")),
-                F.sum("u"),
-                F.sum("v"),
+                F.bit_xor(F.xxhash64("u", "v")),
+                F.bit_xor("u"),
+                F.bit_xor("v"),
             ).collect()[0]
         )
 
     prev_sig = None
+    converged = False
     for it in range(max_iterations):
         # large-star: for each u, hang every LARGER neighbor v off
         # m = min({u} ∪ N(u))
@@ -276,8 +284,18 @@ def connected_components(
         if (it + 1) % check_every == 0 or it == max_iterations - 1:
             sig = _signature(edges)
             if sig == prev_sig:
+                converged = True
                 break
             prev_sig = sig
+    if not converged:
+        # The final extraction below assumes the star fixpoint (every
+        # node points at its component min); an exhausted iteration
+        # budget would silently yield wrong cluster ids otherwise.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (rounds needed grow "
+            "O(log^2 diameter))"
+        )
     # at the fixpoint every non-center node has exactly one (smaller)
     # neighbor: the component min; centers and isolated nodes label
     # themselves
