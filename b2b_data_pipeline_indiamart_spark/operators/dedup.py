@@ -59,6 +59,34 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def exact_collapse(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate membership map: (id, rep_id) with rep_id = min id
+    of the doc's md5(normalized text) group.
+
+    The near-dup operators below run their shingle/signature pipelines
+    on REPRESENTATIVES only and expand results back through this map:
+    exact duplicates have identical normalized text, hence identical
+    MinHash/SimHash signatures, hence identical LSH collisions — so
+    collapsing them first shrinks the expensive stages by the duplicate
+    factor without changing any output (expansion restores the member
+    pairs, and intra-group pairs are Jaccard 1 by construction).
+
+    One shuffle on the 16-byte digest (same shape as
+    :func:`exact_dedup_groups`); the map itself is two longs per doc.
+    """
+    hashed = docs.select(
+        F.col(id_col), F.md5(normalize_doc(F.col(text_col))).alias("__ch")
+    )
+    reps = hashed.groupBy("__ch").agg(F.min(id_col).alias("rep_id"))
+    return hashed.join(reps, "__ch").select(id_col, "rep_id")
+
+
+def _representatives(docs: DataFrame, members: DataFrame, id_col: str) -> DataFrame:
+    """Docs filtered to exact-dedup representatives (id == rep_id)."""
+    rep_ids = members.filter(F.col(id_col) == F.col("rep_id")).select(id_col)
+    return docs.join(rep_ids, id_col, "left_semi")
+
+
 def char_shingles(col, n: int = 5) -> F.Column:
     """Distinct character n-gram shingles of an ALREADY-NORMALIZED text
     column.
@@ -183,6 +211,108 @@ def minhash_lsh_pairs(
     return lsh_candidate_pairs(
         minhash_signatures(docs, text_col, id_col, k=k), id_col=id_col, k=k, bands=bands
     )
+
+
+def minhash_estimate(
+    pairs: DataFrame, signatures: DataFrame, id_col: str = "doc_id", k: int = 64
+) -> DataFrame:
+    """Attach ``est_jaccard`` (fraction of agreeing MinHash minima) to
+    candidate (id_a, id_b) pairs.
+
+    The signatures already exist upstream of LSH banding in the same
+    pipeline, so the estimate is two equi-joins shipping k longs per
+    side (k=64 → 512 B) instead of the full shingle arrays (~8 KB for a
+    1000-shingle doc) — the point is to run the expensive exact
+    verification only on pairs whose estimated Jaccard clears a slack
+    threshold. E[est] = true Jaccard; with k=64 the sampling std is
+    ≤ sqrt(0.25/64) ≈ 0.0625.
+    """
+    agree = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k)
+    )
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", (agree / F.lit(float(k))).alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.3,
+    prefilter_factor: float = 0.5,
+) -> DataFrame:
+    """LSH candidates → MinHash-estimate prefilter → exact n-gram
+    Jaccard, with exact duplicates collapsed up front.
+
+    Pipeline (each stage shrinks the work of the next):
+
+    1. :func:`exact_collapse` — signature/shingle stages run on exact-
+       dedup representatives only (corpus shrinks by the dup factor).
+    2. MinHash signatures once, persisted; LSH banding for candidates.
+    3. :func:`minhash_estimate` prefilter at ``prefilter_factor *
+       threshold`` — only survivors ship shingle arrays through the
+       verification joins (the dominant cost of the naive form).
+    4. Exact verify survivors; expand results back to member pairs and
+       emit intra-group pairs at Jaccard 1.0.
+
+    Output is equivalent to running :func:`ngram_jaccard_pairs` on raw
+    LSH candidates over the full corpus (asserted at test SFs); the
+    prefilter slack (default 0.5×threshold ≈ 2.4σ of the k=64 estimate)
+    makes a qualifying pair's exclusion statistically negligible.
+    """
+    members = exact_collapse(docs, text_col, id_col).persist()
+    reps = _representatives(docs, members, id_col)
+    sigs = minhash_signatures(reps, text_col, id_col, k=k, shingle_n=shingle_n).persist()
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, k=k, bands=bands)
+    est = minhash_estimate(cand, sigs, id_col=id_col, k=k)
+    # persisted: the verify stage consumes the pair list three times
+    # (twice for the doc-set semi-join, once for the array join) and
+    # would otherwise re-run the LSH self-join + estimate joins each time
+    survivors = (
+        est.filter(F.col("est_jaccard") >= F.lit(prefilter_factor * threshold))
+        .select("id_a", "id_b")
+        .persist()
+    )
+    verified = ngram_jaccard_pairs(
+        survivors, reps, text_col, id_col, shingle_n=shingle_n, threshold=threshold
+    )
+    # expand rep pairs to member pairs (cheap: joins on two-long rows),
+    # re-canonicalizing since member order can invert the rep order
+    mem_a = members.select(F.col("rep_id").alias("id_a"), F.col(id_col).alias("m_a"))
+    mem_b = members.select(F.col("rep_id").alias("id_b"), F.col(id_col).alias("m_b"))
+    cross_group = (
+        verified.join(mem_a, "id_a")
+        .join(mem_b, "id_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    g1 = members.select(F.col("rep_id").alias("r"), F.col(id_col).alias("m_a"))
+    g2 = members.select(F.col("rep_id").alias("r"), F.col(id_col).alias("m_b"))
+    intra_group = (
+        g1.join(g2, "r")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("id_a"),
+            F.col("m_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross_group.unionAll(intra_group)
 
 
 def _canonical_edges(df: DataFrame, a: str, b: str) -> DataFrame:
@@ -312,15 +442,26 @@ def dedup_clusters(
     k: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """End-to-end near-dup clustering: MinHash → LSH pairs → connected
-    components → (doc_id, cluster_id, is_representative). Docs with no
-    near-dup partner form singleton clusters of themselves."""
-    pairs = minhash_lsh_pairs(docs, text_col, id_col, k=k, bands=bands)
+    """End-to-end near-dup clustering: exact-dup collapse → MinHash →
+    LSH pairs → connected components → (doc_id, cluster_id,
+    is_representative). Docs with no near-dup partner form singleton
+    clusters of themselves.
+
+    The signature/LSH/components pipeline runs on exact-dedup
+    representatives only (:func:`exact_collapse`); every member then
+    inherits its representative's component. This is output-equivalent
+    to clustering the full corpus — exact duplicates share signatures,
+    so they always land in their representative's component, and the
+    component minimum over all members equals the minimum over
+    representatives (each group's minimum IS its representative) — but
+    the iterative stage sees a graph smaller by the duplicate factor.
+    """
+    members = exact_collapse(docs, text_col, id_col).persist()
+    reps = _representatives(docs, members, id_col)
+    pairs = minhash_lsh_pairs(reps, text_col, id_col, k=k, bands=bands)
     comps = connected_components(pairs)
-    out = docs.select(F.col(id_col)).join(
-        comps, F.col(id_col) == comps.node, "left"
-    )
-    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    out = members.join(comps, members.rep_id == comps.node, "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("rep_id"))
     return out.select(
         F.col(id_col),
         cluster.alias("cluster_id"),
@@ -442,7 +583,18 @@ def ngram_jaccard_pairs(
     strings) and the per-pair intersection compares fixed-width values.
     Jaccard over hashed shingles equals Jaccard over the strings up to
     64-bit collisions — vanishing at any real shingle-set size.
+
+    Shingling is restricted (left-semi) to docs that actually appear in
+    the candidate pairs: under an upstream prefilter the surviving-pair
+    doc set can be far smaller than the corpus, and docs outside it
+    should never pay the shingle transform or occupy cache.
     """
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = docs.join(pair_ids, id_col, "left_semi")
     grams = _with_normalized(docs, text_col, id_col).select(
         F.col(id_col).alias("gid"),
         F.transform(char_shingles(F.col("__norm"), shingle_n), lambda s: F.xxhash64(s)).alias(
@@ -452,8 +604,13 @@ def ngram_jaccard_pairs(
     out = (
         pairs.join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
         .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
+        # |A ∪ B| = |A| + |B| − |A ∩ B|: the arrays are distinct sets
+        # (char_shingles applies array_distinct), so the inclusion-
+        # exclusion identity is exact and saves array_union's second
+        # per-pair hash-set build — intersect is the only O(|A|+|B|)
+        # pass per pair.
         .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
-        .withColumn("uni", F.size(F.array_union("g_a", "g_b")))
+        .withColumn("uni", F.size("g_a") + F.size("g_b") - F.col("inter"))
         .withColumn(
             "jaccard",
             round_half_up(F.col("inter") / F.when(F.col("uni") > 0, F.col("uni")), 4),

@@ -1010,12 +1010,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("ngram_jaccard")  # rows-only oracle
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard verification of the LSH candidate pairs —
-    compute ∝ |candidates|. Rows-only check (candidates come from the
+    """Exact 5-gram Jaccard verification of the LSH candidate pairs,
+    with exact-dup collapse and a MinHash-estimate prefilter so only
+    plausibly-qualifying pairs ship shingle arrays — compute ∝
+    |surviving candidates|. Rows-only check (candidates come from the
     Spark-specific LSH)."""
     docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_pairs(docs, k=64, bands=16)
-    return dedup.ngram_jaccard_pairs(cand, docs, threshold=0.3).orderBy("id_a", "id_b")
+    return dedup.ngram_jaccard_verified(docs, k=64, bands=16, threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @_register(

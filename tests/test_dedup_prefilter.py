@@ -1,0 +1,67 @@
+"""The exact-dup collapse + MinHash-estimate prefilter are pure
+performance rewrites: their outputs must equal the naive formulations
+(full-corpus LSH candidates, no prefilter) at test scale factors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from b2b_data_pipeline_indiamart_spark import catalog
+from b2b_data_pipeline_indiamart_spark.operators import dedup
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_exact_collapse_membership(spark, sf_small):
+    docs = catalog.load(spark, sf_small, "documents")
+    members = dedup.exact_collapse(docs)
+    assert members.count() == docs.count()  # every doc mapped
+    # rep_id is a member of its own group and the group minimum
+    assert members.filter(F.col("rep_id") > F.col("doc_id")).count() == 0
+    reps = members.filter(F.col("doc_id") == F.col("rep_id"))
+    assert reps.count() == members.select("rep_id").distinct().count()
+    # groups agree with exact_dedup_groups
+    groups = dedup.exact_dedup_groups(docs)
+    assert (
+        _rows(members.groupBy("rep_id").count().orderBy("rep_id"))
+        == _rows(groups.select("representative_id", "n_docs").orderBy("representative_id"))
+    )
+
+
+def test_ngram_jaccard_verified_matches_naive(spark, sf_small):
+    docs = catalog.load(spark, sf_small, "documents")
+    naive = dedup.ngram_jaccard_pairs(
+        dedup.minhash_lsh_pairs(docs, k=64, bands=16), docs, threshold=0.3
+    )
+    fast = dedup.ngram_jaccard_verified(docs, k=64, bands=16, threshold=0.3)
+    assert _rows(naive) == _rows(fast)
+
+
+def test_minhash_estimate_bounds_and_exact_dups(spark, sf_small):
+    docs = catalog.load(spark, sf_small, "documents")
+    sigs = dedup.minhash_signatures(docs).persist()
+    cand = dedup.lsh_candidate_pairs(sigs)
+    est = dedup.minhash_estimate(cand, sigs).persist()
+    assert est.count() == cand.count()
+    # any LSH candidate agrees on >= one full band (4 of 64 minima)
+    assert est.filter(F.col("est_jaccard") < 4 / 64).count() == 0
+    assert est.filter(F.col("est_jaccard") > 1.0).count() == 0
+    est.unpersist()
+    sigs.unpersist()
+
+
+def test_dedup_clusters_collapse_matches_uncollapsed(spark, sf_small):
+    docs = catalog.load(spark, sf_small, "documents")
+    # uncollapsed reconstruction: full-corpus LSH pairs → components
+    pairs = dedup.minhash_lsh_pairs(docs)
+    comps = dedup.connected_components(pairs)
+    out = docs.select("doc_id").join(comps, F.col("doc_id") == comps.node, "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    naive = out.select(
+        F.col("doc_id"),
+        cluster.alias("cluster_id"),
+        (F.col("doc_id") == cluster).alias("is_representative"),
+    )
+    assert _rows(naive) == _rows(dedup.dedup_clusters(docs))
