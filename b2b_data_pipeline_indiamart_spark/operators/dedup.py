@@ -469,6 +469,51 @@ def dedup_clusters(
     )
 
 
+def blocked_dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefixes: tuple[tuple[int, int], ...] = ((1, 3), (4, 3)),
+) -> DataFrame:
+    """Connected-components clustering over a DETERMINISTIC,
+    SQL-expressible candidate graph → (doc_id, cluster_id).
+
+    Companion to :func:`dedup_clusters` built so the iterative
+    large-star/small-star operator itself can be hash-checked against a
+    DuckDB recursive-CTE oracle: candidate edges come from md5-prefix
+    blocking (docs sharing any configured substring of their
+    md5(normalized text) fingerprint are connected) instead of the
+    Spark-specific MinHash/LSH family. Two overlapping blocking
+    functions make the union graph genuinely transitive — A~B under
+    one prefix and B~C under the other chains A,B,C into one component
+    — so the oracle must compute a real closure, not a GROUP BY.
+
+    Scale shape: each blocking is a self-equi-join on a short prefix
+    key (shuffle ∝ corpus); prefix length bounds expected block size
+    (16^len buckets), the knob a 100 TB run would lengthen. Exact
+    duplicates share the full digest, hence every block, hence always
+    cluster together — consistent with the reference's exact dedup
+    semantics (etl.py:358-368).
+    """
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(normalize_doc(F.col(text_col))).alias("h"),
+    )
+    edge_parts = []
+    for start, length in prefixes:
+        key = F.substring(F.col("h"), start, length)
+        left = d.select(F.col("doc_id").alias("u"), key.alias("k"))
+        right = d.select(F.col("doc_id").alias("v"), key.alias("k"))
+        edge_parts.append(
+            left.join(right, "k").filter(F.col("u") != F.col("v")).select("u", "v")
+        )
+    edges = functools.reduce(DataFrame.unionAll, edge_parts)
+    comps = connected_components(edges, "u", "v")
+    return d.join(comps, d.doc_id == comps.node, "left").select(
+        d.doc_id, F.coalesce(F.col("cluster_id"), d.doc_id).alias("cluster_id")
+    )
+
+
 def word_tokens(col) -> F.Column:
     """Whitespace word tokens of the normalized text (non-empty)."""
     return F.filter(F.split(normalize_doc(col), r"\s+"), lambda t: t != "")

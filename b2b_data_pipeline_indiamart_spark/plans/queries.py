@@ -1000,6 +1000,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs).orderBy("doc_id")
 
 
+@_register(
+    "dedup_clusters_blocked",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({_NORM}) AS h FROM documents
+    ),
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+        ON substr(a.h, 1, 3) = substr(b.h, 1, 3) AND a.doc_id <> b.doc_id
+      UNION
+      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+        ON substr(a.h, 4, 3) = substr(b.h, 4, 3) AND a.doc_id <> b.doc_id
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def dedup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic md5-prefix blocking
+    graph — the hash-checkable twin of dedup_clusters: same iterative
+    large-star/small-star operator, but the candidate edges are SQL-
+    expressible, so DuckDB mirrors the closure with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.blocked_dedup_clusters(docs).orderBy("doc_id")
+
+
 @_register("dedup_simhash")  # rows-only oracle
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dups (hamming ≤ 3) via chunk banding +
