@@ -31,6 +31,7 @@ from ..functions.rounding import floorize_round_sql, round_half_up
 
 from .. import catalog
 from ..functions.hashing import DEFAULT_SALT, digits_only, salted_sha256
+from ..functions.isq import decode_isq
 from ..functions.prices import price_bucket
 from ..operators import analytics, cleaning, dedup, outliers, profiling, similarity, temporal, textstats
 
@@ -979,6 +980,69 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the 16-byte digest, representative = min(doc_id)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs)
+
+
+@_register(
+    "isq_attributes",
+    """
+    WITH raw AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 7 <> 0 THEN
+               'Brand%3AGENERIC%23Brand%3A' || replace(p_brand, ' ', '%20') ||
+               '%23Type%3A' || replace(p_type, ' ', '%20') ||
+               '%23Size%3A' || replace(CAST(p_size AS VARCHAR), ' ', '%20') ||
+               '%23NoColonToken'
+             END AS isq
+      FROM part
+    ),
+    dec AS (
+      -- decode BEFORE splitting on '#', like the reference; the chained
+      -- replaces cover exactly the escapes the constructed payload uses
+      SELECT p_partkey,
+             replace(replace(replace(isq, '%3A', ':'), '%23', '#'), '%20', ' ') AS d
+      FROM raw WHERE isq IS NOT NULL
+    ),
+    parts AS (
+      SELECT p_partkey,
+             unnest(string_split(d, '#')) AS part,
+             generate_subscripts(string_split(d, '#'), 1) AS idx
+      FROM dec
+    ),
+    entries AS (
+      SELECT p_partkey,
+             trim(split_part(part, ':', 1)) AS attr_key,
+             trim(substr(part, position(':' in part) + 1)) AS attr_value,
+             idx
+      FROM parts
+      WHERE position(':' in part) > 0 AND trim(split_part(part, ':', 1)) <> ''
+    )
+    SELECT p_partkey, attr_key, max_by(attr_value, idx) AS attr_value
+    FROM entries GROUP BY p_partkey, attr_key ORDER BY p_partkey, attr_key
+    """,
+)
+def isq_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISQ attribute decoding (reference scraper.py:263-281 decode_isq):
+    URL-encoded '#'-separated 'k:v' payload → map<string,string>, here
+    exploded to rows. The payload is constructed deterministically from
+    part attributes (with a duplicate key, a no-colon token, and NULLs
+    every 7th part) so the decode path — percent-decode, '#' split,
+    first-':' split, trim, empty-key drop, last-key-wins — is exercised
+    end-to-end and DuckDB can mirror the construction."""
+    part = _t(spark, sf_dir, "part")
+
+    def enc(c):
+        return F.replace(c, F.lit(" "), F.lit("%20"))
+
+    raw = F.concat(
+        F.lit("Brand%3AGENERIC%23Brand%3A"), enc(F.col("p_brand")),
+        F.lit("%23Type%3A"), enc(F.col("p_type")),
+        F.lit("%23Size%3A"), enc(F.col("p_size").cast("string")),
+        F.lit("%23NoColonToken"),
+    )
+    isq = F.when(F.col("p_partkey") % 7 != 0, raw)
+    return part.select(
+        "p_partkey", F.explode(decode_isq(isq)).alias("attr_key", "attr_value")
+    ).orderBy("p_partkey", "attr_key")
 
 
 @_register("dedup_minhash_lsh")  # rows-only oracle: hash family is Spark-specific

@@ -128,3 +128,39 @@ def test_round_half_up_ties(spark, value, digits, expected):
     df = spark.createDataFrame([(value,)], ["x"])
     got = df.select(round_half_up(F.col("x"), digits).alias("y")).collect()[0]["y"]
     assert got == expected
+
+
+def test_decode_isq_reference_parity(spark):
+    """Byte parity with reference scraper.py:263-281 decode_isq on every
+    edge class: percent escapes, '#' split after decode, first-':' split,
+    trim, no-colon drop, empty-key drop, last-key-wins, '+' literal."""
+    import urllib.parse
+
+    from b2b_data_pipeline_indiamart_spark.functions.isq import decode_isq
+
+    def ref(isq_raw):
+        if not isq_raw:
+            return {}
+        result = {}
+        for part in urllib.parse.unquote(isq_raw).split("#"):
+            if ":" in part:
+                k, v = part.split(":", 1)
+                k, v = k.strip(), v.strip()
+                if k:
+                    result[k] = v
+        return result
+
+    cases = [
+        "Brand%3ADaikin%23Capacity%3A2.8%20kW%23Type%3ASplit%20Ac",
+        "Brand%3AFIRST%23Brand%3ASECOND",  # last occurrence wins
+        "NoColonPart%23K%3AV",  # no-colon part dropped
+        "%3Anokey%23K%3AV",  # empty key dropped
+        "K%3Aa%3Ab%3Ac",  # split on FIRST colon only
+        "  K %3A  v v  ",  # both sides trimmed
+        "a+b%3Ac+d",  # '+' stays literal (unquote, not form-decode)
+        "K%3A",  # empty value kept
+        "",
+    ]
+    got = _eval(spark, decode_isq, *cases)
+    assert got == [ref(c) for c in cases]
+    assert _eval(spark, decode_isq, "K%3AV", None) == [{"K": "V"}, None]
