@@ -51,13 +51,13 @@ def winsorize(df: DataFrame, col: str, out_col: str | None = None, exact: bool =
         )
     )
     joined = df.crossJoin(F.broadcast(bounds))
-    # greatest/least skip NULLs in Spark (unlike pandas clip, which
-    # propagates NaN) — guard so NULL input stays NULL instead of
-    # collapsing to the lower bound.
+    # pandas clip propagates both NULL and NaN; Spark's greatest/least
+    # skip NULLs and order NaN as the LARGEST double (it would clip to
+    # __hi) — guard both so they pass through unchanged.
     clipped = F.when(
-        F.col(col).isNotNull(),
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")),
         F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
-    )
+    ).otherwise(F.col(col))
     return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
 
 

@@ -68,19 +68,41 @@ def write_csv(
     header: bool = True,
     single_file: bool = False,
     mode: str = "overwrite",
+    encoding: str = "utf-8",
 ) -> None:
     """CSV export with literal ``na_rep`` for nulls (etl.py:429-430
     writes ``na_rep="NaN"`` "so you can SEE missing values").
     ``single_file`` coalesces to one partition — only for curated /
-    report-sized outputs; the default keeps one file per partition."""
+    report-sized outputs; the default keeps one file per partition.
+
+    ``encoding="utf-8-sig"`` matches the reference's Excel-friendly
+    export (etl.py:429): the JVM has no BOM-writing charset, so the
+    files are written UTF-8 and the three-byte BOM is prepended to each
+    part file afterwards — a per-file O(1) driver-side touch-up meant
+    for the same curated/report-sized outputs as ``single_file``.
+    """
+    bom = encoding.lower() in ("utf-8-sig", "utf_8_sig")
     out = df.coalesce(1) if single_file else df
     (
         out.write.mode(mode)
         .option("header", str(header).lower())
         .option("nullValue", na_rep)
         .option("emptyValue", na_rep)
+        .option("encoding", "UTF-8" if bom else encoding)
         .csv(path)
     )
+    if bom:
+        import os
+
+        for name in os.listdir(path):
+            if not name.endswith(".csv"):
+                continue
+            full = os.path.join(path, name)
+            with open(full, "rb") as f:
+                data = f.read()
+            if not data.startswith(b"\xef\xbb\xbf"):
+                with open(full, "wb") as f:
+                    f.write(b"\xef\xbb\xbf" + data)
 
 
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:

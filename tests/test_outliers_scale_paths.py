@@ -62,3 +62,17 @@ def test_kpi_summary_approx_mode(spark, sf_small):
     assert abs(a["n_cust"] - e["n_cust"]) / e["n_cust"] < 0.1
     assert abs(a["median_value"] - e["median_value"]) / e["median_value"] < 0.05
     assert a["total_rows"] == e["total_rows"]
+
+
+def test_winsorize_preserves_nan(spark):
+    # Spark orders NaN as the largest double, so an unguarded clip would
+    # rewrite NaN to the hi bound; pandas clip propagates it. NaN in must
+    # stay NaN out.
+    import math
+
+    vals = [(float(i),) for i in range(1, 21)] + [(float("nan"),), (None,)]
+    df = spark.createDataFrame(vals, "v double")
+    rows = outliers.winsorize(df, "v").collect()
+    nan_out = [r["v_winsor"] for r in rows if r["v"] is not None and math.isnan(r["v"])]
+    assert len(nan_out) == 1 and math.isnan(nan_out[0])
+    assert {r["v_winsor"] for r in rows if r["v"] is None} == {None}

@@ -24,8 +24,23 @@ def _plan(spark, sf_small, key: str) -> str:
 def test_dim_joins_broadcast(spark, sf_small, key):
     plan = _plan(spark, sf_small, key)
     assert "BroadcastHashJoin" in plan
-    # dim joins must not fall back to shuffling both sides
-    assert "SortMergeJoin" not in plan or key == "q3_shipping_priority"
+    if key == "q3_shipping_priority":
+        # only the orders⋈lineitem fact-fact join may shuffle; the
+        # customer side must be a broadcast join
+        import re
+
+        assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 1
+        # at sf0.001 stats would broadcast everything anyway, so also
+        # pin the EXPLICIT hint: dropping F.broadcast(customer) from the
+        # query must fail this even when AQE would happen to broadcast
+        analyzed = str(
+            QUERIES[key](spark, sf_small)._jdf.queryExecution().analyzed()
+        )
+        assert "ResolvedHint (strategy=broadcast)" in analyzed
+    else:
+        # dim joins must not fall back to shuffling both sides
+        assert "SortMergeJoin" not in plan
 
 
 def test_q1_filter_pushed_to_scan(spark, sf_small):

@@ -199,3 +199,15 @@ def test_write_sqlite_replace_and_append(spark, tmp_path):
     assert n == 4 and nulls == 2
     with pytest.raises(ValueError):
         write_sqlite(df, db, "products", if_exists="fail")
+
+
+def test_write_csv_utf8_sig_bom(spark, tmp_path):
+    # etl.py:429 writes the curated CSV utf-8-sig for Excel; each part
+    # file must start with the BOM and read back cleanly as utf-8-sig
+    df = spark.createDataFrame([(1, "Delhi"), (2, "Pune")], ["id", "city"])
+    out = tmp_path / "out_bom"
+    write_csv(df, str(out), single_file=True, encoding="utf-8-sig")
+    part = next(out.glob("part-*.csv"))
+    assert part.read_bytes().startswith(b"\xef\xbb\xbf")
+    text = part.read_text(encoding="utf-8-sig")
+    assert text.splitlines()[0] == "id,city" and not text.startswith("﻿")
