@@ -70,6 +70,128 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the latest right row
+    with ``right.ts < left.ts`` (``<=`` when ``strict=False``) within the
+    same ``on`` keys. Left rows with no match keep NULL right columns.
+
+    Spark-first shape: NO join at all — union the two sides, run one
+    ``last(..., ignorenulls)`` window over (on, ts), keep left rows.
+    Single shuffle on the ``on`` keys, local sort within each key: the
+    scale-correct idiom (a theta-join formulation would be a cross
+    product per key). Tie-break at equal timestamps is encoded in the
+    sort: with ``strict`` the left row sorts BEFORE same-ts right rows
+    (excluding them from its frame); with ``strict=False`` after.
+
+    Right payload rides in one struct so arbitrarily many columns cost
+    a single window expression.
+    """
+    right_cols = list(right_cols or [c for c in right.columns if c not in on and c != right_ts])
+    l_side, r_side = (0, 1) if strict else (1, 0)
+    lhs = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lv"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in [right_ts] + right_cols) + ">"
+        ).alias("__rv"),
+    )
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        F.lit(None).cast(lhs.schema["__lv"].dataType.simpleString()).alias("__lv"),
+        F.struct(F.col(right_ts), *[F.col(c) for c in right_cols]).alias("__rv"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lhs.unionByName(rhs)
+        .withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == l_side)
+    )
+    out_cols = [F.col(f"__lv.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col(f"__m.{right_ts}").alias(f"matched_{right_ts}"))
+    out_cols.extend(F.col(f"__m.{c}").alias(f"matched_{c}") for c in right_cols)
+    return matched.select(*out_cols)
+
+
+def range_join_agg(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    aggs: list,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_seconds: int = 600,
+) -> DataFrame:
+    """Bounded-interval range join + aggregate: for each left row,
+    aggregate right rows with ``left.ts - lookback <= right.ts <=
+    left.ts`` in the same ``on`` keys. Left rows with no right rows in
+    range survive with empty-aggregate values (left semantics).
+
+    Scale shape — the bin-bucketed range-join idiom: bin both sides to
+    ``lookback``-wide epoch buckets, explode each LEFT row to its two
+    covering bins (bin, bin-1), equi-join on (on, bin), then apply the
+    exact interval as a residual filter. Shuffle is O(2·|left| +
+    |right|) on compact keys — never the per-key cross product a naive
+    theta join would build. AQE handles residual skew; a hotter key
+    would add salting on the bin.
+
+    ``aggs`` are Column aggregates over the joined right columns (use
+    ``F.count`` / ``F.sum`` with the caller's aliases).
+    """
+    us = 1_000_000 * lookback_seconds
+    l = left.select(
+        *on,
+        F.unix_micros(F.col(left_ts)).alias("__lts"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lv"),
+    )
+    l_binned = l.withColumn(
+        "__bin", F.explode(F.array(F.floor(F.col("__lts") / us), F.floor(F.col("__lts") / us) - 1))
+    )
+    r = right.select(
+        *on,
+        F.unix_micros(F.col(right_ts)).alias("__rts"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("__rv"),
+    ).withColumn("__bin", F.floor(F.col("__rts") / us))
+    joined = (
+        l_binned.join(r, on=[*on, "__bin"], how="inner")
+        .filter((F.col("__rts") >= F.col("__lts") - us) & (F.col("__rts") <= F.col("__lts")))
+        # right columns surface as r_<name> for the caller's aggregates
+        .select(
+            *on,
+            "__lts",
+            "__lv",
+            *[F.col(f"__rv.{c}").alias(f"r_{c}") for c in right.columns],
+        )
+    )
+    hits = joined.groupBy(*on, "__lts", "__lv").agg(*aggs)
+    agg_names = [c for c in hits.columns if c not in {*on, "__lts", "__lv"}]
+    # left semantics: re-attach rows whose bins matched nothing. Joining
+    # back on the full left struct is exact: identical left rows share
+    # identical aggregates by definition. (Caveat: NULLs inside join
+    # keys would drop rows under SQL equality — callers pass non-null
+    # keys/timestamps, as the registered query does.)
+    out = l.join(hits, on=[*on, "__lts", "__lv"], how="left")
+    return out.select(
+        *[F.col(f"__lv.{c}").alias(c) for c in left.columns],
+        *[F.col(c) for c in agg_names],
+    )
+
+
 def parse_props(events: DataFrame, json_col: str = "props", key: str = "k") -> DataFrame:
     """JSON props extraction + per-type aggregate (get_json_object is a
     JVM intrinsic — no Python in the path)."""

@@ -962,6 +962,89 @@ def events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.parse_props(events, "props", "k")
 
 
+@_register(
+    "events_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           epoch_us(v.ts) AS view_ts_us,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (attribution): each purchase matched to the
+    user's most recent STRICTLY earlier view, NULL when none. Spark has
+    no ASOF join operator; the scale-correct composition is union +
+    one last(ignorenulls) window — a single shuffle on user_id, no
+    theta join (operators/temporal.asof_join). Timestamps surface as
+    epoch microseconds (engine-neutral; exact integers)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    j = temporal.asof_join(purchases, views, on=["user_id"], right_cols=[])
+    ts_us = F.unix_micros(F.col("ts"))
+    view_us = F.unix_micros(F.col("matched_ts"))
+    return j.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        view_us.alias("view_ts_us"),
+        (ts_us - view_us).alias("lag_us"),
+    ).orderBy("event_id")
+
+
+@_register(
+    "events_range_join",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           CAST(count(c.ts) AS BIGINT) AS clicks_10m,
+           round(sum(c.value), 2) AS click_value_10m
+    FROM e LEFT JOIN c ON c.user_id = e.user_id
+      AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    ORDER BY e.event_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join: per error event, count/sum of the
+    same user's clicks in the preceding 10 minutes (inclusive ends).
+    Spark-first shape is the bin-bucketed range join — explode left to
+    its two covering 600 s bins, equi-join on (user, bin), residual
+    interval filter — shuffle O(2|L|+|R|), never a per-key cross
+    product (operators/temporal.range_join_agg)."""
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = temporal.range_join_agg(
+        errors,
+        clicks,
+        on=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            round_half_up(F.sum("r_value"), 2).alias("__val"),
+        ],
+        lookback_seconds=600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.coalesce(F.col("__cnt"), F.lit(0)).cast("long").alias("clicks_10m"),
+        F.col("__val").alias("click_value_10m"),
+    ).orderBy("event_id")
+
+
 # ==========================================================================
 # §2E — LLM-data-pipeline operators (documents / embeddings)
 # ==========================================================================
