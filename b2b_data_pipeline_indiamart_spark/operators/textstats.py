@@ -146,6 +146,104 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4/Gopher-style repetition signals per document:
+
+    (id, n_words, dup_word_ratio, dup_bigram_ratio, top_word_share) —
+    the duplicate-token and duplicate-bigram fractions plus the most
+    frequent token's share of the document. High values flag the
+    boilerplate / keyword-stuffed docs a training-data filter drops.
+
+    Scale shape: word/bigram distinct-ratios are pure array projections
+    (no shuffle). Only top_word_share aggregates — explode to
+    (doc, token) with map-side combine, then a per-doc max: shuffle
+    ∝ distinct (doc, token) pairs, the same O(corpus tokens) bound as
+    any tokenizing pass. Zero-token docs survive with NULL ratios.
+    """
+    base = _with_tokens(docs, text_col, id_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # bigrams via zip_with over the two shifted slices (empty when n<2)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__n_distinct"),
+        F.size(bigrams).cast("long").alias("__n_bi"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("__n_bi_distinct"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top_c"))
+    )
+    out = stats.join(top, on=id_col, how="left")
+    safe_words = F.when(F.col("n_words") > 0, F.col("n_words").cast("double"))
+    safe_bi = F.when(F.col("__n_bi") > 0, F.col("__n_bi").cast("double"))
+    return out.select(
+        F.col(id_col),
+        F.col("n_words"),
+        round_half_up(F.lit(1.0) - F.col("__n_distinct") / safe_words, 4).alias("dup_word_ratio"),
+        round_half_up(F.lit(1.0) - F.col("__n_bi_distinct") / safe_bi, 4).alias("dup_bigram_ratio"),
+        round_half_up(F.col("__top_c") / safe_words, 4).alias("top_word_share"),
+    )
+
+
+#: quality_filter rule thresholds — chosen to split the synthetic
+#: corpus non-trivially; a production pipeline would tune per source.
+QF_MIN_WORDS = 30
+QF_MEAN_LEN_LO = 4.0
+QF_MEAN_LEN_HI = 5.0
+QF_MAX_DUP_RATIO = 0.5
+QF_MIN_STOPWORDS = 3
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style multi-rule quality filter → per-doc rule booleans +
+    a combined verdict (id, n_words, mean_word_len, dup_word_ratio,
+    n_stopwords, rule_*, passes).
+
+    Every rule compares on the ROUNDED statistic so an engine-level
+    last-ulp difference can never flip a document across a threshold.
+    Pure Catalyst projection — no shuffle, no UDF; at 100 TB this is a
+    map-only pass fused into the scan.
+    """
+    base = _with_tokens(docs, text_col, id_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    safe_n = F.when(n > 0, n.cast("double"))
+    mean_len = round_half_up(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_n, 4
+    )
+    dup_ratio = round_half_up(F.lit(1.0) - F.size(F.array_distinct(toks)) / safe_n, 4)
+    n_stop = _stopword_hits(toks, LANG_STOPWORDS["en"]).cast("long")
+    r_words = n >= QF_MIN_WORDS
+    r_len = (mean_len >= QF_MEAN_LEN_LO) & (mean_len <= QF_MEAN_LEN_HI)
+    r_dup = dup_ratio <= QF_MAX_DUP_RATIO
+    r_stop = n_stop >= QF_MIN_STOPWORDS
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        dup_ratio.alias("dup_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        r_words.alias("rule_min_words"),
+        r_len.alias("rule_word_len"),
+        r_dup.alias("rule_dup"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_len & r_dup & r_stop).alias("passes"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of normalized text + 64-bit xxhash and
     a prefix fingerprint (first 64 normalized chars) for fast blocking."""

@@ -1399,6 +1399,83 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fingerprint_md5", "prefix_md5")
 
 
+@_register(
+    "docs_repetition",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM n),
+    arrs AS (
+      SELECT doc_id,
+             len(tk) AS n_words,
+             len(list_distinct(tk)) AS n_distinct,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                  ELSE [] END AS bi
+      FROM t
+    ),
+    words AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+    counts AS (SELECT doc_id, tok, count(*) AS c FROM words GROUP BY doc_id, tok),
+    top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM counts GROUP BY doc_id)
+    SELECT a.doc_id, CAST(a.n_words AS BIGINT) AS n_words,
+           round(1.0 - a.n_distinct / CASE WHEN a.n_words > 0
+                                           THEN CAST(a.n_words AS DOUBLE) END, 4)
+             AS dup_word_ratio,
+           round(1.0 - len(list_distinct(a.bi)) / CASE WHEN len(a.bi) > 0
+                                                       THEN CAST(len(a.bi) AS DOUBLE) END, 4)
+             AS dup_bigram_ratio,
+           round(top_c / CASE WHEN a.n_words > 0
+                              THEN CAST(a.n_words AS DOUBLE) END, 4) AS top_word_share
+    FROM arrs a LEFT JOIN top USING (doc_id)
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher repetition signals: duplicate-word / duplicate-bigram
+    fractions (pure array projections) + top-token share (explode with
+    map-side combine — shuffle O(corpus tokens))."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs)
+
+
+@_register(
+    "quality_filter",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM n),
+    m AS (
+      SELECT doc_id, len(tk) AS n_words,
+             round(list_sum(list_transform(tk, x -> length(x)))
+                   / CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END, 4)
+               AS mean_word_len,
+             round(1.0 - len(list_distinct(tk))
+                   / CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END, 4)
+               AS dup_word_ratio,
+             CAST(len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS["en"])}, x)))
+                  AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, dup_word_ratio,
+           n_stopwords,
+           n_words >= {textstats.QF_MIN_WORDS} AS rule_min_words,
+           mean_word_len >= {textstats.QF_MEAN_LEN_LO}
+             AND mean_word_len <= {textstats.QF_MEAN_LEN_HI} AS rule_word_len,
+           dup_word_ratio <= {textstats.QF_MAX_DUP_RATIO} AS rule_dup,
+           n_stopwords >= {textstats.QF_MIN_STOPWORDS} AS rule_stopwords,
+           (n_words >= {textstats.QF_MIN_WORDS})
+             AND (mean_word_len >= {textstats.QF_MEAN_LEN_LO})
+             AND (mean_word_len <= {textstats.QF_MEAN_LEN_HI})
+             AND (dup_word_ratio <= {textstats.QF_MAX_DUP_RATIO})
+             AND (n_stopwords >= {textstats.QF_MIN_STOPWORDS}) AS passes
+    FROM m
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-rule quality filter: per-doc rule booleans +
+    combined verdict, thresholds compared on ROUNDED stats so a
+    last-ulp engine difference cannot flip a doc. Map-only pass."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_filter(docs)
+
+
 # ==========================================================================
 # §2G — extended verified coverage (beyond the reference's own surface):
 # corpus rollups, temporal funnels, dense-rank windows, grouping sets
