@@ -33,7 +33,17 @@ from .. import catalog
 from ..functions.hashing import DEFAULT_SALT, digits_only, salted_sha256
 from ..functions.isq import decode_isq
 from ..functions.prices import price_bucket
-from ..operators import analytics, cleaning, dedup, outliers, profiling, similarity, temporal, textstats
+from ..operators import (
+    analytics,
+    cleaning,
+    dedup,
+    outliers,
+    profiling,
+    sampling,
+    similarity,
+    temporal,
+    textstats,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -1397,6 +1407,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = textstats.doc_fingerprint(docs)
     return out.select("doc_id", "fingerprint_md5", "prefix_md5")
+
+
+_PII_SQL = """
+    WITH c AS (
+      SELECT c_custkey,
+             concat_ws(' ',
+               'Cust' || CAST(c_custkey % 997 AS VARCHAR),
+               CASE WHEN c_custkey % 3 <> 0
+                    THEN '<' || lower('Cust' || CAST(c_custkey % 997 AS VARCHAR))
+                         || '@example.com>' END,
+               'call',
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN '+91-98' || lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0') END
+             ) AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(contact, '@EMAIL@', '[EMAIL]', 'g'),
+                          '@PHONE@', '[PHONE]', 'g') AS contact_redacted,
+           CAST(len(regexp_extract_all(contact, '@EMAIL@')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+                  regexp_replace(contact, '@EMAIL@', '[EMAIL]', 'g'), '@PHONE@'))
+                AS BIGINT) AS n_phones
+    FROM c
+""".replace("@EMAIL@", sampling.EMAIL_PATTERN).replace("@PHONE@", sampling.PHONE_PATTERN)
+
+
+@_register("pii_redact", _PII_SQL)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email + phone redaction with match counts. The
+    contact string is synthesized deterministically from customer keys
+    (the synthetic tables carry no real PII) so the redaction rules are
+    exercised on genuine matches in BOTH engines; the patterns are
+    Java-regex AND RE2 compatible (operators/sampling.py). Map-only —
+    at 100 TB this fuses into the scan."""
+    cust = _t(spark, sf_dir, "customer")
+    tag = F.concat(F.lit("Cust"), (F.col("c_custkey") % 997).cast("string"))
+    email = F.concat(F.lit("<"), F.lower(tag), F.lit("@example.com>"))
+    phone = F.concat(
+        F.lit("+91-98"),
+        F.lpad((F.col("c_custkey") % 100000000).cast("string"), 8, "0"),
+    )
+    contact = F.concat_ws(
+        " ",
+        tag,
+        F.when(F.col("c_custkey") % 3 != 0, email),
+        F.lit("call"),
+        F.when(F.col("c_custkey") % 5 != 0, phone),
+    )
+    n_emails, n_phones = sampling.pii_counts(contact)
+    return cust.select(
+        "c_custkey",
+        sampling.redact_pii(contact).alias("contact_redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+@_register(
+    "stratified_sample",
+    """
+    WITH k AS (
+      SELECT doc_id, lang,
+             substr(md5('v1:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_key FROM k
+    WHERE CASE WHEN lang = 'en' THEN sample_key < '40000000' ELSE TRUE END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling: downsample the
+    dominant 'en' stratum to 25%, keep the rest — the source-rebalancing
+    pass of a training-data pipeline. Keep/drop is a pure function of
+    (seed, stratum, id) via md5, so re-runs, retries, AQE re-plans and
+    any partitioning keep the SAME rows (rand()-based sampling does
+    not). Map-only filter, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(docs, "lang", "doc_id", {"en": 0.25})
 
 
 @_register(
