@@ -434,6 +434,75 @@ def brute_force_topk(
     )
 
 
+def cosine_range_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All corpus neighbors with cosine >= threshold per query vector.
+
+    The radius-query sibling of ``brute_force_topk``: broadcast the
+    (small, pre-normalized) query set, scan the corpus once, keep pairs
+    clearing the threshold — applied to the 4dp-ROUNDED similarity so
+    an engine-level ulp difference cannot move a pair across the cut.
+    With broadcast queries and no ranking window this is entirely
+    map-side: zero shuffle, scales linearly in corpus size.
+    """
+
+    def normalized(df, out_id):
+        v = as_double_array(F.col(vec_col))
+        step = df.select(F.col(id_col).alias(out_id), v.alias("__v"), norm(v).alias("__n"))
+        return step.select(
+            out_id,
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col("__v"), lambda e: e / F.col("__n")),
+            ).alias(f"{out_id}_v"),
+        )
+
+    q = normalized(queries, "query_id")
+    c = normalized(emb, "neighbor_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(dot(F.col("query_id_v"), F.col("neighbor_id_v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding-column health stats: vector count, L2-norm
+    avg/min/max and first-dimension mean — the sanity scan run before
+    any similarity pass (catches unnormalized / degenerate / collapsed
+    batches). Per-vector norms round to 4dp BEFORE aggregating so both
+    engines aggregate identical values. One low-cardinality shuffle
+    with map-side partial aggregation.
+    """
+    v = as_double_array(F.col(vec_col))
+    per_vec = emb.select(
+        F.col(label_col).alias("label"),
+        round_half_up(norm(v), 4).alias("__nrm"),
+        F.element_at(v, 1).alias("__d0"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        round_half_up(F.avg("__nrm"), 4).alias("avg_norm"),
+        round_half_up(F.min("__nrm"), 4).alias("min_norm"),
+        round_half_up(F.max("__nrm"), 4).alias("max_norm"),
+        round_half_up(F.avg("__d0"), 4).alias("avg_dim0"),
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

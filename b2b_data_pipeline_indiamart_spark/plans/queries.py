@@ -1267,6 +1267,56 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
+@_register(
+    "ann_range_search",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(qe, qe))
+                             * sqrt(list_dot_product(v.e, v.e)) > 0
+                        THEN list_dot_product(qe, v.e)
+                             / (sqrt(list_dot_product(qe, qe))
+                                * sqrt(list_dot_product(v.e, v.e)))
+                   END, 4) AS cos_sim
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM scored WHERE cos_sim >= 0.3
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius similarity search: all neighbors with cosine >= 0.3 for
+    the 20 lowest-id query vectors. Broadcast pre-normalized queries +
+    one corpus scan, threshold applied on the ROUNDED similarity —
+    zero-shuffle map-only plan (similarity.cosine_range_search)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_range_search(emb, queries, threshold=0.3)
+
+
+@_register(
+    "embedding_stats",
+    """
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT label, round(sqrt(list_dot_product(e, e)), 4) AS nrm, e[1] AS d0 FROM v)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           round(avg(d0), 4) AS avg_dim0
+    FROM n GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding health stats (count, norm avg/min/max, dim-0
+    mean): the pre-similarity sanity scan. Per-vector norms rounded to
+    4dp before aggregation on both engines; map-side partial agg into a
+    10-row shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_stats(emb)
+
+
 @_register("ann_lsh")  # rows-only oracle: plane family is Spark-side
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH approximate top-10 for vec_id < 5 —

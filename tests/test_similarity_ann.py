@@ -114,3 +114,37 @@ def test_lsh_topk_subset_of_exact_scores(emb, queries, exact_topk):
         by_q.setdefault(r["query_id"], []).append(r["rnk"])
     for q, rnks in by_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_range_search_consistent_with_topk(emb, queries, exact_topk):
+    """Every top-k neighbor whose score clears the radius must appear in
+    the range result, and every range hit scores >= threshold."""
+    thr = 0.3
+    hits = similarity.cosine_range_search(emb, queries, threshold=thr).collect()
+    by_q = {}
+    for r in hits:
+        assert r["cos_sim"] >= thr
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ranked = similarity.brute_force_topk(emb, queries, k=10).collect()
+    for r in ranked:
+        if r["cos_sim"] >= thr:
+            assert r["neighbor_id"] in by_q.get(r["query_id"], set())
+
+
+def test_range_search_zero_vector_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_range_search(df, q, threshold=0.5).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 1 not in ids  # zero-norm vector: NULL cosine, never a hit
+    assert 2 in ids
+
+
+def test_embedding_stats_partitioning_invariant(emb):
+    a = sorted(map(tuple, similarity.embedding_stats(emb).collect()))
+    b = sorted(map(tuple, similarity.embedding_stats(emb.repartition(7)).collect()))
+    assert a == b
+    assert all(r[1] > 0 for r in a)
