@@ -9,6 +9,7 @@ from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
     running_user_totals,
     start_memory_sink,
     start_parquet_ingest,
+    stateful_sessionize,
     streaming_session_aggregate,
     windowed_event_counts,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "windowed_event_counts",
     "streaming_session_aggregate",
     "running_user_totals",
+    "stateful_sessionize",
     "dedup_stream",
     "view_click_attribution",
     "start_memory_sink",

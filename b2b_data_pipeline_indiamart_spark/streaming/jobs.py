@@ -169,6 +169,102 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_SESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``
+    with EVENT-TIME TIMEOUT — the full custom-operator template the
+    built-in ``session_window`` can't generalize from (arbitrary
+    per-session state, arbitrary close-time logic, emit-on-close).
+
+    Per user the state is one open session (start, last, count, sum).
+    A batch's events merge in event-time order: a gap > ``gap_minutes``
+    closes the current session (emitted immediately) and opens a new
+    one. The timeout timestamp is re-armed to ``last + gap`` after
+    every batch, so when the WATERMARK passes it — i.e. no event can
+    ever extend the session again — Spark calls the function with
+    ``hasTimedOut`` and the final session is emitted and its state
+    dropped. State is O(active users), bounded by the watermark;
+    emission is append-mode (each session exactly once).
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        def emit(sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _, _ in sessions],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _, _ in sessions],
+                    "n_events": [n for _, _, n, _ in sessions],
+                    "session_value": [round(v, 4) for _, _, _, v in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield emit([(start, last, n, total)])
+            return
+
+        parts = [pdf[["ts", "value"]] for pdf in pdf_iter]
+        batch = pd.concat(parts).sort_values("ts")
+        ts_ms = (batch["ts"].astype("int64") // 1_000_000).tolist()
+        values = batch["value"].fillna(0.0).tolist()
+
+        cur = state.get if state.exists else None
+        closed = []
+        for t, v in zip(ts_ms, values):
+            if cur is None:
+                cur = (t, t, 1, float(v))
+            elif t - cur[1] > gap_ms:
+                closed.append(cur)
+                cur = (t, t, 1, float(v))
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(v))
+        state.update(cur)
+        state.setTimeoutTimestamp(cur[1] + gap_ms)
+        yield emit(closed)
+
+    return (
+        events.select("ts", "user_id", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def view_click_attribution(
     events: DataFrame,
     *,

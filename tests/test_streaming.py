@@ -222,3 +222,42 @@ def test_parquet_ingest_checkpoint_resume(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == len(BATCH1) + len(BATCH2)  # no duplicates from b1
     assert df.select("user_id").distinct().count() == 3
+
+
+def test_stateful_sessionize_emits_on_close_and_timeout(spark, tmp_path):
+    """Sessions close two ways: a gap inside a batch (emitted with that
+    batch) and the watermark passing last+gap (event-time timeout).
+    Closed sessions must match the batch sessionizer on the same data."""
+    from b2b_data_pipeline_indiamart_spark.streaming import stateful_sessionize
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(src / "b1.json", BATCH1)
+    _write_events(src / "b2.json", BATCH2)
+    sdf = stateful_sessionize(
+        read_event_stream(spark, str(src), max_files_per_trigger=1),
+        gap_minutes=30,
+        watermark="1 minute",
+    )
+    q = start_memory_sink(sdf, "stateful_sessions", output_mode="append")
+    _drain(q)
+    rows = spark.sql("SELECT * FROM stateful_sessions").collect()
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]),
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in rows
+    }
+    # user 1: 10:00+10:05 closed by the 12:01 gap; 12:01 closed by timeout
+    # (watermark 13:59 > 12:31) — both present exactly once
+    assert got[(1, "2026-01-01 10:00:00")] == ("2026-01-01 10:05:00", 2, 3.0)
+    assert got[(1, "2026-01-01 12:01:00")] == ("2026-01-01 12:01:00", 1, 5.0)
+    # user 2: 31-minute gap split inside batch 1; second closed by timeout
+    assert got[(2, "2026-01-01 10:59:00")] == ("2026-01-01 10:59:00", 1, 3.0)
+    assert got[(2, "2026-01-01 11:30:00")] == ("2026-01-01 11:30:00", 1, 4.0)
+    # user 3's 14:00 session can never close (nothing advances the
+    # watermark past 14:30) — stays in state, not emitted
+    assert not any(u == 3 for (u, _) in got)
+    assert len(got) == 4
