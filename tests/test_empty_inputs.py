@@ -61,3 +61,30 @@ def test_cleaning_profiling_outliers_on_empty(spark):
     assert profiling.profile_report(df).count() == 3  # one row per column
     # winsorize on empty: quantiles are NULL → clip is a no-op, no crash
     assert outliers.winsorize(df, "v").count() == 0
+
+
+def test_new_round3_operators_on_empty(spark, empty_docs, empty_emb):
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark.operators import sampling, temporal
+
+    assert textstats.repetition_stats(empty_docs).count() == 0
+    assert textstats.quality_filter(empty_docs).count() == 0
+    assert (
+        sampling.stratified_sample(empty_docs, "lang", "doc_id", {"en": 0.5}).count() == 0
+    )
+    assert similarity.cosine_range_search(empty_emb, empty_emb, threshold=0.5).count() == 0
+    assert similarity.embedding_stats(empty_emb.withColumn("label", F.lit(1))).count() == 0
+
+    empty_ev = spark.createDataFrame([], "id long, user_id long, ts timestamp")
+    some_ev = spark.createDataFrame(
+        [(1, 7, __import__("datetime").datetime(2024, 1, 1))],
+        "id long, user_id long, ts timestamp",
+    )
+    # empty left, empty right, and mixed — all four shapes must survive
+    assert temporal.asof_join(empty_ev, empty_ev, on=["user_id"]).count() == 0
+    assert temporal.asof_join(some_ev, empty_ev, on=["user_id"]).count() == 1
+    assert temporal.asof_join(empty_ev, some_ev, on=["user_id"]).count() == 0
+    agg = [F.count(F.lit(1)).cast("long").alias("cnt")]
+    assert temporal.range_join_agg(empty_ev, empty_ev, on=["user_id"], aggs=agg).count() == 0
+    assert temporal.range_join_agg(some_ev, empty_ev, on=["user_id"], aggs=agg).count() == 1

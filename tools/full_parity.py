@@ -1,0 +1,119 @@
+"""Full-registry correctness artifact: the driver's hash-compare, run
+locally over EVERY registry key (the external driver grades a bounded
+prefix of ``queries()``; this writes the same evidence for all keys).
+
+Usage: python tools/full_parity.py [round_tag] [sf_dir]
+Writes PARITY_FULL_{round_tag}.json at the repo root with, per key:
+rows_match / schema_match / hash_match vs the DuckDB oracle (oracle
+keys) or rows + determinism across two runs (rows-only keys).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v + 0.0)
+    return repr(v) if isinstance(v, int) else str(v)
+
+
+def _comparable(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r0"
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    from b2b_data_pipeline_indiamart_spark.catalog import TABLES
+    from b2b_data_pipeline_indiamart_spark.plans import ORACLE, QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("full-parity")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    out: dict[str, dict] = {}
+    t0 = time.time()
+    for key, fn in QUERIES.items():
+        rec: dict = {}
+        try:
+            sdf = fn(spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if key in ORACLE:
+                res = con.execute(ORACLE[key])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
+                rec = {
+                    "rows_match": len(srows) == len(drows),
+                    "schema_match": sorted(scols) == sorted(dcols),
+                    "hash_match": _comparable(scols, srows) == _comparable(dcols, drows),
+                    "spark_rows": len(srows),
+                    "oracle_rows": len(drows),
+                    "err": None,
+                }
+            else:
+                again = [tuple(r) for r in fn(spark, sf).collect()]
+                rec = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": len(srows),
+                    "oracle_rows": None,
+                    "deterministic": sorted(map(str, srows)) == sorted(map(str, again)),
+                    "err": "no_oracle",
+                }
+        except Exception as exc:  # noqa: BLE001 — artifact must record failures
+            rec = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(exc).__name__}: {exc}"[:500],
+            }
+        out[key] = rec
+        status = "ok" if rec.get("hash_match") or rec.get("err") == "no_oracle" else "FAIL"
+        print(f"{key}: {status}", flush=True)
+
+    oracle_keys = [k for k in out if k in ORACLE]
+    summary = {
+        "sf_dir": sf,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "total_keys": len(out),
+        "oracle_keys": len(oracle_keys),
+        "hash_pass": sum(1 for k in oracle_keys if out[k]["hash_match"]),
+        "rows_only": len(out) - len(oracle_keys),
+        "rows_only_deterministic": sum(
+            1 for k in out if out[k].get("err") == "no_oracle" and out[k].get("deterministic")
+        ),
+    }
+    path = REPO / f"PARITY_FULL_{tag}.json"
+    path.write_text(json.dumps({"summary": summary, "keys": out}, indent=1))
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
