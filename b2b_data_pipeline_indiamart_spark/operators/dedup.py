@@ -251,10 +251,10 @@ def ngram_jaccard_verified(
     bands: int = 16,
     shingle_n: int = 5,
     threshold: float = 0.3,
-    prefilter_factor: float = 0.5,
+    prefilter_factor: float | None = 0.5,
 ) -> DataFrame:
-    """LSH candidates → MinHash-estimate prefilter → exact n-gram
-    Jaccard, with exact duplicates collapsed up front.
+    """LSH candidates → (optional) MinHash-estimate prefilter → exact
+    n-gram Jaccard, with exact duplicates collapsed up front.
 
     Pipeline (each stage shrinks the work of the next):
 
@@ -263,7 +263,7 @@ def ngram_jaccard_verified(
     2. MinHash signatures once, persisted; LSH banding for candidates.
     3. :func:`minhash_estimate` prefilter at ``prefilter_factor *
        threshold`` — only survivors ship shingle arrays through the
-       verification joins (the dominant cost of the naive form).
+       verification joins. ``prefilter_factor=None`` skips the stage.
     4. Exact verify survivors; expand results back to member pairs and
        emit intra-group pairs at Jaccard 1.0.
 
@@ -271,20 +271,34 @@ def ngram_jaccard_verified(
     LSH candidates over the full corpus (asserted at test SFs); the
     prefilter slack (default 0.5×threshold ≈ 2.4σ of the k=64 estimate)
     makes a qualifying pair's exclusion statistically negligible.
+
+    The prefilter pays when the estimate joins (2×k longs per
+    candidate) are cheaper than shipping shingle arrays for the pairs
+    they remove — i.e. when most LSH candidates are well below the
+    verify threshold (the diverse-corpus norm; LSH false positives
+    dominate). On a corpus whose candidates are almost all near the
+    threshold it is pure overhead: measured at sf0.1 on the synthetic
+    small-vocabulary documents it removes only 1.3 % of 309 k
+    candidates and costs ~2× the whole query (6.7 s vs 3.1 s,
+    identical 418-row output) — which is why the registered query
+    disables it.
     """
     members = exact_collapse(docs, text_col, id_col).persist()
     reps = _representatives(docs, members, id_col)
     sigs = minhash_signatures(reps, text_col, id_col, k=k, shingle_n=shingle_n).persist()
     cand = lsh_candidate_pairs(sigs, id_col=id_col, k=k, bands=bands)
-    est = minhash_estimate(cand, sigs, id_col=id_col, k=k)
-    # persisted: the verify stage consumes the pair list three times
-    # (twice for the doc-set semi-join, once for the array join) and
-    # would otherwise re-run the LSH self-join + estimate joins each time
-    survivors = (
-        est.filter(F.col("est_jaccard") >= F.lit(prefilter_factor * threshold))
-        .select("id_a", "id_b")
-        .persist()
-    )
+    if prefilter_factor is None:
+        # persisted: the verify stage consumes the pair list three
+        # times (twice for the doc-set semi-join, once per array join)
+        # and would otherwise re-run the LSH self-join each time
+        survivors = cand.persist()
+    else:
+        est = minhash_estimate(cand, sigs, id_col=id_col, k=k)
+        survivors = (
+            est.filter(F.col("est_jaccard") >= F.lit(prefilter_factor * threshold))
+            .select("id_a", "id_b")
+            .persist()
+        )
     verified = ngram_jaccard_pairs(
         survivors, reps, text_col, id_col, shingle_n=shingle_n, threshold=threshold
     )

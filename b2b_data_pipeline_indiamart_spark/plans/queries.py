@@ -1198,14 +1198,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("ngram_jaccard")  # rows-only oracle
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard verification of the LSH candidate pairs,
-    with exact-dup collapse and a MinHash-estimate prefilter so only
-    plausibly-qualifying pairs ship shingle arrays — compute ∝
-    |surviving candidates|. Rows-only check (candidates come from the
-    Spark-specific LSH)."""
+    with exact-dup collapse up front — compute ∝ |candidates|. The
+    MinHash-estimate prefilter is DISABLED here: on this small-
+    vocabulary corpus 98.7 % of candidates clear the estimate, so the
+    two 64-long estimate joins cost ~2× the whole query for a 1.3 %
+    candidate cut (measured sf0.1: 6.7 s → 3.1 s, identical output).
+    On a diverse corpus (LSH false positives dominating) pass the
+    default ``prefilter_factor=0.5`` instead. Rows-only check
+    (candidates come from the Spark-specific LSH)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_verified(docs, k=64, bands=16, threshold=0.3).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.ngram_jaccard_verified(
+        docs, k=64, bands=16, threshold=0.3, prefilter_factor=None
+    ).orderBy("id_a", "id_b")
 
 
 @_register(

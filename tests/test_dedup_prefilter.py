@@ -37,6 +37,11 @@ def test_ngram_jaccard_verified_matches_naive(spark, sf_small):
     )
     fast = dedup.ngram_jaccard_verified(docs, k=64, bands=16, threshold=0.3)
     assert _rows(naive) == _rows(fast)
+    # prefilter disabled (the registered configuration): same output
+    no_pref = dedup.ngram_jaccard_verified(
+        docs, k=64, bands=16, threshold=0.3, prefilter_factor=None
+    )
+    assert _rows(naive) == _rows(no_pref)
 
 
 def test_minhash_estimate_bounds_and_exact_dups(spark, sf_small):
