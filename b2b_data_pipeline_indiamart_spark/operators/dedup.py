@@ -375,6 +375,28 @@ def connected_components(
     raw = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
+    # Pin shuffle parallelism to the machine for the duration of the
+    # loop (restored in the finally below). A vanilla session's default
+    # 200 shuffle partitions get materialized by EVERY per-round
+    # localCheckpoint (eager RDD materialization bypasses AQE's
+    # partition coalescing), so on an 8-core driver session the loop
+    # pays 200-task scheduling overhead per round: measured 23.5 s →
+    # ~6 s at sf0.01 with the pin. A cluster deployment would instead
+    # size shuffle.partitions to the cluster up front.
+    spark = pairs.sparkSession
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+    )
+    try:
+        return _connected_components_loop(raw, max_iterations, check_every)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+
+
+def _connected_components_loop(
+    raw: DataFrame, max_iterations: int, check_every: int
+) -> DataFrame:
     nodes = (
         raw.select(F.col("a").alias("node"))
         .unionAll(raw.select(F.col("b").alias("node")))
@@ -411,8 +433,15 @@ def connected_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
-        ls = _canonical_edges(
-            sym.join(mins, "u").filter(F.col("v") > F.col("u")), "v", "m"
+        # canonicalize WITHOUT distinct: the only consumers are the
+        # min-aggregation below (duplicate-tolerant, partial-aggregated
+        # map-side so dup edges never inflate the shuffle) and the
+        # small-star join; the round's result (ss) still dedups. This
+        # removes one full shuffle from every round.
+        lsj = sym.join(mins, "u").filter(F.col("v") > F.col("u"))
+        ls = lsj.filter(F.col("v") != F.col("m")).select(
+            F.greatest(F.col("v"), F.col("m")).alias("u"),
+            F.least(F.col("v"), F.col("m")).alias("v"),
         )
         # small-star: edges now directed u > v; for each u, hang every
         # smaller neighbor (and u itself) off m = min of the smaller set
@@ -472,7 +501,10 @@ def dedup_clusters(
     """
     members = exact_collapse(docs, text_col, id_col).persist()
     reps = _representatives(docs, members, id_col)
-    pairs = minhash_lsh_pairs(reps, text_col, id_col, k=k, bands=bands)
+    # persisted: connected_components materializes its input twice
+    # (node list + canonical edge list) — without this the LSH
+    # self-join + distinct runs twice
+    pairs = minhash_lsh_pairs(reps, text_col, id_col, k=k, bands=bands).persist()
     comps = connected_components(pairs)
     out = members.join(comps, members.rep_id == comps.node, "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col("rep_id"))
