@@ -346,7 +346,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
-    check_every: int = 2,
+    check_every: int = 1,
 ) -> DataFrame:
     """Cluster ids from near-dup pairs: (node, cluster_id) where
     cluster_id = min doc id reachable in the pair graph.
@@ -370,7 +370,11 @@ def connected_components(
     Convergence is checked every ``check_every`` rounds with one small
     aggregate (edge count + order-independent hash/id sums — no
     edge-table self-join), stopping when the edge set is stable; the
-    star fixpoint is idempotent under both steps.
+    star fixpoint is idempotent under both steps. The default checks
+    EVERY round: a signature scan is one map-side aggregate over the
+    checkpointed edges (no extra shuffle) while a star round is ~5
+    shuffles over the same data, so detecting the fixpoint one round
+    earlier always wins — at any scale.
     """
     raw = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
