@@ -40,6 +40,7 @@ _DEFERRED_STABLE = (
     "count_avg_combo",
     "scatter_sample",
     "token_counts",
+    "price_histogram",
 )
 
 

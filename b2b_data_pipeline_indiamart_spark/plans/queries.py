@@ -38,6 +38,7 @@ from ..operators import (
     cleaning,
     dedup,
     outliers,
+    packing,
     profiling,
     sampling,
     similarity,
@@ -1541,6 +1542,60 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     not). Map-only filter, no shuffle."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return sampling.stratified_sample(docs, "lang", "doc_id", {"en": 0.25})
+
+
+@_register(
+    "docs_pack_sequences",
+    f"""
+    WITH RECURSIVE n AS (
+      SELECT doc_id, {_NORM} AS s FROM documents
+    ),
+    src AS (
+      SELECT doc_id,
+             coalesce(len({_TOKS}), 0) AS n_tokens,
+             CAST(doc_id % 8 AS INT) AS pack_bucket
+      FROM n
+    ),
+    t AS (
+      SELECT doc_id, n_tokens, pack_bucket,
+             row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn
+      FROM src
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, pack_bucket, rn,
+             CAST(0 AS BIGINT) AS bin_id,
+             n_tokens AS bin_fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.n_tokens, t.pack_bucket, t.rn,
+             CASE WHEN p.bin_fill > 0 AND p.bin_fill + t.n_tokens > 256
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.bin_fill > 0 AND p.bin_fill + t.n_tokens > 256
+                  THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+      FROM t JOIN packed p ON t.pack_bucket = p.pack_bucket AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pack_bucket,
+           bin_id, CAST(bin_fill AS BIGINT) AS bin_fill
+    FROM packed
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: greedy next-fit of docs into
+    256-token bins within 8 independent id-mod buckets. The packer is a
+    per-bucket ``applyInPandas`` over (id, token-count) pairs — text
+    never ships; buckets bound task state, so at 100 TB ``n_buckets``
+    scales with the corpus. The DuckDB oracle replays the exact greedy
+    recurrence as a recursive CTE, value-checking the Arrow/pandas
+    path end-to-end (operators/packing.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import word_tokens
+
+    with_tokens = docs.select(
+        "doc_id", F.size(word_tokens(F.col("text"))).alias("ws_tokens")
+    )
+    return packing.pack_sequences(
+        with_tokens, "ws_tokens", budget=256, n_buckets=8, bucket_mode="mod"
+    )
 
 
 @_register(
