@@ -41,6 +41,7 @@ _DEFERRED_STABLE = (
     "scatter_sample",
     "token_counts",
     "price_histogram",
+    "topk_cumulative",
 )
 
 

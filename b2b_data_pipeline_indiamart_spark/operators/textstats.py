@@ -207,7 +207,12 @@ QF_MAX_DUP_RATIO = 0.5
 QF_MIN_STOPWORDS = 3
 
 
-def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Gopher-style multi-rule quality filter → per-doc rule booleans +
     a combined verdict (id, n_words, mean_word_len, dup_word_ratio,
     n_stopwords, rule_*, passes).
@@ -215,9 +220,15 @@ def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     Every rule compares on the ROUNDED statistic so an engine-level
     last-ulp difference can never flip a document across a threshold.
     Pure Catalyst projection — no shuffle, no UDF; at 100 TB this is a
-    map-only pass fused into the scan.
+    map-only pass fused into the scan. ``keep_cols`` pass through for
+    downstream rollups (avoids a join-back onto the same scan).
     """
-    base = _with_tokens(docs, text_col, id_col)
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        normalize_doc(F.col(text_col)).alias("__norm"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
     toks = F.col("__toks")
     n = F.size(toks)
     safe_n = F.when(n > 0, n.cast("double"))
@@ -232,6 +243,7 @@ def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     r_stop = n_stop >= QF_MIN_STOPWORDS
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
         dup_ratio.alias("dup_word_ratio"),

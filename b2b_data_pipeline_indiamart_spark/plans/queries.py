@@ -1675,6 +1675,55 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_filter(docs)
 
 
+@_register(
+    "docs_source_quality",
+    f"""
+    WITH n AS (SELECT doc_id, source, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, source, {_TOKS} AS tk FROM n),
+    m AS (
+      SELECT source,
+             len(tk) AS n_words,
+             round(list_sum(list_transform(tk, x -> length(x)))
+                   / CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END, 4)
+               AS mean_word_len,
+             round(1.0 - len(list_distinct(tk))
+                   / CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END, 4)
+               AS dup_word_ratio,
+             len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS["en"])}, x)))
+               AS n_stopwords
+      FROM t
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CASE WHEN n_words >= {textstats.QF_MIN_WORDS}
+                           AND mean_word_len >= {textstats.QF_MEAN_LEN_LO}
+                           AND mean_word_len <= {textstats.QF_MEAN_LEN_HI}
+                           AND dup_word_ratio <= {textstats.QF_MAX_DUP_RATIO}
+                           AND n_stopwords >= {textstats.QF_MIN_STOPWORDS}
+                          THEN 1.0 ELSE 0.0 END), 4) AS pass_rate,
+           round(avg(CAST(n_words AS DOUBLE)), 2) AS avg_words
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup: doc count, quality_filter pass rate,
+    mean length — the triage view that decides which sources get
+    upweighted or dropped. Chains the quality_filter projection into a
+    low-cardinality map-side-combined aggregate (one tiny shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    qf = textstats.quality_filter(docs, keep_cols=("source",)).select(
+        "source", F.col("passes").cast("double").alias("__pass"), "n_words"
+    )
+    return (
+        qf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_half_up(F.avg("__pass"), 4).alias("pass_rate"),
+            round_half_up(F.avg(F.col("n_words").cast("double")), 2).alias("avg_words"),
+        )
+        .orderBy("source")
+    )
+
+
 # ==========================================================================
 # §2G — extended verified coverage (beyond the reference's own surface):
 # corpus rollups, temporal funnels, dense-rank windows, grouping sets
