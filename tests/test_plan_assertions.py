@@ -104,3 +104,19 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(region" in plan
     assert "PushedFilters: []" in plan  # nothing left to push into data
+
+
+def test_asof_registry_plan_has_no_join(spark, sf_small):
+    # the as-of composition is union + window: any Join node means the
+    # plan regressed to a theta join
+    plan = _plan(spark, sf_small, "events_asof_join")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_registry_plan_is_equi_join(spark, sf_small):
+    # bin-bucketed range join must stay an equi-join (hash or sort-merge
+    # on user_id+bin) — never a nested-loop/cartesian theta join
+    plan = _plan(spark, sf_small, "events_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
