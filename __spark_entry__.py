@@ -42,6 +42,7 @@ _DEFERRED_STABLE = (
     "token_counts",
     "price_histogram",
     "topk_cumulative",
+    "missing_by_group",
 )
 
 

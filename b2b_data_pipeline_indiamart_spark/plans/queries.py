@@ -1873,6 +1873,60 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_hypertable_rollup",
+    """
+    WITH e AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             value
+      FROM events
+    )
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(day, 'ALL') AS day,
+           coalesce(hour, 'ALL') AS hour,
+           CAST(GROUPING(event_type) * 4 + GROUPING(day) * 2 + GROUPING(hour)
+                AS BIGINT) AS gid,
+           COUNT(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM e GROUP BY ROLLUP (event_type, day, hour)
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly, daily, per-type
+    and grand totals from ONE scan via ROLLUP grouping sets — the batch
+    equivalent of a timeseries store's multi-granularity rollup
+    cascade. Spark expands the sets inside a single hash aggregate
+    (map-side partial per level), so the fact table is read once, not
+    once per granularity; gid labels each level."""
+    events = _t(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "value",
+    )
+    return (
+        e.rollup("event_type", "day", "hour")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            round_half_up(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("hour"), F.lit("ALL")).alias("hour"),
+            "gid",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@_register(
     "events_sliding",
     """
     WITH contrib AS (
