@@ -1188,6 +1188,27 @@ def dedup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.blocked_dedup_clusters(docs).orderBy("doc_id")
 
 
+@_register("events_approx_users")  # rows-only: HLL++ sketch is engine-specific
+def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based cardinality: approximate distinct users per
+    event_type via HyperLogLog++ (``approx_count_distinct``, rsd 2 %).
+    At 100 TB this replaces the exact shuffled distinct with a
+    mergeable fixed-size sketch — map-side partial merge, constant
+    memory per group. Rows-only: DuckDB's approx_count_distinct is a
+    different HLL implementation, so values differ by design;
+    tests/test_functions_unit.py bounds the error against the exact
+    count instead."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @_register("dedup_simhash")  # rows-only oracle
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dups (hamming ≤ 3) via chunk banding +

@@ -164,3 +164,32 @@ def test_decode_isq_reference_parity(spark):
     got = _eval(spark, decode_isq, *cases)
     assert got == [ref(c) for c in cases]
     assert _eval(spark, decode_isq, "K%3AV", None) == [{"K": "V"}, None]
+
+
+def test_approx_users_error_bound(spark, sf_medium):
+    """HLL++ estimate must land within ~3×rsd of the exact distinct
+    count, and be deterministic across partitionings (the sketch is a
+    pure function of the value set)."""
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["events_approx_users"](spark, sf_medium).collect()
+    }
+    events = catalog.load(spark, sf_medium, "events")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for etype, est in approx.items():
+        assert abs(est - exact[etype]) <= max(3, 0.06 * exact[etype])
+    again = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["events_approx_users"](spark, sf_medium).collect()
+    }
+    assert approx == again
