@@ -87,3 +87,71 @@ def test_price_unparseable_is_null(spark, bad):
 
     df = spark.createDataFrame([(bad,)], ["x"])
     assert df.select(parse_price_number(F.col("x")).alias("n")).collect()[0]["n"] is None
+
+
+@SLOW
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=0, max_size=25
+    ),
+)
+def test_asof_join_matches_scalar_reference(spark, left, right):
+    """The union+window as-of composition must agree with a direct
+    scalar reference (latest right ts strictly before each left ts,
+    same key) on arbitrary keyed integer timelines."""
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts * 1_000_000) for i, (k, ts) in enumerate(left)],
+        "id long, k long, ts long",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    rdf = spark.createDataFrame(
+        [(k, ts * 1_000_000) for k, ts in right] or [],
+        "k long, ts long",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    got = {
+        r["id"]: r["matched_ts"]
+        for r in temporal.asof_join(ldf, rdf, on=["k"]).collect()
+    }
+
+    for i, (k, ts) in enumerate(left):
+        cands = [rts for rk, rts in right if rk == k and rts < ts]
+        want_ts = max(cands) if cands else None
+        got_ts = got[i]
+        got_s = None if got_ts is None else int(got_ts.timestamp())
+        assert got_s == want_ts, f"id {i}: want {want_ts}, got {got_s}"
+
+
+@SLOW
+@given(
+    counts=st.lists(st.integers(0, 400), min_size=1, max_size=40),
+    budget=st.integers(1, 500),
+)
+def test_pack_sequences_matches_python_reference(spark, counts, budget):
+    """Distributed greedy packing == the sequential Python recurrence,
+    bucket by bucket, for arbitrary token counts and budgets."""
+    from b2b_data_pipeline_indiamart_spark.operators import packing
+
+    df = spark.createDataFrame(
+        list(enumerate(counts)), "doc_id long, n long"
+    )
+    got = {
+        r["doc_id"]: (r["pack_bucket"], r["bin_id"], r["bin_fill"])
+        for r in packing.pack_sequences(
+            df, "n", budget=budget, n_buckets=3, bucket_mode="mod"
+        ).collect()
+    }
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, n in enumerate(counts):
+        buckets.setdefault(doc_id % 3, []).append((doc_id, n))
+    for b, docs in buckets.items():
+        bin_id, fill = 0, 0
+        for doc_id, tok in sorted(docs):
+            if fill > 0 and fill + tok > budget:
+                bin_id += 1
+                fill = 0
+            fill += tok
+            assert got[doc_id] == (b, bin_id, fill), f"doc {doc_id}"
