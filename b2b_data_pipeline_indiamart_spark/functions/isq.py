@@ -24,8 +24,16 @@ def percent_decode(col) -> F.Column:
     Spark's ``url_decode`` implements application/x-www-form-urlencoded
     (``+`` → space); the reference uses ``unquote``, which leaves ``+``
     literal — pre-escaping ``+`` as ``%2B`` aligns the two.
+
+    Malformed escapes: ``unquote`` passes them through literally (a
+    stray ``"50%"`` in a scraped payload stays ``"50%"``) while
+    ``url_decode`` throws and would fail the whole query. Any ``%`` not
+    followed by two hex digits is pre-escaped to ``%25`` (which decodes
+    back to a literal ``%``), so the decode degrades per-token exactly
+    like ``unquote`` instead of failing per-query.
     """
-    return F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+    safe = F.regexp_replace(col, r"%(?![0-9A-Fa-f]{2})", "%25")
+    return F.url_decode(F.replace(safe, F.lit("+"), F.lit("%2B")))
 
 
 def decode_isq(col) -> F.Column:

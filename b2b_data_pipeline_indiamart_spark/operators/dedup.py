@@ -34,6 +34,8 @@ from ..functions.rounding import round_half_up
 
 from ..functions.text import clean_text
 
+from . import caching
+
 
 def normalize_doc(col) -> F.Column:
     """Dedup normalization: lower + trim + whitespace-collapse."""
@@ -73,9 +75,24 @@ def exact_collapse(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     One shuffle on the 16-byte digest (same shape as
     :func:`exact_dedup_groups`); the map itself is two longs per doc.
+
+    NULL handling: ``normalize_doc`` maps null-ish text ("null",
+    "nan", empty…) to NULL, and md5(NULL) is NULL — an unguarded inner
+    join would silently drop those docs from the membership map (and
+    hence from every operator built on it). The hash is coalesced to a
+    single ``'__null__'`` sentinel instead: all contentless docs form
+    ONE exact-dup group. That is the semantics the rest of the stack
+    already has — SQL GROUP BY in :func:`exact_dedup_groups` treats
+    NULL hashes as one group, and the MinHash pipeline gives every
+    NULL-normalized doc the identical one-element shingle set
+    (``substr(NULL)`` → ``[NULL]`` → same hash), so they pair with each
+    other there too.
     """
     hashed = docs.select(
-        F.col(id_col), F.md5(normalize_doc(F.col(text_col))).alias("__ch")
+        F.col(id_col),
+        F.coalesce(
+            F.md5(normalize_doc(F.col(text_col))), F.lit("__null__")
+        ).alias("__ch"),
     )
     reps = hashed.groupBy("__ch").agg(F.min(id_col).alias("rep_id"))
     return hashed.join(reps, "__ch").select(id_col, "rep_id")
@@ -183,10 +200,9 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
+    banded = caching.persist_tracked(
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, "bb.band_id", "bb.band_hash")
-        .persist()
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -283,21 +299,22 @@ def ngram_jaccard_verified(
     identical 418-row output) — which is why the registered query
     disables it.
     """
-    members = exact_collapse(docs, text_col, id_col).persist()
+    members = caching.persist_tracked(exact_collapse(docs, text_col, id_col))
     reps = _representatives(docs, members, id_col)
-    sigs = minhash_signatures(reps, text_col, id_col, k=k, shingle_n=shingle_n).persist()
+    sigs = caching.persist_tracked(
+        minhash_signatures(reps, text_col, id_col, k=k, shingle_n=shingle_n)
+    )
     cand = lsh_candidate_pairs(sigs, id_col=id_col, k=k, bands=bands)
     if prefilter_factor is None:
         # persisted: the verify stage consumes the pair list three
         # times (twice for the doc-set semi-join, once per array join)
         # and would otherwise re-run the LSH self-join each time
-        survivors = cand.persist()
+        survivors = caching.persist_tracked(cand)
     else:
         est = minhash_estimate(cand, sigs, id_col=id_col, k=k)
-        survivors = (
+        survivors = caching.persist_tracked(
             est.filter(F.col("est_jaccard") >= F.lit(prefilter_factor * threshold))
             .select("id_a", "id_b")
-            .persist()
         )
     verified = ngram_jaccard_pairs(
         survivors, reps, text_col, id_col, shingle_n=shingle_n, threshold=threshold
@@ -401,13 +418,25 @@ def connected_components(
 def _connected_components_loop(
     raw: DataFrame, max_iterations: int, check_every: int
 ) -> DataFrame:
+    spark = raw.sparkSession
+    # localCheckpoint persists an INTERNAL RDD we hold no handle to; the
+    # id-diff bookkeeping below (single-threaded driver — diffs are
+    # race-free) lets each round release the PREVIOUS round's blocks as
+    # soon as the new checkpoint is materialized, bounding loop storage
+    # at ~2 rounds instead of the full round history. The surviving
+    # nodes + final-edges checkpoints (which the returned DataFrame
+    # still reads) are registered with caching.track_rdd_ids for
+    # caching.release_cached() once the caller has materialized.
+    entry_ids = caching.persistent_rdd_ids(spark)
     nodes = (
         raw.select(F.col("a").alias("node"))
         .unionAll(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )
+    base_ids = caching.persistent_rdd_ids(spark)
     edges = _canonical_edges(raw, "a", "b").localCheckpoint()
+    prev_ids = caching.persistent_rdd_ids(spark) - base_ids
 
     def _signature(e: DataFrame):
         # Order-independent AND overflow-free: bit_xor over int64 never
@@ -450,6 +479,7 @@ def _connected_components_loop(
         # small-star: edges now directed u > v; for each u, hang every
         # smaller neighbor (and u itself) off m = min of the smaller set
         smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        pre_ids = caching.persistent_rdd_ids(spark)
         ss = _canonical_edges(
             ls.join(smins, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
@@ -457,6 +487,11 @@ def _connected_components_loop(
             "a",
             "b",
         ).localCheckpoint()
+        new_ids = caching.persistent_rdd_ids(spark) - pre_ids
+        # previous round fed only the checkpoint just materialized —
+        # release its blocks now (eager localCheckpoint: data is safe)
+        caching.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
         edges = ss
         if (it + 1) % check_every == 0 or it == max_iterations - 1:
             sig = _signature(edges)
@@ -473,6 +508,10 @@ def _connected_components_loop(
             "iterations; raise max_iterations (rounds needed grow "
             "O(log^2 diameter))"
         )
+    # nodes + final edges checkpoints stay live for the returned plan;
+    # releasable by the caller via caching.release_cached() after
+    # materializing (stale rounds were already released in-loop)
+    caching.track_rdd_ids(spark, caching.persistent_rdd_ids(spark) - entry_ids)
     # at the fixpoint every non-center node has exactly one (smaller)
     # neighbor: the component min; centers and isolated nodes label
     # themselves
@@ -503,13 +542,21 @@ def dedup_clusters(
     representatives (each group's minimum IS its representative) — but
     the iterative stage sees a graph smaller by the duplicate factor.
     """
-    members = exact_collapse(docs, text_col, id_col).persist()
+    members = caching.persist_tracked(exact_collapse(docs, text_col, id_col))
     reps = _representatives(docs, members, id_col)
+    scope = caching.mark()
     # persisted: connected_components materializes its input twice
     # (node list + canonical edge list) — without this the LSH
     # self-join + distinct runs twice
-    pairs = minhash_lsh_pairs(reps, text_col, id_col, k=k, bands=bands).persist()
+    pairs = caching.persist_tracked(
+        minhash_lsh_pairs(reps, text_col, id_col, k=k, bands=bands)
+    )
     comps = connected_components(pairs)
+    # the CC loop ran eagerly and checkpoint-truncated its output
+    # lineage: the pair list and the LSH band table feeding it are dead
+    # weight now — release them before returning (members stays: the
+    # final join below still reads it lazily)
+    caching.release_from(scope)
     out = members.join(comps, members.rep_id == comps.node, "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col("rep_id"))
     return out.select(
@@ -630,10 +677,9 @@ def simhash_neardup_pairs(
     )
     # persisted for the same reason as the LSH band table: the self-
     # join would otherwise recompute the token→signature pipeline twice
-    chunked = (
+    chunked = caching.persist_tracked(
         sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("cc"))
         .select(id_col, "simhash", "cc.chunk_id", "cc.chunk_value")
-        .persist()
     )
     left, right = chunked.alias("l"), chunked.alias("r")
     cand = (
@@ -690,12 +736,14 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     docs = docs.join(pair_ids, id_col, "left_semi")
-    grams = _with_normalized(docs, text_col, id_col).select(
-        F.col(id_col).alias("gid"),
-        F.transform(char_shingles(F.col("__norm"), shingle_n), lambda s: F.xxhash64(s)).alias(
-            "grams"
-        ),
-    ).persist()
+    grams = caching.persist_tracked(
+        _with_normalized(docs, text_col, id_col).select(
+            F.col(id_col).alias("gid"),
+            F.transform(char_shingles(F.col("__norm"), shingle_n), lambda s: F.xxhash64(s)).alias(
+                "grams"
+            ),
+        )
+    )
     out = (
         pairs.join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
         .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "g_b"), "id_b")

@@ -152,6 +152,13 @@ def range_join_agg(
 
     ``aggs`` are Column aggregates over the joined right columns (use
     ``F.count`` / ``F.sum`` with the caller's aliases).
+
+    Fully-duplicate left rows are handled exactly: identical rows are
+    collapsed to one group WITH a multiplicity count before the join,
+    aggregated once (each copy matches the same right rows by
+    definition), and re-expanded to ``__lmult`` output rows at the end
+    — deterministic, no synthetic row ids, and the join/aggregate
+    stages see each distinct left row once instead of N times.
     """
     us = 1_000_000 * lookback_seconds
     l = left.select(
@@ -159,7 +166,12 @@ def range_join_agg(
         F.unix_micros(F.col(left_ts)).alias("__lts"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lv"),
     )
-    l_binned = l.withColumn(
+    # collapse exact-duplicate left rows, remembering how many copies
+    # each distinct row had (one extra O(|left|) shuffle; removes the
+    # duplicate-merge hazard where two identical rows' groups would
+    # fuse and double every aggregate)
+    l_dist = l.groupBy(*on, "__lts", "__lv").agg(F.count(F.lit(1)).alias("__lmult"))
+    l_binned = l_dist.select(*on, "__lts", "__lv").withColumn(
         "__bin", F.explode(F.array(F.floor(F.col("__lts") / us), F.floor(F.col("__lts") / us) - 1))
     )
     r = right.select(
@@ -180,12 +192,14 @@ def range_join_agg(
     )
     hits = joined.groupBy(*on, "__lts", "__lv").agg(*aggs)
     agg_names = [c for c in hits.columns if c not in {*on, "__lts", "__lv"}]
-    # left semantics: re-attach rows whose bins matched nothing. Joining
-    # back on the full left struct is exact: identical left rows share
-    # identical aggregates by definition. (Caveat: NULLs inside join
-    # keys would drop rows under SQL equality — callers pass non-null
-    # keys/timestamps, as the registered query does.)
-    out = l.join(hits, on=[*on, "__lts", "__lv"], how="left")
+    # left semantics: re-attach rows whose bins matched nothing, then
+    # re-expand each distinct left row to its original multiplicity.
+    # (Caveat: NULLs inside join keys would drop rows under SQL
+    # equality — callers pass non-null keys/timestamps, as the
+    # registered query does.)
+    out = l_dist.join(hits, on=[*on, "__lts", "__lv"], how="left").withColumn(
+        "__copy", F.explode(F.sequence(F.lit(1), F.col("__lmult")))
+    )
     return out.select(
         *[F.col(f"__lv.{c}").alias(c) for c in left.columns],
         *[F.col(c) for c in agg_names],

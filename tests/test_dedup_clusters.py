@@ -45,3 +45,36 @@ def test_dedup_clusters_deterministic(spark, sf_small):
     a = sorted(map(tuple, dedup.dedup_clusters(docs).collect()))
     b = sorted(map(tuple, dedup.dedup_clusters(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_dedup_clusters_keeps_null_text_docs(spark):
+    # normalize_doc maps null-ish text to NULL and md5(NULL) is NULL;
+    # the membership join must not drop those docs. All contentless
+    # docs form ONE exact-dup group (GROUP BY NULL-equality semantics,
+    # matching exact_dedup_groups and the MinHash shingle behavior);
+    # non-scrubbed text like "-" stays its own cluster.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, None),
+            (4, "null"),
+            (5, "  -  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.dedup_clusters(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["cluster_id"] == 1 and got[2]["cluster_id"] == 1
+    assert got[3]["cluster_id"] == 3 and got[4]["cluster_id"] == 3
+    assert got[3]["is_representative"] and not got[4]["is_representative"]
+    assert got[5]["cluster_id"] == 5 and got[5]["is_representative"]
+
+
+def test_exact_collapse_null_text_membership(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, "nan")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["rep_id"] for r in dedup.exact_collapse(docs).collect()}
+    assert rows == {1: 1, 2: 1, 3: 3, 4: 3}

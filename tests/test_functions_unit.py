@@ -160,6 +160,10 @@ def test_decode_isq_reference_parity(spark):
         "a+b%3Ac+d",  # '+' stays literal (unquote, not form-decode)
         "K%3A",  # empty value kept
         "",
+        "Discount%3A50%",  # malformed trailing escape passes through
+        "K%3Aa%zzb",  # malformed mid-string escape passes through
+        "K%3A100%25%",  # valid %25 decoded, stray trailing % literal
+        "%",  # bare percent
     ]
     got = _eval(spark, decode_isq, *cases)
     assert got == [ref(c) for c in cases]

@@ -124,3 +124,32 @@ def test_range_join_left_semantics_keeps_unmatched(spark):
     }
     assert rows[1]["cnt"] == 1
     assert rows[2]["cnt"] is None  # caller coalesces; operator keeps the row
+
+
+def test_range_join_duplicate_left_rows_not_merged(spark):
+    # two FULLY identical left rows: each must report its OWN matches
+    # (3 right rows in range), not the fused group's 6 — and both rows
+    # must survive to the output.
+    left = _mk(
+        spark,
+        [(1, 7, _ts("2024-01-01 00:20:00")), (1, 7, _ts("2024-01-01 00:20:00"))],
+        "id long, user_id long, ts timestamp",
+    )
+    right = _mk(
+        spark,
+        [
+            (7, _ts("2024-01-01 00:15:00"), 1.0),
+            (7, _ts("2024-01-01 00:16:00"), 2.0),
+            (7, _ts("2024-01-01 00:17:00"), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = temporal.range_join_agg(
+        left,
+        right,
+        on=["user_id"],
+        aggs=[F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("r_value").alias("s")],
+    ).collect()
+    assert len(out) == 2
+    assert [r["cnt"] for r in out] == [3, 3]
+    assert [r["s"] for r in out] == [7.0, 7.0]
