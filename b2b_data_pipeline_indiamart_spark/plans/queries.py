@@ -1161,15 +1161,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_clusters_blocked",
     f"""
-    WITH RECURSIVE d AS (
+    WITH RECURSIVE p AS (
+      -- same sizing as dedup.blocking_prefix_len: expected block ~16
+      -- docs, prefix floored at the historical 3 hex chars
+      SELECT GREATEST(3, CAST(CEIL(LN(GREATEST(COUNT(*), 17) / 16.0) / LN(16)) AS INT)) AS l
+      FROM documents
+    ),
+    d AS (
       SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({_NORM}) AS h FROM documents
     ),
     edges AS (
       SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
-        ON substr(a.h, 1, 3) = substr(b.h, 1, 3) AND a.doc_id <> b.doc_id
+        ON substr(a.h, 1, (SELECT l FROM p)) = substr(b.h, 1, (SELECT l FROM p))
+        AND a.doc_id <> b.doc_id
       UNION
       SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
-        ON substr(a.h, 4, 3) = substr(b.h, 4, 3) AND a.doc_id <> b.doc_id
+        ON substr(a.h, (SELECT l FROM p) + 1, (SELECT l FROM p))
+           = substr(b.h, (SELECT l FROM p) + 1, (SELECT l FROM p))
+        AND a.doc_id <> b.doc_id
     ),
     reach(a, b) AS (
       SELECT doc_id, doc_id FROM d
@@ -1183,7 +1192,10 @@ def dedup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a deterministic md5-prefix blocking
     graph — the hash-checkable twin of dedup_clusters: same iterative
     large-star/small-star operator, but the candidate edges are SQL-
-    expressible, so DuckDB mirrors the closure with a recursive CTE."""
+    expressible, so DuckDB mirrors the closure with a recursive CTE.
+    The blocking prefix auto-sizes from the corpus count (expected
+    block ~16 docs; see dedup.blocking_prefix_len) and the oracle's
+    ``p`` CTE computes the identical expression in SQL."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.blocked_dedup_clusters(docs).orderBy("doc_id")
 

@@ -78,3 +78,27 @@ def test_exact_collapse_null_text_membership(spark):
     )
     rows = {r["doc_id"]: r["rep_id"] for r in dedup.exact_collapse(docs).collect()}
     assert rows == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_blocking_prefix_len_sizing():
+    # floor holds through small corpora (test SFs land here)
+    assert dedup.blocking_prefix_len(1) == 3
+    assert dedup.blocking_prefix_len(16) == 3
+    assert dedup.blocking_prefix_len(500) == 3
+    assert dedup.blocking_prefix_len(16 * 16**3) == 3
+    # grows one hex char per 16x corpus beyond the floor
+    assert dedup.blocking_prefix_len(16 * 16**4) == 4
+    assert dedup.blocking_prefix_len(16 * 16**6) == 6
+    assert dedup.blocking_prefix_len(10**12) == 9  # ~15 docs/block
+    # monotone non-decreasing
+    vals = [dedup.blocking_prefix_len(n) for n in (10, 10**3, 10**6, 10**9, 10**12)]
+    assert vals == sorted(vals)
+
+
+def test_blocked_dedup_clusters_auto_prefix_matches_explicit(spark, sf_small):
+    docs = catalog.load(spark, sf_small, "documents")
+    auto = sorted(map(tuple, dedup.blocked_dedup_clusters(docs).collect()))
+    explicit = sorted(
+        map(tuple, dedup.blocked_dedup_clusters(docs, prefixes=((1, 3), (4, 3))).collect())
+    )
+    assert auto == explicit  # small corpus sits at the floor → same graph
