@@ -16,6 +16,34 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_half_up
 
 
+def apply_filters(
+    df: DataFrame, filters: dict[str, str | None], case_insensitive: bool = False
+) -> DataFrame:
+    """Dashboard-style interactive predicates (reference
+    dashboard/webapp/views.py:40 ``apply_filters``): every chart/API
+    query first narrows to the user's (state, keyword, …) selection.
+
+    None values are "no filter" (the reference's absent query param).
+    Default is DIRECT equality on standardized columns — a plain
+    ``col = literal`` comparison Catalyst pushes into the parquet scan
+    (visible as PushedFilters; at 100 TB, partition/row-group pruning
+    is the difference between an interactive query and a full scan).
+    The reference lowercases both sides (views.py:45,48) because its
+    CSV is unstandardized; this engine standardizes upstream (etl
+    parity), so canonical-cased equality is equivalent on engine
+    outputs. ``case_insensitive=True`` reproduces the reference
+    behavior for raw inputs, at the cost of scan pushdown.
+    """
+    for col, val in filters.items():
+        if val is None:
+            continue
+        if case_insensitive:
+            df = df.filter(F.lower(F.col(col)) == val.lower())
+        else:
+            df = df.filter(F.col(col) == val)
+    return df
+
+
 def top_groups(df: DataFrame, group_col: str, n: int = 10) -> DataFrame:
     """Frequency top-N (analysis.py:277-296 bar chart, :433-456 treemap).
 

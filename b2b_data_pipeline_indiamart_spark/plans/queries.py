@@ -2053,3 +2053,45 @@ def docs_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+@_register(
+    "filtered_summary",
+    """
+    SELECT COUNT(*) AS total_rows,
+           COUNT(DISTINCT c_name) AS unique_suppliers,
+           COUNT(DISTINCT c_mktsegment) AS unique_segments,
+           round(quantile_cont(c_acctbal, 0.5), 2) AS median_value,
+           round(avg(c_acctbal), 2) AS avg_value,
+           round(min(c_acctbal), 2) AS min_value,
+           round(max(c_acctbal), 2) AS max_value,
+           round(avg(CASE WHEN c_acctbal IS NULL THEN 1.0 ELSE 0.0 END) * 100.0, 2)
+             AS missing_value_pct
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_11' AND c_mktsegment = 'BUILDING'
+    """,
+)
+def filtered_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's interactive filter-then-aggregate path
+    (views.py:40 apply_filters + views.py:137 api_summary): user picks
+    (state, keyword) and every KPI recomputes over the selection — here
+    state ≙ nation name, keyword ≙ market segment on customer⋈nation
+    (NATION_11 × BUILDING — populated at every test SF).
+
+    One plan: both equality predicates reach the parquet scans
+    (PushedFilters — asserted in tests/test_plan_assertions.py), the
+    dim join is broadcast, and the scorecard is the same single-row
+    aggregate as kpi_summary. At 100 TB this is the layout argument
+    for partitioning the serving table by the interactive filter
+    columns: the filter prunes partitions before any IO."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    filtered = analytics.apply_filters(
+        joined, {"n_name": "NATION_11", "c_mktsegment": "BUILDING"}
+    )
+    return analytics.kpi_summary(
+        filtered,
+        {"unique_suppliers": "c_name", "unique_segments": "c_mktsegment"},
+        "c_acctbal",
+    )

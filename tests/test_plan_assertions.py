@@ -120,3 +120,14 @@ def test_range_join_registry_plan_is_equi_join(spark, sf_small):
     plan = _plan(spark, sf_small, "events_range_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_summary_predicates_reach_scans(spark, sf_small):
+    # the interactive filters must prune at the parquet scans: the
+    # segment predicate pushed into the customer scan, the state
+    # predicate into the nation scan (through the broadcast join), and
+    # the dim join must be broadcast
+    plan = _plan(spark, sf_small, "filtered_summary")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "PushedFilters: [IsNotNull(n_name), EqualTo(n_name,NATION_11)" in plan
+    assert "BroadcastHashJoin" in plan
