@@ -226,6 +226,11 @@ def lsh_bucketed_pairs(
     )
 
 
+#: above this sample size, kmeans training switches from the
+#: driver-side numpy path to distributed partial-sum Lloyd iterations
+DRIVER_SAMPLE_MAX = 65536
+
+
 def kmeans_centroids(
     emb: DataFrame,
     dim: int,
@@ -237,13 +242,22 @@ def kmeans_centroids(
 ) -> "list[list[float]]":
     """Deterministic Lloyd-iteration centroids for the IVF index.
 
-    Training runs driver-side in numpy over a bounded sample (first
-    ``sample_cap`` vectors by id — deterministic, no RNG in the data
-    path); the cluster-scale story is that centroid TRAINING is always
-    a small-sample problem (n_cells × dim floats), while ASSIGNMENT —
-    the O(corpus) part — stays distributed. Seeds are the first
-    ``n_cells`` sample rows shuffled by a seeded LCG permutation.
+    At the default cap, training runs driver-side in numpy over a
+    bounded sample (first ``sample_cap`` vectors by id — deterministic,
+    no RNG in the data path); the cluster-scale story is that centroid
+    TRAINING is always a small-sample problem (n_cells × dim floats),
+    while ASSIGNMENT — the O(corpus) part — stays distributed. Seeds
+    are the first ``n_cells`` sample rows shuffled by a seeded LCG
+    permutation. When ``sample_cap`` exceeds :data:`DRIVER_SAMPLE_MAX`
+    the whole training loop goes distributed too
+    (:func:`kmeans_centroids_distributed`) — no corpus-sized
+    ``toPandas`` ever reaches the driver.
     """
+    if sample_cap > DRIVER_SAMPLE_MAX:
+        return kmeans_centroids_distributed(
+            emb, dim, n_cells=n_cells, vec_col=vec_col,
+            sample_cap=sample_cap, iters=iters, seed=seed,
+        )
     import numpy as np
 
     id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
@@ -278,6 +292,107 @@ def kmeans_centroids(
                 n = np.linalg.norm(m)
                 if n > 0:
                     cents[c] = m / n
+    return cents.tolist()
+
+
+def kmeans_centroids_distributed(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> "list[list[float]]":
+    """Lloyd iterations with DISTRIBUTED assignment + partial sums —
+    the large-sample training path (``sample_cap`` >
+    :data:`DRIVER_SAMPLE_MAX`), where shipping the sample to the
+    driver would be the bottleneck.
+
+    Per iteration: one narrow ``mapInPandas`` pass computes, per Arrow
+    batch, the per-cell (count, vector-sum) partials via a single
+    (batch × n_cells) gemm; only ``partitions × n_cells`` tiny partial
+    rows reach the driver, which reduces them in numpy (n_cells × dim
+    floats — metadata scale) and re-normalizes the centroids. The
+    working sample is a deterministic hash-threshold filter
+    (partition/retry invariant — no sort, no limit, no RNG); seeds are
+    the ``n_cells`` vectors with the smallest ``xxhash64(id)``
+    (a bounded TakeOrdered). Deterministic for a fixed input layout:
+    partials are reduced in sorted order so the float summation order
+    is pinned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+    src = emb.select(F.col(id_col).alias("i"), as_double_array(F.col(vec_col)).alias("v"))
+    n_rows = src.count()
+    if n_rows == 0:
+        raise ValueError("kmeans_centroids_distributed: empty embedding table")
+    if n_rows > sample_cap:
+        # deterministic fraction via the 16-hex-digit md5 prefix —
+        # same idiom as sampling.deterministic_sample
+        frac = sample_cap / n_rows
+        cut = int(frac * (16**15))
+        src = src.filter(
+            F.conv(F.substring(F.md5(F.col("i").cast("string")), 1, 15), 16, 10).cast("long")
+            < F.lit(cut)
+        )
+    seeds_rows = (
+        src.select("i", "v", F.xxhash64(F.col("i"), F.lit(seed)).alias("h"))
+        .orderBy("h", "i")
+        .limit(n_cells)
+        .collect()
+    )
+
+    def unit(m):
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return m / norms
+
+    cents = unit(np.array([np.asarray(r["v"], dtype=np.float64) for r in seeds_rows]))
+    spark = emb.sparkSession
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            c = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = unit(
+                    np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                )
+                assign = (vecs @ c.T).argmax(axis=1)
+                cells, counts, sums = [], [], []
+                for cell in np.unique(assign):
+                    # spherical k-means: partials over UNIT vectors,
+                    # matching the driver-side path's normalized mean
+                    members = vecs[assign == cell]
+                    cells.append(int(cell))
+                    counts.append(len(members))
+                    sums.append(list(members.sum(axis=0)))
+                yield pd.DataFrame({"cell": cells, "n": counts, "s": sums})
+
+        rows = src.mapInPandas(
+            partials, schema="cell int, n long, s array<double>"
+        ).collect()
+        new = cents.copy()
+        agg: dict[int, "np.ndarray"] = {}
+        cnt: dict[int, int] = {}
+        # pin the float reduce order: sort partials by (cell, n, s)
+        for r in sorted(rows, key=lambda r: (r["cell"], r["n"], tuple(r["s"]))):
+            c = r["cell"]
+            v = np.asarray(r["s"], dtype=np.float64)
+            agg[c] = agg.get(c, 0) + v
+            cnt[c] = cnt.get(c, 0) + r["n"]
+        for c, total in agg.items():
+            m = total / cnt[c]
+            nm = np.linalg.norm(m)
+            if nm > 0:
+                new[c] = m / nm
+        cents = new
+        bc.destroy()
     return cents.tolist()
 
 
