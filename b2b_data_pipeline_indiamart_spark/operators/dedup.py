@@ -616,22 +616,41 @@ def blocked_dedup_clusters(
     block, hence always cluster together — consistent with the
     reference's exact dedup semantics (etl.py:358-368).
     """
-    if prefixes is None:
-        length = blocking_prefix_len(docs.count())
-        prefixes = ((1, length), (length + 1, length))
-    d = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.md5(normalize_doc(F.col(text_col))).alias("h"),
-    )
-    edge_parts = []
-    for start, length in prefixes:
-        key = F.substring(F.col("h"), start, length)
-        left = d.select(F.col("doc_id").alias("u"), key.alias("k"))
-        right = d.select(F.col("doc_id").alias("v"), key.alias("k"))
-        edge_parts.append(
-            left.join(right, "k").filter(F.col("u") != F.col("v")).select("u", "v")
+    # persisted: the hashed projection feeds the sizing count, both
+    # sides of the blocking self-join, and the final label join — six
+    # evaluations of the normalize-regex + md5 chain without it
+    # (released by the caller via caching.release_cached())
+    d = caching.persist_tracked(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.md5(normalize_doc(F.col(text_col))).alias("h"),
         )
-    edges = functools.reduce(DataFrame.unionAll, edge_parts)
+    )
+    if prefixes is None:
+        length = blocking_prefix_len(d.count())
+        prefixes = ((1, length), (length + 1, length))
+    # all blocking functions in ONE self-equi-join: explode each doc to
+    # its (prefix_id, prefix_key) pairs and join on the pair — same
+    # shuffle volume as per-prefix joins (corpus × n_prefixes rows),
+    # half the plan; connected_components dedups the edge multiset.
+    pk = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("pid"),
+                F.substring(F.col("h"), start, length).alias("k"),
+            )
+            for i, (start, length) in enumerate(prefixes)
+        ]
+    )
+    keyed = d.select("doc_id", F.explode(pk).alias("pk")).select(
+        "doc_id", "pk.pid", "pk.k"
+    )
+    edges = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["pid", "k"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    )
     comps = connected_components(edges, "u", "v")
     return d.join(comps, d.doc_id == comps.node, "left").select(
         d.doc_id, F.coalesce(F.col("cluster_id"), d.doc_id).alias("cluster_id")

@@ -13,6 +13,7 @@ from b2b_data_pipeline_indiamart_spark.sources.checkpoint import (
 from b2b_data_pipeline_indiamart_spark.sources.sinks import (
     write_bucketed,
     write_csv,
+    write_jdbc,
     write_json,
     write_parquet,
     write_sqlite,
@@ -27,6 +28,7 @@ __all__ = [
     "write_parquet",
     "write_bucketed",
     "write_csv",
+    "write_jdbc",
     "write_json",
     "write_sqlite",
 ]

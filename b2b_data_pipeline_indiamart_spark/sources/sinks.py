@@ -162,3 +162,46 @@ def write_sqlite(
         return n
     finally:
         conn.close()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    num_partitions: int | None = None,
+    batch_size: int = 10_000,
+    options: "dict[str, str] | None" = None,
+) -> None:
+    """Warehouse sink — the 100 TB path :func:`write_sqlite` points to.
+
+    Partition-parallel JDBC: every executor partition opens its own
+    connection and streams ``batch_size``-row inserts, so write
+    throughput scales with partitions. ``num_partitions`` caps the
+    fan-in to respect the warehouse's connection budget (Spark's
+    ``numPartitions`` JDBC option coalesces before writing — no extra
+    shuffle). Typical call::
+
+        write_jdbc(df, "jdbc:postgresql://wh:5432/analytics", "listings",
+                   num_partitions=64,
+                   options={"user": "etl", "password": "...",
+                            "isolationLevel": "NONE"})
+
+    Requires the target's JDBC driver jar on the executor classpath
+    (``spark.jars`` / ``--packages``); this container ships none, so
+    the unit test covers the option plumbing and the missing-driver
+    error path.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    if num_partitions is not None:
+        writer = writer.option("numPartitions", str(num_partitions))
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -131,3 +131,38 @@ def test_filtered_summary_predicates_reach_scans(spark, sf_small):
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
     assert "PushedFilters: [IsNotNull(n_name), EqualTo(n_name,NATION_11)" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_apply_filters_composes_with_analytics(spark, sf_small):
+    # the dashboard's other filtered endpoints (api_top_cities /
+    # api_top_states / api_price_buckets, views.py:160-190) are the
+    # same apply_filters → §2B-operator composition; demonstrate the
+    # pushdown survives under top_groups and fixed_histogram too
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import analytics
+
+    cust = catalog.load(spark, sf_small, "customer")
+    nation = catalog.load(spark, sf_small, "nation")
+    joined = cust.join(nation.hint("broadcast"), cust.c_nationkey == nation.n_nationkey)
+    filtered = analytics.apply_filters(joined, {"c_mktsegment": "BUILDING", "n_name": None})
+    top = analytics.top_groups(filtered, "n_name", n=5)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert top.count() > 0
+    # None value = "no filter" (absent query param in the reference)
+    hist = analytics.fixed_histogram(
+        analytics.apply_filters(cust, {"c_mktsegment": "MACHINERY"}), "c_acctbal", 2000.0, 10
+    )
+    assert hist.count() > 0
+
+
+def test_apply_filters_case_insensitive_mode(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import analytics
+
+    df = spark.createDataFrame([("Delhi",), ("DELHI",), ("Mumbai",)], ["state"])
+    out = analytics.apply_filters(df, {"state": "delhi"}, case_insensitive=True)
+    assert out.count() == 2

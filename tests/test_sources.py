@@ -211,3 +211,23 @@ def test_write_csv_utf8_sig_bom(spark, tmp_path):
     assert part.read_bytes().startswith(b"\xef\xbb\xbf")
     text = part.read_text(encoding="utf-8-sig")
     assert text.splitlines()[0] == "id,city" and not text.startswith("﻿")
+
+
+def test_write_jdbc_option_plumbing_and_missing_driver(spark, tmp_path):
+    """No JDBC driver jar ships in this container; the wrapper must
+    still build the right writer config and surface the driver-loading
+    failure (not silently no-op)."""
+    import pytest
+
+    from b2b_data_pipeline_indiamart_spark.sources import write_jdbc
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    with pytest.raises(Exception) as exc:
+        write_jdbc(
+            df,
+            f"jdbc:sqlite:{tmp_path}/x.db",
+            "t",
+            num_partitions=2,
+            options={"isolationLevel": "NONE"},
+        )
+    assert "driver" in str(exc.value).lower()
