@@ -70,17 +70,27 @@ def _right_size_shuffle(spark: SparkSession) -> None:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects. Read the nanos as long (runtime conf — works on any
-    session the driver hands us) and convert to a microsecond timestamp
-    column; sub-microsecond precision is dropped, matching how every
-    downstream temporal operator (hour buckets, ms gaps) consumes it."""
+    """Normalize ``ts`` to a plain TIMESTAMP whatever the parquet says.
+
+    The generated events table has shipped in two physical flavors:
+    TIMESTAMP(NANOS), which Spark's reader rejects outright (read the
+    nanos as long via runtime conf, divide down to micros), and
+    TIMESTAMP(MICROS) with ``isAdjustedToUTC=false``, which Spark maps
+    to TIMESTAMP_NTZ — a type ``unix_micros``/``unix_millis`` and the
+    temporal operators refuse. Both land here as session-local
+    TIMESTAMP; the container/session timezone is UTC, so the wall-clock
+    values are preserved exactly (and match DuckDB's naive reading).
+    Sub-microsecond precision is dropped, matching how every downstream
+    temporal operator (hour buckets, ms gaps) consumes it."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
