@@ -81,9 +81,19 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     TIMESTAMP; the container/session timezone is UTC, so the wall-clock
     values are preserved exactly (and match DuckDB's naive reading).
     Sub-microsecond precision is dropped, matching how every downstream
-    temporal operator (hour buckets, ms gaps) consumes it."""
+    temporal operator (hour buckets, ms gaps) consumes it.
+
+    The session timezone is pinned to UTC here (runtime conf, same
+    pattern as the nanos conf): both the NTZ→timestamp cast and every
+    downstream epoch/bucket function (``unix_micros``, ``hour``,
+    ``window``) interpret wall-clock values in the *session* timezone,
+    and DuckDB's naive reading is effectively UTC — on a non-UTC host
+    with a vanilla driver session the results would silently shift by
+    the UTC offset. Pinning makes the conversion deterministic
+    regardless of the host JVM default (ADVICE r4)."""
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")

@@ -231,3 +231,31 @@ def test_write_jdbc_option_plumbing_and_missing_driver(spark, tmp_path):
             options={"isolationLevel": "NONE"},
         )
     assert "driver" in str(exc.value).lower()
+
+
+def test_load_events_pins_utc_session_timezone(spark, sf_small):
+    """ADVICE r4: the NTZ→timestamp cast and every downstream epoch/
+    bucket function interpret wall clocks in the SESSION timezone; on a
+    non-UTC host session the epochs would shift by the UTC offset and
+    diverge from DuckDB's naive (UTC) reading. _load_events must pin
+    UTC so the conversion is host-independent."""
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark import catalog
+
+    key = "spark.sql.session.timeZone"
+    original = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "Asia/Kolkata")  # +05:30: catches sign AND half-hour bugs
+        ev = catalog.load(spark, sf_small, "events")
+        assert spark.conf.get(key) == "UTC"
+        skewed = ev.agg(F.min(F.unix_micros("ts")).alias("m")).collect()[0]["m"]
+        spark.conf.set(key, "UTC")
+        utc = (
+            catalog.load(spark, sf_small, "events")
+            .agg(F.min(F.unix_micros("ts")).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert skewed == utc
+    finally:
+        spark.conf.set(key, original)
