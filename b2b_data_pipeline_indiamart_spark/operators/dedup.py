@@ -671,10 +671,17 @@ def blocked_dedup_clusters(
     if prefixes is None:
         length = blocking_prefix_len(d.count())
         prefixes = ((1, length), (length + 1, length))
-    # all blocking functions in ONE self-equi-join: explode each doc to
-    # its (prefix_id, prefix_key) pairs and join on the pair — same
-    # shuffle volume as per-prefix joins (corpus × n_prefixes rows),
-    # half the plan; connected_components dedups the edge multiset.
+    # Each block is a CLIQUE (every member shares the key), so its
+    # star — member → block-minimum — has the identical transitive
+    # closure with O(block) edges instead of O(block²). One shuffle
+    # builds all stars: explode each doc to its (prefix_id,
+    # prefix_key) pairs, aggregate per key to (min, member list),
+    # re-explode. collect_list is safe here precisely because the
+    # auto-sized prefix bounds the expected block at ~target_block
+    # docs regardless of corpus size. Edge volume drops by the block
+    # size (~16×) and the CC loop starts on a near-fixpoint star
+    # forest. The oracle is unaffected: it closes over its own clique
+    # edges, and identical connectivity ⇒ identical component minima.
     pk = F.array(
         *[
             F.struct(
@@ -687,12 +694,12 @@ def blocked_dedup_clusters(
     keyed = d.select("doc_id", F.explode(pk).alias("pk")).select(
         "doc_id", "pk.pid", "pk.k"
     )
-    edges = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), ["pid", "k"])
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    blocks = keyed.groupBy("pid", "k").agg(
+        F.min("doc_id").alias("m"), F.collect_list("doc_id").alias("members")
     )
+    edges = blocks.select(
+        F.explode("members").alias("u"), F.col("m").alias("v")
+    ).filter(F.col("u") != F.col("v"))
     comps = connected_components(edges, "u", "v")
     return d.join(comps, d.doc_id == comps.node, "left").select(
         d.doc_id, F.coalesce(F.col("cluster_id"), d.doc_id).alias("cluster_id")
