@@ -657,3 +657,58 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension scalar quantization (SQ8 when ``levels=256``):
+    code_d = clamp(floor((x_d - min_d) * (levels-1) / (max_d - min_d)
+    + 0.5)) — the storage/recall trade every vector store ships
+    (FAISS ScalarQuantizer): 64 float32 dims become 64 uint8 codes, a
+    4× footprint cut before any index structure.
+
+    Scale shape: the per-dimension (min, max) bounds are one
+    posexplode + groupBy(dim) aggregate — map-side partial agg into a
+    ``dim``-row result — collected into two array literals via a
+    1-row sort_array(collect_list) and **broadcast** back, so the
+    quantization pass itself is map-only over the corpus (zero
+    shuffle per vector). Constant dims (min == max) code to 0.
+
+    Output: (id, codes array<int>, codes_csv string) — the csv column
+    is the engine-portable value-check surface.
+    """
+    xd = F.col("__x").cast("double")
+    pe = emb.select(F.posexplode(as_double_array(F.col(vec_col))).alias("__d", "__x"))
+    bounds = pe.groupBy("__d").agg(
+        F.min(xd).alias("mn"), F.max(xd).alias("mx")
+    )
+    barr = bounds.agg(
+        F.sort_array(F.collect_list(F.struct("__d", "mn", "mx"))).alias("s")
+    ).select(
+        F.expr("transform(s, p -> p.mn)").alias("__mins"),
+        F.expr("transform(s, p -> p.mx)").alias("__maxs"),
+    )
+    codes = F.expr(
+        f"""
+        zip_with(
+          zip_with(cast({vec_col} as array<double>), __mins, (x, mn) -> x - mn),
+          zip_with(__maxs, __mins, (mx, mn) -> mx - mn),
+          (ctr, rng) -> CASE WHEN rng <= 0.0D THEN 0
+            ELSE CAST(least({float(levels - 1)}D,
+                            greatest(0.0D, floor(ctr * {float(levels - 1)}D / rng + 0.5D)))
+                      AS INT) END)
+        """
+    )
+    return (
+        emb.join(F.broadcast(barr))
+        .select(F.col(id_col), codes.alias("codes"))
+        .select(
+            id_col,
+            "codes",
+            F.array_join(F.col("codes"), ",").alias("codes_csv"),
+        )
+    )

@@ -219,3 +219,59 @@ def parse_props(events: DataFrame, json_col: str = "props", key: str = "k") -> D
             F.sum(F.when(F.col("k_value").isNull(), 1).otherwise(0)).cast("long").alias("null_k"),
         )
     )
+
+
+def gap_fill_hourly(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Dense hourly time series per group with zero-filled counts and
+    forward-filled averages — the gap-filling / interpolation operator
+    of time-series stores (TimescaleDB ``time_bucket_gapfill`` /
+    InfluxDB ``fill(previous)``), composed from built-ins.
+
+    Shape: one tiny global (min, max) aggregate defines the spine;
+    ``sequence()`` + ``explode`` generates it (spine size ∝ time range
+    × group cardinality, INDEPENDENT of event count — 100 TB of events
+    over a year is still only 8.8k spine rows per group); the observed
+    hourly rollup left-joins onto it (broadcast: the spine is tiny) and
+    a ``last(..., ignorenulls)`` running window carries values across
+    gaps. Single shuffle on the group key for the fill window.
+
+    Returns (group, hour_start string, n_events zero-filled,
+    avg_value 2dp or NULL on gap hours, filled_avg_value carried
+    forward, is_gap flag).
+    """
+    hours = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    groups = events.select(F.col(group_col).alias("grp")).distinct()
+    spine = hours.crossJoin(F.broadcast(groups))
+    observed = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.col(group_col).alias("grp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            round_half_up(F.avg("value"), 2).alias("avg_value"),
+        )
+    )
+    # broadcast the observed rollup (bounded by spine cardinality —
+    # hours × groups — regardless of event volume); a left-outer join
+    # can only build its RIGHT side, so the hint goes here, not on the
+    # spine
+    joined = spine.join(F.broadcast(observed), ["hour_ts", "grp"], "left")
+    w_fill = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("hour_ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("grp").alias(group_col),
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.coalesce(F.col("__cnt"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("avg_value"),
+        F.last("avg_value", ignorenulls=True).over(w_fill).alias("filled_avg_value"),
+        F.col("__cnt").isNull().alias("is_gap"),
+    )

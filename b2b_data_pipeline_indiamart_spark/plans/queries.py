@@ -2095,3 +2095,194 @@ def filtered_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"unique_suppliers": "c_name", "unique_segments": "c_mktsegment"},
         "c_acctbal",
     )
+
+
+# ==========================================================================
+# §2 round-5 additions: decontamination, grouping-sets rollup, gap fill,
+# exact percentile bands, embedding scalar quantization
+# ==========================================================================
+
+
+@_register(
+    "docs_decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+    g AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[u.i:u.i+3], ' ')) AS gram
+      FROM t, UNNEST(range(1, len(toks) - 2)) AS u(i)
+      WHERE len(toks) >= 4
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
+    sh AS (SELECT doc_id, count(*) AS shared FROM g JOIN bg USING (gram)
+           WHERE doc_id % 23 <> 0 GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(sh.shared, 0) AS BIGINT) AS shared_ngrams,
+           coalesce(sh.shared, 0) > 0 AS contaminated
+    FROM d LEFT JOIN sh ON d.doc_id = sh.doc_id
+    WHERE d.doc_id % 23 <> 0
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): training docs
+    sharing any word n-gram with the held-out eval split (doc_id % 23
+    == 0 stands in for the benchmark corpus) are flagged, with the
+    shared distinct-gram count. n=4 here — the production default n=8
+    never fires on this small-vocabulary synthetic corpus; the operator
+    takes n as a parameter. The benchmark gram set is broadcast, so the
+    corpus-side probe is a map-side semi-join — no shuffle of the
+    training corpus on the gram key."""
+    from ..operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    return decontam.decontaminate(train, bench, n=4)
+
+
+@_register(
+    "orders_rollup",
+    """
+    WITH o AS (SELECT year(o_orderdate) AS yr, o_orderpriority AS priority,
+                      o_totalprice
+               FROM orders)
+    SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS order_year,
+           coalesce(priority, 'ALL') AS order_priority,
+           CAST(GROUPING(yr) AS INT) AS g_year,
+           CAST(GROUPING(priority) AS INT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM o GROUP BY ROLLUP(yr, priority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level subtotal rollup — GROUP BY ROLLUP(year, priority):
+    per-(year, priority) revenue, per-year subtotals, grand total in
+    ONE aggregation pass (Catalyst expands the grouping sets, partial
+    aggregation still applies map-side — at 100 TB this replaces three
+    separate scans with one). GROUPING() indicators disambiguate
+    subtotal rows from data rows, label columns are coalesced to
+    'ALL' for display parity with the reference's dashboard totals."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("yr", "priority")
+        .agg(
+            F.grouping("yr").cast("int").alias("g_year"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+            F.coalesce(F.col("priority"), F.lit("ALL")).alias("order_priority"),
+            "g_year",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@_register(
+    "events_gap_fill",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM events),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+              FROM b),
+    grps AS (SELECT DISTINCT event_type AS grp FROM events),
+    obs AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type AS grp,
+                   count(*) AS cnt, round(avg(value), 2) AS avg_value
+            FROM events GROUP BY 1, 2),
+    j AS (SELECT g.grp, s.hour_ts, o.cnt, o.avg_value
+          FROM spine s CROSS JOIN grps g
+          LEFT JOIN obs o ON o.hour_ts = s.hour_ts AND o.grp = g.grp)
+    SELECT grp AS event_type,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS n_events,
+           avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY grp ORDER BY hour_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg_value,
+           cnt IS NULL AS is_gap
+    FROM j
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type with zero-filled counts and
+    forward-filled hourly averages (operators/temporal.gap_fill_hourly)
+    — the time-series gap-filling operator (TimescaleDB
+    time_bucket_gapfill / InfluxDB fill(previous)). Spine = sequence()
+    over the global hour range × event types, size independent of
+    event count; observed rollup left-joins on; one shuffle on the
+    group key for the carry-forward window."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.gap_fill_hourly(events, "event_type")
+
+
+@_register(
+    "price_percentile_bands",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(quantile_cont(p_retailprice, 0.25), 2) AS p25,
+           round(quantile_cont(p_retailprice, 0.50), 2) AS p50,
+           round(quantile_cont(p_retailprice, 0.75), 2) AS p75,
+           round(quantile_cont(p_retailprice, 0.95), 2) AS p95,
+           round(quantile_cont(p_retailprice, 0.75)
+                 - quantile_cont(p_retailprice, 0.25), 2) AS iqr
+    FROM part GROUP BY p_brand
+    """,
+)
+def price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile bands (p25/p50/p75/p95 + IQR) of
+    retail price per brand — the distribution profile behind the
+    dashboard's price-range charts. Exact ``percentile`` here for
+    oracle parity; the 100 TB path swaps in ``approx_percentile``
+    (t-digest, single-pass, mergeable) — same plan shape, documented
+    trade as kpi_summary. One shuffle on the 25-value brand key."""
+    part = _t(spark, sf_dir, "part")
+    p = lambda q: F.expr(f"percentile(p_retailprice, {q})")  # noqa: E731
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        round_half_up(p(0.25), 2).alias("p25"),
+        round_half_up(p(0.50), 2).alias("p50"),
+        round_half_up(p(0.75), 2).alias("p75"),
+        round_half_up(p(0.95), 2).alias("p95"),
+        round_half_up(p(0.75) - p(0.25), 2).alias("iqr"),
+    )
+
+
+@_register(
+    "embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    ex AS (SELECT vec_id, u.i AS d, e[u.i] AS x
+           FROM v, UNNEST(range(1, len(e) + 1)) AS u(i)),
+    p AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+    q AS (SELECT vec_id, d,
+                 CASE WHEN mx - mn <= 0 THEN 0
+                      ELSE CAST(least(255.0, greatest(0.0,
+                             floor((x - mn) * 255.0 / (mx - mn) + 0.5))) AS INT)
+                 END AS c
+          FROM ex JOIN p USING (d))
+    SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+           string_agg(c, ',' ORDER BY d) AS codes_csv
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension SQ8 scalar quantization of the embedding corpus
+    (operators/similarity.scalar_quantize): 64 float32 dims → 64 uint8
+    codes, the 4× footprint cut vector stores apply before indexing.
+    Bounds are one dim-keyed aggregate broadcast back as two array
+    literals, so the quantization pass is map-only. Codes are emitted
+    as a CSV string so every code is value-checked engine-portably."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize(emb).select(
+        "vec_id", F.size("codes").alias("n_dims"), "codes_csv"
+    )
