@@ -712,3 +712,59 @@ def scalar_quantize(
             F.array_join(F.col("codes"), ",").alias("codes_csv"),
         )
     )
+
+
+def ann_topk_sq8(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> DataFrame:
+    """Asymmetric top-k search over the SQ8-quantized corpus: queries
+    stay full-precision floats, corpus vectors are reconstructed from
+    their :func:`scalar_quantize` codes (x̂_d = mn_d + code_d · rng_d /
+    (levels-1)) — the ADC scheme every SQ-backed index uses (quantize
+    once at build, never the queries).
+
+    Same distributed shape as :func:`brute_force_topk` — broadcast
+    query set, one corpus scan, per-query window — but the corpus
+    payload per vector is ``dim`` uint8 codes instead of ``dim``
+    float32s: the 4× scan/shuffle-width cut is the point at 100 TB.
+    Scores differ from exact cosine by quantization error (recall is
+    bounds-dependent), so this is a rows-only operator: determinism
+    and recall-vs-exact are pytest-pinned instead of oracle-checked.
+    """
+    codes = scalar_quantize(emb, vec_col, id_col, levels).select(id_col, "codes")
+    xd = F.col("__x").cast("double")
+    pe = emb.select(F.posexplode(as_double_array(F.col(vec_col))).alias("__d", "__x"))
+    barr = (
+        pe.groupBy("__d")
+        .agg(F.min(xd).alias("mn"), F.max(xd).alias("mx"))
+        .agg(F.sort_array(F.collect_list(F.struct("__d", "mn", "mx"))).alias("s"))
+        .select(
+            F.expr("transform(s, p -> p.mn)").alias("__mins"),
+            F.expr("transform(s, p -> p.mx)").alias("__maxs"),
+        )
+    )
+    span = float(levels - 1)
+    # reconstruction: mn + code * rng / span — expressed as one
+    # two-level zip_with so the per-row work stays inside codegen
+    recon = F.expr(
+        f"""
+        zip_with(
+          zip_with(codes, __mins, (c, mn) -> named_struct('c', CAST(c AS DOUBLE), 'mn', mn)),
+          zip_with(__maxs, __mins, (mx, mn) -> mx - mn),
+          (p, rng) -> p.mn + p.c * rng / {span}D)
+        """
+    )
+    dequant = codes.join(F.broadcast(barr)).select(
+        F.col(id_col), recon.alias(vec_col)
+    )
+    return brute_force_topk(dequant, queries, k, vec_col, id_col).select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos_sim").alias("cos_sim_sq8"),
+        "rnk",
+    )

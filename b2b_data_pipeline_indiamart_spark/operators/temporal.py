@@ -275,3 +275,37 @@ def gap_fill_hourly(events: DataFrame, group_col: str = "event_type") -> DataFra
         F.last("avg_value", ignorenulls=True).over(w_fill).alias("filled_avg_value"),
         F.col("__cnt").isNull().alias("is_gap"),
     )
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted on each later active day as an offset from their cohort —
+    the (cohort_day, offset_days, n_users) triangle behind every
+    retention chart.
+
+    Single-shuffle shape: ONE groupBy(user) collects each user's
+    distinct active-day set alongside its minimum (the cohort day);
+    exploding that set yields exactly one row per (user, day), so the
+    final rollup needs a plain count, not count-distinct. The per-user
+    day set is bounded by the calendar span of the data (365 entries
+    per user-year), not by event volume — 100 TB of events collapses
+    to |users| × |active days| rows after the first aggregation. The
+    join-based alternative (min-ts per user joined back to the event
+    stream) shuffles the full stream twice and needs a distinct; this
+    form does neither.
+    """
+    per_user = (
+        events.select(F.col(user_col), F.date_trunc("day", F.col("ts")).alias("__day"))
+        .groupBy(user_col)
+        .agg(
+            F.min("__day").alias("__cohort"),
+            F.collect_set("__day").alias("__days"),
+        )
+    )
+    exploded = per_user.select(
+        F.col("__cohort"), F.explode("__days").alias("__day")
+    )
+    return exploded.groupBy(
+        F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff(F.col("__day"), F.col("__cohort")).cast("int").alias("offset_days"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))

@@ -2286,3 +2286,41 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.scalar_quantize(emb).select(
         "vec_id", F.size("codes").alias("n_dims"), "codes_csv"
     )
+
+
+@_register(
+    "events_retention",
+    """
+    WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+    r AS (SELECT DISTINCT e.user_id, f.cohort,
+                 date_diff('day', f.cohort, date_trunc('day', e.ts)) AS offset_days
+          FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(offset_days AS INT) AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM r GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (operators/temporal.retention_cohorts):
+    users bucketed by first-activity day, counted on each later active
+    day at its offset. Spark plan is ONE shuffle — groupBy(user)
+    collecting (min day, distinct-day set, bounded by calendar span)
+    then explode + small rollup; the oracle states the same result via
+    the textbook min-join + distinct formulation."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.retention_cohorts(events)
+
+
+@_register("ann_sq8")  # rows-only: SQ8 reconstruction error is engine-specific
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-10 search over the SQ8-quantized corpus for the
+    5 lowest-id query vectors (similarity.ann_topk_sq8): queries stay
+    float, corpus vectors reconstruct from uint8 codes — the 4×
+    scan-width cut of SQ-backed vector indexes. Rows-only: scores
+    carry quantization error by design; determinism and recall-vs-
+    exact are pinned in tests/test_round5_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_sq8(emb, queries, k=10).orderBy("query_id", "rnk")

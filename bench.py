@@ -47,6 +47,11 @@ EXTENDED_KEYS = [
     "dedup_clusters_blocked",
     "docs_pack_sequences",
     "filtered_summary",
+    "docs_decontaminate",
+    "events_gap_fill",
+    "events_retention",
+    "embedding_quantize",
+    "ann_sq8",
 ]
 
 

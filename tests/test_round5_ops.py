@@ -110,3 +110,22 @@ def test_orders_rollup_levels_reconcile(spark, sf_small):
     assert sum(r["n_orders"] for r in data) == total["n_orders"]
     assert sum(r["n_orders"] for r in yearly) == total["n_orders"]
     assert sum(r["revenue"] for r in yearly) == pytest.approx(total["revenue"], abs=0.05)
+
+
+def test_ann_sq8_deterministic_and_close_to_exact(spark, sf_small):
+    sq8 = QUERIES["ann_sq8"](spark, sf_small)
+    first = [tuple(r) for r in sq8.collect()]
+    again = [tuple(r) for r in QUERIES["ann_sq8"](spark, sf_small).collect()]
+    assert first == again
+    # recall@10 vs the exact brute-force ranking: SQ8 on 64 dims loses
+    # little — demand at least 8 of 10 shared neighbors per query
+    exact = QUERIES["ann_topk"](spark, sf_small).collect()
+    by_q_exact: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    by_q_sq8: dict = {}
+    for qid, nid, _sim, _rnk in first:
+        by_q_sq8.setdefault(qid, set()).add(nid)
+    for qid, exact_set in by_q_exact.items():
+        got = by_q_sq8.get(qid, set())
+        assert len(exact_set & got) >= 8, f"query {qid}: recall too low"
