@@ -2324,3 +2324,107 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_topk_sq8(emb, queries, k=10).orderBy("query_id", "rnk")
+
+
+@_register(
+    "dedup_prune_clusters",
+    # composition oracle: the blocked-clustering closure and the
+    # quality scorer are ALREADY registered oracles — embed both as
+    # CTE subqueries and rank inside each cluster. floorize_round_sql
+    # is idempotent, so re-registering their transformed text is safe.
+    None,  # filled in right below (needs ORACLE entries built above)
+)
+def dedup_prune_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pruning: cluster via the deterministic
+    blocked graph (dedup.blocked_dedup_clusters), then keep ONE doc
+    per cluster — the highest quality_score, doc_id as tie-break
+    (the keep-best-copy policy of production dedup: prefer the
+    best-scoring duplicate, not an arbitrary one). Output marks every
+    doc with its cluster and is_kept so the same result drives either
+    a filter or an audit report.
+
+    Scale: clustering as documented on blocked_dedup_clusters; the
+    rank is one window over cluster_id (clusters are tiny by
+    construction) joined to the map-only quality projection."""
+    docs = _t(spark, sf_dir, "documents")
+    labels = dedup.blocked_dedup_clusters(docs)
+    quality = textstats.doc_quality(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return labels.join(quality, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+ORACLE["dedup_prune_clusters"] = f"""
+    WITH labels AS ({ORACLE["dedup_clusters_blocked"]}),
+    q AS ({ORACLE["doc_quality"]})
+    SELECT l.doc_id, l.cluster_id,
+           (row_number() OVER (PARTITION BY l.cluster_id
+                               ORDER BY q.quality_score DESC, l.doc_id) = 1)
+             AS is_kept
+    FROM labels l JOIN q ON l.doc_id = q.doc_id
+"""
+
+
+@_register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hour_ts, cnt,
+             avg(cnt) OVER w AS mu,
+             stddev_samp(cnt) OVER w AS sigma,
+             count(*) OVER w AS n_trail
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(cnt AS BIGINT) AS n_events,
+           CASE WHEN n_trail >= 8 AND sigma > 0
+                THEN round((cnt - mu) / sigma, 2) END AS zscore,
+           coalesce(abs(CASE WHEN n_trail >= 8 AND sigma > 0
+                             THEN round((cnt - mu) / sigma, 2) END) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on hourly event volume: each
+    (event_type, hour) is scored against the trailing 24 observed
+    hours' mean/stddev (current hour excluded — detection, not
+    smoothing); hours with under 8 trailing points or zero variance
+    get NULL scores, |z| > 3 flags. The moving-statistics operator of
+    monitoring pipelines: one shuffle to the hourly rollup (map-side
+    combine over raw events), one window per event_type ordered by
+    hour — trailing state is a 24-row frame, constant memory per
+    partition regardless of event volume. z is rounded to 2dp BEFORE
+    the threshold compare so the flag is engine-stable."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour_ts").asc())
+        .rowsBetween(-24, -1)
+    )
+    z = F.when(
+        (F.count(F.lit(1)).over(w) >= 8) & (F.stddev_samp("cnt").over(w) > 0),
+        round_half_up((F.col("cnt") - F.avg("cnt").over(w)) / F.stddev_samp("cnt").over(w), 2),
+    )
+    return hourly.select(
+        "event_type",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("cnt").cast("long").alias("n_events"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )

@@ -259,3 +259,70 @@ def test_load_events_pins_utc_session_timezone(spark, sf_small):
         assert skewed == utc
     finally:
         spark.conf.set(key, original)
+
+
+# ---------------------------------------------------------------------------
+# round-5: JSONL + binaryFile ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_reads_with_stated_schema_and_drops_corrupt(spark, tmp_path):
+    from b2b_data_pipeline_indiamart_spark.sources.jsonl_source import (
+        read_jsonl_documents,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 3, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}\n'
+    )
+    df = read_jsonl_documents(spark, str(p))
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert rows == {1: "hello world", 2: "bonjour", 3: "ok"}
+    # Spark disallows queries referencing ONLY _corrupt_record from a
+    # raw JSON scan (SPARK-21610); cache first, as the reader documents
+    full = read_jsonl_documents(spark, str(p), keep_corrupt=True).cache()
+    try:
+        assert full.filter("_corrupt_record IS NOT NULL").count() == 1
+    finally:
+        full.unpersist()
+
+
+def test_binary_documents_roundtrip_decodes_headers(spark, tmp_path):
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        parse_image_header,
+    )
+    from b2b_data_pipeline_indiamart_spark.sources.jsonl_source import (
+        read_binary_documents,
+    )
+
+    # a 5x7 PNG header + body, and a GIF with LE16 dims 9x4
+    png = (
+        bytes.fromhex("89504e470d0a1a0a0000000d49484452")
+        + (5).to_bytes(4, "big")
+        + (7).to_bytes(4, "big")
+        + bytes.fromhex("0806000000")
+        + b"payload-bytes"
+    )
+    gif = bytes.fromhex("474946383961") + (9).to_bytes(2, "little") + (4).to_bytes(
+        2, "little"
+    ) + b"x"
+    (tmp_path / "a.png").write_bytes(png)
+    (tmp_path / "b.gif").write_bytes(gif)
+    (tmp_path / "notes.txt").write_text("not media")
+
+    media = read_binary_documents(spark, str(tmp_path), glob="*.{png,gif}")
+    rows = {r["kind"]: r for r in media.collect()}
+    assert set(rows) == {"png", "gif"}  # txt pruned at listing time
+    assert rows["png"]["n_bytes"] == len(png)
+    assert parse_image_header(rows["png"]["payload"]) == ("png", 5, 7)
+    assert parse_image_header(rows["gif"]["payload"]) == ("gif", 9, 4)
+    # ids are stable across re-reads (path-hash, not row order)
+    again = {r["kind"]: r["doc_id"] for r in read_binary_documents(
+        spark, str(tmp_path), glob="*.{png,gif}").collect()}
+    assert {k: rows[k]["doc_id"] for k in rows} == again
