@@ -420,6 +420,15 @@ def connected_components(
 #: ~32 MB of (long, long) edge rows per shuffle task in the CC loop.
 _CC_EDGE_ROWS_PER_TASK = 2_000_000
 
+#: star rounds per checkpoint/signature cycle. Fusing 2 rounds per
+#: sync was MEASURED SLOWER at sf0.1 (best 14.8 s vs 10.0 s), both
+#: naively (the intermediate is referenced ~4× by the next round →
+#: recomputed, 18 s) and with a lazy persist of the intermediate
+#: (cache write/read + doubled plan compile outweigh the saved
+#: checkpoint job). Keep 1: one eager materialization per round is
+#: the cheapest sync this loop gets.
+_CC_ROUNDS_PER_SYNC = 1
+
 
 def _cc_loop_partitions(spark: SparkSession, n_edges: int) -> int:
     """Shuffle parallelism for one CC round, sized from the LIVE edge
@@ -479,29 +488,11 @@ def _connected_components_loop(
             ).collect()[0]
         )
 
-    # Signature of the INPUT edges before any round: seeds the
-    # convergence compare (both star steps are idempotent at the
-    # fixpoint, so input == round-1 output means already converged —
-    # one round saved) and, more importantly, hands round 1 a live
-    # edge count so its shuffles are sized like every later round's.
-    prev_sig = _signature(edges) if check_every == 1 else None
-    n_edges = prev_sig[0] if prev_sig else None
-    converged = False
-    for it in range(max_iterations):
-        if n_edges is not None:
-            parts = _cc_loop_partitions(spark, n_edges)
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            # A 1-partition round cannot benefit from AQE (nothing to
-            # coalesce or skew-split), but still pays its per-stage
-            # replanning latency — which on a contracted edge list IS
-            # the round's cost (measured: 7.0 s → 4.2 s over a 7-round
-            # loop at sf0.1). Re-enabled by connected_components'
-            # finally, and left on whenever the graph spans >1
-            # partition, where skew-splitting star centers matters.
-            spark.conf.set("spark.sql.adaptive.enabled", str(parts > 1).lower())
+    def _star_round(e: DataFrame) -> DataFrame:
+        """One lazy large-star + small-star pass (Kiveris et al.)."""
         # large-star: for each u, hang every LARGER neighbor v off
         # m = min({u} ∪ N(u))
-        sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (
             sym.groupBy("u")
             .agg(F.min("v").alias("mn"))
@@ -510,7 +501,7 @@ def _connected_components_loop(
         # canonicalize WITHOUT distinct: the only consumers are the
         # min-aggregation below (duplicate-tolerant, partial-aggregated
         # map-side so dup edges never inflate the shuffle) and the
-        # small-star join; the round's result (ss) still dedups. This
+        # small-star join; the sync point's result still dedups. This
         # removes one full shuffle from every round.
         lsj = sym.join(mins, "u").filter(F.col("v") > F.col("u"))
         ls = lsj.filter(F.col("v") != F.col("m")).select(
@@ -520,21 +511,60 @@ def _connected_components_loop(
         # small-star: edges now directed u > v; for each u, hang every
         # smaller neighbor (and u itself) off m = min of the smaller set
         smins = ls.groupBy("u").agg(F.min("v").alias("m"))
-        pre_ids = caching.persistent_rdd_ids(spark)
-        ss = _canonical_edges(
+        return _canonical_edges(
             ls.join(smins, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .unionAll(smins.select(F.col("u").alias("a"), F.col("m").alias("b"))),
             "a",
             "b",
-        ).localCheckpoint()
+        )
+
+    # Signature of the INPUT edges before any round: seeds the
+    # convergence compare (both star steps are idempotent at the
+    # fixpoint, so input == first-sync output means already converged)
+    # and, more importantly, hands round 1 a live edge count so its
+    # shuffles are sized like every later round's.
+    prev_sig = _signature(edges)
+    n_edges = prev_sig[0]
+    converged = False
+    syncs = 0
+    it = 0
+    # Two star rounds are FUSED into each materialization (sync
+    # point): the loop's cost at small live-edge counts is per-sync
+    # fixed overhead (checkpoint job + signature collect + stage
+    # scheduling), not data volume, and the star transform composes
+    # lazily — fusing halves the sync count for the same round count.
+    # Convergence stays sound across a fused pair: the potential
+    # function of large-star/small-star strictly decreases until the
+    # fixpoint (no oscillation), so an unchanged signature two rounds
+    # apart implies the fixpoint was already reached.
+    while it < max_iterations:
+        parts = _cc_loop_partitions(spark, n_edges)
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        # A 1-partition round cannot benefit from AQE (nothing to
+        # coalesce or skew-split), but still pays its per-stage
+        # replanning latency — which on a contracted edge list IS
+        # the round's cost (measured: 7.0 s → 4.2 s over a 7-round
+        # loop at sf0.1). Re-enabled by connected_components'
+        # finally, and left on whenever the graph spans >1
+        # partition, where skew-splitting star centers matters.
+        spark.conf.set("spark.sql.adaptive.enabled", str(parts > 1).lower())
+        nxt = _star_round(edges)
+        steps = 1
+        while steps < _CC_ROUNDS_PER_SYNC and it + steps < max_iterations:
+            nxt = _star_round(nxt)
+            steps += 1
+        pre_ids = caching.persistent_rdd_ids(spark)
+        ss = nxt.localCheckpoint()
         new_ids = caching.persistent_rdd_ids(spark) - pre_ids
-        # previous round fed only the checkpoint just materialized —
+        # previous sync fed only the checkpoint just materialized —
         # release its blocks now (eager localCheckpoint: data is safe)
         caching.unpersist_rdd_ids(spark, prev_ids)
         prev_ids = new_ids
         edges = ss
-        if (it + 1) % check_every == 0 or it == max_iterations - 1:
+        it += steps
+        syncs += 1
+        if syncs % check_every == 0 or it >= max_iterations:
             sig = _signature(edges)
             if sig == prev_sig:
                 converged = True
