@@ -105,3 +105,51 @@ def packing_efficiency(packed: DataFrame, budget: int) -> DataFrame:
             4,
         ).alias("fill_ratio"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Fixed-window token chunking with overlap — the context-window
+    splitter of RAG / pretraining pipelines: doc → chunks of ``size``
+    whitespace tokens starting every ``stride`` tokens (``size -
+    stride`` tokens of overlap), last chunk ragged. Docs that
+    normalize to empty/null text produce no chunks.
+
+    Pure Catalyst and map-only: tokenization, the chunk-start
+    ``sequence()``, the per-chunk ``slice``/``array_join``, and the
+    ``explode`` all run inside the projection — zero shuffle at any
+    corpus size, output rows ∝ input tokens / stride.
+    """
+    from .dedup import word_tokens
+
+    n_chunks = (
+        F.ceil(F.greatest(F.size("__toks") - size, F.lit(0)) / float(stride)) + 1
+    ).cast("int")
+    chunk = lambda i: F.struct(  # noqa: E731
+        i.alias("chunk_id"),
+        F.least(F.lit(size), F.size("__toks") - i * stride).cast("long").alias("n_tokens"),
+        F.array_join(F.slice(F.col("__toks"), i * stride + 1, size), " ").alias(
+            "chunk_text"
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= 1)
+        .select(
+            id_col,
+            F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)).alias(
+                "__c"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("__c.chunk_id").cast("int").alias("chunk_id"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -2428,3 +2428,95 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@_register(
+    "docs_chunk",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+    c AS (
+      SELECT doc_id, u.i AS chunk_id,
+             array_to_string(toks[1 + u.i * 24 : u.i * 24 + 32], ' ') AS chunk_text,
+             least(32, len(toks) - u.i * 24) AS n_tokens
+      FROM t, UNNEST(range(0,
+             CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT) + 1)) AS u(i)
+      WHERE len(toks) >= 1
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
+    FROM c
+    """,
+)
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (packing.chunk_documents):
+    32-token chunks every 24 tokens (8-token overlap), ragged tail —
+    the RAG/pretraining context splitter. Map-only: sequence() +
+    slice + explode inside one projection, zero shuffle at any corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.chunk_documents(docs, size=32, stride=24)
+
+
+@_register(
+    "docs_tfidf_topterms",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t WHERE len(toks) >= 1),
+    tf AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(cnt) AS dlen FROM tf GROUP BY 1),
+    df AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM dl),
+    s AS (SELECT tf.doc_id, tf.token,
+                 round((CAST(cnt AS DOUBLE) / dlen)
+                       * ln(CAST(nd AS DOUBLE) / dfreq), 4) AS tfidf
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rn
+          FROM s)
+    WHERE rn <= 3
+    """,
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword extractor behind
+    corpus tagging / dataset cards. tf = term count / doc length,
+    idf = ln(N / doc-frequency), score rounded 4dp BEFORE ranking
+    (token tie-break) so the cut is engine-stable.
+
+    Scale shape: three keyed shuffles, each on its natural key —
+    (doc, token) counts with map-side combine, doc-frequency on token
+    (the token⋈score join stays a shuffle join: at corpus scale the
+    vocabulary is NOT broadcastable), and the per-doc top-3 window on
+    doc_id. The corpus size N is a 1-row broadcast cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.col("doc_id"), dedup.word_tokens(F.col("text")).alias("__toks"))
+        .filter(F.size("__toks") >= 1)
+        .select("doc_id", F.explode("__toks").alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = dl.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            round_half_up(
+                (F.col("cnt").cast("double") / F.col("dlen"))
+                * F.log(F.col("nd").cast("double") / F.col("dfreq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )

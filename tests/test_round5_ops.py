@@ -129,3 +129,43 @@ def test_ann_sq8_deterministic_and_close_to_exact(spark, sf_small):
     for qid, exact_set in by_q_exact.items():
         got = by_q_sq8.get(qid, set())
         assert len(exact_set & got) >= 8, f"query {qid}: recall too low"
+
+
+def test_chunk_documents_overlap_and_ragged_tail(spark):
+    from b2b_data_pipeline_indiamart_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(11))),  # 11 toks: chunks at 0,4,8
+            (2, "a b"),  # single short chunk
+            (3, "   "),  # normalizes to null -> no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, size=6, stride=4)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert {k[0] for k in rows} == {1, 2}
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3 t4 t5"
+    assert rows[(1, 1)]["chunk_text"] == "t4 t5 t6 t7 t8 t9"  # 2-token overlap
+    assert rows[(1, 2)]["chunk_text"] == "t8 t9 t10" and rows[(1, 2)]["n_tokens"] == 3
+    assert rows[(2, 0)]["n_tokens"] == 2
+    # every token of doc 1 is covered by at least one chunk
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(11)}
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark, sf_small):
+    rows = QUERIES["docs_tfidf_topterms"](spark, sf_small).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        assert len(doc_rows) <= 3
+        ranks = sorted(r["rank"] for r in doc_rows)
+        assert ranks == list(range(1, len(doc_rows) + 1))
+        ordered = sorted(doc_rows, key=lambda r: r["rank"])
+        scores = [r["tfidf"] for r in ordered]
+        assert scores == sorted(scores, reverse=True)
