@@ -309,3 +309,57 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id") -> DataFrame
         F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_day"),
         F.datediff(F.col("__day"), F.col("__cohort")).cast("int").alias("offset_days"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def session_paths(
+    events: DataFrame, gap_minutes: int = 30, path_len: int = 3, top_n: int = 20
+) -> DataFrame:
+    """Top event-type paths: the first ``path_len`` event types of each
+    session (gap-based, same boundaries as :func:`sessionize`) joined
+    into a ``"a > b > c"`` path, counted corpus-wide, top ``top_n`` by
+    frequency — the clickstream path-analysis rollup.
+
+    One shuffle on user_id assigns sessions (lag + boundary cumsum);
+    the per-session prefix is an ``array_sort(collect_list(struct))``
+    whose struct sorts (ts, event_id, type) — deterministic under any
+    partitioning — sliced to ``path_len`` BEFORE the path groupBy, so
+    the second shuffle carries one short string per session. Final
+    top-n is a TakeOrderedAndProject with path tie-break.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ms = F.unix_millis(F.col("ts"))
+    flagged = events.withColumn(
+        "__new_session",
+        F.when(
+            F.lag(ms).over(w_user).isNull() | ((ms - F.lag(ms).over(w_user)) > gap_ms),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_cum = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_ids = flagged.withColumn(
+        "session_id", F.sum("__new_session").over(w_cum).cast("long")
+    )
+    paths = with_ids.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                path_len,
+            ),
+            " > ",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_n)
+    )

@@ -2520,3 +2520,109 @@ def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+@_register(
+    "corpus_prep_e2e",
+    # fill pattern as dedup_prune_clusters: the oracle is COMPOSED from
+    # the already-registered stage oracles below (set after the def).
+    None,
+)
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM corpus-preparation pipeline END-TO-END, the training-
+    data twin of etl_pipeline_e2e: quality filter (min-words +
+    stopword-signal rules) ∩ benchmark decontamination ∩ keep-best
+    near-dup pruning, then overlapping 32/24 token chunking of the
+    surviving docs. Every stage is itself a registered, oracle-checked
+    operator — this key checks their COMPOSITION (the joins, the flag
+    polarity, the chunker running on the filtered corpus).
+
+    Scale shape: the three eligibility frames join on doc_id (the
+    corpus partition key); the chunker is map-only. One plan end to
+    end — nothing materializes between stages, so Catalyst prunes the
+    stage columns each join doesn't need."""
+    docs = _t(spark, sf_dir, "documents")
+    qf = QUERIES["quality_filter"](spark, sf_dir).select(
+        "doc_id", "rule_min_words", "rule_stopwords"
+    )
+    dc = QUERIES["docs_decontaminate"](spark, sf_dir).select("doc_id", "contaminated")
+    pr = QUERIES["dedup_prune_clusters"](spark, sf_dir).select("doc_id", "is_kept")
+    eligible = (
+        docs.join(qf, "doc_id")
+        .join(dc, "doc_id")
+        .join(pr, "doc_id")
+        .filter(
+            F.col("rule_min_words")
+            & F.col("rule_stopwords")
+            & ~F.col("contaminated")
+            & F.col("is_kept")
+        )
+        .select("doc_id", "text")
+    )
+    return packing.chunk_documents(eligible, size=32, stride=24)
+
+
+ORACLE["corpus_prep_e2e"] = f"""
+    WITH qf AS ({ORACLE["quality_filter"]}),
+    dc AS ({ORACLE["docs_decontaminate"]}),
+    pr AS ({ORACLE["dedup_prune_clusters"]}),
+    eligible AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN qf ON d.doc_id = qf.doc_id
+      JOIN dc ON d.doc_id = dc.doc_id
+      JOIN pr ON d.doc_id = pr.doc_id
+      WHERE qf.rule_min_words AND qf.rule_stopwords
+        AND NOT dc.contaminated AND pr.is_kept
+    ),
+    d2 AS (SELECT doc_id, {_NORM} AS s FROM eligible),
+    t2 AS (SELECT doc_id, {_TOKS} AS toks FROM d2),
+    c AS (
+      SELECT doc_id, u.i AS chunk_id,
+             array_to_string(toks[1 + u.i * 24 : u.i * 24 + 32], ' ') AS chunk_text,
+             least(32, len(toks) - u.i * 24) AS n_tokens
+      FROM t2, UNNEST(range(0,
+             CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT) + 1)) AS u(i)
+      WHERE len(toks) >= 1
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
+    FROM c
+"""
+
+
+@_register(
+    "events_session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), ids AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), p AS (
+      SELECT user_id, session_id,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:3], ' > ')
+               AS path
+      FROM ids GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis (temporal.session_paths): top-20
+    3-step session-opening paths by frequency. Session boundaries
+    match events_sessionize; the per-session prefix collapses to one
+    short string BEFORE the path rollup shuffle; top-n is
+    TakeOrderedAndProject with path tie-break."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.session_paths(events, gap_minutes=30, path_len=3, top_n=20)

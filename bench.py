@@ -52,6 +52,8 @@ EXTENDED_KEYS = [
     "events_retention",
     "embedding_quantize",
     "ann_sq8",
+    "corpus_prep_e2e",
+    "events_session_paths",
 ]
 
 
