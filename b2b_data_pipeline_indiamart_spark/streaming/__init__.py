@@ -10,6 +10,7 @@ from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
     start_memory_sink,
     start_parquet_ingest,
     stateful_sessionize,
+    streaming_decontaminate,
     streaming_session_aggregate,
     windowed_event_counts,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "running_user_totals",
     "stateful_sessionize",
     "dedup_stream",
+    "streaming_decontaminate",
     "view_click_attribution",
     "start_memory_sink",
     "start_parquet_ingest",

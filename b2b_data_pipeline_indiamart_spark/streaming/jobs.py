@@ -352,3 +352,56 @@ def start_parquet_ingest(
         .outputMode("append")
         .start()
     )
+
+
+def streaming_decontaminate(
+    doc_stream: DataFrame,
+    benchmark_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Streaming face of the batch decontamination operator: each
+    arriving document is flagged if it shares any word n-gram with the
+    STATIC benchmark corpus — the stream-static join pattern (a live
+    ingest feed probed against a fixed reference table).
+
+    Streaming-safe shape: the batch operator's explode → distinct →
+    groupBy would need a watermark and delayed emission; instead the
+    benchmark side collapses to ONE static row holding the distinct
+    gram set (``collect_set`` — eval suites are small, same broadcast
+    argument as decontam.decontaminate), the stream side keeps each
+    doc's grams as an ``array_distinct`` column, and the flag is
+    ``array_intersect`` size — a map-only stream-static broadcast
+    join, append-mode clean with no state and no watermark. Per-row
+    cost is |doc grams| × lookup against a set shipped once per task.
+    """
+    from ..operators.decontam import ngram_fingerprints
+    from ..operators.dedup import normalize_doc
+
+    bench = F.broadcast(
+        ngram_fingerprints(benchmark_docs, text_col, id_col, n)
+        .agg(F.collect_set("gram").alias("__bench_grams"))
+    )
+    toks = F.filter(
+        F.split(normalize_doc(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shared = F.size(F.array_intersect(F.col("__g"), F.col("__bench_grams")))
+    return (
+        doc_stream.withColumn("__g", grams)
+        .join(bench)
+        .select(
+            F.col(id_col),
+            shared.cast("long").alias("shared_ngrams"),
+            (shared > 0).alias("contaminated"),
+        )
+    )

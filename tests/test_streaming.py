@@ -261,3 +261,48 @@ def test_stateful_sessionize_emits_on_close_and_timeout(spark, tmp_path):
     # watermark past 14:30) — stays in state, not emitted
     assert not any(u == 3 for (u, _) in got)
     assert len(got) == 4
+
+
+def test_streaming_decontaminate_stream_static_join(spark, tmp_path):
+    """Stream-static probe: flags on the stream match the batch
+    operator on the same docs."""
+    import json as _json
+
+    from b2b_data_pipeline_indiamart_spark.operators.decontam import decontaminate
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        streaming_decontaminate,
+    )
+    from pyspark.sql import types as T
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    docs = [
+        (1, "alpha beta gamma delta zeta"),
+        (2, "zeta eta theta iota kappa"),
+        (3, "x"),
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for did, text in docs:
+            f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_memory_sink(
+        streaming_decontaminate(stream, bench, n=4), "decontam_stream",
+        output_mode="append",
+    )
+    _drain(q)
+    got = {
+        r["doc_id"]: (r["shared_ngrams"], r["contaminated"])
+        for r in spark.sql("SELECT * FROM decontam_stream").collect()
+    }
+    batch_docs = spark.createDataFrame(docs, ["doc_id", "text"])
+    expected = {
+        r["doc_id"]: (r["shared_ngrams"], r["contaminated"])
+        for r in decontaminate(batch_docs, bench, n=4).collect()
+    }
+    assert got == expected and got[1][1] and not got[2][1]
