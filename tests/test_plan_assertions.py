@@ -166,3 +166,25 @@ def test_apply_filters_case_insensitive_mode(spark):
     df = spark.createDataFrame([("Delhi",), ("DELHI",), ("Mumbai",)], ["state"])
     out = analytics.apply_filters(df, {"state": "delhi"}, case_insensitive=True)
     assert out.count() == 2
+
+
+def test_docs_chunk_is_map_only(spark, sf_small):
+    # the chunker's claim: zero shuffle at any corpus size
+    plan = _plan(spark, sf_small, "docs_chunk")
+    assert "Exchange" not in plan
+
+
+def test_gap_fill_broadcasts_observed_rollup(spark, sf_small):
+    # the spine join must build the (bounded) observed side, never
+    # shuffle the spine against it
+    plan = _plan(spark, sf_small, "events_gap_fill")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_quantize_broadcasts_bounds(spark, sf_small):
+    # per-dim bounds ride as a broadcast 1-row nested-loop join; the
+    # per-vector quantize pass must not shuffle the corpus
+    plan = _plan(spark, sf_small, "embedding_quantize")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
