@@ -155,3 +155,92 @@ def test_pack_sequences_matches_python_reference(spark, counts, budget):
                 fill = 0
             fill += tok
             assert got[doc_id] == (b, bin_id, fill), f"doc {doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators vs independent pure-Python references
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+
+def _py_chunks(tokens: list[str], size: int, stride: int):
+    """Independent chunker: starts at 0, stride apart, until the window
+    reaches the end; ragged tail allowed."""
+    if not tokens:
+        return []
+    n_chunks = max(0, -(-(len(tokens) - size) // stride)) + 1
+    out = []
+    for i in range(n_chunks):
+        piece = tokens[i * stride : i * stride + size]
+        out.append((i, len(piece), " ".join(piece)))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    size=st.integers(2, 8),
+    stride_delta=st.integers(1, 4),
+)
+def test_chunk_documents_matches_python_reference(spark, docs, size, stride_delta):
+    from b2b_data_pipeline_indiamart_spark.operators.packing import chunk_documents
+
+    stride = max(1, size - stride_delta)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    )
+    want = sorted(
+        (i, cid, n, text)
+        for i, toks in enumerate(docs)
+        for cid, n, text in _py_chunks(toks, size, stride)
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=3,
+    ),
+    n=st.integers(2, 4),
+)
+def test_decontaminate_matches_python_reference(spark, train, bench, n):
+    from b2b_data_pipeline_indiamart_spark.operators.decontam import decontaminate
+
+    def grams(toks):
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for t in bench)) if bench else set()
+    t_df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(train)], ["doc_id", "text"]
+    )
+    b_df = spark.createDataFrame(
+        [(1000 + i, " ".join(toks)) for i, toks in enumerate(bench)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["shared_ngrams"], r["contaminated"])
+        for r in decontaminate(t_df, b_df, n=n).collect()
+    }
+    want = {
+        i: (len(grams(toks) & bench_grams), len(grams(toks) & bench_grams) > 0)
+        for i, toks in enumerate(train)
+    }
+    assert got == want
