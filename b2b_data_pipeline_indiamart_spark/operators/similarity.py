@@ -659,11 +659,31 @@ def ann_lsh_topk(
     )
 
 
+def dim_bounds(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row (__mins, __maxs) array frame of per-dimension corpus
+    bounds: posexplode → groupBy(dim) min/max (map-side partial agg
+    into a dim-row result) → sort_array(collect_list) fold. Broadcast
+    by the quantize/dequantize consumers so their per-vector pass is
+    map-only."""
+    xd = F.col("__x").cast("double")
+    pe = emb.select(F.posexplode(as_double_array(F.col(vec_col))).alias("__d", "__x"))
+    return (
+        pe.groupBy("__d")
+        .agg(F.min(xd).alias("mn"), F.max(xd).alias("mx"))
+        .agg(F.sort_array(F.collect_list(F.struct("__d", "mn", "mx"))).alias("s"))
+        .select(
+            F.expr("transform(s, p -> p.mn)").alias("__mins"),
+            F.expr("transform(s, p -> p.mx)").alias("__maxs"),
+        )
+    )
+
+
 def scalar_quantize(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     levels: int = 256,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Per-dimension scalar quantization (SQ8 when ``levels=256``):
     code_d = clamp(floor((x_d - min_d) * (levels-1) / (max_d - min_d)
@@ -681,17 +701,7 @@ def scalar_quantize(
     Output: (id, codes array<int>, codes_csv string) — the csv column
     is the engine-portable value-check surface.
     """
-    xd = F.col("__x").cast("double")
-    pe = emb.select(F.posexplode(as_double_array(F.col(vec_col))).alias("__d", "__x"))
-    bounds = pe.groupBy("__d").agg(
-        F.min(xd).alias("mn"), F.max(xd).alias("mx")
-    )
-    barr = bounds.agg(
-        F.sort_array(F.collect_list(F.struct("__d", "mn", "mx"))).alias("s")
-    ).select(
-        F.expr("transform(s, p -> p.mn)").alias("__mins"),
-        F.expr("transform(s, p -> p.mx)").alias("__maxs"),
-    )
+    barr = bounds if bounds is not None else dim_bounds(emb, vec_col)
     codes = F.expr(
         f"""
         zip_with(
@@ -736,17 +746,9 @@ def ann_topk_sq8(
     bounds-dependent), so this is a rows-only operator: determinism
     and recall-vs-exact are pytest-pinned instead of oracle-checked.
     """
-    codes = scalar_quantize(emb, vec_col, id_col, levels).select(id_col, "codes")
-    xd = F.col("__x").cast("double")
-    pe = emb.select(F.posexplode(as_double_array(F.col(vec_col))).alias("__d", "__x"))
-    barr = (
-        pe.groupBy("__d")
-        .agg(F.min(xd).alias("mn"), F.max(xd).alias("mx"))
-        .agg(F.sort_array(F.collect_list(F.struct("__d", "mn", "mx"))).alias("s"))
-        .select(
-            F.expr("transform(s, p -> p.mn)").alias("__mins"),
-            F.expr("transform(s, p -> p.mx)").alias("__maxs"),
-        )
+    barr = dim_bounds(emb, vec_col)
+    codes = scalar_quantize(emb, vec_col, id_col, levels, bounds=barr).select(
+        id_col, "codes"
     )
     span = float(levels - 1)
     # reconstruction: mn + code * rng / span — expressed as one
