@@ -2626,3 +2626,30 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with path tie-break."""
     events = _t(spark, sf_dir, "events")
     return temporal.session_paths(events, gap_minutes=30, path_len=3, top_n=20)
+
+
+@_register("price_bands_sketch")  # rows-only: t-digest sketch is engine-specific
+def price_bands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentile bands: approx_percentile (t-digest-
+    style quantile sketch, accuracy 10000) per brand — the 100 TB
+    swap-in for price_percentile_bands' exact interpolation. The
+    sketch is single-pass, mergeable, and constant-memory per group
+    (map-side partial merge), where the exact form must shuffle every
+    value to its group. Rows-only: DuckDB's approx algorithm differs
+    by design; tests/test_round5_ops.py bounds the error against the
+    exact percentiles instead."""
+    part = _t(spark, sf_dir, "part")
+    ap = lambda q: F.expr(  # noqa: E731
+        f"approx_percentile(p_retailprice, {q}, 10000)"
+    )
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            round_half_up(ap(0.25), 2).alias("p25"),
+            round_half_up(ap(0.50), 2).alias("p50"),
+            round_half_up(ap(0.75), 2).alias("p75"),
+            round_half_up(ap(0.95), 2).alias("p95"),
+        )
+        .orderBy("p_brand")
+    )

@@ -169,3 +169,19 @@ def test_tfidf_ranks_distinctive_terms_first(spark, sf_small):
         ordered = sorted(doc_rows, key=lambda r: r["rank"])
         scores = [r["tfidf"] for r in ordered]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_price_bands_sketch_tracks_exact_percentiles(spark, sf_small):
+    exact = {r["p_brand"]: r for r in QUERIES["price_percentile_bands"](spark, sf_small).collect()}
+    sketch = {r["p_brand"]: r for r in QUERIES["price_bands_sketch"](spark, sf_small).collect()}
+    assert set(exact) == set(sketch)
+    for brand, e in exact.items():
+        s = sketch[brand]
+        assert s["n_parts"] == e["n_parts"]
+        for q in ("p25", "p50", "p75", "p95"):
+            # accuracy=10000 on small groups: the sketch returns an
+            # actual sample value; allow a 5% relative band
+            assert abs(s[q] - e[q]) <= max(0.05 * abs(e[q]), 1.0), (brand, q)
+    # determinism across runs (driver may re-run rows-only keys)
+    again = [tuple(r) for r in QUERIES["price_bands_sketch"](spark, sf_small).collect()]
+    assert again == [tuple(r) for r in QUERIES["price_bands_sketch"](spark, sf_small).collect()]
