@@ -88,3 +88,18 @@ def test_new_round3_operators_on_empty(spark, empty_docs, empty_emb):
     agg = [F.count(F.lit(1)).cast("long").alias("cnt")]
     assert temporal.range_join_agg(empty_ev, empty_ev, on=["user_id"], aggs=agg).count() == 0
     assert temporal.range_join_agg(some_ev, empty_ev, on=["user_id"], aggs=agg).count() == 1
+
+
+def test_round5_operators_on_empty(spark, empty_docs, empty_emb):
+    from b2b_data_pipeline_indiamart_spark.operators import decontam, packing, temporal
+
+    assert decontam.decontaminate(empty_docs, empty_docs, n=4).count() == 0
+    assert packing.chunk_documents(empty_docs).count() == 0
+    assert similarity.scalar_quantize(empty_emb).count() == 0
+    assert similarity.ann_topk_sq8(empty_emb, empty_emb).count() == 0
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert temporal.gap_fill_hourly(empty_events).count() == 0
+    assert temporal.retention_cohorts(empty_events).count() == 0
+    assert temporal.session_paths(empty_events).count() == 0
