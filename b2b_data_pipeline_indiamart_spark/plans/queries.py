@@ -2653,3 +2653,75 @@ def price_bands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@_register(
+    "customer_rfm",
+    """
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT custkey, frequency, monetary,
+             strftime(last_order, '%Y-%m-%d') AS last_order_day,
+             ntile(4) OVER (ORDER BY last_order ASC, custkey ASC) AS r_score,
+             ntile(4) OVER (ORDER BY frequency ASC, custkey ASC) AS f_score,
+             ntile(4) OVER (ORDER BY monetary ASC, custkey ASC) AS m_score
+      FROM m
+    )
+    SELECT custkey, last_order_day, CAST(frequency AS BIGINT) AS frequency,
+           monetary, CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score, CAST(m_score AS INT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM s
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order), frequency
+    (order count), monetary (rounded revenue) quartiled with ntile(4)
+    into a 3-digit segment code — the classic marketing rollup.
+    Quartile assignment is made engine-deterministic by tie-breaking
+    every ntile ordering with custkey (ntile on a non-total order is
+    undefined across engines).
+
+    Scale shape: one shuffle aggregates orders to customer grain; the
+    three ntiles are global windows — fine at customer cardinality
+    (orders of magnitude below order cardinality), and the documented
+    at-scale swap is percent_rank-based bucketing per partition range."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("last_order").asc(), F.col("custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey").asc())
+    s = m.select(
+        "custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order_day"),
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).cast("int").alias("r_score"),
+        F.ntile(4).over(w_f).cast("int").alias("f_score"),
+        F.ntile(4).over(w_m).cast("int").alias("m_score"),
+    )
+    return s.select(
+        "custkey",
+        "last_order_day",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )
