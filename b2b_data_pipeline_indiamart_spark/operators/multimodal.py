@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -56,6 +57,9 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_std", T.DoubleType()),
         T.StructField("decoder", T.StringType()),
     ]
 )
@@ -177,20 +181,145 @@ def parse_wav_header(payload: bytes | None) -> float | None:
     return None
 
 
-def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
-    """Full pixel/sample decode — intentionally unimplemented here.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    Header-level metadata (dimensions, WAV duration) IS decoded for
-    real by :func:`parse_image_header` / :func:`parse_wav_header`;
-    this stub marks the remaining gap: pixel data, audio samples, and
-    video frames need PIL / soundfile / ffmpeg, none of which ship in
-    this environment.
+
+def decode_png_pixels(payload: bytes | None):
+    """REAL PNG pixel decode using only the stdlib: chunk walk → IDAT
+    ``zlib.decompress`` → scanline unfilter (all five PNG filters) →
+    (H, W, C) uint8 array; palette images are expanded through PLTE.
+    Returns None for non-PNG bytes or unsupported variants (bit depth
+    ≠ 8, interlaced) — callers fall back to header-only decode.
+
+    Filters None/Up are vectorized over the row; Sub/Average/Paeth
+    recur on the previous pixel so they run a per-byte loop — fine for
+    thumbnails/test assets. A production path would swap this for a
+    codec library; the POINT here is that pixel statistics are
+    genuinely computed from genuinely decoded samples, with zero
+    non-stdlib dependencies.
+    """
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:8] != _PNG_SIG:
+        return None
+    pos, idat, ihdr, plte = 8, b"", None, None
+    while pos + 8 <= len(b):
+        (ln,), typ = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    nch = _PNG_CHANNELS.get(ctype)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or nch is None:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for row in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: previous-pixel recurrence
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                up = int(prev[i])
+                ul = int(prev[i - nch]) if i >= nch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                cur[i] = (line[i] + pred) % 256
+        else:
+            return None
+        out[row] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(arr.max()) >= len(pal):
+            return None
+        arr = pal[arr[:, :, 0]]
+    return arr
+
+
+def encode_png(arr) -> bytes:
+    """Minimal valid PNG writer (8-bit gray/GA/RGB/RGBA, filter 0,
+    stdlib zlib) — the demo/test producer for :func:`decode_png_pixels`
+    and the binaryFile ingestion path."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
+    """Full decode for the formats still beyond the stdlib.
+
+    What IS decoded for real: PNG pixels (:func:`decode_png_pixels`,
+    stdlib zlib — samples, channel count, pixel statistics), image
+    container dimensions (:func:`parse_image_header`), WAV duration
+    (:func:`parse_wav_header`). This stub marks the remainder:
+    JPEG/GIF pixel data, audio samples, and video frames need
+    PIL / soundfile / ffmpeg, none of which ship in this environment.
     """
     raise NotImplementedError(
-        "pixel/sample decode requires PIL (image), soundfile (audio) or "
-        "ffmpeg (video), none of which ship in this environment; header "
-        "metadata is decoded by parse_image_header/parse_wav_header and "
-        "unrecognized payloads fall back to the deterministic _decode_stub"
+        "JPEG/GIF pixel decode, audio samples and video frames require "
+        "PIL/soundfile/ffmpeg, none of which ship in this environment; "
+        "PNG pixels decode for real via decode_png_pixels, headers via "
+        "parse_image_header/parse_wav_header, and unrecognized payloads "
+        "fall back to the deterministic _decode_stub"
     )
 
 
@@ -219,23 +348,37 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     where the payload bytes already live.
     """
 
+    no_px = {"channels": None, "px_mean": None, "px_std": None}
+
     def decode_one(payload, kind: str) -> dict:
         if kind == "image":
+            # full pixel decode first (PNG, stdlib zlib) — real sample
+            # statistics; header-only decode as the fallback tier
+            px = decode_png_pixels(payload)
+            if px is not None:
+                return {
+                    "width": int(px.shape[1]), "height": int(px.shape[0]),
+                    "duration_s": 0.0, "n_frames": 1,
+                    "channels": int(px.shape[2]),
+                    "px_mean": round(float(px.mean()), 4),
+                    "px_std": round(float(px.std()), 4),
+                    "decoder": "pixels:png",
+                }
             parsed = parse_image_header(payload)
             if parsed is not None:
                 fmt, w, h = parsed
                 return {
                     "width": w, "height": h, "duration_s": 0.0,
-                    "n_frames": 1, "decoder": f"header:{fmt}",
+                    "n_frames": 1, **no_px, "decoder": f"header:{fmt}",
                 }
         elif kind == "audio":
             dur = parse_wav_header(payload)
             if dur is not None:
                 return {
                     "width": 0, "height": 0, "duration_s": round(dur, 3),
-                    "n_frames": 0, "decoder": "header:wav",
+                    "n_frames": 0, **no_px, "decoder": "header:wav",
                 }
-        return {**_decode_stub(payload, kind), "decoder": "stub"}
+        return {**_decode_stub(payload, kind), **no_px, "decoder": "stub"}
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,6 +397,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "height": [d["height"] for d in decoded],
                     "duration_s": [d["duration_s"] for d in decoded],
                     "n_frames": [d["n_frames"] for d in decoded],
+                    "channels": [d["channels"] for d in decoded],
+                    "px_mean": [d["px_mean"] for d in decoded],
+                    "px_std": [d["px_std"] for d in decoded],
                     "decoder": [d["decoder"] for d in decoded],
                 }
             )

@@ -130,3 +130,142 @@ def test_image_rows_decode_real_headers(media):
 def test_non_image_rows_fall_back_to_stub(media):
     feats = mm.extract_media_features(media.filter("kind != 'image'")).collect()
     assert feats and all(r["decoder"] == "stub" for r in feats)
+
+
+# ---------------------------------------------------------------------------
+# round-5: real PNG pixel decode (stdlib zlib)
+# ---------------------------------------------------------------------------
+
+
+def _png_with_filters(expected, filters):
+    """Build a PNG whose rows use the given per-row filter types, by
+    FORWARD-filtering the expected pixels per the PNG spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(expected, dtype=np.int32)
+    h, w, nch = a.shape
+    flat = a.reshape(h, w * nch)
+    raw = b""
+    for r, f in zip(range(h), filters):
+        cur = flat[r]
+        prev = flat[r - 1] if r > 0 else np.zeros(w * nch, dtype=np.int32)
+        line = np.zeros(w * nch, dtype=np.int32)
+        for i in range(w * nch):
+            left = int(cur[i - nch]) if i >= nch else 0
+            up = int(prev[i])
+            ul = int(prev[i - nch]) if i >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            line[i] = (int(cur[i]) - pred) % 256
+        raw += bytes([f]) + line.astype(np.uint8).tobytes()
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_gray_rgb_rgba():
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    for nch in (1, 3, 4):
+        arr = (np.arange(5 * 4 * nch, dtype=np.uint8).reshape(5, 4, nch) * 7) % 256
+        out = decode_png_pixels(encode_png(arr))
+        assert out is not None and out.shape == (5, 4, nch)
+        assert (out == arr).all()
+
+
+def test_png_all_filter_types_decode_exactly():
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    expected = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    payload = _png_with_filters(expected, filters=[0, 1, 2, 3, 4])
+    out = decode_png_pixels(payload)
+    assert out is not None and (out == expected).all()
+
+
+def test_png_palette_expansion():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    # 2x2 indexed image over a 3-color palette
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(2))
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png_pixels(payload)
+    assert out is not None and out.shape == (2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0)
+    assert tuple(out[0, 1]) == (0, 255, 0) == tuple(out[1, 1])
+    assert tuple(out[1, 0]) == (0, 0, 255)
+
+
+def test_extract_features_reports_real_pixel_stats(spark):
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        encode_png,
+        extract_media_features,
+    )
+
+    arr = np.full((4, 4, 3), 100, dtype=np.uint8)
+    arr[0, 0] = [200, 200, 200]  # one bright pixel
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(arr)), {"source": "t", "lang": "en"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    [row] = extract_media_features(media).collect()
+    assert row["decoder"] == "pixels:png"
+    assert (row["width"], row["height"], row["channels"]) == (4, 4, 3)
+    expect_mean = round(float(arr.mean()), 4)
+    assert row["px_mean"] == expect_mean and row["px_std"] > 0
