@@ -32,14 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: orders_rollup, events_gap_fill, price_percentile_bands,
 #: embedding_quantize, events_retention, dedup_prune_clusters,
 #: events_anomaly_zscore, docs_chunk, docs_tfidf_topterms,
-#: corpus_prep_e2e, events_session_paths, customer_rfm) enters the
-#: graded window;
+#: corpus_prep_e2e, events_session_paths, customer_rfm,
+#: orders_salted_revenue) enters the graded window;
 #: deferred here are the
 #: nine §2A cleaning keys (driver hash-pass in rounds 1, 2 AND 3,
 #: untouched since), the eight §2B analytics keys (hash-pass in
 #: rounds 1, 2 AND 4), and three keys graded in ALL of rounds 1-4
 #: (kpi_summary, avg_price_by_group, outliers_top_pct, unknown_share,
-#: price_rating_corr). ALL keys —
+#: price_rating_corr, clean_standardize). ALL keys —
 #: graded or not — are value-checked every round by
 #: the same hash-compare locally (tests/test_oracle_parity.py and the
 #: committed PARITY_FULL_r{N}.json artifact).
@@ -66,6 +66,7 @@ _DEFERRED_STABLE = (
     "outliers_top_pct",
     "unknown_share",
     "price_rating_corr",
+    "clean_standardize",
 )
 
 

@@ -2725,3 +2725,42 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("rfm"),
     )
+
+
+@_register(
+    "orders_salted_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation path under the hash gate: lineitem ⋈ orders
+    through operators/skew.salted_join (8-way salt — fact rows spread
+    over (key, salt), build side replicated 8×), then revenue by
+    priority. The oracle is the PLAIN join: salting must only change
+    partitioning, never results — this key pins that invariant against
+    DuckDB every round. Use when one orderkey dominates a partition
+    and the build side is too big to broadcast (else broadcast wins;
+    see the skew module's cost model)."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
