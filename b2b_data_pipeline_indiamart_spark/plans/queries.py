@@ -2540,7 +2540,11 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the three eligibility frames join on doc_id (the
     corpus partition key); the chunker is map-only. One plan end to
     end — nothing materializes between stages, so Catalyst prunes the
-    stage columns each join doesn't need."""
+    stage columns each join doesn't need. The corpus IS scanned once
+    per stage (four column-pruned parquet scans): at 100 TB you'd
+    persist the normalized projection or write the eligibility frames
+    as intermediate tables; here the scans are the honest cost of
+    keeping the whole pipeline a single checkable plan."""
     docs = _t(spark, sf_dir, "documents")
     qf = QUERIES["quality_filter"](spark, sf_dir).select(
         "doc_id", "rule_min_words", "rule_stopwords"
