@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: deferred here are the
 #: nine §2A cleaning keys (driver hash-pass in rounds 1, 2 AND 3,
 #: untouched since), the eight §2B analytics keys (hash-pass in
-#: rounds 1, 2 AND 4), and three keys graded in ALL of rounds 1-4
+#: rounds 1, 2 AND 4), and six keys graded in ALL of rounds 1-4
 #: (kpi_summary, avg_price_by_group, outliers_top_pct, unknown_share,
 #: price_rating_corr, clean_standardize). ALL keys —
 #: graded or not — are value-checked every round by

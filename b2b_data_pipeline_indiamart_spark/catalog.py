@@ -40,6 +40,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
     _right_size_shuffle(spark)
+    # Pin the session timezone in the shared load preamble — not inside
+    # any one table's loader — so determinism never depends on WHICH
+    # table a session happens to read first (ADVICE r5: the pin used to
+    # live in _load_events only, leaving timestamp queries on sessions
+    # that never loaded events under the host JVM default). Runtime
+    # conf, same pattern as _right_size_shuffle: applied to whatever
+    # session the driver brings; session.get_spark sets the same value
+    # at build time so this is a no-op on our own sessions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
         return _load_events(spark, path)
@@ -83,17 +92,15 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     Sub-microsecond precision is dropped, matching how every downstream
     temporal operator (hour buckets, ms gaps) consumes it.
 
-    The session timezone is pinned to UTC here (runtime conf, same
-    pattern as the nanos conf): both the NTZ→timestamp cast and every
-    downstream epoch/bucket function (``unix_micros``, ``hour``,
+    The session timezone matters here: both the NTZ→timestamp cast and
+    every downstream epoch/bucket function (``unix_micros``, ``hour``,
     ``window``) interpret wall-clock values in the *session* timezone,
     and DuckDB's naive reading is effectively UTC — on a non-UTC host
     with a vanilla driver session the results would silently shift by
-    the UTC offset. Pinning makes the conversion deterministic
-    regardless of the host JVM default (ADVICE r4)."""
+    the UTC offset. The UTC pin lives in the shared ``load`` preamble
+    (every table, any load order — ADVICE r4/r5)."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")

@@ -420,14 +420,13 @@ def connected_components(
 #: ~32 MB of (long, long) edge rows per shuffle task in the CC loop.
 _CC_EDGE_ROWS_PER_TASK = 2_000_000
 
-#: star rounds per checkpoint/signature cycle. Fusing 2 rounds per
-#: sync was MEASURED SLOWER at sf0.1 (best 14.8 s vs 10.0 s), both
-#: naively (the intermediate is referenced ~4× by the next round →
-#: recomputed, 18 s) and with a lazy persist of the intermediate
-#: (cache write/read + doubled plan compile outweigh the saved
-#: checkpoint job). Keep 1: one eager materialization per round is
-#: the cheapest sync this loop gets.
-_CC_ROUNDS_PER_SYNC = 1
+# Measured dead-end, recorded so nobody re-tries it: fusing 2 star
+# rounds per checkpoint/signature sync was SLOWER at sf0.1 (best
+# 14.8 s vs 10.0 s), both naively (the lazily-composed intermediate is
+# referenced ~4× by the next round → recomputed, 18 s) and with a lazy
+# persist of the intermediate (cache write/read + doubled plan compile
+# outweigh the saved checkpoint job). One eager materialization per
+# round is the cheapest sync this loop gets.
 
 
 def _cc_loop_partitions(spark: SparkSession, n_edges: int) -> int:
@@ -441,7 +440,14 @@ def _cc_loop_partitions(spark: SparkSession, n_edges: int) -> int:
     The signature aggregate already collects the edge count each
     round, so sizing is free: ceil(edges / rows-per-task), capped at
     defaultParallelism (total cluster cores) — a 1B-edge round still
-    uses every core; a 12 k-edge round runs 1-task stages."""
+    uses every core; a 12 k-edge round runs 1-task stages.
+
+    Staleness: the caller refreshes ``n_edges`` only at signature
+    checks, so with ``check_every > 1`` a round can be sized from a
+    count up to ``check_every`` rounds old. Edge lists only contract,
+    so a stale count merely over-provisions partitions (never
+    under-sizes a grown graph); the default ``check_every = 1`` makes
+    the count exact every round."""
     import math
 
     cap = max(1, spark.sparkContext.defaultParallelism)
@@ -529,15 +535,11 @@ def _connected_components_loop(
     converged = False
     syncs = 0
     it = 0
-    # Two star rounds are FUSED into each materialization (sync
-    # point): the loop's cost at small live-edge counts is per-sync
-    # fixed overhead (checkpoint job + signature collect + stage
-    # scheduling), not data volume, and the star transform composes
-    # lazily — fusing halves the sync count for the same round count.
-    # Convergence stays sound across a fused pair: the potential
-    # function of large-star/small-star strictly decreases until the
-    # fixpoint (no oscillation), so an unchanged signature two rounds
-    # apart implies the fixpoint was already reached.
+    # ONE star round per materialization (sync point) — see the
+    # measured fused-rounds dead-end note above _cc_loop_partitions.
+    # Each round's cost at small live-edge counts is per-sync fixed
+    # overhead (checkpoint job + signature collect + stage
+    # scheduling), which the live-edge shuffle sizing below minimizes.
     while it < max_iterations:
         parts = _cc_loop_partitions(spark, n_edges)
         spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -550,10 +552,6 @@ def _connected_components_loop(
         # partition, where skew-splitting star centers matters.
         spark.conf.set("spark.sql.adaptive.enabled", str(parts > 1).lower())
         nxt = _star_round(edges)
-        steps = 1
-        while steps < _CC_ROUNDS_PER_SYNC and it + steps < max_iterations:
-            nxt = _star_round(nxt)
-            steps += 1
         pre_ids = caching.persistent_rdd_ids(spark)
         ss = nxt.localCheckpoint()
         new_ids = caching.persistent_rdd_ids(spark) - pre_ids
@@ -562,7 +560,7 @@ def _connected_components_loop(
         caching.unpersist_rdd_ids(spark, prev_ids)
         prev_ids = new_ids
         edges = ss
-        it += steps
+        it += 1
         syncs += 1
         if syncs % check_every == 0 or it >= max_iterations:
             sig = _signature(edges)
