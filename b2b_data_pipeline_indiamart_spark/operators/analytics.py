@@ -71,19 +71,31 @@ def avg_by_group(df: DataFrame, group_col: str, value_col: str, n: int = 10) -> 
 def share_top_n_others(df: DataFrame, group_col: str, n: int = 5) -> DataFrame:
     """Top-N share + "Others" residual (analysis.py:298-331 donut).
 
-    Two small shuffles on a low-cardinality key; the re-aggregation
-    over the labelled groups is a handful of rows.
+    The N winners are picked with sort+limit — Spark executes that as
+    TakeOrderedAndProject (per-partition top-N, merge N·P rows), never
+    a global sort — and membership rides back as a broadcast left join.
+    The previous form (global ``row_number`` window over the counts)
+    pushed the whole group-cardinality frame through one reducer; with
+    a million distinct groups at 100 TB that is a needless serial
+    stage. Tie behavior is identical: both orders are total
+    (cnt DESC, group_value ASC).
+
+    The remaining unpartitioned window computes the grand total over
+    the relabelled aggregate — bounded at n+1 rows by construction, so
+    a single-partition window is the cheapest correct plan there.
     """
     counts = df.groupBy(F.col(group_col).alias("group_value")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("group_value").asc())
-    labelled = counts.withColumn(
-        "label",
-        F.when(F.row_number().over(w) <= n, F.col("group_value")).otherwise(F.lit("Others")),
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("group_value").asc())
+        .limit(n)
+        .select("group_value", F.lit(True).alias("__top"))
     )
-    # Total via an unpartitioned window over the (tiny) relabelled
-    # aggregate — no separate driver-side count job, single plan.
+    labelled = counts.join(F.broadcast(top), "group_value", "left").withColumn(
+        "label",
+        F.when(F.col("__top").isNotNull(), F.col("group_value")).otherwise(F.lit("Others")),
+    )
     w_all = Window.partitionBy()
     return (
         labelled.groupBy("label")

@@ -1,0 +1,131 @@
+"""Distributed total-order ranking: exact global ntile without a
+single-reducer sort.
+
+``Window.orderBy(...)`` with no ``partitionBy`` — the textbook way to
+write ``ntile``/``row_number`` over a whole table — compiles to ONE
+window task: every row shuffles to a single reducer and sorts there.
+Fine at 150 k rows, a dead stage at 1.5 B (the 100 TB customer grain).
+
+:func:`global_ntile` computes the *same* bucket assignment (exact, not
+approximate — hash-identical to ``ntile(n) OVER (ORDER BY ...)`` for a
+total order) with no global window node:
+
+1. ``repartitionByRange(order_cols)`` — rows land in ascending key
+   ranges across P partitions (P = ``spark.sql.shuffle.partitions``);
+   the range exchange samples bounds in a separate tiny job, and equal
+   keys always land in the same partition, so with a total order
+   (callers must tie-break, e.g. on a unique key) global rank is
+   independent of where the sampled bounds fall.
+2. ``sortWithinPartitions(order_cols)`` + ``monotonically_increasing_id``
+   — partition-local ranks with NO window and NO extra shuffle: after
+   the in-partition sort the id counter increases in sort order, so
+   ``id - min(id in partition)`` IS the 0-based local rank.
+3. One tiny aggregate collects P ``(pid, count, min_id)`` rows to the
+   driver — **metadata scale** (P = shuffle partitions, tens of
+   thousands at most — loop-control collect, not data), cumulated into
+   per-partition global offsets and broadcast back as a P-row join.
+4. Map-only ntile arithmetic from the global rank and total count —
+   integer ``DIV`` only, no doubles, no window.
+
+Determinism: the step-2 frame is persisted (tracked — release via
+``caching.release_cached()``) before the offsets collect so the join
+reuses the same blocks; on block loss the recompute is deterministic
+(range bounds come from seeded reservoir sampling over a deterministic
+input, and the within-partition sort is total).
+
+ntile semantics reproduced exactly (Spark and DuckDB agree): with c
+rows in n buckets, the first ``c % n`` buckets get ``c // n + 1`` rows,
+the rest ``c // n``; bucket of 1-based rank r is
+``ceil(r / (base+1))`` in the "big bucket" prefix else
+``rem + ceil((r - (base+1)*rem) / base)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import caching
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[Column | str], out_col: str = "global_rank"
+) -> DataFrame:
+    """Exact 1-based global rank over a total order, no global window.
+
+    ``order_cols`` must define a TOTAL order (tie-break with a unique
+    key) — with ties the rank would depend on physical placement.
+    Returns ``df``'s columns + ``out_col`` (long).
+    """
+    ranked, _total = _ranked(df, order_cols, out_col)
+    return ranked
+
+
+def global_ntile(
+    df: DataFrame, n: int, order_cols: list[Column | str], out_col: str
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` (int), distributed.
+
+    Hash-identical to the window form for a total order; the plan has
+    no window node at all (assertable: no empty-partition-spec Window
+    anywhere). Cost: one range shuffle + one P-row collect + one
+    broadcast join per call — every stage fans out across the cluster.
+    """
+    rank_col = f"__{out_col}_rank"
+    ranked, total = _ranked(df, order_cols, rank_col)
+    if total == 0:
+        return ranked.drop(rank_col).withColumn(out_col, F.lit(None).cast("int"))
+    base, rem = divmod(total, n)
+    r = F.col(rank_col)
+    if base == 0:
+        # fewer rows than buckets: ntile assigns bucket = rank
+        bucket = r.cast("int")
+    else:
+        # integer ceil-division via DIV keeps the arithmetic exact at
+        # any scale (no double rounding at 2^53): ceil(a/b) = (a+b-1) DIV b
+        cut = (base + 1) * rem
+        big = F.expr(f"({rank_col} + {base}) DIV {base + 1}")
+        small = F.expr(f"{rem} + ({rank_col} - {cut} + {base - 1}) DIV {base}")
+        bucket = F.when(r <= F.lit(cut), big).otherwise(small).cast("int")
+    return ranked.withColumn(out_col, bucket).drop(rank_col)
+
+
+def _ranked(
+    df: DataFrame, order_cols: list[Column | str], out_col: str
+) -> tuple[DataFrame, int]:
+    """Shared rank builder: returns (df + out_col global rank, total rows)."""
+    spark = df.sparkSession
+    base = caching.persist_tracked(
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+    )
+    # P rows of loop-control metadata — NOT a data-scale collect
+    parts = sorted(
+        base.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("__mid").alias("mn"))
+        .collect(),
+        key=lambda row: row["__pid"],
+    )
+    total = sum(row["c"] for row in parts)
+    if total == 0:
+        return base.drop("__pid", "__mid").withColumn(
+            out_col, F.lit(None).cast("long")
+        ), 0
+    offsets, acc = [], 0
+    for row in parts:
+        offsets.append((row["__pid"], acc, row["mn"]))
+        acc += row["c"]
+    off_df = spark.createDataFrame(
+        offsets, "__pid INT, __off BIGINT, __mn BIGINT"
+    )
+    ranked = (
+        base.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__off") + (F.col("__mid") - F.col("__mn")) + 1)
+        .drop("__pid", "__mid", "__off", "__mn")
+    )
+    return ranked, total

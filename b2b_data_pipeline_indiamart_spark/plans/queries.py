@@ -2687,33 +2687,45 @@ def price_bands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency (last order), frequency
-    (order count), monetary (rounded revenue) quartiled with ntile(4)
-    into a 3-digit segment code — the classic marketing rollup.
-    Quartile assignment is made engine-deterministic by tie-breaking
-    every ntile ordering with custkey (ntile on a non-total order is
-    undefined across engines).
+    (order count), monetary (rounded revenue) quartiled into a 3-digit
+    segment code — the classic marketing rollup. Quartile assignment is
+    made engine-deterministic by tie-breaking every ntile ordering with
+    custkey (ntile on a non-total order is undefined across engines).
 
-    Scale shape: one shuffle aggregates orders to customer grain; the
-    three ntiles are global windows — fine at customer cardinality
-    (orders of magnitude below order cardinality), and the documented
-    at-scale swap is percent_rank-based bucketing per partition range."""
+    Scale shape (VERDICT r5 item 1): one shuffle aggregates orders to
+    customer grain; each quartile is operators/ranking.global_ntile —
+    range-repartition + in-partition sort + offset arithmetic,
+    hash-identical to ``ntile(4) OVER (ORDER BY ...)`` but with NO
+    global window node (the oracle keeps the window form; pytest
+    asserts the Spark plan has no empty-partition-spec Window). Every
+    stage fans out: a 1.5 B-customer grain runs P-way range sorts, not
+    one reducer. Cost per quartile: one range shuffle + a P-row
+    metadata collect + a broadcast join."""
+    from ..operators.ranking import global_ntile
+
     orders = _t(spark, sf_dir, "orders")
     m = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         round_half_up(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    w_r = Window.orderBy(F.col("last_order").asc(), F.col("custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey").asc())
-    s = m.select(
+    s = global_ntile(
+        m, 4, [F.col("last_order").asc(), F.col("custkey").asc()], "r_score"
+    )
+    s = global_ntile(
+        s, 4, [F.col("frequency").asc(), F.col("custkey").asc()], "f_score"
+    )
+    s = global_ntile(
+        s, 4, [F.col("monetary").asc(), F.col("custkey").asc()], "m_score"
+    )
+    s = s.select(
         "custkey",
         F.date_format("last_order", "yyyy-MM-dd").alias("last_order_day"),
         "frequency",
         "monetary",
-        F.ntile(4).over(w_r).cast("int").alias("r_score"),
-        F.ntile(4).over(w_f).cast("int").alias("f_score"),
-        F.ntile(4).over(w_m).cast("int").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return s.select(
         "custkey",

@@ -188,3 +188,48 @@ def test_embedding_quantize_broadcasts_bounds(spark, sf_small):
     plan = _plan(spark, sf_small, "embedding_quantize")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_customer_rfm_has_no_global_window(spark, sf_small):
+    # VERDICT r5 item 1: the three quartiles must come from the
+    # distributed offset-based ranker (operators/ranking.global_ntile),
+    # never from a Window.orderBy with an empty partition spec — a
+    # single-reducer global sort at the 100 TB customer grain. The
+    # ranker produces NO window node at all, so the assertion is the
+    # strongest form: no Window anywhere in the plan, and the offset
+    # joins ride broadcast.
+    plan = _plan(spark, sf_small, "customer_rfm")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_empty_partition_spec_window_anywhere(spark, sf_small):
+    # registry-wide guard: any windowed operator must partition its
+    # window (per-group sort), never sort the whole input on one
+    # reducer. The optimized plan prints window specs as
+    # windowspecdefinition(<partition cols...>, <order>, <frame>) —
+    # an empty partition spec starts with the order spec directly,
+    # i.e. the first argument is an ASC/DESC sort order expression.
+    import re
+
+    # Windows whose input is BOUNDED BY CONSTRUCTION (a LIMIT k or an
+    # aggregate over ≤ k labels feeds them): a single-partition window
+    # over ≤ 10 rows is the cheapest correct plan, not a scale hazard.
+    bounded_input = {"topk_cumulative"}
+
+    offenders = []
+    for key in QUERIES:
+        if key in bounded_input:
+            continue
+        df = QUERIES[key](spark, sf_small)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = spec.split(",")[0].strip()
+            if first.endswith(("ASC NULLS FIRST", "DESC NULLS LAST")) or re.match(
+                r"^\S+ (ASC|DESC)\b", first
+            ):
+                offenders.append((key, spec))
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    caching.release_cached()
+    assert not offenders, offenders
