@@ -34,17 +34,28 @@ from .dedup import normalize_doc
 
 
 def ngram_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    prepared: bool = False,
 ) -> DataFrame:
     """(id, gram) pairs: md5 of each space-joined word ``n``-gram of
     the normalized text, DISTINCT per document. Docs shorter than
-    ``n`` tokens contribute no rows (nothing to match on)."""
-    toks = F.filter(
-        F.split(normalize_doc(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
-    d = docs.select(F.col(id_col), toks.alias("__toks")).filter(
-        F.size("__toks") >= n
-    )
+    ``n`` tokens contribute no rows (nothing to match on).
+    ``prepared=True``: ``docs`` already carries ``__toks`` (the shared
+    tokenized projection of a multi-stage pipeline) — skip retokenizing."""
+    if prepared:
+        d = docs.select(F.col(id_col), F.col("__toks")).filter(
+            F.size("__toks") >= n
+        )
+    else:
+        toks = F.filter(
+            F.split(normalize_doc(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+        d = docs.select(F.col(id_col), toks.alias("__toks")).filter(
+            F.size("__toks") >= n
+        )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
         lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, n), " ")),
@@ -58,6 +69,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    prepared: bool = False,
 ) -> DataFrame:
     """Per training doc: (id, shared_ngrams, contaminated).
 
@@ -65,11 +77,15 @@ def decontaminate(
     benchmark corpus; ``contaminated`` is true when that count is
     positive. Every training doc appears in the output (zero-overlap
     docs included) so the result can drive a filter or a report.
+    ``prepared``: see :func:`ngram_fingerprints` (applies to BOTH
+    sides).
     """
     bench_grams = F.broadcast(
-        ngram_fingerprints(benchmark, text_col, id_col, n).select("gram").distinct()
+        ngram_fingerprints(benchmark, text_col, id_col, n, prepared)
+        .select("gram")
+        .distinct()
     )
-    train_grams = ngram_fingerprints(train, text_col, id_col, n)
+    train_grams = ngram_fingerprints(train, text_col, id_col, n, prepared)
     shared = (
         train_grams.join(bench_grams, "gram")
         .groupBy(id_col)

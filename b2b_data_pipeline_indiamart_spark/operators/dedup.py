@@ -661,6 +661,7 @@ def blocked_dedup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefixes: tuple[tuple[int, int], ...] | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Connected-components clustering over a DETERMINISTIC,
     SQL-expressible candidate graph → (doc_id, cluster_id).
@@ -689,11 +690,14 @@ def blocked_dedup_clusters(
     # persisted: the hashed projection feeds the sizing count, both
     # sides of the blocking self-join, and the final label join — six
     # evaluations of the normalize-regex + md5 chain without it
-    # (released by the caller via caching.release_cached())
+    # (released by the caller via caching.release_cached()).
+    # prepared=True: docs already carries __norm (shared pipeline
+    # projection) — hash that instead of re-normalizing.
+    content = F.col("__norm") if prepared else normalize_doc(F.col(text_col))
     d = caching.persist_tracked(
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.md5(normalize_doc(F.col(text_col))).alias("h"),
+            F.md5(content).alias("h"),
         )
     )
     if prefixes is None:

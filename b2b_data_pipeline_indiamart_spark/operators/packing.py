@@ -113,6 +113,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     size: int = 32,
     stride: int = 24,
+    prepared: bool = False,
 ) -> DataFrame:
     """Fixed-window token chunking with overlap — the context-window
     splitter of RAG / pretraining pipelines: doc → chunks of ``size``
@@ -137,9 +138,13 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+    toks_src = (
+        docs.select(F.col(id_col), F.col("__toks"))
+        if prepared  # __toks precomputed by the shared pipeline projection
+        else docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+    )
     return (
-        docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
-        .filter(F.size("__toks") >= 1)
+        toks_src.filter(F.size("__toks") >= 1)
         .select(
             id_col,
             F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)).alias(

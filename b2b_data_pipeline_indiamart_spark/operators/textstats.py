@@ -38,7 +38,9 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
 
 
-def _with_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _with_tokens(
+    docs: DataFrame, text_col: str, id_col: str, prepared: bool = False
+) -> DataFrame:
     """(id, __norm, __toks) projection shared by the scoring operators.
 
     Unlike the higher-order-function case (dedup._with_normalized,
@@ -46,7 +48,14 @@ def _with_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     duplicated expressions in a FLAT projection are CSE'd by
     whole-stage codegen, so this materialization is measured
     perf-neutral — it is kept for plan readability and as a guard
-    against future lambda-based scoring expressions."""
+    against future lambda-based scoring expressions.
+
+    ``prepared=True`` means ``docs`` ALREADY carries ``__norm`` /
+    ``__toks`` (one shared, usually persisted, projection — see
+    ``corpus_prep_e2e``): skip the recompute so a multi-stage pipeline
+    normalizes/tokenizes the corpus once instead of once per stage."""
+    if prepared:
+        return docs.select(F.col(id_col), "__norm", "__toks")
     return docs.select(
         F.col(id_col),
         normalize_doc(F.col(text_col)).alias("__norm"),
@@ -79,14 +88,20 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-def doc_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prepared: bool = False,
+) -> DataFrame:
     """Heuristic quality scores per document.
 
     Emits n_chars / n_tokens / avg token length / digit ratio /
     punctuation ratio / (english-)stopword ratio and a composite
     quality_score in [0, 1]. All ratios guarded against empty docs.
+    ``prepared``: see :func:`_with_tokens`.
     """
-    docs = _with_tokens(docs, text_col, id_col)
+    docs = _with_tokens(docs, text_col, id_col, prepared)
     s = F.col("__norm")
     toks = F.col("__toks")
     n_chars = F.length(s)
@@ -212,6 +227,7 @@ def quality_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: tuple[str, ...] = (),
+    prepared: bool = False,
 ) -> DataFrame:
     """Gopher-style multi-rule quality filter → per-doc rule booleans +
     a combined verdict (id, n_words, mean_word_len, dup_word_ratio,
@@ -222,13 +238,18 @@ def quality_filter(
     Pure Catalyst projection — no shuffle, no UDF; at 100 TB this is a
     map-only pass fused into the scan. ``keep_cols`` pass through for
     downstream rollups (avoids a join-back onto the same scan).
+    ``prepared``: see :func:`_with_tokens` (only ``__toks`` is read).
     """
-    base = docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        normalize_doc(F.col(text_col)).alias("__norm"),
-        word_tokens(F.col(text_col)).alias("__toks"),
-    )
+    if prepared:
+        base = docs.select(
+            F.col(id_col), *[F.col(c) for c in keep_cols], F.col("__toks")
+        )
+    else:
+        base = docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            word_tokens(F.col(text_col)).alias("__toks"),
+        )
     toks = F.col("__toks")
     n = F.size(toks)
     safe_n = F.when(n > 0, n.cast("double"))

@@ -2537,22 +2537,60 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator — this key checks their COMPOSITION (the joins, the flag
     polarity, the chunker running on the filtered corpus).
 
-    Scale shape: the three eligibility frames join on doc_id (the
-    corpus partition key); the chunker is map-only. One plan end to
-    end — nothing materializes between stages, so Catalyst prunes the
-    stage columns each join doesn't need. The corpus IS scanned once
-    per stage (four column-pruned parquet scans): at 100 TB you'd
-    persist the normalized projection or write the eligibility frames
-    as intermediate tables; here the scans are the honest cost of
-    keeping the whole pipeline a single checkable plan."""
+    Scale shape (VERDICT r5 item 3): the corpus is normalized +
+    tokenized ONCE into a shared persisted projection (doc_id, __norm,
+    __toks) that every stage consumes via its ``prepared`` fast path —
+    quality flags and the chunker read __toks, decontamination builds
+    its gram fingerprints from __toks, blocked clustering hashes
+    __norm, the keep-best rank scores from both. The r5 form re-read
+    and re-tokenized the parquet once per stage (4 column-pruned
+    scans); sharing the projection measured ~8.3 s → ~7.7 s at sf0.1
+    (the local floor is the blocked-clustering CC loop, ~5 s, not the
+    tokenize passes — but at 100 TB, where the text scan IS the
+    dominant cost, the once-not-four-times shape is what matters).
+    At 100 TB the same
+    projection is written once as a stage table instead of persisted
+    (norm+tokens ≈ 2× corpus — a deliberate space-for-compute trade
+    either way). The three eligibility frames join on doc_id (the
+    corpus partition key); the chunker stays map-only. Cache released
+    by the caller via caching.release_cached() once materialized."""
+    from ..operators import caching, decontam
+
+    # plain load, not _tp: measured at sf0.1 the round-robin
+    # repartition's raw-text shuffle costs MORE than the serialized
+    # single-file tokenization it parallelizes (9.8 s vs 7.7 s) — the
+    # tokenize pass is no longer the dominant stage once it runs once.
+    # On a real multi-file corpus the scan is already parallel.
     docs = _t(spark, sf_dir, "documents")
-    qf = QUERIES["quality_filter"](spark, sf_dir).select(
+    prep = caching.persist_tracked(
+        docs.select(
+            "doc_id",
+            dedup.normalize_doc(F.col("text")).alias("__norm"),
+            dedup.word_tokens(F.col("text")).alias("__toks"),
+        )
+    )
+    qf = textstats.quality_filter(prep, prepared=True).select(
         "doc_id", "rule_min_words", "rule_stopwords"
     )
-    dc = QUERIES["docs_decontaminate"](spark, sf_dir).select("doc_id", "contaminated")
-    pr = QUERIES["dedup_prune_clusters"](spark, sf_dir).select("doc_id", "is_kept")
+    # same benchmark split as the docs_decontaminate key (doc_id % 23)
+    dc = decontam.decontaminate(
+        prep.filter(F.col("doc_id") % 23 != 0),
+        prep.filter(F.col("doc_id") % 23 == 0),
+        n=4,
+        prepared=True,
+    ).select("doc_id", "contaminated")
+    labels = dedup.blocked_dedup_clusters(prep, prepared=True)
+    quality = textstats.doc_quality(prep, prepared=True).select(
+        "doc_id", "quality_score"
+    )
+    w_keep = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    pr = labels.join(quality, "doc_id").select(
+        "doc_id", (F.row_number().over(w_keep) == 1).alias("is_kept")
+    )
     eligible = (
-        docs.join(qf, "doc_id")
+        prep.join(qf, "doc_id")
         .join(dc, "doc_id")
         .join(pr, "doc_id")
         .filter(
@@ -2561,9 +2599,9 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("contaminated")
             & F.col("is_kept")
         )
-        .select("doc_id", "text")
+        .select("doc_id", "__toks")
     )
-    return packing.chunk_documents(eligible, size=32, stride=24)
+    return packing.chunk_documents(eligible, size=32, stride=24, prepared=True)
 
 
 ORACLE["corpus_prep_e2e"] = f"""
