@@ -12,7 +12,10 @@ task owns a hot key.
 Cost model: build-side shuffle volume multiplies by ``n_salts`` — use
 the smallest salt count that flattens the skew, and only when the build
 side is modest (if it broadcasts, skew is a non-issue: broadcast joins
-don't partition by key at all).
+don't partition by key at all). When only a FEW keys are hot,
+:func:`hybrid_salted_join` salts just those and plain-joins the rest —
+the production shape that avoids replicating the build side for the
+uniform bulk.
 """
 
 from __future__ import annotations
@@ -49,3 +52,65 @@ def salted_join(
     )
     out = salted_facts.join(salted_build, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def hot_keys(facts: DataFrame, on: Sequence[str], threshold: int) -> DataFrame:
+    """Join keys whose fact-side row count exceeds ``threshold``.
+
+    One map-side-combined aggregate over the fact table — the partial
+    counts collapse per key before the shuffle, so the extra pass costs
+    one column-pruned scan, not a full-width shuffle. The result is
+    small BY CONSTRUCTION (at most ``count(facts) / threshold`` keys),
+    which is what makes broadcasting it safe at any fact size. A
+    production pipeline that already maintains a key histogram (e.g.
+    from ingest stats) can skip this and feed that table to
+    :func:`hybrid_salted_join` directly via ``hot``.
+    """
+    return (
+        facts.groupBy(*[F.col(c) for c in on])
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > threshold)
+        .select(*on)
+    )
+
+
+def hybrid_salted_join(
+    facts: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    threshold: int,
+    n_salts: int = 16,
+    how: str = "inner",
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Salt ONLY the hot keys; plain-join everything else; union.
+
+    :func:`salted_join` replicates the ENTIRE build side ``n_salts``× —
+    the right trade when most keys are hot, pure waste when one key in
+    a million is. The production shape is hybrid: detect keys above a
+    frequency ``threshold`` (one cheap aggregate, or a pre-computed
+    ``hot`` table), route those fact/build rows through the salted
+    join, and let the uniform bulk take the ordinary shuffle join.
+    Build-side replication then costs ``n_salts × |hot build rows|``
+    (a handful of keys), not ``n_salts × |build|``.
+
+    Results are identical to ``facts.join(build, on, how)`` — both
+    branches partition the SAME rows differently, and the hot set is
+    broadcast to both sides so the split is consistent. Supported
+    ``how``: inner / left (the fact-preserving shapes; each fact row
+    lands in exactly one branch, so the union never duplicates).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hybrid_salted_join supports inner|left, got {how!r}")
+    if hot is None:
+        hot = hot_keys(facts, on, threshold)
+    flag = F.broadcast(hot.withColumn("__hot", F.lit(True)))
+    f_flagged = facts.join(flag, list(on), "left")
+    b_flagged = build.join(flag, list(on), "left")
+    f_hot = f_flagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+    f_cold = f_flagged.filter(F.col("__hot").isNull()).drop("__hot")
+    b_hot = b_flagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+    b_cold = b_flagged.filter(F.col("__hot").isNull()).drop("__hot")
+    hot_out = salted_join(f_hot, b_hot, on, n_salts, how)
+    cold_out = f_cold.join(b_cold, list(on), how)
+    return hot_out.unionByName(cold_out)

@@ -2793,23 +2793,29 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-mitigation path under the hash gate: lineitem ⋈ orders
-    through operators/skew.salted_join (8-way salt — fact rows spread
-    over (key, salt), build side replicated 8×), then revenue by
-    priority. The oracle is the PLAIN join: salting must only change
-    partitioning, never results — this key pins that invariant against
-    DuckDB every round. Use when one orderkey dominates a partition
-    and the build side is too big to broadcast (else broadcast wins;
-    see the skew module's cost model)."""
-    from ..operators.skew import salted_join
+    through operators/skew.hybrid_salted_join (VERDICT r5 item 4) —
+    keys whose fact-side count exceeds the threshold take the 8-way
+    salted join (rows spread over (key, salt), build rows for THOSE
+    keys replicated 8×); the uniform bulk takes the ordinary shuffle
+    join; union. The threshold of 4 deliberately splits the TPC-H
+    lineitem-per-order multiplicity range (1–7) so BOTH branches carry
+    data at every SF — the composed result, not just one path, is
+    what the oracle checks. The oracle is the PLAIN join: salting must
+    only change partitioning, never results — this key pins that
+    invariant against DuckDB every round. Use when hot keys dominate
+    partitions and the build side is too big to broadcast (else
+    broadcast wins; see the skew module's cost model)."""
+    from ..operators.skew import hybrid_salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(
+    joined = hybrid_salted_join(
         li.withColumnRenamed("l_orderkey", "k"),
         orders.withColumnRenamed("o_orderkey", "k"),
         on=["k"],
+        threshold=4,
         n_salts=8,
     )
     return joined.groupBy("o_orderpriority").agg(
