@@ -54,6 +54,12 @@ EXTENDED_KEYS = [
     "ann_sq8",
     "corpus_prep_e2e",
     "events_session_paths",
+    # r6 additions (VERDICT r5 item 6): the shuffle-heavy r5 analytics
+    # keys, so regressions there are visible round over round
+    "docs_tfidf_topterms",
+    "customer_rfm",
+    "dedup_prune_clusters",
+    "orders_salted_revenue",
 ]
 
 
