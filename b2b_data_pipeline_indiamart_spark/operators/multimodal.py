@@ -304,22 +304,230 @@ def encode_png(arr) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW decode → color-index bytes, or None on a corrupt
+    stream. Pure stdlib: little-endian bit unpacking, clear/EOI codes,
+    dictionary growth to the 12-bit ceiling, the deferred-clear rule
+    (a full table keeps emitting 12-bit codes until the encoder sends
+    a clear)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= clear:
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+            if len(out) >= max_pixels:
+                return bytes(out)
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes | None):
+    """REAL first-frame GIF pixel decode using only the stdlib: block
+    walk → :func:`_gif_lzw_decode` → palette expansion → (H, W, 3)
+    uint8 RGB. Returns None for non-GIF bytes or unsupported variants
+    (interlaced, missing color table) — callers fall back to
+    header-only decode, exactly like the PNG path's unsupported tiers.
+
+    Animated GIFs decode as their FIRST image descriptor (the
+    feature-extraction contract for thumbnails/statistics); extensions
+    (graphic control, comments, app blocks) are skipped by sub-block
+    walking. Like decode_png_pixels this favors clarity over speed —
+    the LZW loop is per-code Python, fine for thumbnails/test assets;
+    a production path would swap in a codec library.
+    """
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        if pos + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            w, h = struct.unpack("<HH", b[pos + 5 : pos + 9])
+            ipacked = b[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 ** ((ipacked & 0x07) + 1)
+                if pos + 3 * n > len(b):
+                    return None
+                ct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if ipacked & 0x40 or ct is None or w == 0 or h == 0:
+                return None  # interlace / no palette: header-tier fallback
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx_bytes = _gif_lzw_decode(bytes(data), mcs, w * h)
+            if idx_bytes is None or len(idx_bytes) < w * h:
+                return None
+            idx = np.frombuffer(idx_bytes[: w * h], dtype=np.uint8).reshape(h, w)
+            if int(idx.max()) >= len(ct):
+                return None
+            return ct[idx.astype(np.int32)]
+        elif blk == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return None
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode of color-index bytes (the test/demo
+    producer for :func:`_gif_lzw_decode`): real dictionary growth with
+    code-size bookkeeping MIRRORING the decoder's timing, clear-and-
+    reset at the 12-bit ceiling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    s = b""
+    for px in indices:
+        c = bytes([px])
+        if s + c in table:
+            s += c
+            continue
+        emit(table[s], code_size)
+        table[s + c] = next_code
+        next_code += 1
+        # decoder grows its table one entry behind the emitted code and
+        # widens when the table fills the current width — mirror that
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code - 1 == 4096:
+            emit(clear, code_size)
+            code_size = min_code_size + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        s = c
+    if s:
+        emit(table[s], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(arr) -> bytes:
+    """Minimal valid single-frame GIF89a writer (≤256-color RGB, real
+    LZW compression, stdlib-only) — the demo/test producer for
+    :func:`decode_gif_pixels` and the binaryFile ingestion path."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:  # grayscale → replicate to RGB
+        a = np.stack([a, a, a], axis=-1)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif supports at most 256 distinct colors")
+    bits = max(2, (len(palette) - 1).bit_length())  # GIF minimum 2
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    data = _gif_lzw_encode(idx.astype(np.uint8).tobytes(), bits)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        part = data[i : i + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([bits])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     """Full decode for the formats still beyond the stdlib.
 
     What IS decoded for real: PNG pixels (:func:`decode_png_pixels`,
-    stdlib zlib — samples, channel count, pixel statistics), image
-    container dimensions (:func:`parse_image_header`), WAV duration
-    (:func:`parse_wav_header`). This stub marks the remainder:
-    JPEG/GIF pixel data, audio samples, and video frames need
+    stdlib zlib — samples, channel count, pixel statistics), GIF
+    first-frame pixels (:func:`decode_gif_pixels`, hand-rolled LZW),
+    image container dimensions (:func:`parse_image_header`), WAV
+    duration (:func:`parse_wav_header`). This stub marks the
+    remainder: JPEG pixel data, audio samples, and video frames need
     PIL / soundfile / ffmpeg, none of which ship in this environment.
     """
     raise NotImplementedError(
-        "JPEG/GIF pixel decode, audio samples and video frames require "
+        "JPEG pixel decode, audio samples and video frames require "
         "PIL/soundfile/ffmpeg, none of which ship in this environment; "
-        "PNG pixels decode for real via decode_png_pixels, headers via "
-        "parse_image_header/parse_wav_header, and unrecognized payloads "
-        "fall back to the deterministic _decode_stub"
+        "PNG/GIF pixels decode for real via decode_png_pixels/"
+        "decode_gif_pixels, headers via parse_image_header/"
+        "parse_wav_header, and unrecognized payloads fall back to the "
+        "deterministic _decode_stub"
     )
 
 
@@ -352,18 +560,20 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
     def decode_one(payload, kind: str) -> dict:
         if kind == "image":
-            # full pixel decode first (PNG, stdlib zlib) — real sample
-            # statistics; header-only decode as the fallback tier
-            px = decode_png_pixels(payload)
-            if px is not None:
-                return {
-                    "width": int(px.shape[1]), "height": int(px.shape[0]),
-                    "duration_s": 0.0, "n_frames": 1,
-                    "channels": int(px.shape[2]),
-                    "px_mean": round(float(px.mean()), 4),
-                    "px_std": round(float(px.std()), 4),
-                    "decoder": "pixels:png",
-                }
+            # full pixel decode first (PNG via stdlib zlib, GIF via
+            # hand-rolled LZW) — real sample statistics; header-only
+            # decode as the fallback tier
+            for px, name in ((decode_png_pixels(payload), "pixels:png"),
+                             (decode_gif_pixels(payload), "pixels:gif")):
+                if px is not None:
+                    return {
+                        "width": int(px.shape[1]), "height": int(px.shape[0]),
+                        "duration_s": 0.0, "n_frames": 1,
+                        "channels": int(px.shape[2]),
+                        "px_mean": round(float(px.mean()), 4),
+                        "px_std": round(float(px.std()), 4),
+                        "decoder": name,
+                    }
             parsed = parse_image_header(payload)
             if parsed is not None:
                 fmt, w, h = parsed

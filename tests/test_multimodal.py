@@ -269,3 +269,66 @@ def test_extract_features_reports_real_pixel_stats(spark):
     assert (row["width"], row["height"], row["channels"]) == (4, 4, 3)
     expect_mean = round(float(arr.mean()), 4)
     assert row["px_mean"] == expect_mean and row["px_std"] > 0
+
+
+def test_gif_roundtrip_rgb_and_gray():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 16, size=(24, 31))]
+    out = mm.decode_gif_pixels(mm.encode_gif(img))
+    assert out is not None and np.array_equal(out, img)
+    g = rng.randint(0, 250, size=(9, 5), dtype=np.uint8)
+    out_g = mm.decode_gif_pixels(mm.encode_gif(g))
+    assert np.array_equal(out_g, np.stack([g, g, g], axis=-1))
+
+
+def test_gif_lzw_dictionary_growth_and_12bit_reset():
+    # a long low-entropy stream forces code-size growth to the 12-bit
+    # ceiling and an encoder clear/reset — the decoder must track both
+    data = bytes(range(16)) * 2000 + b"\x05" * 100000
+    enc = mm._gif_lzw_encode(data, 4)
+    assert len(enc) < len(data) // 4  # real compression, not clear-spam
+    assert mm._gif_lzw_decode(enc, 4, len(data)) == data
+
+
+def test_gif_decode_rejects_bad_inputs():
+    import numpy as np
+
+    assert mm.decode_gif_pixels(None) is None
+    assert mm.decode_gif_pixels(b"notagif") is None
+    full = mm.encode_gif(np.zeros((4, 4, 3), dtype=np.uint8))
+    assert mm.decode_gif_pixels(full[:15]) is None  # truncated
+    # interlace flag set → header-tier fallback (None here)
+    tampered = bytearray(full)
+    # image descriptor packed byte: 6 header + 7 lsd + 12 palette + 9
+    idx = full.index(b"\x2c") + 9
+    tampered[idx] |= 0x40
+    assert mm.decode_gif_pixels(bytes(tampered)) is None
+
+
+def test_gif_too_many_colors_rejected():
+    import numpy as np
+
+    i = np.arange(32 * 32, dtype=np.int64)
+    arr = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=-1).reshape(32, 32, 3)
+    with pytest.raises(ValueError):
+        mm.encode_gif(arr.astype(np.uint8))
+
+
+def test_extract_features_reports_real_gif_pixel_stats(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    arr = pal[rng.randint(0, 8, size=(6, 10))]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_gif(arr)), {"source": "t", "lang": "en"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    [row] = mm.extract_media_features(media).collect()
+    assert row["decoder"] == "pixels:gif"
+    assert (row["width"], row["height"], row["channels"]) == (10, 6, 3)
+    assert row["px_mean"] == round(float(arr.mean()), 4)
+    assert row["px_std"] == round(float(arr.std()), 4)
