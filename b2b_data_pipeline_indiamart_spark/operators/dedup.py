@@ -887,3 +887,50 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def exact_dup_by_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source exact-duplication curation report.
+
+    The corpus-health rollup every curation pass starts from: for each
+    source, how many documents are redundant copies (same
+    md5(normalized text) group, not the min-id keeper) and how many
+    distinct duplicated contents exist. NULL-normalized (contentless)
+    docs share the ``'__null__'`` sentinel group — the same semantics
+    as :func:`exact_collapse`, so the report's dup counts agree with
+    what the collapse stage would actually drop.
+
+    Scale shape: two keyed shuffles — groupBy(content hash) for group
+    size/keeper, then groupBy(source) for the rollup; the hash join in
+    between reuses the hash partitioning. No windows, no driver trips.
+
+    Output: (source, n_docs, n_dup_docs, dup_rate 4dp, n_dup_groups).
+    """
+    hashed = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.coalesce(F.md5(normalize_doc(F.col(text_col))), F.lit("__null__")).alias(
+            "__ch"
+        ),
+    )
+    groups = hashed.groupBy("__ch").agg(
+        F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__keeper")
+    )
+    dup = F.when(F.col(id_col) != F.col("__keeper"), 1).otherwise(0)
+    return (
+        hashed.join(groups, "__ch")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_dup_docs"),
+            round_half_up(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_rate"),
+            F.countDistinct(F.when(F.col("__sz") > 1, F.col("__ch")))
+            .cast("long")
+            .alias("n_dup_groups"),
+        )
+    )

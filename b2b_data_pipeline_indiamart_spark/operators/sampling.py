@@ -1,9 +1,11 @@
 """Deterministic sampling and PII-scrubbing operators.
 
 A training-data pipeline rebalances sources (downsample the dominant
-language / source before training) and scrubs contact details. Both
-operators here are pure Catalyst projections — map-only, no shuffle,
-no UDF — and fully deterministic: the sampling decision is a pure
+language / source before training) and scrubs contact details. The
+row-level operators are pure Catalyst projections — map-only, no
+shuffle, no UDF (the mixture/per-group variants add only the small
+keyed aggregates their semantics require) — and fully deterministic:
+the sampling decision is a pure
 function of (stratum, id) via md5, so re-runs, retries, and different
 partitionings all keep exactly the same rows. That determinism is what
 makes distributed sampling reproducible at 100 TB — rand()-based
@@ -12,8 +14,10 @@ sampling changes under AQE retries and speculative execution.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_up
 
 #: Java-and-RE2-compatible patterns (no backrefs / lookaround, so the
 #: same pattern string runs in Spark (Java regex) and DuckDB (RE2)).
@@ -83,3 +87,103 @@ def stratified_sample(
         stratum_keep = F.lit(True) if rate >= 1.0 else (key < F.lit(_rate_to_hex(rate)))
         keep = F.when(in_stratum, stratum_keep).otherwise(keep)
     return df.withColumn("sample_key", key).filter(keep)
+
+
+def mixture_sample_summary(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.3,
+    seed: str = "mix1",
+) -> DataFrame:
+    """Temperature-scaled source-mixture sampling (summary form).
+
+    The corpus-mixture step of every large pretraining run (the Pile /
+    LLaMA-style source reweighting): source ``s`` gets mixture weight
+    ``w_s = n_s**alpha / sum(n**alpha)`` — ``alpha < 1`` upsamples
+    small high-value sources relative to their raw share — and a
+    per-document keep rate ``rate_s = min(1, target_frac * N * w_s /
+    n_s)`` so the expected kept volume is ``target_frac * N`` split by
+    the tempered weights. Document membership is the same
+    deterministic md5-threshold predicate as :func:`stratified_sample`
+    (no RNG — retries and repartitions cannot change the sample).
+
+    Rates are ROUNDED TO 6dp before thresholding so a last-ulp ``pow``
+    difference between engines can never move the cut line (the same
+    round-before-compare contract the percentile operators use). A
+    rate >= 1.0 keeps everything explicitly — its 2**32 threshold does
+    not fit the 8-hex-char key space.
+
+    Scale shape: the per-source rate table is one groupBy(source)
+    aggregate (source cardinality is tiny) broadcast back onto the
+    corpus; the keep predicate and the final per-source rollup are one
+    map pass + one small shuffle.
+
+    Output: (stratum, n_docs, mix_weight 4dp, rate 6dp, n_kept).
+    """
+    c = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = c.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.pow("n", F.lit(alpha))).alias("wsum"),
+    )
+    w = F.pow("n", F.lit(alpha)) / F.col("wsum")
+    rates = c.join(F.broadcast(tot)).select(
+        "stratum",
+        F.col("n").cast("long").alias("n_docs"),
+        round_half_up(w, 4).alias("mix_weight"),
+        round_half_up(
+            F.least(F.lit(1.0), F.lit(target_frac) * F.col("n_total") * w / F.col("n")),
+            6,
+        ).alias("rate"),
+    )
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+    )
+    thresh = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("rate") * F.lit(float(_HEX_SPACE))).cast("bigint")),
+            8,
+            "0",
+        )
+    )
+    kept = (F.col("rate") >= 1.0) | (key < thresh)
+    return (
+        df.select(F.col(strata_col).alias("stratum"), F.col(id_col))
+        .join(F.broadcast(rates), "stratum")
+        .groupBy("stratum", "n_docs", "mix_weight", "rate")
+        .agg(F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"))
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 5,
+    seed: str = "v1",
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: the k smallest
+    ``md5(seed:id)`` keys of each group — the hash-rank formulation of
+    reservoir sampling (uniform over the group, yet exactly
+    reproducible across engines, retries, and repartitions, which a
+    classical stateful reservoir is not).
+
+    Shape: one shuffle on the group key + a per-group sort. At 100 TB
+    the window's full per-group sort is the cost; the swap is a
+    two-phase top-k (per-partition k-heap partial → merge), which
+    Spark applies automatically for global ORDER BY LIMIT but not per
+    group — bounded k keeps the window variant viable far longer than
+    a full-rank window would be.
+
+    Output: (group, id, sample_rank 1..k, sample_key).
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(F.col("sample_key"), F.col(id_col))
+    return (
+        df.select(F.col(group_col), F.col(id_col), key.alias("sample_key"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -770,3 +770,207 @@ def ann_topk_sq8(
         F.col("cos_sim").alias("cos_sim_sq8"),
         "rnk",
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the m-subspace generalization of SQ8
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> "list[list[list[float]]]":
+    """Train PQ codebooks: ``m`` subspaces × ``k`` centroids each over
+    the unit-normalized corpus (Jégou et al. 2011). Vectors are split
+    into ``m`` contiguous ``dim/m``-wide subvectors; each subspace gets
+    its own small L2 Lloyd run. The code footprint per vector is then
+    ``m`` small ints (m=8,k=16 → 4 bytes) versus ``dim`` float32s — a
+    64× cut, the compression tier below SQ8's 4×.
+
+    Training is a bounded-sample driver problem exactly like
+    :func:`kmeans_centroids` (codebooks are m×k×(dim/m) floats — a few
+    KB shipped back as plan literals); encoding and search — the
+    O(corpus) parts — stay fully distributed AND fully JVM-side (see
+    :func:`pq_encode`: the codebooks become nested array literals, so
+    neither pass crosses the Python boundary per row).
+
+    Seeds per subspace are drawn by the same LCG-permutation scheme as
+    the IVF trainer (reproducible across numpy versions); empty
+    clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+    sample = (
+        emb.select(as_double_array(F.col(vec_col)).alias("v"), F.col(id_col).alias("i"))
+        .orderBy("i")
+        .limit(sample_cap)
+        .toPandas()
+    )
+    if len(sample) == 0:
+        raise ValueError("pq_codebooks: empty embedding table")
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        state, order = (seed + 31 * s) & 0x7FFFFFFF, []
+        taken: set[int] = set()
+        while len(order) < min(k, len(sub)):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            j = state % len(sub)
+            if j not in taken:
+                taken.add(j)
+                order.append(j)
+        cents = sub[order].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def _pq_literal(books: "list[list[list[float]]]") -> str:
+    """Nested SQL array literal for the codebooks (CB[s][c][d])."""
+    def arr(xs) -> str:
+        if xs and isinstance(xs[0], list):
+            return "array(" + ", ".join(arr(x) for x in xs) + ")"
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in xs) + ")"
+
+    return arr(books)
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: "list[list[list[float]]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-centroid codes.
+
+    Entirely JVM-side: the codebooks ride along as a nested array
+    literal inside one Catalyst expression — per subspace, distances
+    to the k centroids are folded and the argmin taken via
+    array_sort on (distance, index) structs (ties → lowest index,
+    deterministic). Map-only, zero shuffle, no Python boundary: the
+    whole encode pass lives inside whole-stage codegen.
+
+    Output: (id, codes array<int> length m, codes_csv).
+    """
+    m = len(books)
+    dsub = len(books[0][0])
+    cb = _pq_literal(books)
+    codes = F.expr(
+        f"""
+        transform(sequence(0, {m - 1}), s ->
+          array_sort(
+            transform(element_at({cb}, s + 1), (cent, ci) ->
+              named_struct(
+                'd', aggregate(
+                       zip_with(slice(__unit, s * {dsub} + 1, {dsub}), cent,
+                                (a, b) -> (a - b) * (a - b)),
+                       0D, (acc, x) -> acc + x),
+                'ci', ci)))[0].ci)
+        """
+    )
+    v = as_double_array(F.col(vec_col))
+    unit = emb.select(
+        F.col(id_col), v.alias("__v"), norm(v).alias("__n")
+    ).select(
+        id_col,
+        F.when(F.col("__n") > 0, F.transform(F.col("__v"), lambda e: e / F.col("__n")))
+        .otherwise(F.col("__v"))
+        .alias("__unit"),
+    )
+    return unit.select(F.col(id_col), codes.alias("codes")).select(
+        id_col, "codes", F.array_join(F.col("codes"), ",").alias("codes_csv")
+    )
+
+
+def ann_topk_pq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric top-k search over the PQ-encoded corpus (ADC).
+
+    Queries stay full-precision; each corpus vector's score is the sum
+    over subspaces of dot(query subvector, centroid[code]) — with the
+    corpus unit-normalized at encode time this approximates cosine to
+    within per-subspace quantization error. The scoring expression
+    indexes the codebook literal by each stored code, so the scan
+    reads only the m-int codes column: at 100 TB the ADC pass touches
+    m bytes per vector where the exact scan reads 4·dim (16× less at
+    the m=16, dim=64 defaults; 64× at m=8).
+
+    Same distributed shape as :func:`brute_force_topk`: broadcast
+    query set, one corpus scan, per-query window for rank. Rows-only
+    operator — scores carry quantization error by design; determinism
+    and recall-vs-exact are pytest-pinned (mirroring ann_sq8).
+    """
+    first = emb.select(as_double_array(F.col(vec_col)).alias("v")).first()
+    dim = len(first["v"]) if first and first["v"] is not None else m
+    books = pq_codebooks(emb, dim, m=m, k=n_centroids, vec_col=vec_col)
+    dsub = dim // m
+    cb = _pq_literal(books)
+    codes = pq_encode(emb, books, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    qv = as_double_array(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("__q"), norm(qv).alias("__n")
+    ).select(
+        "query_id",
+        F.when(F.col("__n") > 0, F.transform(F.col("__q"), lambda e: e / F.col("__n")))
+        .otherwise(F.col("__q"))
+        .alias("qv"),
+    )
+    score = F.expr(
+        f"""
+        aggregate(
+          zip_with(codes, sequence(0, {m - 1}), (c, s) ->
+            aggregate(
+              zip_with(slice(qv, s * {dsub} + 1, {dsub}),
+                       element_at(element_at({cb}, s + 1), c + 1),
+                       (a, b) -> a * b),
+              0D, (acc, x) -> acc + x)),
+          0D, (acc, x) -> acc + x)
+        """
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(score, 4).alias("pq_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "pq_score", "rnk")
+    )

@@ -1,0 +1,106 @@
+"""Count-min sketch frequency estimation.
+
+Completes the mergeable-sketch family next to HLL++ cardinality
+(events_approx_users) and the t-digest/quantile bands
+(price_bands_sketch): CMS answers "how often does key k occur" in
+``depth × width`` counters regardless of key cardinality — the
+constant-memory heavy-hitter primitive (Cormode & Muthukrishnan 2005)
+that at 100 TB replaces a full groupBy over an unbounded key space
+with a fixed 4×1024-cell table.
+
+Spark-first shape: the sketch IS a groupBy — each event lands in
+``depth`` (row, bucket) cells via seeded xxhash64, and
+groupBy(row, bucket).count() builds all counters in one map-side-
+combining shuffle whose output is exactly ``depth × width`` rows.
+Merging shards/streams is counter addition, which that same groupBy
+already performs. Estimation for a candidate key takes the MIN over
+its ``depth`` cells (each cell only ever over-counts — collisions add,
+never subtract — so the min is the tightest upper bound; est >= truth
+always, and est - truth <= e·N/width with prob 1-(1/e)^depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_cells(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build the CMS counter table: (row, bucket, cnt), depth×width rows.
+
+    Seeded hash rows are emulated by hashing (key, row_index) together
+    — xxhash64 over the pair is an independent-enough family per row
+    index, and identical in any engine exposing the same hash (the
+    pytest gate checks the sketch's structural invariants rather than
+    cross-engine hashes; the key itself never leaves the executor).
+
+    The per-event ×depth expansion happens in-plan (posexplode of a
+    ``depth``-literal array) before the single hash shuffle; partial
+    aggregation compresses each map task to at most depth×width cells
+    before anything moves.
+    """
+    rows = F.posexplode(F.array(*[F.lit(d) for d in range(depth)]))
+    return (
+        df.select(F.col(key_col).alias("__k"))
+        .select("__k", rows.alias("row", "__d"))
+        .select(
+            "row",
+            F.pmod(F.xxhash64(F.col("__k"), F.col("row")), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    top: int = 20,
+) -> DataFrame:
+    """Exact top-``top`` keys side-by-side with their CMS estimates.
+
+    The exact pass exists to GRADE the sketch (rows-only key +
+    overestimate-bound pytest); a production heavy-hitter query keeps
+    only the sketch plus a candidate stream. Estimation joins the
+    ``top × depth`` candidate cells against the sketch on
+    (row, bucket) — the sketch side is depth×width rows, so Spark
+    broadcasts it and the probe is map-only.
+
+    Output: (key, exact_n, cms_n, overestimate), exact-count
+    descending, key ascending as the deterministic tie-break.
+    """
+    exact = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("key").asc())
+        .limit(top)
+    )
+    cells = cms_cells(df, key_col, depth, width)
+    probes = exact.select(
+        "key",
+        "exact_n",
+        F.posexplode(F.array(*[F.lit(d) for d in range(depth)])).alias("row", "__d"),
+    ).select(
+        "key",
+        "exact_n",
+        "row",
+        F.pmod(F.xxhash64(F.col("key"), F.col("row")), F.lit(width)).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            "key",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_n").cast("long").alias("cms_n"),
+            (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("key").asc())
+    )

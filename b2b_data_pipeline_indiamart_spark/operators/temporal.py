@@ -363,3 +363,95 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(top_n)
     )
+
+
+def ewma_hourly(
+    events: DataFrame,
+    group_col: str = "event_type",
+    decay: float = 0.8,
+    window_hours: int = 24,
+) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume.
+
+    For each observed (group, hour), ``ewma = sum(cnt[h-j] * decay^j)
+    / sum(decay^j)`` over the trailing ``window_hours`` OBSERVED
+    hours, weights decayed by true hour distance ``j`` — gap-aware:
+    an absent hour contributes to neither numerator nor normalizer,
+    so the estimate never dilutes toward zero across outage gaps
+    (``fill(previous)``-style smoothing; pair with gap_fill_hourly
+    when zero-fill semantics are wanted instead).
+
+    Scale shape: the naive formulation is a range self-join (theta
+    join — quadratic within each band). This instead EXPLODES each
+    hourly observation into its ``window_hours`` future target slots
+    (sequence + explode, a fixed ×W in-plan expansion of an
+    already-aggregated hourly frame, same trick as events_sliding)
+    and re-aggregates by equi-key (group, target hour) — one hash
+    shuffle, no theta join. A left-semi join against the observed
+    hours keeps the output grid = observed grid. The linear-recurrence
+    form (u_t = x_t / decay^t prefix sums) is deliberately avoided:
+    ``decay^-t`` overflows doubles after ~1500 hours.
+
+    Output: (group, hour_start, n_events, ewma 4dp).
+    """
+    hourly = (
+        events.groupBy(
+            F.col(group_col).alias("grp"),
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("hidx"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    contrib = hourly.select(
+        "grp",
+        "cnt",
+        F.col("hidx").alias("src_hidx"),
+        F.explode(
+            F.sequence(F.col("hidx"), F.col("hidx") + F.lit(window_hours - 1))
+        ).alias("tgt_hidx"),
+    ).select(
+        "grp",
+        "tgt_hidx",
+        (F.col("cnt") * F.pow(F.lit(decay), F.col("tgt_hidx") - F.col("src_hidx"))).alias("wx"),
+        F.pow(F.lit(decay), F.col("tgt_hidx") - F.col("src_hidx")).alias("w"),
+    )
+    smoothed = contrib.groupBy("grp", "tgt_hidx").agg(
+        (F.sum("wx") / F.sum("w")).alias("__ewma")
+    )
+    observed = hourly.select("grp", F.col("hidx").alias("tgt_hidx"), "cnt")
+    return (
+        smoothed.join(observed, ["grp", "tgt_hidx"])
+        .select(
+            F.col("grp").alias(group_col),
+            F.date_format(
+                F.timestamp_seconds(F.col("tgt_hidx") * 3600), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_start"),
+            F.col("cnt").cast("long").alias("n_events"),
+            round_half_up(F.col("__ewma"), 4).alias("ewma"),
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session-length distribution built on :func:`sessionize`:
+    one row per session size ``n_events`` with how many sessions hit
+    that size, their mean duration, and mean carried value — the
+    engagement-distribution rollup a clickstream dashboard plots.
+
+    Adds ONE tiny aggregation (cardinality = distinct session sizes)
+    on top of sessionize's single user-keyed shuffle.
+
+    Output: (n_events, n_sessions, avg_session_min 4dp, avg_value 4dp).
+    """
+    s = sessionize(events, gap_minutes=gap_minutes)
+    return (
+        s.groupBy(F.col("n_events").cast("long").alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            round_half_up(F.avg(F.col("session_ms") / 60000.0), 4).alias(
+                "avg_session_min"
+            ),
+            round_half_up(F.avg("sum_value"), 4).alias("avg_value"),
+        )
+    )

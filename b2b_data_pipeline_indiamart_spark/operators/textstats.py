@@ -288,3 +288,46 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.xxhash64(s).alias("fingerprint_x64"),
         F.md5(F.substring(s, 1, 64)).alias("prefix_md5"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality signal per document.
+
+    Trains the LM on the corpus itself — token unigram frequencies —
+    and scores each document by the average natural-log probability of
+    its token instances (the CCNet / KenLM-style "perplexity" quality
+    filter, reduced to the order-0 model a pure SQL engine can state
+    exactly; real pipelines swap in a pretrained KenLM binary at this
+    same seam). Low ``avg_logprob`` = rare-token-heavy documents
+    (boilerplate, code dumps, mangled encodings); high = stopword-ish
+    common text. No smoothing is needed: every scored token was seen
+    by the trainer (count >= 1) so probabilities are never zero.
+
+    Scale shape: three keyed shuffles — explode → groupBy(token)
+    counts (map-side combine over the Zipf head), token-keyed join of
+    instances to counts, groupBy(doc). The grand-total token count is
+    a one-row aggregate broadcast into the plan, never a driver
+    round-trip. Vocabulary is deliberately NOT broadcast (unbounded at
+    corpus scale — same reasoning as docs_tfidf_topterms).
+
+    Output: (id, n_tokens, avg_logprob) for documents with >= 1 token.
+    """
+    toks = _with_tokens(docs, text_col, id_col)
+    inst = toks.filter(F.col("__norm").isNotNull()).select(
+        F.col(id_col), F.explode("__toks").alias("tok")
+    )
+    cnt = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").cast("double").alias("n_total"))
+    return (
+        inst.join(cnt, "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            round_half_up(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n_total"))), 4
+            ).alias("avg_logprob"),
+        )
+    )

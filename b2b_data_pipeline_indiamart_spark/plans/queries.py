@@ -2824,3 +2824,397 @@ def orders_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ==========================================================================
+# Round 6 — LLM-pipeline additions: unigram LM scoring, mixture sampling,
+# per-source reservoir, duplication reporting, PQ, count-min sketch
+# ==========================================================================
+
+
+@_register(
+    "docs_unigram_logprob",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    inst AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM d WHERE s IS NOT NULL),
+    cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM inst GROUP BY tok),
+    tot AS (SELECT sum(c) AS n_total FROM cnt)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(c / n_total)), 4) AS avg_logprob
+    FROM inst JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality signal per document
+    (operators/textstats.unigram_logprob) — the order-0, exactly-SQL-
+    statable core of the CCNet/KenLM perplexity filter. Three keyed
+    shuffles (token counts / token-keyed score join / per-doc
+    rollup); the grand total is a one-row broadcast; the vocabulary
+    is deliberately NOT broadcast (unbounded at corpus scale)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return textstats.unigram_logprob(docs)
+
+
+@_register(
+    "docs_mixture_sample",
+    """
+    WITH c AS (SELECT source AS stratum, CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS n_total, sum(pow(n, 0.5)) AS wsum FROM c),
+    r AS (SELECT stratum, CAST(n AS BIGINT) AS n_docs,
+                 round(pow(n, 0.5) / wsum, 4) AS mix_weight,
+                 round(least(1.0, 0.3 * n_total * (pow(n, 0.5) / wsum) / n), 6) AS rate
+          FROM c CROSS JOIN t),
+    d AS (SELECT source AS stratum,
+                 substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS key
+          FROM documents)
+    SELECT r.stratum, r.n_docs, r.mix_weight, r.rate,
+           CAST(sum(CASE WHEN r.rate >= 1.0 OR d.key <
+                  lower(lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0'))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d JOIN r USING (stratum)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture sampling summary
+    (operators/sampling.mixture_sample_summary): alpha=0.5 tempered
+    source weights, 30% target corpus fraction, md5-threshold
+    membership — the Pile/LLaMA source-rebalancing step. Rates are
+    rounded to 6dp BEFORE thresholding on both sides so a last-ulp
+    pow() disagreement can never move the cut. Per-source rate table
+    broadcast; one map pass + two tiny shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mixture_sample_summary(
+        docs, "source", "doc_id", alpha=0.5, target_frac=0.3, seed="mix1"
+    )
+
+
+@_register(
+    "docs_sample_per_source",
+    """
+    WITH k AS (SELECT source, doc_id,
+                      md5('v1:' || CAST(doc_id AS VARCHAR)) AS sample_key
+               FROM documents)
+    SELECT source, doc_id, sample_key, sample_rank FROM (
+      SELECT source, doc_id, sample_key,
+             CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY sample_key, doc_id) AS INT) AS sample_rank
+      FROM k)
+    WHERE sample_rank <= 5
+    """,
+)
+def docs_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source 5-doc sample
+    (operators/sampling.sample_per_group): the k-smallest-hash
+    formulation of reservoir sampling — uniform per source yet
+    exactly reproducible across engines/retries/partitionings. One
+    group-keyed shuffle; bounded k keeps the per-group sort cheap."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_per_group(docs, "source", "doc_id", k=5, seed="v1").select(
+        "source", "doc_id", "sample_key", "sample_rank"
+    )
+
+
+@_register(
+    "docs_exact_dup_by_source",
+    f"""
+    WITH d AS (SELECT doc_id, source,
+                      coalesce(md5({_NORM}), '__null__') AS h FROM documents),
+    g AS (SELECT h, count(*) AS sz, min(doc_id) AS keeper FROM d GROUP BY h)
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.doc_id <> g.keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(sum(CASE WHEN d.doc_id <> g.keeper THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_rate,
+           CAST(count(DISTINCT CASE WHEN g.sz > 1 THEN g.h END) AS BIGINT)
+             AS n_dup_groups
+    FROM d JOIN g ON d.h = g.h GROUP BY d.source
+    """,
+)
+def docs_exact_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication curation report
+    (operators/dedup.exact_dup_by_source): redundant-copy counts and
+    distinct duplicated contents per source, sharing exact_collapse's
+    '__null__' sentinel semantics so the report matches what the
+    collapse stage would drop. Two keyed shuffles, no windows. The
+    synthetic corpus happens to contain zero exact dups — the oracle
+    still value-checks the whole hash/join/rollup pipeline, and the
+    pytest unit test feeds a corpus WITH duplicates."""
+    docs = _tp(spark, sf_dir, "documents")
+    return dedup.exact_dup_by_source(docs)
+
+
+@_register("ann_pq")  # rows-only: PQ scores carry quantization error by design
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 for the 5 lowest-id query
+    vectors (similarity.ann_topk_pq, m=16 subspaces × 16 centroids):
+    the compression tier below SQ8 — 16 small ints per vector instead
+    of 64 floats. Training is a bounded-sample driver problem;
+    encode and search are map-only JVM expressions over codebook
+    literals (no Python per row). Rows-only: determinism and
+    recall-vs-exact are pytest-pinned (tests/test_round6_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_pq(emb, queries, k=10, m=16, n_centroids=16).orderBy(
+        "query_id", "rnk"
+    )
+
+
+@_register("events_heavy_hitters_cms")  # rows-only: xxhash64 bucketing is engine-specific
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over user_id
+    (operators/sketches.cms_estimate_heavy_hitters, depth=4,
+    width=1024): exact top-20 side-by-side with their CMS estimates —
+    the constant-memory frequency sketch completing the mergeable
+    family (HLL cardinality, t-digest quantiles, CMS frequency).
+    Rows-only: the sketch table is built from xxhash64 buckets; the
+    overestimate bound (est >= exact, est - exact <= e·N/width) is
+    pytest-pinned."""
+    events = _t(spark, sf_dir, "events")
+    from ..operators import sketches
+
+    return sketches.cms_estimate_heavy_hitters(events, "user_id", top=20)
+
+
+# ==========================================================================
+# Round 6 — analytics / temporal additions
+# ==========================================================================
+
+
+@_register(
+    "orders_cube",
+    """
+    WITH o AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                      o_totalprice
+               FROM orders)
+    SELECT coalesce(status, 'ALL') AS order_status,
+           coalesce(priority, 'ALL') AS order_priority,
+           CAST(GROUPING(status) AS INT) AS g_status,
+           CAST(GROUPING(priority) AS INT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM o GROUP BY CUBE(status, priority)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four (status, priority) marginals in
+    ONE aggregation pass (the ROLLUP key's full-lattice sibling;
+    Catalyst expands the sets, partial aggregation still combines
+    map-side, so at 100 TB this replaces four scans with one).
+    GROUPING() indicators disambiguate 'ALL' labels from data rows."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return (
+        o.cube("status", "priority")
+        .agg(
+            F.grouping("status").cast("int").alias("g_status"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("status"), F.lit("ALL")).alias("order_status"),
+            F.coalesce(F.col("priority"), F.lit("ALL")).alias("order_priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@_register(
+    "orders_yoy_growth",
+    """
+    WITH a AS (SELECT o_orderpriority AS priority, year(o_orderdate) AS yr,
+                      sum(o_totalprice) AS rev
+               FROM orders GROUP BY 1, 2)
+    SELECT priority, CAST(yr AS INT) AS order_year, round(rev, 2) AS revenue,
+           round(100.0 * (rev - lag(rev) OVER w) / lag(rev) OVER w, 2) AS yoy_pct
+    FROM a WINDOW w AS (PARTITION BY priority ORDER BY yr)
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: pre-aggregate
+    to the (priority, year) grain FIRST — the lag window then runs
+    over priorities × years rows (dozens), not orders, so the sort is
+    free at any scale and the window partition spec is never empty."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("priority").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return a.select(
+        "priority",
+        F.col("yr").cast("int").alias("order_year"),
+        round_half_up(F.col("rev"), 2).alias("revenue"),
+        round_half_up(F.lit(100.0) * (F.col("rev") - prev) / prev, 2).alias("yoy_pct"),
+    )
+
+
+@_register(
+    "events_ewma",
+    """
+    WITH hourly AS (SELECT event_type AS grp,
+          CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS BIGINT) AS hidx,
+          count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    c AS (SELECT grp, hidx + j.j AS tgt,
+                 cnt * pow(0.8, j.j) AS wx, pow(0.8, j.j) AS w
+          FROM hourly, (SELECT unnest(generate_series(0, 23)) AS j) j),
+    sm AS (SELECT grp, tgt, sum(wx) / sum(w) AS e FROM c GROUP BY 1, 2)
+    SELECT h.grp AS event_type,
+           strftime(epoch_ms(h.hidx * 3600000), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(h.cnt AS BIGINT) AS n_events,
+           round(sm.e, 4) AS ewma
+    FROM hourly h JOIN sm ON sm.grp = h.grp AND sm.tgt = h.hidx
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware EWMA of hourly event volume
+    (operators/temporal.ewma_hourly, decay 0.8 over a 24h trailing
+    span): each hourly observation is EXPLODED into its future target
+    slots and re-aggregated by equi-key — one hash shuffle, no theta
+    self-join, no overflow-prone decay^-t prefix trick. The oracle
+    states the identical explode+regroup formulation."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.ewma_hourly(events, "event_type", decay=0.8, window_hours=24)
+
+
+@_register(
+    "part_copurchase",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    sz AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND 32),
+    pairs AS (SELECT a.pk AS pk1, b.pk AS pk2
+              FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+              JOIN sz ON sz.ok = a.ok)
+    SELECT pk1, pk2, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_orders DESC, pk1, pk2 LIMIT 20
+    """,
+)
+def part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (frequent itemsets, k=2): top-20
+    part pairs appearing in the same order. The pair expansion is a
+    self-equi-join on the basket key — O(sum of basket² ) bounded by
+    the 2..32 basket-size gate (the gate also drops pathological mega
+    baskets that would quadratically dominate at 100 TB). DISTINCT
+    first so multi-lineitem repeats of one part don't inflate pairs;
+    top-20 via TakeOrderedAndProject with full tie-break ordering."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sz = li.groupBy("ok").agg(F.count(F.lit(1)).alias("__n")).filter(
+        (F.col("__n") >= 2) & (F.col("__n") <= 32)
+    ).select("ok")
+    a = li.withColumnRenamed("pk", "pk1")
+    b = li.withColumnRenamed("pk", "pk2")
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pk1") < F.col("pk2"))
+        .join(sz, "ok", "left_semi")
+    )
+    return (
+        pairs.groupBy("pk1", "pk2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "pk1", "pk2")
+        .limit(20)
+    )
+
+
+@_register(
+    "events_session_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), ids AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS session_ms,
+             round(sum(value), 2) AS sum_value
+      FROM ids GROUP BY user_id, session_id
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(session_ms / 60000.0), 4) AS avg_session_min,
+           round(avg(sum_value), 4) AS avg_value
+    FROM sess GROUP BY 1
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution (operators/temporal.session_stats):
+    sessions per size with mean duration and mean carried value — the
+    engagement histogram over sessionize's single user-keyed shuffle
+    plus one tiny (distinct-sizes-cardinality) rollup."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.session_stats(events, gap_minutes=30)
+
+
+@_register(
+    "embedding_centroids",
+    """
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    ex AS (SELECT label, u.i AS d, e[u.i] AS x
+           FROM v, UNNEST(range(1, len(e) + 1)) AS u(i))
+    SELECT label, CAST(d - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(x), 4) AS mean_val
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim,
+    n_vecs, mean dimension value) — the cluster-health profile of a
+    labeled vector corpus. posexplode → groupBy(label, dim) with
+    map-side partial aggregation: the shuffle carries at most
+    labels × dims aggregate rows regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(similarity.as_double_array(F.col("embedding"))).alias("dim", "x"),
+    )
+    return ex.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        round_half_up(F.avg("x"), 4).alias("mean_val"),
+    )
+
+
+@_register(
+    "events_dow_hour_heatmap",
+    """
+    SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events, round(avg(value), 2) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (the classic traffic
+    matrix behind every ops dashboard): one map-side-combining
+    aggregate into at most 7×24 rows. ISO day numbering (Mon=1) is
+    pinned on both sides — Spark's weekday()+1 ≡ DuckDB's isodow —
+    because engines disagree on default week origin."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_half_up(F.avg("value"), 2).alias("avg_value"),
+    )

@@ -1,0 +1,275 @@
+"""Unit tests for the round-6 operators: unigram LM scoring, mixture
+sampling, per-group reservoir, duplication report, product
+quantization, count-min sketch, EWMA, session stats, cube. Value-level
+oracle parity is covered by test_oracle_parity.py; these pin operator
+semantics on hand-built frames where the expected answer is obvious."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from b2b_data_pipeline_indiamart_spark.operators import (
+    dedup,
+    sampling,
+    similarity,
+    sketches,
+    temporal,
+    textstats,
+)
+from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+
+# ---------------------------------------------------------------- unigram LM
+
+
+def test_unigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame([(1, "a a b"), (2, "b")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in textstats.unigram_logprob(docs).collect()}
+    # corpus counts: a=2, b=2, total=4 -> p = 0.5 for both tokens
+    assert rows[1]["n_tokens"] == 3
+    assert rows[2]["n_tokens"] == 1
+    expected = round(math.log(0.5), 4)
+    assert rows[1]["avg_logprob"] == expected
+    assert rows[2]["avg_logprob"] == expected
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "rare")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["avg_logprob"] for r in textstats.unigram_logprob(docs).collect()}
+    assert rows[2] < rows[1]
+
+
+def test_unigram_logprob_skips_contentless_docs(spark):
+    docs = spark.createDataFrame([(1, "x y"), (2, "  "), (3, None)], ["doc_id", "text"])
+    ids = {r["doc_id"] for r in textstats.unigram_logprob(docs).collect()}
+    assert ids == {1}
+
+
+# ------------------------------------------------------------ mixture sample
+
+
+def test_mixture_sample_tempering_upsamples_small_sources(spark):
+    rows = [("big", i) for i in range(400)] + [("small", 1000 + i) for i in range(25)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = {
+        r["stratum"]: r
+        for r in sampling.mixture_sample_summary(
+            df, "source", "doc_id", alpha=0.5, target_frac=0.3
+        ).collect()
+    }
+    # alpha < 1 gives the small source a HIGHER per-doc keep rate
+    assert out["small"]["rate"] > out["big"]["rate"]
+    assert abs(out["small"]["mix_weight"] + out["big"]["mix_weight"] - 1.0) < 0.01
+    for r in out.values():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+
+
+def test_mixture_sample_rate_clamps_to_keep_all(spark):
+    # tiny source + aggressive target -> rate hits the 1.0 clamp
+    rows = [("big", i) for i in range(500)] + [("tiny", 9000), ("tiny", 9001)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = {
+        r["stratum"]: r
+        for r in sampling.mixture_sample_summary(
+            df, "source", "doc_id", alpha=0.3, target_frac=0.5
+        ).collect()
+    }
+    assert out["tiny"]["rate"] == 1.0
+    assert out["tiny"]["n_kept"] == out["tiny"]["n_docs"]
+
+
+def test_mixture_sample_deterministic(spark, sf_small):
+    a = QUERIES["docs_mixture_sample"](spark, sf_small).collect()
+    b = QUERIES["docs_mixture_sample"](spark, sf_small).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------- per-group sample
+
+
+def test_sample_per_group_shape_and_determinism(spark):
+    rows = [("g1", i) for i in range(50)] + [("g2", 100 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["grp", "id"])
+    out = sampling.sample_per_group(df, "grp", "id", k=5).collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert len(by_grp["g1"]) == 5
+    assert len(by_grp["g2"]) == 3  # group smaller than k keeps all
+    assert sorted(r["sample_rank"] for r in by_grp["g1"]) == [1, 2, 3, 4, 5]
+    # repartition-invariant membership
+    again = sampling.sample_per_group(df.repartition(7), "grp", "id", k=5).collect()
+    assert sorted((r["grp"], r["id"]) for r in out) == sorted(
+        (r["grp"], r["id"]) for r in again
+    )
+
+
+# -------------------------------------------------------- duplication report
+
+
+def test_exact_dup_by_source_counts_copies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same  text", "a"),
+            (2, "same text", "a"),  # whitespace-normalized duplicate of 1
+            (3, "unique", "a"),
+            (4, "other", "b"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r for r in dedup.exact_dup_by_source(docs).collect()}
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["n_dup_docs"] == 1  # doc 2 (keeper is min id 1)
+    assert out["a"]["n_dup_groups"] == 1
+    assert out["a"]["dup_rate"] == round(1 / 3, 4)
+    assert out["b"]["n_dup_docs"] == 0
+
+
+def test_exact_dup_by_source_null_sentinel_group(spark):
+    docs = spark.createDataFrame(
+        [(1, None, "a"), (2, "  ", "a"), (3, "real", "a")], ["doc_id", "text", "source"]
+    )
+    [r] = dedup.exact_dup_by_source(docs).collect()
+    # both contentless docs share the __null__ group -> one is a dup copy
+    assert r["n_dup_docs"] == 1 and r["n_dup_groups"] == 1
+
+
+# ------------------------------------------------------ product quantization
+
+
+def test_pq_encode_code_range_and_map_only(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark import catalog
+
+    emb = catalog.load(spark, sf_small, "embeddings").limit(200)
+    books = similarity.pq_codebooks(emb, dim=64, m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = similarity.pq_encode(emb, books)
+    rows = enc.collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    # encode is map-only: no exchange in the plan
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_codebooks_deterministic(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark import catalog
+
+    emb = catalog.load(spark, sf_small, "embeddings")
+    b1 = similarity.pq_codebooks(emb, dim=64, m=8, k=16)
+    b2 = similarity.pq_codebooks(emb, dim=64, m=8, k=16)
+    assert b1 == b2
+
+
+def test_ann_pq_recall_and_determinism(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark import catalog
+
+    emb = catalog.load(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    pq = similarity.ann_topk_pq(emb, q, k=10)
+    got = pq.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, pq.collect()))
+    exact = similarity.brute_force_topk(emb, q, k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in got}
+    b = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # synthetic near-random embeddings are the PQ worst case; recall
+    # must still beat chance (10/1000 = 0.01) by a wide margin
+    assert len(a & b) / len(b) >= 0.25
+    # every query returns a full top-10 with ranks 1..10
+    per_q: dict = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+# ----------------------------------------------------------- count-min sketch
+
+
+def test_cms_overestimates_within_bound(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark import catalog
+
+    events = catalog.load(spark, sf_small, "events")
+    n_total = events.count()
+    width = 1024
+    out = sketches.cms_estimate_heavy_hitters(events, "user_id", width=width).collect()
+    assert len(out) == 15 or len(out) == 20  # top-N capped by distinct users
+    for r in out:
+        assert r["cms_n"] >= r["exact_n"]  # CMS never undercounts
+        assert r["overestimate"] <= math.e * n_total / width + 1
+
+
+def test_cms_cells_bounded_and_deterministic(spark):
+    rows = [(i % 7,) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k"])
+    cells = sketches.cms_cells(df, "k", depth=4, width=32)
+    got = cells.collect()
+    assert len(got) <= 4 * 32
+    assert sum(r["cnt"] for r in got) == 4 * 1000  # every event in every row
+    assert sorted(map(tuple, got)) == sorted(map(tuple, cells.collect()))
+
+
+# ------------------------------------------------------------------ temporal
+
+
+def test_ewma_hand_computed(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", "click", 1.0),
+            (2, "2024-01-01 00:45:00", "click", 1.0),
+            (3, "2024-01-01 01:10:00", "click", 1.0),
+            (4, "2024-01-05 12:00:00", "click", 1.0),  # far beyond the 24h span
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["hour_start"]: r for r in temporal.ewma_hourly(events).collect()}
+    # hour 00: 2 events, no history -> ewma = 2
+    assert out["2024-01-01 00:00:00"]["ewma"] == 2.0
+    # hour 01: (1 + 2*0.8) / (1 + 0.8)
+    assert out["2024-01-01 01:00:00"]["ewma"] == round((1 + 2 * 0.8) / 1.8, 4)
+    # isolated hour far past the window -> just its own count
+    assert out["2024-01-05 12:00:00"]["ewma"] == 1.0
+
+
+def test_session_stats_hand_computed(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", 2.0),
+            (2, 10, "2024-01-01 00:10:00", 4.0),  # same session (10 min gap)
+            (3, 10, "2024-01-01 02:00:00", 8.0),  # new session
+            (4, 20, "2024-01-01 05:00:00", 1.0),
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["n_events"]: r for r in temporal.session_stats(events).collect()}
+    assert out[2]["n_sessions"] == 1 and out[2]["avg_session_min"] == 10.0
+    assert out[1]["n_sessions"] == 2 and out[1]["avg_session_min"] == 0.0
+    assert out[1]["avg_value"] == round((8.0 + 1.0) / 2, 4)
+
+
+# ---------------------------------------------------------------- cube sanity
+
+
+def test_orders_cube_lattice_consistency(spark, sf_small):
+    rows = QUERIES["orders_cube"](spark, sf_small).collect()
+    grand = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(grand) == 1
+    data_rows = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 0]
+    assert sum(r["n_orders"] for r in data_rows) == grand[0]["n_orders"]
+    status_marg = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 1]
+    assert sum(r["n_orders"] for r in status_marg) == grand[0]["n_orders"]
+
+
+def test_dow_heatmap_iso_monday_is_one(spark):
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "x", 1.0)],  # 2024-01-01 is a Monday
+        ["event_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = events.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).count().collect()
+    assert out[0]["dow"] == 1 and out[0]["hour_of_day"] == 10
