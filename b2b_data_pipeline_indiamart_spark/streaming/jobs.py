@@ -405,3 +405,34 @@ def streaming_decontaminate(
             (shared > 0).alias("contaminated"),
         )
     )
+
+
+def streaming_cms_cells(
+    event_stream: DataFrame, key_col: str = "user_id", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Streaming face of the count-min sketch: the same per-event
+    (row, bucket) expansion as operators/sketches.cms_cells, but the
+    counter table is maintained as a STREAMING aggregation — state is
+    bounded at depth × width rows forever, which is the whole point of
+    sketching a stream: heavy-hitter frequency over an unbounded key
+    space with O(1) memory and no watermark/eviction policy needed
+    (counters only grow; emit in update mode).
+
+    Because both faces share the hash expression, a batch replay of
+    the same events produces bit-identical cells — pytest pins stream
+    cells == batch cells, the same twin contract as
+    streaming_decontaminate.
+    """
+    rows = F.posexplode(F.array(*[F.lit(d) for d in range(depth)]))
+    return (
+        event_stream.select(F.col(key_col).alias("__k"))
+        .select("__k", rows.alias("row", "__d"))
+        .select(
+            "row",
+            F.pmod(F.xxhash64(F.col("__k"), F.col("row")), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

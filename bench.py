@@ -60,6 +60,13 @@ EXTENDED_KEYS = [
     "customer_rfm",
     "dedup_prune_clusters",
     "orders_salted_revenue",
+    # r6 additions: the new shuffle-heavy keys (the map-only/rollup r6
+    # keys are sub-second and tracked well enough by correctness runs)
+    "docs_unigram_logprob",
+    "part_copurchase",
+    "events_ewma",
+    "ann_pq",
+    "events_heavy_hitters_cms",
 ]
 
 

@@ -103,3 +103,24 @@ def test_round5_operators_on_empty(spark, empty_docs, empty_emb):
     assert temporal.gap_fill_hourly(empty_events).count() == 0
     assert temporal.retention_cohorts(empty_events).count() == 0
     assert temporal.session_paths(empty_events).count() == 0
+
+
+def test_round6_ops_on_empty(spark, empty_docs):
+    from b2b_data_pipeline_indiamart_spark.operators import sampling, sketches, temporal
+
+    assert textstats.unigram_logprob(empty_docs).count() == 0
+    assert sampling.mixture_sample_summary(empty_docs, "source", "doc_id").count() == 0
+    assert sampling.sample_per_group(empty_docs, "source", "doc_id").count() == 0
+    assert dedup.exact_dup_by_source(empty_docs).count() == 0
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert temporal.ewma_hourly(empty_events).count() == 0
+    assert temporal.session_stats(empty_events).count() == 0
+    assert sketches.cms_cells(empty_events, "user_id").count() == 0
+    assert sketches.cms_estimate_heavy_hitters(empty_events, "user_id").count() == 0
+
+
+def test_pq_raises_on_empty_corpus(empty_emb):
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks(empty_emb, dim=64)

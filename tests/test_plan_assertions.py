@@ -233,3 +233,39 @@ def test_no_empty_partition_spec_window_anywhere(spark, sf_small):
 
     caching.release_cached()
     assert not offenders, offenders
+
+
+# ------------------------------------------------------------------ round 6
+
+
+def test_unigram_logprob_total_is_broadcast(spark, sf_small):
+    # the grand-total token count joins in as a 1-row broadcast, never
+    # a shuffled join; the vocabulary join itself MUST stay keyed
+    plan = _plan(spark, sf_small, "docs_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_rate_table_is_broadcast(spark, sf_small):
+    plan = _plan(spark, sf_small, "docs_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    # corpus side is never sort-merge-joined against the tiny rate table
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_has_no_theta_join(spark, sf_small):
+    # the explode-to-targets formulation must plan as equi-joins only
+    plan = _plan(spark, sf_small, "events_ewma")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_copurchase_topk_is_take_ordered(spark, sf_small):
+    plan = _plan(spark, sf_small, "part_copurchase")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_probe_side_broadcasts_sketch(spark, sf_small):
+    # the depth×width cell table is bounded -> broadcast; the probe
+    # pass over candidates is then map-only
+    plan = _plan(spark, sf_small, "events_heavy_hitters_cms")
+    assert "BroadcastHashJoin" in plan

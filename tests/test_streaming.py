@@ -306,3 +306,41 @@ def test_streaming_decontaminate_stream_static_join(spark, tmp_path):
         for r in decontaminate(batch_docs, bench, n=4).collect()
     }
     assert got == expected and got[1][1] and not got[2][1]
+
+
+def test_streaming_cms_matches_batch_cells(spark, tmp_path):
+    """The streaming CMS counter table equals the batch sketch over a
+    replay of the same events — the shared-hash twin contract."""
+    import json as _json
+
+    from b2b_data_pipeline_indiamart_spark.operators.sketches import cms_cells
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import streaming_cms_cells
+    from pyspark.sql import types as T
+
+    events = [(i, i % 9) for i in range(200)]
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for eid, uid in events:
+            f.write(_json.dumps({"event_id": eid, "user_id": uid}) + "\n")
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("user_id", T.LongType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_memory_sink(
+        streaming_cms_cells(stream, "user_id", depth=4, width=64),
+        "cms_stream",
+        output_mode="complete",
+    )
+    _drain(q)
+    got = sorted(
+        (r["row"], r["bucket"], r["cnt"])
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    )
+    batch = spark.createDataFrame(events, ["event_id", "user_id"])
+    expected = sorted(
+        (r["row"], r["bucket"], r["cnt"])
+        for r in cms_cells(batch, "user_id", depth=4, width=64).collect()
+    )
+    assert got == expected and len(got) <= 4 * 64
+    assert sum(c for (_, _, c) in got) == 4 * 200
