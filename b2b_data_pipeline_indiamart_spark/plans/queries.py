@@ -3218,3 +3218,224 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         round_half_up(F.avg("value"), 2).alias("avg_value"),
     )
+
+
+# ==========================================================================
+# Round 6 — second analytics batch: customer LTV, Zipf fit, audience
+# overlap, embedding QA, length histogram
+# ==========================================================================
+
+
+@_register(
+    "customer_segment_value",
+    """
+    WITH per_cust AS (SELECT o_custkey AS ck, sum(o_totalprice) AS spend,
+                             count(*) AS n
+                      FROM orders GROUP BY 1)
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(coalesce(p.n, 0)) AS BIGINT) AS n_orders,
+           round(sum(coalesce(p.spend, 0.0)), 2) AS revenue,
+           round(avg(coalesce(p.spend, 0.0)), 4) AS avg_ltv
+    FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.ck
+    GROUP BY 1
+    """,
+)
+def customer_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime value by market segment, inactive customers
+    included at zero (the reference's KPI scorecard generalized to the
+    customer grain). Scale shape: orders pre-aggregate to the customer
+    grain FIRST — the fact-fact join then moves one row per customer,
+    not per order — and the final segment rollup is tiny. At 100 TB
+    both sides of the custkey join shuffle once; neither is broadcast
+    (customers are fact-scale), which is exactly the right plan."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum("o_totalprice").alias("spend"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["ck"], "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_orders"),
+            round_half_up(F.sum(F.coalesce(F.col("spend"), F.lit(0.0))), 2).alias(
+                "revenue"
+            ),
+            round_half_up(F.avg(F.coalesce(F.col("spend"), F.lit(0.0))), 4).alias(
+                "avg_ltv"
+            ),
+        )
+    )
+
+
+@_register(
+    "docs_zipf_slope",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    inst AS (SELECT unnest({_TOKS}) AS tok FROM d WHERE s IS NOT NULL),
+    cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS f FROM inst GROUP BY tok),
+    top AS (SELECT tok, f FROM cnt ORDER BY f DESC, tok LIMIT 1000),
+    ranked AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE) AS r
+               FROM top)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(covar_pop(ln(r), ln(f)) / var_pop(ln(r)), 4) AS zipf_slope
+    FROM ranked
+    """,
+)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the vocabulary head: OLS slope of
+    ln(frequency) on ln(rank) for the top-1000 tokens — the corpus-
+    health check that natural text sits near slope −1 while boiler-
+    plate/generated text drifts off. The UNBOUNDED part (token counts)
+    is a combining groupBy; ranking happens only AFTER the top-1000
+    cut (TakeOrderedAndProject), so the total-order window runs on
+    1000 rows by construction — never a corpus-wide single-reducer
+    sort. Slope is one covar_pop/var_pop aggregate, no driver math."""
+    docs = _tp(spark, sf_dir, "documents")
+    toks = textstats._with_tokens(docs, "text", "doc_id")
+    cnt = (
+        toks.filter(F.col("__norm").isNotNull())
+        .select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    top = cnt.orderBy(F.col("f").desc(), F.col("tok")).limit(1000)
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    ranked = top.select("f", F.row_number().over(w).cast("double").alias("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        round_half_up(
+            F.covar_pop(F.log("r"), F.log("f")) / F.var_pop(F.log("r")), 4
+        ).alias("zipf_slope"),
+    )
+
+
+@_register(
+    "events_user_type_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+    sz AS (SELECT t, count(*) AS n FROM tu GROUP BY t),
+    inter AS (SELECT a.t AS t1, b.t AS t2, count(*) AS nb
+              FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+              GROUP BY 1, 2)
+    SELECT t1, t2, CAST(nb AS BIGINT) AS n_both,
+           CAST(s1.n AS BIGINT) AS n_t1, CAST(s2.n AS BIGINT) AS n_t2,
+           round(nb * 1.0 / (s1.n + s2.n - nb), 4) AS jaccard
+    FROM inter JOIN sz s1 ON s1.t = inter.t1 JOIN sz s2 ON s2.t = inter.t2
+    """,
+)
+def events_user_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard similarity of the
+    user sets of every type pair. The oracle states the textbook
+    self-join; the Spark plan avoids it — per-user sorted distinct
+    type arrays (ONE user-keyed shuffle) explode into their bounded
+    C(T,2) pairs in-plan and re-aggregate, so shuffle volume is
+    O(users × pairs-per-user), never the user-keyed join amplification
+    of a self-join on a hot user. Per-type sizes ride a broadcast."""
+    events = _t(spark, sf_dir, "events")
+    tu = events.select(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    ).distinct()
+    sz = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    per_user = tu.groupBy("u").agg(F.sort_array(F.collect_set("t")).alias("ts"))
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ts, (x, i) ->
+                  transform(slice(ts, i + 2, size(ts)),
+                            y -> named_struct('t1', x, 't2', y))))
+                """
+            )
+        ).alias("p")
+    ).select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    inter = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("nb"))
+    s1 = sz.select(F.col("t").alias("t1"), F.col("n").alias("n_t1"))
+    s2 = sz.select(F.col("t").alias("t2"), F.col("n").alias("n_t2"))
+    return (
+        inter.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("nb").cast("long").alias("n_both"),
+            F.col("n_t1").cast("long").alias("n_t1"),
+            F.col("n_t2").cast("long").alias("n_t2"),
+            round_half_up(
+                F.col("nb") / (F.col("n_t1") + F.col("n_t2") - F.col("nb")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+@_register(
+    "embedding_norm_outliers",
+    """
+    WITH n AS (SELECT vec_id, label,
+                      sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                   x -> x * x))) AS nrm
+               FROM embeddings),
+    s AS (SELECT label, avg(nrm) AS mu, stddev_pop(nrm) AS sd FROM n GROUP BY label)
+    SELECT n.vec_id, n.label, round(n.nrm, 4) AS norm_val,
+           round((n.nrm - s.mu) / s.sd, 4) AS z
+    FROM n JOIN s USING (label)
+    WHERE abs(round((n.nrm - s.mu) / s.sd, 4)) > 2.0
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: vectors whose L2 norm sits more than 2 per-label
+    population z-scores out — degenerate/corrupt vectors an embedding
+    ingest should quarantine. z is ROUNDED 4dp before the cut on both
+    sides (round-before-compare contract). Two passes over a narrow
+    (id, label, norm) projection: per-label moments (tiny) broadcast
+    back onto the corpus — map-only flagging, one small shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        similarity.norm(similarity.as_double_array(F.col("embedding"))).alias("nrm"),
+    )
+    s = n.groupBy("label").agg(
+        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sd")
+    )
+    z = round_half_up((F.col("nrm") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        n.join(F.broadcast(s), "label")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("vec_id", "label", round_half_up(F.col("nrm"), 4).alias("norm_val"), "z")
+    )
+
+
+@_register(
+    "docs_length_histogram",
+    """
+    SELECT source,
+           CAST(CASE WHEN n_chars >= 1 THEN length(bin(n_chars)) - 1
+                     ELSE -1 END AS INT) AS log2_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per source — the
+    length-distribution drift check run before/after every corpus
+    transformation. floor(log2(n)) is computed EXACTLY as the bit
+    length of the integer (length(bin(n)) - 1) on both engines —
+    float log2 rounds 2^k ambiguously at the bin edges. One combining
+    aggregate into at most sources × 64 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    log2_bin = (
+        F.when(F.col("n_chars") >= 1, F.length(F.bin(F.col("n_chars"))) - 1)
+        .otherwise(F.lit(-1))
+        .cast("int")
+    )
+    return docs.groupBy("source", log2_bin.alias("log2_bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -215,7 +215,7 @@ def test_no_empty_partition_spec_window_anywhere(spark, sf_small):
     # Windows whose input is BOUNDED BY CONSTRUCTION (a LIMIT k or an
     # aggregate over ≤ k labels feeds them): a single-partition window
     # over ≤ 10 rows is the cheapest correct plan, not a scale hazard.
-    bounded_input = {"topk_cumulative"}
+    bounded_input = {"topk_cumulative", "docs_zipf_slope"}
 
     offenders = []
     for key in QUERIES:

@@ -273,3 +273,81 @@ def test_dow_heatmap_iso_monday_is_one(spark):
         F.hour("ts").cast("int").alias("hour_of_day"),
     ).count().collect()
     assert out[0]["dow"] == 1 and out[0]["hour_of_day"] == 10
+
+
+# ------------------------------------------------------------- batch 3 keys
+
+
+def test_user_type_overlap_hand_computed(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES as Q
+
+    # hand-check on a temp view shape via the operator's own logic:
+    # users {1: a,b}, {2: a} -> pair (a,b): both=1, |a|=2, |b|=1, J=0.5
+    events = spark.createDataFrame(
+        [(1, 1, "a", 0.0), (2, 1, "b", 0.0), (3, 2, "a", 0.0), (4, 1, "a", 0.0)],
+        ["event_id", "user_id", "event_type", "value"],
+    )
+    from pyspark.sql import functions as FF
+
+    tu = events.select(FF.col("event_type").alias("t"), FF.col("user_id").alias("u")).distinct()
+    per_user = tu.groupBy("u").agg(FF.sort_array(FF.collect_set("t")).alias("ts"))
+    pairs = per_user.select(
+        FF.explode(
+            FF.expr(
+                "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)),"
+                " y -> named_struct('t1', x, 't2', y))))"
+            )
+        ).alias("p")
+    )
+    got = pairs.collect()
+    assert len(got) == 1 and got[0]["p"]["t1"] == "a" and got[0]["p"]["t2"] == "b"
+
+
+def test_zipf_slope_is_negative_and_single_row(spark, sf_small):
+    [r] = QUERIES["docs_zipf_slope"](spark, sf_small).collect()
+    # the synthetic corpus draws from a ~31-word vocabulary; the whole
+    # head fits under the top-1000 cut
+    assert 10 < r["n_terms"] <= 1000
+    assert r["zipf_slope"] < -0.1  # frequency decreasing in rank
+
+
+def test_segment_value_counts_inactive_customers(spark, sf_small):
+    rows = QUERIES["customer_segment_value"](spark, sf_small).collect()
+    from b2b_data_pipeline_indiamart_spark import catalog
+
+    n_cust = catalog.load(spark, sf_small, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust  # nobody dropped
+
+
+def test_norm_outliers_flags_obvious_outlier(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import similarity as SS
+
+    rows = [(i, [1.0] * 4, 0) for i in range(20)] + [(99, [50.0] * 4, 0)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    n = emb.select(
+        "vec_id",
+        "label",
+        SS.norm(SS.as_double_array(F.col("embedding"))).alias("nrm"),
+    )
+    s = n.groupBy("label").agg(F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sd"))
+    out = (
+        n.join(F.broadcast(s), "label")
+        .withColumn("z", (F.col("nrm") - F.col("mu")) / F.col("sd"))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .collect()
+    )
+    assert [r["vec_id"] for r in out] == [99]
+
+
+def test_length_histogram_bins_are_exact_at_powers_of_two(spark):
+    docs = spark.createDataFrame(
+        [(1, 1023, "s"), (2, 1024, "s"), (3, 1, "s"), (4, 0, "s")],
+        ["doc_id", "n_chars", "source"],
+    )
+    log2_bin = (
+        F.when(F.col("n_chars") >= 1, F.length(F.bin(F.col("n_chars"))) - 1)
+        .otherwise(F.lit(-1))
+        .cast("int")
+    )
+    got = {r["doc_id"]: r["b"] for r in docs.select("doc_id", log2_bin.alias("b")).collect()}
+    assert got == {1: 9, 2: 10, 3: 0, 4: -1}
