@@ -805,11 +805,20 @@ def pq_codebooks(
     the IVF trainer (reproducible across numpy versions); empty
     clusters keep their previous centroid.
     """
-    import numpy as np
-
     if dim % m != 0:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
-    dsub = dim // m
+    mat = _fetch_unit_sample(emb, vec_col, sample_cap, who="pq_codebooks")
+    return _lloyd_subspaces(mat, m, k, iters, seed)
+
+
+def _fetch_unit_sample(
+    emb: DataFrame, vec_col: str, sample_cap: int, who: str
+) -> "np.ndarray":
+    """Deterministic unit-normalized driver sample (first ``sample_cap``
+    rows by id) shared by the PQ/IVF-PQ trainers — the same bounded-
+    sample framing as :func:`kmeans_centroids`."""
+    import numpy as np
+
     id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
     sample = (
         emb.select(as_double_array(F.col(vec_col)).alias("v"), F.col(id_col).alias("i"))
@@ -818,11 +827,21 @@ def pq_codebooks(
         .toPandas()
     )
     if len(sample) == 0:
-        raise ValueError("pq_codebooks: empty embedding table")
+        raise ValueError(f"{who}: empty embedding table")
     mat = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    mat = mat / norms
+    return mat / norms
+
+
+def _lloyd_subspaces(
+    mat: "np.ndarray", m: int, k: int, iters: int, seed: int
+) -> "list[list[list[float]]]":
+    """Per-subspace L2 Lloyd over an in-memory sample matrix: the
+    shared PQ trainer (raw unit vectors or IVF residuals — the caller
+    decides what ``mat`` holds). LCG-permutation seeding, empty
+    clusters keep their previous centroid."""
+    dsub = mat.shape[1] // m
     books: list[list[list[float]]] = []
     for s in range(m):
         sub = mat[:, s * dsub : (s + 1) * dsub]
@@ -973,4 +992,167 @@ def ann_topk_pq(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "pq_score", "rnk")
+    )
+
+
+def ivfpq_residual_codebooks(
+    emb: DataFrame,
+    centroids: "list[list[float]]",
+    m: int = 16,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    iters: int = 8,
+    seed: int = 8,
+) -> "list[list[list[float]]]":
+    """PQ codebooks trained on IVF RESIDUALS (x̂ = x - centroid[cell])
+    — the FAISS IVFPQ recipe: residuals concentrate around the origin
+    once the coarse quantizer has soaked up the between-cluster
+    structure, so the same PQ bit budget quantizes them with far less
+    error than raw vectors. Bounded-sample driver training like every
+    other trainer here; assignment/encode stay distributed."""
+    import numpy as np
+
+    mat = _fetch_unit_sample(emb, vec_col, sample_cap, who="ivfpq_residual_codebooks")
+    cents = np.array(centroids, dtype=np.float64)
+    assign = (mat @ cents.T).argmax(axis=1)
+    residuals = mat - cents[assign]
+    return _lloyd_subspaces(residuals, m, k, iters, seed)
+
+
+def ann_topk_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    m: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition that caps the ANN
+    family (FAISS's production index shape): a coarse quantizer routes
+    every vector to one of ``n_cells`` inverted lists, PQ encodes the
+    RESIDUAL to the cell centroid, and a query scores only the
+    ``n_probe`` nearest cells via dot(q, centroid) + ADC over the
+    residual codes.
+
+    Fully JVM-side at query time: centroids AND residual codebooks
+    ride as nested array literals inside Catalyst expressions — cell
+    assignment is an argmin over the centroid literal, encode is the
+    per-subspace argmin of :func:`pq_encode` applied to the in-plan
+    residual, and scoring indexes the literals by stored (cell, codes).
+    No Python touches a corpus row anywhere.
+
+    Scale shape: candidate generation is the IVF equi-join on cell id
+    (shuffle ∝ corpus, tunable by n_probe/n_cells) and the per-vector
+    candidate payload is ``m`` small ints + a cell id instead of
+    ``dim`` floats — both the IVF scan cut AND the PQ byte cut at
+    once. Rows-only operator: scores carry coarse + residual
+    quantization error; determinism and recall-vs-exact are
+    pytest-pinned.
+    """
+    cents = kmeans_centroids(emb, dim, n_cells=n_cells, vec_col=vec_col, seed=seed)
+    books = ivfpq_residual_codebooks(
+        emb, cents, m=m, k=n_centroids, vec_col=vec_col, seed=seed + 1
+    )
+    cent_lit = _pq_literal(cents)
+    cb = _pq_literal(books)
+    dsub = dim // m
+
+    def unit(df, out_id):
+        v = as_double_array(F.col(vec_col))
+        step = df.select(
+            F.col(id_col).alias(out_id), v.alias("__v"), norm(v).alias("__n")
+        )
+        return step.select(
+            out_id,
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col("__v"), lambda e: e / F.col("__n")),
+            )
+            .otherwise(F.col("__v"))
+            .alias("__unit"),
+        )
+
+    cell_rank = f"""
+        array_sort(transform({cent_lit}, (c, ci) ->
+          named_struct(
+            'd', -aggregate(zip_with(__unit, c, (a, b) -> a * b),
+                            0D, (acc, x) -> acc + x),
+            'ci', ci)))
+    """
+    corpus = (
+        unit(emb, "neighbor_id")
+        .select("neighbor_id", "__unit", F.expr(f"{cell_rank}[0].ci").alias("cell"))
+        .select(
+            "neighbor_id",
+            "cell",
+            F.expr(
+                f"zip_with(__unit, element_at({cent_lit}, cell + 1), (a, b) -> a - b)"
+            ).alias("__res"),
+        )
+        .select(
+            "neighbor_id",
+            "cell",
+            F.expr(
+                f"""
+                transform(sequence(0, {m - 1}), s ->
+                  array_sort(
+                    transform(element_at({cb}, s + 1), (cent, ci) ->
+                      named_struct(
+                        'd', aggregate(
+                               zip_with(slice(__res, s * {dsub} + 1, {dsub}), cent,
+                                        (a, b) -> (a - b) * (a - b)),
+                               0D, (acc, x) -> acc + x),
+                        'ci', ci)))[0].ci)
+                """
+            ).alias("codes"),
+        )
+    )
+    probes = (
+        unit(queries, "query_id")
+        .select(
+            "query_id",
+            F.col("__unit").alias("qv"),
+            F.explode(
+                F.expr(
+                    f"transform(slice({cell_rank}, 1, {n_probe}), p -> p.ci)"
+                )
+            ).alias("cell"),
+        )
+    )
+    score = F.expr(
+        f"""
+        aggregate(zip_with(qv, element_at({cent_lit}, cell + 1),
+                           (a, b) -> a * b), 0D, (acc, x) -> acc + x)
+        + aggregate(
+            zip_with(codes, sequence(0, {m - 1}), (c, s) ->
+              aggregate(
+                zip_with(slice(qv, s * {dsub} + 1, {dsub}),
+                         element_at(element_at({cb}, s + 1), c + 1),
+                         (a, b) -> a * b),
+                0D, (acc, x) -> acc + x)),
+            0D, (acc, x) -> acc + x)
+        """
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(score, 4).alias("ivfpq_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ivfpq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "ivfpq_score", "rnk")
     )

@@ -3447,3 +3447,19 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@_register("ann_ivf_pq")  # rows-only: coarse+residual quantization error by design
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the 5 lowest-id query vectors
+    (similarity.ann_topk_ivfpq, 16 cells, n_probe=4, m=16 × 16
+    residual codebooks) — the composition that caps the ANN family:
+    inverted-list candidate cut AND per-vector byte cut in one index,
+    with cell assignment, residual encode, and ADC scoring all pure
+    Catalyst expressions over centroid/codebook literals. Rows-only;
+    determinism and recall-vs-exact pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_ivfpq(emb, queries, dim=64, k=10, n_probe=4).orderBy(
+        "query_id", "rnk"
+    )
