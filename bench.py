@@ -66,6 +66,7 @@ EXTENDED_KEYS = [
     "part_copurchase",
     "events_ewma",
     "ann_pq",
+    "ann_ivf_pq",
     "events_heavy_hitters_cms",
 ]
 

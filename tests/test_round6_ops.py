@@ -144,7 +144,7 @@ def test_exact_dup_by_source_null_sentinel_group(spark):
 def test_pq_encode_code_range_and_map_only(spark, sf_small):
     from b2b_data_pipeline_indiamart_spark import catalog
 
-    emb = catalog.load(spark, sf_small, "embeddings").limit(200)
+    emb = catalog.load(spark, sf_small, "embeddings")
     books = similarity.pq_codebooks(emb, dim=64, m=8, k=16)
     assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
     enc = similarity.pq_encode(emb, books)
