@@ -934,3 +934,64 @@ def exact_dup_by_source(
             .alias("n_dup_groups"),
         )
     )
+
+
+def span_dup_report(
+    docs: DataFrame,
+    span: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-span report — dedup at sub-document
+    granularity (the Lee et al. 2021 "Deduplicating Training Data"
+    shape, at token-window rather than suffix-array resolution).
+
+    Each document is cut into consecutive NON-overlapping ``span``-token
+    windows (ragged tail dropped — a partial window is not a comparable
+    unit); a window whose exact text occurs in ≥2 distinct documents is
+    "shared". Per document: how many spans it has and what fraction of
+    them also appear elsewhere — the signal a span-level scrubber would
+    act on. Production corpora use spans of ~50 tokens; the parameter
+    only changes the slice width, not the plan.
+
+    Scale shape: span construction is map-only (``sequence`` +
+    ``slice`` + ``explode`` in one projection — the chunker's plan with
+    stride == size); spans are hashed to 64-bit before the shuffle so
+    the groupBy(span) carries 8-byte keys, not span text. Two keyed
+    shuffles total: groupBy(span hash) for the distinct-doc count, then
+    groupBy(doc) for the rollup (the join between them reuses the span
+    partitioning). No windows, no driver trips, output rows == docs.
+
+    Output: (doc_id, n_spans, n_shared_spans, shared_rate 4dp).
+    """
+    toks = word_tokens(F.col(text_col))
+    n_spans = F.floor(F.size("__toks") / span).cast("int")
+    piece = lambda i: F.xxhash64(  # noqa: E731 — slice is 1-based
+        F.array_join(F.slice(F.col("__toks"), i * span + 1, span), " ")
+    )
+    spans = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= span)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(F.sequence(F.lit(0), n_spans - 1), piece)
+            ).alias("__sh"),
+        )
+    )
+    # distinct docs per span content; >=2 distinct docs == shared span
+    shared = spans.groupBy("__sh").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    is_shared = F.when(F.col("__ndocs") >= 2, 1).otherwise(0)
+    return (
+        spans.join(shared, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(is_shared).cast("long").alias("n_shared_spans"),
+            round_half_up(F.sum(is_shared) / F.count(F.lit(1)), 4).alias(
+                "shared_rate"
+            ),
+        )
+    )

@@ -393,3 +393,64 @@ def test_ivfpq_residual_books_shape(spark, sf_small):
         _m.sqrt(sum(x * x for x in c)) for book in books for c in book
     ]
     assert sum(norms) / len(norms) < 0.5
+
+
+# ------------------------------------------------------------- span dedup
+
+
+def test_span_dup_report_hand_computed(spark):
+    # doc 1 and doc 2 share the span "a b c"; doc 3 shares nothing.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),          # spans: "a b c", "x y z"
+            (2, "a b c q r s"),          # spans: "a b c", "q r s"
+            (3, "m n o p"),              # spans: "m n o" (tail "p" dropped)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.span_dup_report(docs, span=3).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_shared_spans"] == 1
+    assert out[1]["shared_rate"] == 0.5
+    assert out[2]["n_spans"] == 2 and out[2]["n_shared_spans"] == 1
+    assert out[3]["n_spans"] == 1 and out[3]["n_shared_spans"] == 0
+
+
+def test_span_dup_report_within_doc_repeat_is_not_shared(spark):
+    # the same span twice in ONE doc is repetition, not cross-doc sharing
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "u v w x y z")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup.span_dup_report(docs, span=3).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_shared_spans"] == 0
+
+
+def test_span_dup_report_short_docs_drop_out(spark):
+    docs = spark.createDataFrame([(1, "a b"), (2, None)], ["doc_id", "text"])
+    assert dedup.span_dup_report(docs, span=3).count() == 0
+
+
+# ---------------------------------------------------------- token entropy
+
+
+def test_token_entropy_uniform_vs_degenerate(spark):
+    # uniform over 4 distinct tokens -> H = 2 bits; single token -> 0
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a")], ["doc_id", "text"]
+    )
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import word_tokens
+
+    tf = (
+        docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+    )
+    n = F.sum("count")
+    ent = tf.groupBy("doc_id").agg(
+        F.round(
+            F.log2(n.cast("double"))
+            - F.sum(F.col("count") * F.log2(F.col("count").cast("double"))) / n,
+            4,
+        ).alias("h")
+    )
+    got = {r["doc_id"]: r["h"] for r in ent.collect()}
+    assert got[1] == 2.0 and got[2] == 0.0
