@@ -957,8 +957,11 @@ def span_dup_report(
     Scale shape: span construction is map-only (``sequence`` +
     ``slice`` + ``explode`` in one projection — the chunker's plan with
     stride == size); spans are hashed to 64-bit before the shuffle so
-    the groupBy(span) carries 8-byte keys, not span text. Two keyed
-    shuffles total: groupBy(span hash) for the distinct-doc count, then
+    the groupBy(span) carries 8-byte keys, not span text. The span
+    table feeds BOTH sides of the shared-count join, so it is persisted
+    (caching.persist_tracked — a self-join recomputes its input twice
+    otherwise; caller releases via release_cached). Two keyed shuffles
+    total: groupBy(span hash) for the distinct-doc count, then
     groupBy(doc) for the rollup (the join between them reuses the span
     partitioning). No windows, no driver trips, output rows == docs.
 
@@ -969,7 +972,7 @@ def span_dup_report(
     piece = lambda i: F.xxhash64(  # noqa: E731 — slice is 1-based
         F.array_join(F.slice(F.col("__toks"), i * span + 1, span), " ")
     )
-    spans = (
+    spans = caching.persist_tracked(
         docs.select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size("__toks") >= span)
         .select(

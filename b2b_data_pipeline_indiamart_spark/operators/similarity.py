@@ -1170,3 +1170,86 @@ def ann_topk_ivfpq(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "ivfpq_score", "rnk")
     )
+
+
+def pca_variance(
+    emb: DataFrame,
+    dim: int,
+    top_k: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA variance spectrum: the top-``top_k``
+    eigenvalues of the embedding covariance matrix with explained /
+    cumulative variance ratios — the embedding-QA readout that tells
+    you how many effective dimensions the space uses (anisotropy /
+    collapsed-embedding detection, and the k choice for a dim-reduce).
+
+    Scale shape — the classic two-phase distributed linear algebra
+    split: the DATA-scale phase is one narrow ``mapInPandas`` pass
+    emitting, per Arrow batch, the (count, column-sum, Gram-matrix)
+    partials via a single ``X.T @ X`` gemm — what reaches the driver
+    is ``partitions × (dim + dim²)`` floats (metadata scale, same
+    framing as the IVF training collects), never the vectors. The
+    driver reduces partials in a pinned sort order (deterministic
+    float summation), forms the population covariance
+    ``G/n − μμᵀ``, and solves the ``dim × dim`` eigenproblem in
+    numpy — O(dim³) on 64 dims is microseconds. Output rows: top_k.
+
+    Rows-only by design (eigensolves aren't SQL-expressible);
+    determinism and a numpy-reference parity test are pytest-pinned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [list(x.sum(axis=0))],
+                    "g": [list((x.T @ x).ravel())],
+                }
+            )
+
+    src = emb.select(as_double_array(F.col(vec_col)).alias("v"))
+    rows = src.mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("pca_variance: empty embedding table")
+    # pin the reduce order so float summation is deterministic across
+    # collect orderings (partition arrival order is not guaranteed)
+    rows = sorted(rows, key=lambda r: (r["n"], tuple(r["s"])))
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in rows:
+        s += np.asarray(r["s"], dtype=np.float64)
+        g += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # ascending -> descending
+    total = float(evals.sum())
+    out = []
+    cum = 0.0
+    for i in range(min(top_k, dim)):
+        ev = float(evals[i])
+        cum += ev
+        out.append(
+            (
+                i + 1,
+                round(ev, 6),
+                round(ev / total, 6),
+                round(cum / total, 6),
+            )
+        )
+    return emb.sparkSession.createDataFrame(
+        out,
+        "component INT, eigenvalue DOUBLE, explained_ratio DOUBLE, "
+        "cum_ratio DOUBLE",
+    )

@@ -3957,3 +3957,156 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     )
+
+
+@_register(
+    "docs_perplexity_buckets",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    inst AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM d WHERE s IS NOT NULL),
+    cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM inst GROUP BY tok),
+    tot AS (SELECT sum(c) AS n_total FROM cnt),
+    lp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  round(avg(ln(c / n_total)), 4) AS avg_logprob
+           FROM inst JOIN cnt USING (tok) CROSS JOIN tot
+           GROUP BY doc_id)
+    SELECT doc_id, n_tokens, avg_logprob,
+           CASE ntile(3) OVER (ORDER BY avg_logprob ASC, doc_id ASC)
+                WHEN 3 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM lp
+    """,
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition: documents are
+    bucketed into terciles of the unigram-LM score (highest average
+    log-prob = most fluent = 'head'), the split CCNet uses to pick
+    which slice of Common Crawl to keep. Scores come from
+    textstats.unigram_logprob; ordering ties broken by doc_id so the
+    tercile cut is engine-deterministic.
+
+    Scale shape: the LM scoring is the three keyed shuffles of
+    docs_unigram_logprob; the tercile is operators/ranking.global_ntile
+    — range repartition + in-partition sort + broadcast offsets,
+    hash-identical to ``ntile(3) OVER (ORDER BY …)`` (the oracle's
+    form) with NO single-reducer global window node. Intermediates are
+    persist_tracked; callers release via caching.release_cached()."""
+    from ..operators.ranking import global_ntile
+
+    docs = _tp(spark, sf_dir, "documents")
+    lp = textstats.unigram_logprob(docs)
+    t = global_ntile(
+        lp, 3, [F.col("avg_logprob").asc(), F.col("doc_id").asc()], "__t"
+    )
+    bucket = (
+        F.when(F.col("__t") == 3, "head")
+        .when(F.col("__t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return t.select("doc_id", "n_tokens", "avg_logprob", bucket.alias("bucket"))
+
+
+@_register(
+    "part_basket_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    gated AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND 32),
+    g AS (SELECT li.ok, li.pk FROM li JOIN gated USING (ok)),
+    nb AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_baskets FROM g),
+    item AS (SELECT pk, CAST(count(*) AS DOUBLE) AS c FROM g GROUP BY pk),
+    pairs AS (SELECT a.pk AS pk1, b.pk AS pk2, count(*) AS n_pair
+              FROM g a JOIN g b ON a.ok = b.ok AND a.pk < b.pk
+              GROUP BY 1, 2),
+    top AS (SELECT pk1, pk2, n_pair FROM pairs
+            ORDER BY n_pair DESC, pk1, pk2 LIMIT 20)
+    SELECT pk1, pk2, CAST(n_pair AS BIGINT) AS n_orders,
+           round(n_pair / n_baskets, 6) AS support,
+           round(n_pair / i1.c, 4) AS confidence,
+           round(n_pair * n_baskets / (i1.c * i2.c), 4) AS lift
+    FROM top
+    JOIN item i1 ON i1.pk = top.pk1
+    JOIN item i2 ON i2.pk = top.pk2
+    CROSS JOIN nb
+    """,
+)
+def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the market baskets: support, confidence
+    (pk1→pk2) and lift for the top-20 co-purchased part pairs — the
+    step after part_copurchase's raw counts that tells you whether a
+    pair co-occurs MORE than its items' popularity predicts (lift>1).
+
+    Scale shape: baskets are collected once (the copurchase in-plan
+    pair expansion, one order-keyed shuffle) and the SAME gated basket
+    table feeds pair counts, per-item counts, and the basket total —
+    persist_tracked so the three consumers don't recompute it
+    (release via caching.release_cached()). The top-20 cut happens
+    BEFORE the metric joins, so item counts join against 20 broadcast
+    rows, and the basket total is a one-row cross-broadcast. The
+    quadratic pair expansion keeps part_copurchase's 2..32 gate."""
+    from ..operators import caching
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = caching.persist_tracked(
+        li.groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+        .filter((F.size("pks") >= 2) & (F.size("pks") <= 32))
+    )
+    n_baskets = baskets.agg(
+        F.count(F.lit(1)).cast("double").alias("__nb")
+    )
+    item = baskets.select(F.explode("pks").alias("pk")).groupBy("pk").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(pks, (x, i) ->
+                  transform(slice(pks, i + 2, size(pks)),
+                            y -> named_struct('pk1', x, 'pk2', y))))
+                """
+            )
+        ).alias("p")
+    ).select("p.pk1", "p.pk2")
+    top = (
+        pairs.groupBy("pk1", "pk2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), "pk1", "pk2")
+        .limit(20)
+    )
+    i1 = item.select(F.col("pk").alias("__pk1"), F.col("__c").alias("__c1"))
+    i2 = item.select(F.col("pk").alias("__pk2"), F.col("__c").alias("__c2"))
+    return (
+        F.broadcast(top)
+        .join(i1, F.col("pk1") == F.col("__pk1"))
+        .join(i2, F.col("pk2") == F.col("__pk2"))
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "pk1",
+            "pk2",
+            F.col("n_pair").cast("long").alias("n_orders"),
+            round_half_up(F.col("n_pair") / F.col("__nb"), 6).alias("support"),
+            round_half_up(F.col("n_pair") / F.col("__c1"), 4).alias("confidence"),
+            round_half_up(
+                F.col("n_pair") * F.col("__nb") / (F.col("__c1") * F.col("__c2")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+@_register("embedding_pca_variance")  # rows-only: eigensolve is not SQL-expressible
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA variance spectrum of the embedding space
+    (similarity.pca_variance): top-8 covariance eigenvalues with
+    explained/cumulative ratios — the anisotropy QA check next to
+    embedding_stats/embedding_norm_outliers. One mapInPandas gemm
+    pass emits (count, Σx, XᵀX) partials; partitions × dim² floats
+    reach the driver (metadata scale), the 64×64 eigenproblem is
+    driver-side numpy. Rows-only; determinism + numpy-reference
+    parity pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_variance(emb, dim=64, top_k=8)

@@ -68,6 +68,13 @@ EXTENDED_KEYS = [
     "ann_pq",
     "ann_ivf_pq",
     "events_heavy_hitters_cms",
+    # late-r6 additions: the TPC-H-shaped join batch's heavy members
+    # and the span-dedup self-join (the remaining new keys are
+    # single-digit-percent of these and covered by correctness runs)
+    "q18_large_orders",
+    "q22_idle_customers",
+    "docs_span_dedup",
+    "docs_token_entropy",
 ]
 
 

@@ -17,6 +17,9 @@ DEDUP_KEYS = [
     "dedup_clusters_blocked",
     "dedup_simhash",
     "ngram_jaccard",
+    "docs_span_dedup",
+    "docs_perplexity_buckets",
+    "part_basket_lift",
 ]
 
 

@@ -269,3 +269,38 @@ def test_cms_probe_side_broadcasts_sketch(spark, sf_small):
     # pass over candidates is then map-only
     plan = _plan(spark, sf_small, "events_heavy_hitters_cms")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q18_having_subquery_plans_as_semi_join(spark, sf_small):
+    # the IN (SELECT … HAVING) subquery must become a LeftSemi join,
+    # never a row-duplicating inner join against the qualifying set
+    plan = _plan(spark, sf_small, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_not_exists_plans_as_anti_join(spark, sf_small):
+    # NOT EXISTS must become a LeftAnti join; the scalar avg enters as
+    # a broadcast, and the orders recency bound is pushed to its scan
+    plan = _plan(spark, sf_small, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q19_bracket_prefilters_reach_both_scans(spark, sf_small):
+    # the OR spans both tables; each side's own bracket union must be
+    # pushed to its parquet scan (brand IN (...) on part, the overall
+    # quantity band on lineitem) with the part side broadcast
+    plan = _plan(spark, sf_small, "q19_bracket_revenue")
+    assert "In(p_brand" in plan
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_nation_filter_applies_before_fact_join(spark, sf_small):
+    # the two-nation restriction must shrink supplier/customer BEFORE
+    # they broadcast into the fact tables — n_name IN (...) pushed to
+    # the (joined) nation scans, and no fact-side cartesian
+    plan = _plan(spark, sf_small, "q7_nation_volume")
+    assert "In(n_name" in plan
+    assert "CartesianProduct" not in plan

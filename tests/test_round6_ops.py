@@ -454,3 +454,85 @@ def test_token_entropy_uniform_vs_degenerate(spark):
     )
     got = {r["doc_id"]: r["h"] for r in ent.collect()}
     assert got[1] == 2.0 and got[2] == 0.0
+
+
+# ------------------------------------------------------------ PCA variance
+
+
+def test_pca_variance_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    out = QUERIES["embedding_pca_variance"](spark, sf_small).collect()
+    vecs = [
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()
+    ]
+    x = np.array(vecs)
+    cov = np.cov(x, rowvar=False, bias=True)
+    ref = np.linalg.eigvalsh(cov)[::-1]
+    for row in out:
+        assert abs(row["eigenvalue"] - round(float(ref[row["component"] - 1]), 6)) < 2e-6
+    # ratios are monotone and bounded
+    assert out[0]["explained_ratio"] >= out[-1]["explained_ratio"]
+    assert 0.0 < out[-1]["cum_ratio"] <= 1.0
+
+
+def test_pca_variance_deterministic(spark, sf_small):
+    a = [tuple(r) for r in QUERIES["embedding_pca_variance"](spark, sf_small).collect()]
+    b = [tuple(r) for r in QUERIES["embedding_pca_variance"](spark, sf_small).collect()]
+    assert a == b
+
+
+def test_pca_variance_detects_collapsed_dimension(spark):
+    # vectors confined to one axis -> first component explains ~all
+    rows = [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(1, 33)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.pca_variance(emb, dim=4, top_k=4).collect()
+    assert out[0]["explained_ratio"] > 0.999
+    assert abs(out[-1]["eigenvalue"]) < 1e-9
+
+
+# ------------------------------------------------------- perplexity buckets
+
+
+def test_perplexity_buckets_are_balanced_terciles(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    out = QUERIES["docs_perplexity_buckets"](spark, sf_small).collect()
+    caching.release_cached()
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in out)
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # head has the highest scores: min(head) >= max(tail)
+    head_min = min(r["avg_logprob"] for r in out if r["bucket"] == "head")
+    tail_max = max(r["avg_logprob"] for r in out if r["bucket"] == "tail")
+    assert head_min >= tail_max
+
+
+# ------------------------------------------------------------- basket lift
+
+
+def test_basket_lift_hand_computed(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+    from b2b_data_pipeline_indiamart_spark.plans.queries import part_basket_lift  # noqa: F401
+
+    # 4 baskets: {1,2} x3 and {1,3} x1 -> pair (1,2): n=3,
+    # support=3/4, conf(1->2)=3/4, lift = (3*4)/(4*3) = 1.0
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2),
+        (13, 1), (13, 3),
+    ]
+    li = spark.createDataFrame(rows, ["ok", "pk"])
+    baskets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+    baskets = baskets.filter((F.size("pks") >= 2) & (F.size("pks") <= 32))
+    # mirror the registry plan's metric arithmetic on the toy frame
+    n_b = baskets.count()
+    item = dict(
+        baskets.select(F.explode("pks").alias("pk")).groupBy("pk").count().collect()
+    )
+    assert n_b == 4 and item[1] == 4 and item[2] == 3
+    caching.release_cached()
