@@ -124,3 +124,14 @@ def test_round6_ops_on_empty(spark, empty_docs):
 def test_pq_raises_on_empty_corpus(empty_emb):
     with pytest.raises(ValueError):
         similarity.pq_codebooks(empty_emb, dim=64)
+
+
+def test_late_round6_ops_on_empty(spark, empty_docs, empty_emb):
+    from b2b_data_pipeline_indiamart_spark.operators import ranking
+
+    assert dedup.span_dup_report(empty_docs).count() == 0
+    # global_ntile on an empty frame: no rows, bucket column present
+    out = ranking.global_ntile(empty_docs, 3, ["doc_id"], "b")
+    assert out.count() == 0 and "b" in out.columns
+    with pytest.raises(ValueError):
+        similarity.pca_variance(empty_emb, dim=64)

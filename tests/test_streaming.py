@@ -344,3 +344,44 @@ def test_streaming_cms_matches_batch_cells(spark, tmp_path):
     )
     assert got == expected and len(got) <= 4 * 64
     assert sum(c for (_, _, c) in got) == 4 * 200
+
+
+def test_idempotent_batch_sink_skips_replayed_epochs(spark, tmp_path):
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        start_idempotent_batch_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+
+    _write_events(src / "b1.json", BATCH1)
+    q = start_idempotent_batch_sink(
+        read_event_stream(spark, str(src)), out, ckpt, ledger
+    )
+    _drain(q)
+    first = spark.read.parquet(out)
+    assert first.count() == len(BATCH1)
+
+    # simulate the replay-after-crash: the ledger says epoch 0 is
+    # committed, so re-invoking the epoch writer must be a no-op even
+    # with different data (the marker, not the content, decides)
+    import os
+
+    markers = sorted(os.listdir(ledger))
+    assert markers  # at least one committed epoch
+    before = first.collect()
+    # restart with the same checkpoint + new file: new epoch appends,
+    # old epoch directories remain untouched
+    _write_events(src / "b2.json", BATCH2)
+    q = start_idempotent_batch_sink(
+        read_event_stream(spark, str(src)), out, ckpt, ledger
+    )
+    _drain(q)
+    df = spark.read.parquet(out)
+    assert df.count() == len(BATCH1) + len(BATCH2)
+    assert sorted(os.listdir(ledger)) > markers  # new epoch committed
+    # epoch partition column gives epoch-grain pruning on read
+    assert spark.read.parquet(out).where("epoch = 0").count() == len(BATCH1)
