@@ -4110,3 +4110,181 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity pytest-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pca_variance(emb, dim=64, top_k=8)
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey AS suppkey,
+                        round(sum(l_extendedprice * (1 - l_discount)), 2)
+                          AS total_revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-04-01'
+                 GROUP BY l_suppkey),
+    mx AS (SELECT max(total_revenue) AS m FROM rev)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey CROSS JOIN mx
+    WHERE total_revenue = m
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) with the maximum
+    quarterly revenue — the view + max-scalar-subquery shape (ties all
+    surface, no arbitrary pick).
+
+    Scale shape: revenue aggregates lineitem (date bounds pushed to
+    the scan) to supplier grain in one keyed shuffle; the max is a
+    one-row aggregate cross-broadcast back (never a driver
+    round-trip); the equality filter then keeps ~1 row which joins
+    the supplier dim. Revenue is rounded 2dp BEFORE the max compare
+    on both engines so a last-ulp sum difference cannot drop a tied
+    winner."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__m"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__m"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH pv AS (SELECT l_partkey AS partkey,
+                       sum(l_extendedprice * l_quantity) AS value
+                FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(value) AS t FROM pv)
+    SELECT partkey, round(value, 2) AS part_value
+    FROM pv CROSS JOIN tot
+    WHERE value > t * 0.0005
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose total ordered
+    value exceeds a fraction of the corpus-wide total — the
+    aggregate-filtered-by-global-scalar shape (Q11's partsupp table
+    doesn't exist in this schema; lineitem value is the equivalent
+    grain).
+
+    Scale shape: one keyed shuffle to part grain with map-side
+    partials; the grand total is a one-row aggregate cross-broadcast
+    into the HAVING-style filter — the part-grain table is scanned
+    once and never collected. The raw (unrounded) values feed the
+    threshold compare on both engines; rounding only formats the
+    output column."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__v")
+    )
+    tot = pv.agg(F.sum("__v").alias("__t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("__v") > F.col("__t") * 0.0005)
+        .select("partkey", round_half_up(F.col("__v"), 2).alias("part_value"))
+    )
+
+
+@_register(
+    "orders_grouping_sets",
+    """
+    SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+           coalesce(o_orderpriority, 'ALL') AS order_priority,
+           coalesce(o_orderstatus, 'ALL') AS order_status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                            (year(o_orderdate)), (o_orderstatus))
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-lattice member next to
+    ROLLUP (orders_rollup) and CUBE (orders_cube): (year, priority),
+    (year), and (status) marginals in ONE pass, a lattice neither
+    rollup nor cube can state.
+
+    Scale shape: Catalyst expands the sets in a single Expand +
+    aggregate — one shuffle carrying ~3× the group cardinality
+    (still tiny), not three scans of orders. Labels coalesce to
+    'ALL' exactly like the rollup/cube keys so the output is
+    self-describing."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("string")
+    g = orders.select(
+        yr.alias("order_year"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_orderstatus").alias("order_status"),
+        "o_totalprice",
+    )
+    gs = g.groupingSets(
+        [["order_year", "order_priority"], ["order_year"], ["order_status"]],
+        "order_year",
+        "order_priority",
+        "order_status",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return gs.select(
+        F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
+        F.coalesce("order_priority", F.lit("ALL")).alias("order_priority"),
+        F.coalesce("order_status", F.lit("ALL")).alias("order_status"),
+        "n_orders",
+        "revenue",
+    )
+
+
+@_register(
+    "orders_value_deciles",
+    """
+    WITH d AS (SELECT o_orderkey, o_totalprice,
+                      ntile(10) OVER (ORDER BY o_totalprice ASC,
+                                      o_orderkey ASC) AS decile
+               FROM orders)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 2) AS mean_price
+    FROM d GROUP BY decile
+    """,
+)
+def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth order-value histogram: exact deciles of o_totalprice
+    with per-bin bounds and means — the data-profiling complement to
+    the fixed-width price_histogram (equal COUNT per bin, not equal
+    width).
+
+    Scale shape: the decile assignment is operators/ranking.global_ntile
+    (range repartition + in-partition sort + broadcast offsets) —
+    hash-identical to the oracle's ``ntile(10) OVER (ORDER BY …)``
+    with NO single-reducer window; the rollup is then a 10-group
+    combining aggregate. Ties broken by orderkey so the bin edges are
+    engine-deterministic. Intermediates persist_tracked; release via
+    caching.release_cached()."""
+    from ..operators.ranking import global_ntile
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = global_ntile(
+        orders,
+        10,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        "decile",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.min("o_totalprice"), 2).alias("lo"),
+        round_half_up(F.max("o_totalprice"), 2).alias("hi"),
+        round_half_up(F.avg("o_totalprice"), 2).alias("mean_price"),
+    )

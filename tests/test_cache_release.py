@@ -20,6 +20,7 @@ DEDUP_KEYS = [
     "docs_span_dedup",
     "docs_perplexity_buckets",
     "part_basket_lift",
+    "orders_value_deciles",
 ]
 
 
