@@ -129,3 +129,59 @@ def _ranked(
         .drop("__pid", "__mid", "__off", "__mn")
     )
     return ranked, total
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Exact running sum over a global total order, no single-reducer
+    window — the two-phase distributed prefix scan.
+
+    Same skeleton as :func:`global_rank`: range-repartition on
+    ``order_cols`` (which must be a TOTAL order — tie-break with a
+    unique key), sort within partitions, then a window partitioned by
+    the physical partition id computes the LOCAL running sum (P
+    parallel tasks, never one reducer). A P-row metadata collect turns
+    per-partition totals into exclusive prefix offsets, broadcast back
+    and added map-side. ``sum(x) OVER (ORDER BY …)`` semantics exactly,
+    at any scale.
+
+    Returns ``df``'s columns + ``out_col`` (same numeric type family as
+    the input, summed as provided).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    base = caching.persist_tracked(
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__local", F.sum(value_col).over(w))
+    parts = sorted(
+        base.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect(),
+        key=lambda row: row["__pid"],
+    )
+    if not parts:
+        return base.drop("__pid").withColumn(out_col, F.lit(None))
+    is_float = any(isinstance(row["t"], float) for row in parts)
+    offsets, acc = [], 0.0 if is_float else 0
+    for row in parts:
+        offsets.append((row["__pid"], acc))
+        acc += row["t"] or 0
+    off_df = spark.createDataFrame(
+        offsets, f"__pid INT, __off {'DOUBLE' if is_float else 'BIGINT'}"
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__pid", "__local", "__off")
+    )

@@ -455,3 +455,78 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             round_half_up(F.avg("sum_value"), 4).alias("avg_value"),
         )
     )
+
+
+def max_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Peak concurrent sessions — the sweep-line operator: how many
+    user sessions were simultaneously open at the busiest instant, and
+    when that instant first occurred (capacity-planning / surge
+    readout).
+
+    Sessions are the same gap-based intervals as :func:`sessionize`
+    (inclusive [first-event, last-event] millisecond bounds); each
+    contributes a +1 boundary at its start and a −1 at end+1 ms, so
+    back-to-back sessions touching at one instant DO count as
+    concurrent. The boundary stream is swept in the total order
+    (ms, delta, user_id, session_id) — −1 sorts before +1 at the same
+    ms, which is exactly the inclusive-interval semantics.
+
+    Scale shape: the running count over the sweep is
+    operators/ranking.global_cumsum — range repartition +
+    partition-local window + broadcast prefix offsets — so the global
+    ordering never funnels through one reducer; the final max/argmin
+    is a one-row aggregate. Boundaries are 2 rows per SESSION (not per
+    event). Intermediates persist_tracked; release via
+    caching.release_cached().
+
+    Output: one row (max_concurrent, at_time 'yyyy-MM-dd HH:mm:ss.SSS').
+    """
+    from .ranking import global_cumsum
+
+    gap_ms = gap_minutes * 60 * 1000
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ms = F.unix_millis(F.col("ts"))
+    flagged = events.withColumn(
+        "__new",
+        F.when(
+            F.lag(ms).over(w_user).isNull() | ((ms - F.lag(ms).over(w_user)) > gap_ms),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_cum = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.withColumn("session_id", F.sum("__new").over(w_cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_millis("ts")).alias("__start"),
+            (F.max(F.unix_millis("ts")) + 1).alias("__end_excl"),
+        )
+    )
+    bounds = sess.select(
+        F.col("__start").alias("ms"), F.lit(1).cast("long").alias("delta"),
+        "user_id", "session_id",
+    ).unionByName(
+        sess.select(
+            F.col("__end_excl").alias("ms"), F.lit(-1).cast("long").alias("delta"),
+            "user_id", "session_id",
+        )
+    )
+    swept = global_cumsum(
+        bounds,
+        [F.col("ms").asc(), F.col("delta").asc(), F.col("user_id").asc(),
+         F.col("session_id").asc()],
+        "delta",
+        "open_sessions",
+    )
+    peak = swept.agg(F.max("open_sessions").alias("__peak"))
+    return (
+        swept.join(F.broadcast(peak), F.col("open_sessions") == F.col("__peak"))
+        .agg(
+            F.max("open_sessions").cast("long").alias("max_concurrent"),
+            F.date_format(
+                F.timestamp_millis(F.min("ms")), "yyyy-MM-dd HH:mm:ss.SSS"
+            ).alias("at_time"),
+        )
+    )

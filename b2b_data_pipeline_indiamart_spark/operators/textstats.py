@@ -331,3 +331,58 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-1 (bigram) language-model quality signal per document —
+    one LM order above :func:`unigram_logprob`, and the point where
+    word ORDER starts to matter: shuffled-token spam that fools the
+    unigram filter scores low here because its transitions are rare.
+
+    The model is trained on the corpus itself: P(cur|prev) =
+    count(prev cur) / count(prev as a bigram prefix). Every scored
+    transition was seen by the trainer, so no smoothing is needed
+    (probabilities are never zero) — the same closed-world framing as
+    the unigram scorer; real pipelines swap a pretrained KenLM at this
+    seam. Documents need ≥2 tokens to have a transition.
+
+    Scale shape: the bigram instance table is built map-only
+    (``sequence`` + ``element_at`` in one projection, rows = tokens −
+    1 per doc); then the unigram scorer's shuffle plan one order up —
+    groupBy(prev, cur) counts, groupBy(prev) prefix counts (both
+    map-side combining over the Zipf head), two keyed joins of
+    instances to counts, groupBy(doc). Neither count table is
+    broadcast (unbounded vocabulary² at corpus scale).
+
+    Output: (id, n_bigrams, avg_logprob 4dp) for docs with ≥2 tokens.
+    """
+    toks = _with_tokens(docs, text_col, id_col)
+    pair = lambda i: F.struct(  # noqa: E731 — element_at is 1-based
+        F.element_at("__toks", i).alias("prev"),
+        F.element_at("__toks", i + 1).alias("cur"),
+    )
+    inst = (
+        toks.filter(F.size("__toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size("__toks") - 1), pair)
+            ).alias("__b"),
+        )
+        .select(id_col, F.col("__b.prev").alias("prev"), F.col("__b.cur").alias("cur"))
+    )
+    big = inst.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__cb"))
+    ctx = inst.groupBy("prev").agg(F.count(F.lit(1)).alias("__cp"))
+    return (
+        inst.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            round_half_up(
+                F.avg(F.log(F.col("__cb").cast("double") / F.col("__cp"))), 4
+            ).alias("avg_logprob"),
+        )
+    )

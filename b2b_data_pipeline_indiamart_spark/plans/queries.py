@@ -4288,3 +4288,135 @@ def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.max("o_totalprice"), 2).alias("hi"),
         round_half_up(F.avg("o_totalprice"), 2).alias("mean_price"),
     )
+
+
+@_register(
+    "q17_small_quantity",
+    """
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+    lb AS (SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN bp ON p_partkey = l_partkey),
+    th AS (SELECT l_partkey AS pk, round(0.2 * avg(l_quantity), 2) AS cut
+           FROM lb GROUP BY 1)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lb JOIN th ON l_partkey = pk
+    WHERE l_quantity < cut
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    below 20% of their part's average quantity — the CORRELATED scalar
+    subquery (per-part average), decorrelated the way Catalyst/best
+    practice does: aggregate the subquery once per key and join back.
+
+    Scale shape: the brand filter pushes into the (broadcast) part
+    scan and gates BOTH the threshold build and the probe, so the
+    per-part average aggregates only the brand's slice; the join back
+    reuses the partkey partitioning. The threshold is rounded 2dp
+    BEFORE the comparison on both engines so a last-ulp avg
+    disagreement can't flip a boundary row. Output is the classic
+    yearly-average single row."""
+    part_b = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    lb = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_b), F.col("l_partkey") == F.col("p_partkey")
+    )
+    th = lb.groupBy(F.col("l_partkey").alias("pk")).agg(
+        round_half_up(0.2 * F.avg("l_quantity"), 2).alias("cut")
+    )
+    return (
+        lb.join(th, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("cut"))
+        .agg(
+            round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_register(
+    "docs_bigram_logprob",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+    inst AS (SELECT doc_id,
+                    unnest(toks[1 : len(toks) - 1]) AS prev,
+                    unnest(toks[2 : len(toks)]) AS cur
+             FROM t WHERE len(toks) >= 2),
+    big AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) AS cb
+            FROM inst GROUP BY 1, 2),
+    ctx AS (SELECT prev, CAST(count(*) AS DOUBLE) AS cp FROM inst GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(cb / cp)), 4) AS avg_logprob
+    FROM inst JOIN big USING (prev, cur) JOIN ctx USING (prev)
+    GROUP BY doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 LM quality signal (textstats.bigram_logprob): average
+    ln P(cur|prev) per document over corpus-trained transition
+    frequencies — the first LM order where token ORDER matters, so
+    shuffled-token spam that passes the unigram filter scores low.
+    Map-only bigram construction; the unigram scorer's shuffle plan
+    one order up; neither count table broadcast (vocabulary² is
+    unbounded at corpus scale). The oracle zips two offset unnests
+    into the same transition table."""
+    docs = _tp(spark, sf_dir, "documents")
+    return textstats.bigram_logprob(docs)
+
+
+@_register(
+    "events_max_concurrency",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), ids AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id,
+             min(epoch_ms(ts)) AS s, max(epoch_ms(ts)) + 1 AS e
+      FROM ids GROUP BY 1, 2
+    ), b AS (
+      SELECT s AS ms, CAST(1 AS BIGINT) AS delta, user_id, session_id FROM sess
+      UNION ALL
+      SELECT e AS ms, CAST(-1 AS BIGINT) AS delta, user_id, session_id FROM sess
+    ), sw AS (
+      SELECT ms, sum(delta) OVER (ORDER BY ms ASC, delta ASC, user_id ASC,
+                                  session_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS open_sessions
+      FROM b
+    ), mx AS (SELECT max(open_sessions) AS m FROM sw)
+    SELECT CAST(max(open_sessions) AS BIGINT) AS max_concurrent,
+           strftime(make_timestamp(min(ms) * 1000),
+                    '%Y-%m-%d %H:%M:%S.%g') AS at_time
+    FROM sw CROSS JOIN mx WHERE open_sessions = m
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (temporal.max_concurrency): the
+    sweep-line over gap-based session intervals — +1/−1 boundary
+    events, a GLOBAL running count, and the max with its first
+    occurrence time. The oracle states the textbook single-window
+    running sum; the Spark plan computes the same prefix sum with
+    operators/ranking.global_cumsum (range repartition +
+    partition-local window + broadcast offsets), so the global order
+    never passes through one reducer — the companion scan to
+    global_ntile's rank. Boundaries are 2 rows per session.
+    Intermediates persist_tracked; release via release_cached()."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.max_concurrency(events, gap_minutes=30)

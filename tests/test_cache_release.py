@@ -21,6 +21,7 @@ DEDUP_KEYS = [
     "docs_perplexity_buckets",
     "part_basket_lift",
     "orders_value_deciles",
+    "events_max_concurrency",
 ]
 
 

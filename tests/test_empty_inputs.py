@@ -135,3 +135,17 @@ def test_late_round6_ops_on_empty(spark, empty_docs, empty_emb):
     assert out.count() == 0 and "b" in out.columns
     with pytest.raises(ValueError):
         similarity.pca_variance(empty_emb, dim=64)
+
+
+def test_bigram_and_concurrency_on_empty(spark, empty_docs):
+    from b2b_data_pipeline_indiamart_spark.operators import caching, temporal
+
+    assert textstats.bigram_logprob(empty_docs).count() == 0
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    # sweep over zero sessions: one row of nulls would be wrong — the
+    # peak of an empty stream is no row at all
+    out = temporal.max_concurrency(empty_events).collect()
+    caching.release_cached()
+    assert out == [] or out[0]["max_concurrent"] is None

@@ -536,3 +536,100 @@ def test_basket_lift_hand_computed(spark):
     )
     assert n_b == 4 and item[1] == 4 and item[2] == 3
     caching.release_cached()
+
+
+# ------------------------------------------------------------ bigram LM
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus transitions: "a b" x2, "b a" x1  (docs: "a b a b", "b? no")
+    docs = spark.createDataFrame([(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in textstats.bigram_logprob(docs).collect()}
+    # prefix counts: a->? occurs 3x ("a b" x3), b->? occurs 2x ("b a" x2... )
+    # transitions: doc1: (a,b),(b,a),(a,b); doc2: (a,b)
+    # c(a,b)=3, c(b,a)=1; ctx a=3, ctx b=1
+    # doc1 avg = (ln(3/3) + ln(1/1) + ln(3/3)) / 3 = 0
+    # doc2 avg = ln(3/3) = 0
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["avg_logprob"] == 0.0
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["avg_logprob"] == 0.0
+
+
+def test_bigram_logprob_rare_transition_scores_lower(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y a x y a x y"), (2, "y x")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["avg_logprob"] for r in textstats.bigram_logprob(docs).collect()}
+    # doc2's only transition (y,x) occurs once against 3 y-contexts:
+    # ln(1/3); doc1 mixes ln(1) and ln(2/3) terms and stays higher
+    assert rows[2] < rows[1]
+
+
+def test_bigram_logprob_single_token_docs_drop_out(spark):
+    docs = spark.createDataFrame([(1, "only"), (2, "a b")], ["doc_id", "text"])
+    ids = {r["doc_id"] for r in textstats.bigram_logprob(docs).collect()}
+    assert ids == {2}
+
+
+# -------------------------------------------------------- global cumsum
+
+
+def test_global_cumsum_matches_window_form(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import caching, ranking
+    from pyspark.sql import Window
+
+    rows = [(i, float((i * 7) % 11) - 5.0) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
+    got = {
+        r["k"]: r["c"]
+        for r in ranking.global_cumsum(df, [F.col("k").asc()], "v", "c").collect()
+    }
+    caching.release_cached()
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = {r["k"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == ref
+
+
+# ----------------------------------------------------- max concurrency
+
+
+def test_max_concurrency_hand_computed(spark):
+    from datetime import datetime
+
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    mk = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    # three users, sessions: u1 [10:00,10:10], u2 [10:05,10:05],
+    # u3 [10:20,10:20] -> peak 2 at 10:05 (u1 still open, u2 starts)
+    rows = [
+        (1, mk(0), 1, "view", 1.0),
+        (2, mk(10), 1, "view", 1.0),
+        (3, mk(5), 2, "view", 1.0),
+        (4, mk(20), 3, "view", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    [r] = temporal.max_concurrency(events, gap_minutes=30).collect()
+    caching.release_cached()
+    assert r["max_concurrent"] == 2
+    assert r["at_time"] == "2026-01-01 10:05:00.000"
+
+
+def test_max_concurrency_touching_sessions_overlap(spark):
+    from datetime import datetime
+
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    # u1's session ends at the exact ms u2's starts: inclusive
+    # intervals -> they count as concurrent
+    rows = [
+        (1, datetime(2026, 1, 1, 10, 0), 1, "view", 1.0),
+        (2, datetime(2026, 1, 1, 10, 5), 1, "view", 1.0),
+        (3, datetime(2026, 1, 1, 10, 5), 2, "view", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    [r] = temporal.max_concurrency(events, gap_minutes=30).collect()
+    caching.release_cached()
+    assert r["max_concurrent"] == 2
