@@ -276,7 +276,7 @@ def winsorize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_issues",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS row_key, 'high_price' AS issue
-    FROM orders WHERE o_totalprice > 400000
+    FROM orders WHERE o_totalprice > 490000
     UNION ALL
     SELECT CAST(o_orderkey AS BIGINT), 'old_order'
     FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01'
@@ -290,7 +290,7 @@ def quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is a pushed-down filter over the shared scan, unioned."""
     orders = _t(spark, sf_dir, "orders")
     checks = {
-        "high_price": F.col("o_totalprice") > 400000,
+        "high_price": F.col("o_totalprice") > 490000,
         "old_order": F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp"),
         "bad_status": ~F.col("o_orderstatus").isin("F", "O", "P"),
     }
@@ -4420,3 +4420,39 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Intermediates persist_tracked; release via release_cached()."""
     events = _t(spark, sf_dir, "events")
     return temporal.max_concurrency(events, gap_minutes=30)
+
+
+@_register(
+    "orders_bloom_prune",
+    """
+    WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hv)
+    GROUP BY l_returnflag
+    """,
+)
+def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter pattern under the hash gate: lineitems of
+    high-value orders via operators/bloom.bloom_semi_join — a
+    Catalyst-built bloom filter (xxhash64 positions → bit_or words →
+    one-row broadcast map) drops definite non-matches MAP-SIDE before
+    the semi-join shuffle; the exact LEFT SEMI join then removes the
+    bloom's false positives. Like orders_salted_revenue, the oracle IS
+    the plain semi join: the prefilter may only change performance,
+    never results — pinned against DuckDB every round. At 100 TB this
+    is the shape that avoids shuffling the ~99% of fact rows that
+    cannot match a selective build side too big to broadcast raw."""
+    from ..operators import bloom
+
+    hv = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 490000
+    ).select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem")
+    pruned = bloom.bloom_semi_join(li, hv, "l_orderkey", "o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -633,3 +633,40 @@ def test_max_concurrency_touching_sessions_overlap(spark):
     [r] = temporal.max_concurrency(events, gap_minutes=30).collect()
     caching.release_cached()
     assert r["max_concurrent"] == 2
+
+
+# ------------------------------------------------------------ bloom pruning
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import bloom
+
+    keys = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    fact = spark.createDataFrame([(i,) for i in range(10_000)], ["f"])
+    bits = bloom.bloom_build(keys, "k", m_bits=1 << 12, k=4)
+    pruned = fact.crossJoin(F.broadcast(bits)).filter(
+        bloom.bloom_might_contain("__bloom", "f", m_bits=1 << 12, k=4)
+    )
+    kept = {r["f"] for r in pruned.collect()}
+    assert set(range(100)) <= kept  # a bloom filter NEVER drops a member
+    # and it actually prunes: false-positive rate well under 50%
+    assert len(kept) < 100 + 0.5 * 9_900
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import bloom
+
+    keys = spark.createDataFrame([(3,), (7,), (7,), (11,)], ["k"])
+    fact = spark.createDataFrame([(i, i * 10.0) for i in range(20)], ["f", "v"])
+    got = sorted(
+        map(tuple, bloom.bloom_semi_join(fact, keys, "f", "k").collect())
+    )
+    ref = sorted(
+        map(
+            tuple,
+            fact.join(
+                keys.select("k"), F.col("f") == F.col("k"), "left_semi"
+            ).collect(),
+        )
+    )
+    assert got == ref == [(3, 30.0), (7, 70.0), (11, 110.0)]
