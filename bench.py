@@ -75,6 +75,12 @@ EXTENDED_KEYS = [
     "q22_idle_customers",
     "docs_span_dedup",
     "docs_token_entropy",
+    "docs_bigram_logprob",
+    "docs_perplexity_buckets",
+    "part_basket_lift",
+    "events_max_concurrency",
+    "orders_value_deciles",
+    "orders_bloom_prune",
 ]
 
 
