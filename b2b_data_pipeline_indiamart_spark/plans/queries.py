@@ -4456,3 +4456,39 @@ def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@_register(
+    "orders_status_unpivot",
+    """
+    WITH piv AS (
+      SELECT o_orderpriority AS priority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders GROUP BY 1)
+    SELECT priority, status, n_orders
+    FROM piv UNPIVOT (n_orders FOR status IN (n_f AS 'F', n_o AS 'O', n_p AS 'P'))
+    """,
+)
+def orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse reshape of orders_status_pivot,
+    completing the wide↔long pair: the wide status columns back to
+    (priority, status, n_orders) rows via ``DataFrame.unpivot``
+    (Catalyst's Expand — map-only over the already-aggregated wide
+    table, no extra shuffle). Round-tripping through pivot→unpivot is
+    the schema-stable ETL reshaping a warehouse feed needs; the
+    explicit value list keeps both directions discovery-scan-free."""
+    wide = QUERIES["orders_status_pivot"](spark, sf_dir)
+    return wide.unpivot(
+        ids=["priority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status",
+        valueColumnName="n_orders",
+    ).select(
+        "priority",
+        F.element_at(F.split(F.col("status"), "_"), 2).alias("__s"),
+        "n_orders",
+    ).select(
+        "priority", F.upper(F.col("__s")).alias("status"), "n_orders"
+    )

@@ -205,3 +205,28 @@ def write_jdbc(
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def upsert_partitions(
+    df: DataFrame, path: str, partition_by: Sequence[str]
+) -> None:
+    """Partition-grain upsert without a table format: overwrite ONLY
+    the partitions present in ``df``, leave every other partition of
+    the existing dataset untouched (Spark's
+    ``partitionOverwriteMode=dynamic``).
+
+    This is the idempotent incremental-load pattern for parquet lakes
+    with no Delta/Iceberg layer: a daily re-run replaces exactly its
+    own date partitions, so late-arriving corrections reprocess one
+    partition instead of rewriting the dataset, and a crashed job can
+    simply re-run. The conf is set on the WRITE's session scope and
+    restored after — static overwrite (wipe the whole path) remains
+    the default for full rebuilds via :func:`write_parquet`.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -326,3 +326,38 @@ def test_binary_documents_roundtrip_decodes_headers(spark, tmp_path):
     again = {r["kind"]: r["doc_id"] for r in read_binary_documents(
         spark, str(tmp_path), glob="*.{png,gif}").collect()}
     assert {k: rows[k]["doc_id"] for k in rows} == again
+
+
+def test_upsert_partitions_replaces_only_touched_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark.sources.sinks import (
+        upsert_partitions,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("2026-01-01", 1, 10.0), ("2026-01-01", 2, 20.0), ("2026-01-02", 3, 30.0)],
+        ["day", "id", "v"],
+    )
+    write_parquet(base, path, partition_by=["day"])
+
+    # correction for day 1 only: one row instead of two
+    fix = spark.createDataFrame([("2026-01-01", 9, 99.0)], ["day", "id", "v"])
+    upsert_partitions(fix, path, ["day"])
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .select(F.col("day").cast("string"), "id", "v")
+            .collect(),
+        )
+    )
+    # day 2 untouched, day 1 fully replaced by the correction
+    assert got == [("2026-01-01", 9, 99.0), ("2026-01-02", 3, 30.0)]
+    # the conf was restored (static default back in force)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+    )
