@@ -244,3 +244,61 @@ def test_decontaminate_matches_python_reference(spark, train, bench, n):
         for i, toks in enumerate(train)
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    n=st.integers(2, 7),
+    parts=st.integers(1, 9),
+)
+def test_global_ntile_matches_window_form(spark, values, n, parts):
+    """The distributed ranker must be hash-identical to
+    ``ntile(n) OVER (ORDER BY v, k)`` for ANY values / bucket count /
+    physical partitioning — this is the contract customer_rfm,
+    docs_perplexity_buckets, and orders_value_deciles rest on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark.operators import caching, ranking
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(parts)
+    got = {
+        r["k"]: r["b"]
+        for r in ranking.global_ntile(
+            df, n, [F.col("v").asc(), F.col("k").asc()], "b"
+        ).collect()
+    }
+    caching.release_cached()
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    ref = {
+        r["k"]: r["b"]
+        for r in df.withColumn("b", F.ntile(n).over(w)).collect()
+    }
+    assert got == ref
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    parts=st.integers(1, 9),
+)
+def test_global_cumsum_matches_window_form_property(spark, values, parts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark.operators import caching, ranking
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(parts)
+    got = {
+        r["k"]: r["c"]
+        for r in ranking.global_cumsum(df, [F.col("k").asc()], "v", "c").collect()
+    }
+    caching.release_cached()
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = {r["k"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == ref
