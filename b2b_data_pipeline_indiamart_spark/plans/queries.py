@@ -4492,3 +4492,93 @@ def orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "priority", F.upper(F.col("__s")).alias("status"), "n_orders"
     )
+
+
+@_register(
+    "docs_text_vector_curation",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM n),
+    m AS (
+      SELECT doc_id, len(tk) AS n_words,
+             round(list_sum(list_transform(tk, x -> length(x)))
+                   / CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END, 4)
+               AS mean_word_len,
+             round(1.0 - len(list_distinct(tk))
+                   / CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END, 4)
+               AS dup_word_ratio,
+             CAST(len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS["en"])}, x)))
+                  AS BIGINT) AS n_stopwords
+      FROM t
+    ),
+    q AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                 (n_words >= {textstats.QF_MIN_WORDS})
+                   AND (mean_word_len >= {textstats.QF_MEAN_LEN_LO})
+                   AND (mean_word_len <= {textstats.QF_MEAN_LEN_HI})
+                   AND (dup_word_ratio <= {textstats.QF_MAX_DUP_RATIO})
+                   AND (n_stopwords >= {textstats.QF_MIN_STOPWORDS}) AS text_ok
+          FROM m),
+    v AS (SELECT vec_id, label,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) AS nrm
+          FROM embeddings),
+    st AS (SELECT label, avg(nrm) AS mu, stddev_pop(nrm) AS sd
+           FROM v GROUP BY label),
+    z AS (SELECT v.vec_id, v.label, round((v.nrm - st.mu) / st.sd, 4) AS z
+          FROM v JOIN st USING (label))
+    SELECT q.doc_id, q.n_words, q.text_ok, z.label, z.z,
+           abs(z.z) <= 2.0 AS vec_ok,
+           q.text_ok AND abs(z.z) <= 2.0 AS keep
+    FROM q JOIN z ON q.doc_id = z.vec_id
+    """,
+)
+def docs_text_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation join — the composition that makes the
+    documents and embeddings tables ONE corpus: per document, the
+    Gopher-style text verdict (quality_filter's rule conjunction) AND
+    the per-label embedding-norm z-score QA, joined on doc_id ==
+    vec_id into a single keep decision. This is the gate a multimodal
+    training pipeline applies before packing: text must read well AND
+    its vector must not be degenerate.
+
+    Scale shape: the text side is quality_filter's map-only pass; the
+    vector side is two narrow passes (per-label moments broadcast
+    back); the final join keys both corpora on the shared id — at
+    100 TB both sides would be bucketed on that id, making this join
+    exchange-free (sources.write_bucketed is that layout). z rounded
+    4dp before the cut on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_filter(docs).select(
+        "doc_id", "n_words", F.col("passes").alias("text_ok")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        similarity.norm(similarity.as_double_array(F.col("embedding"))).alias(
+            "__nrm"
+        ),
+    )
+    st = n.groupBy("label").agg(
+        F.avg("__nrm").alias("__mu"), F.stddev_pop("__nrm").alias("__sd")
+    )
+    z = n.join(F.broadcast(st), "label").select(
+        "vec_id",
+        "label",
+        round_half_up(
+            (F.col("__nrm") - F.col("__mu")) / F.col("__sd"), 4
+        ).alias("z"),
+    )
+    vec_ok = F.abs(F.col("z")) <= 2.0
+    return (
+        q.join(z, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            "n_words",
+            "text_ok",
+            "label",
+            "z",
+            vec_ok.alias("vec_ok"),
+            (F.col("text_ok") & vec_ok).alias("keep"),
+        )
+    )
