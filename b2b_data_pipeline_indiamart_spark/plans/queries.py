@@ -4582,3 +4582,39 @@ def docs_text_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("text_ok") & vec_ok).alias("keep"),
         )
     )
+
+
+@_register(
+    "corpus_coverage_matrix",
+    """
+    SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'both'
+                WHEN doc_id IS NOT NULL THEN 'text_only'
+                ELSE 'vector_only' END AS coverage,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
+    GROUP BY 1
+    """,
+)
+def corpus_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus completeness audit — the FULL OUTER member of the join
+    family: which items have text, a vector, or both (at sf0.1 the
+    documents table genuinely outnumbers embeddings — 3000 docs have
+    no vector — so the asymmetric buckets are live, not just 'both').
+    This is the reconciliation report run before any cross-modal
+    stage: a text/vector mismatch upstream shows up here first.
+
+    Scale shape: both sides project to their id column only before
+    the join (column pruning to 8 bytes/row), one id-keyed shuffle,
+    and the rollup is a 3-group combining aggregate. At 100 TB the
+    bucketed-id layout makes the join exchange-free."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(emb, F.col("doc_id") == F.col("vec_id"), "full_outer")
+    coverage = (
+        F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), "both")
+        .when(F.col("doc_id").isNotNull(), "text_only")
+        .otherwise("vector_only")
+    )
+    return j.groupBy(coverage.alias("coverage")).agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
