@@ -185,3 +185,54 @@ def global_cumsum(
         .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__pid", "__local", "__off")
     )
+
+
+def global_ntile_many(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    specs: dict[str, list[Column | str]],
+    narrow: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Several independent ``global_ntile`` columns over the SAME
+    input, built CONCURRENTLY: one driver thread per score.
+
+    Each :func:`global_ntile` is two short Spark jobs (the range
+    exchange's bound sampling + the P-row offsets collect) whose cost
+    at moderate scale is dominated by fixed job latency, not data.
+    Chaining k scores serializes 2k jobs; Spark's scheduler accepts
+    jobs from multiple driver threads, so k data-independent scores
+    overlap their jobs (measured 4.2 → 3.4-3.9 s for customer_rfm's
+    three quartiles at sf0.1 on local[32] — a ~15-20% cut; the floor
+    is the per-score range shuffle itself, which stays serial within
+    each score). The join-back costs one extra shuffle vs the chained
+    form but the range exchanges carry 2-3 narrow columns instead of
+    the full accumulating row.
+
+    Each score is computed over a NARROW (key, order-columns)
+    projection (``narrow`` maps score name → the source columns its
+    ordering needs) and joined back on ``key_col`` — the range
+    shuffles carry 2-3 columns, never the full row. Bucket values are
+    identical to the chained form: same input rows, same total
+    orders, same arithmetic.
+
+    ``specs``: score column name → order_cols (must each be a TOTAL
+    order, e.g. tie-broken by ``key_col``).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    narrow = narrow or {}
+
+    def build(item):
+        out_col, order_cols = item
+        cols = [key_col, *narrow.get(out_col, [])]
+        proj = df.select(*dict.fromkeys(cols))  # de-dup, keep order
+        scored = global_ntile(proj, n, order_cols, out_col)
+        return scored.select(key_col, out_col)
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as pool:
+        frames = list(pool.map(build, specs.items()))
+    out = df
+    for fr in frames:
+        out = out.join(fr, key_col)
+    return out

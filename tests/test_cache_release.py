@@ -22,6 +22,7 @@ DEDUP_KEYS = [
     "part_basket_lift",
     "orders_value_deciles",
     "events_max_concurrency",
+    "customer_rfm",
 ]
 
 

@@ -670,3 +670,48 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
         )
     )
     assert got == ref == [(3, 30.0), (7, 70.0), (11, 110.0)]
+
+
+# ----------------------------------------------- concurrent multi-ntile
+
+
+def test_global_ntile_many_equals_chained(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+    from b2b_data_pipeline_indiamart_spark.operators.ranking import (
+        global_ntile,
+        global_ntile_many,
+    )
+    from b2b_data_pipeline_indiamart_spark.functions.rounding import round_half_up
+
+    orders = catalog.load(spark, sf_small, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    specs = {
+        "r_score": [F.col("last_order").asc(), F.col("custkey").asc()],
+        "f_score": [F.col("frequency").asc(), F.col("custkey").asc()],
+        "m_score": [F.col("monetary").asc(), F.col("custkey").asc()],
+    }
+    many = global_ntile_many(
+        m, 4, "custkey", specs,
+        narrow={"r_score": ["last_order"], "f_score": ["frequency"],
+                "m_score": ["monetary"]},
+    )
+    got = sorted(
+        map(tuple, many.select("custkey", "r_score", "f_score", "m_score").collect())
+    )
+    caching.release_cached()
+    chained = m
+    for out_col, order_cols in specs.items():
+        chained = global_ntile(chained, 4, order_cols, out_col)
+    ref = sorted(
+        map(
+            tuple,
+            chained.select("custkey", "r_score", "f_score", "m_score").collect(),
+        )
+    )
+    caching.release_cached()
+    assert got == ref
