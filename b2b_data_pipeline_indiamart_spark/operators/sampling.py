@@ -187,3 +187,46 @@ def sample_per_group(
         .withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def purge_subjects(
+    tables: "dict[str, DataFrame]",
+    subject_keys: DataFrame,
+    key_cols: "dict[str, str]",
+) -> "dict[str, DataFrame]":
+    """Deletion-request propagation (GDPR Art. 17 / CCPA shape): drop
+    every row belonging to the requested subjects from each table of a
+    dataset, in one consistent sweep.
+
+    ``tables`` maps table name → DataFrame; ``key_cols`` maps the same
+    names to the column that identifies the subject there (e.g.
+    ``{"events": "user_id", "orders": "o_custkey"}``). Tables absent
+    from ``key_cols`` pass through untouched (no subject data).
+
+    Scale shape: the request list is small by nature (a regulator's
+    batch, not a corpus) — broadcast LEFT ANTI join per table, so each
+    table is one map-side pass with zero shuffle and the request list
+    is scanned once per table. Writing the result back with
+    ``sources.sinks.upsert_partitions`` (date-partitioned layouts)
+    rewrites only the partitions that actually contained the subject
+    when paired with a pre-filter on the partition column; the sweep
+    itself never collects or mutates in place.
+
+    Returns the purged frames keyed like ``tables``; callers decide
+    the write-back. The anti join preserves each table's schema
+    exactly.
+    """
+    key_df = subject_keys
+    [subject_col] = key_df.columns
+    out: "dict[str, DataFrame]" = {}
+    for name, df in tables.items():
+        col = key_cols.get(name)
+        if col is None:
+            out[name] = df
+            continue
+        out[name] = df.join(
+            F.broadcast(key_df),
+            df[col] == key_df[subject_col],
+            "left_anti",
+        )
+    return out

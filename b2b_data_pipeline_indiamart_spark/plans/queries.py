@@ -4630,3 +4630,78 @@ def corpus_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(coverage.alias("coverage")).agg(
         F.count(F.lit(1)).alias("n_items")
     )
+
+
+@_register(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                          ELSE 0 END) / sum(volume), 4) AS mkt_share,
+           round(sum(volume), 2) AS total_volume
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: what fraction of ASIA's
+    ECONOMY-part purchase volume was supplied by NATION_2, per order
+    year — the conditional-share-of-group over the widest join in the
+    registry (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈
+    supplier ⋈ nation ⋈ part).
+
+    Scale shape: the region restriction shrinks customer ~5× BEFORE
+    it broadcasts (nation+region dims fold into the customer side
+    map-side); the part type filter pushes into the (broadcast) part
+    scan and gates lineitem on the partkey probe; supplier carries
+    only its nation name. The one fact-fact shuffle is
+    lineitem ⋈ orders on orderkey; everything else is a broadcast
+    hash join, and the share is a conditional-sum ratio in a
+    years-sized aggregate."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat2 = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            round_half_up(F.sum(nat2) / F.sum(vol), 4).alias("mkt_share"),
+            round_half_up(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
