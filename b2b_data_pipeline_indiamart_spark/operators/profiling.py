@@ -52,3 +52,42 @@ def profile_report(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
         wide.select(F.explode(F.array(*stacks)).alias("p"))
         .select("p.column", "p.n_rows", "p.non_null", "p.nulls", "p.null_pct", "p.distinct_values")
     )
+
+
+def observe_quality(
+    df: DataFrame,
+    name: str = "quality",
+    numeric_col: str | None = None,
+    required_cols: "list[str] | None" = None,
+):
+    """Attach free pipeline metrics to a plan via Spark's Observation
+    API: row count, per-required-column null counts, and (optionally)
+    a numeric column's sum/min/max are computed AS A SIDE EFFECT of
+    whatever action the caller runs next — zero extra scans, zero
+    extra jobs, exactly the metrics a production pipeline wants on
+    every write without paying for a second pass.
+
+    Returns ``(observed_df, observation)``; read
+    ``observation.get`` AFTER an action on ``observed_df`` has
+    completed. At 100 TB this is the difference between "metrics are
+    free" and "metrics double the pipeline" — the aggregates ride the
+    same tasks as the real work (internally an
+    ``CollectMetrics`` node, mergeable per-partition accumulators).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in required_cols or []:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
+        )
+    if numeric_col is not None:
+        metrics.extend(
+            [
+                F.sum(numeric_col).alias(f"sum_{numeric_col}"),
+                F.min(numeric_col).alias(f"min_{numeric_col}"),
+                F.max(numeric_col).alias(f"max_{numeric_col}"),
+            ]
+        )
+    return df.observe(obs, *metrics), obs

@@ -165,3 +165,23 @@ def test_pipeline_without_phone_or_sqlite(spark, tmp_path):
     # absent source columns surface as NULL in the curated schema
     assert all(r["search_keyword"] is None for r in rows)
     assert {r["price_bucket"] for r in rows} == {"Low (<10k)", "Mid (10k-50k)"}
+
+
+def test_observe_quality_metrics_ride_the_action(spark):
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark.operators.profiling import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+    )
+    observed, obs = observe_quality(
+        df, numeric_col="v", required_cols=["v"]
+    )
+    # one action drives both the "real work" and the metrics
+    assert observed.filter(F.col("id") > 0).count() == 3
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_null_v"] == 1
+    assert got["sum_v"] == 40.0
+    assert got["min_v"] == 10.0 and got["max_v"] == 30.0
