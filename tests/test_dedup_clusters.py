@@ -102,3 +102,57 @@ def test_blocked_dedup_clusters_auto_prefix_matches_explicit(spark, sf_small):
         map(tuple, dedup.blocked_dedup_clusters(docs, prefixes=((1, 3), (4, 3))).collect())
     )
     assert auto == explicit  # small corpus sits at the floor → same graph
+
+
+def test_driver_union_find_matches_distributed_loop(spark, sf_small):
+    """The bimodal small-graph path must be bit-identical to the
+    large-star/small-star loop — same components, same min labels —
+    on the real blocked candidate graph AND on an adversarial chain
+    (worst case for per-hop propagation)."""
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    docs = catalog.load(spark, sf_small, "documents")
+    fast = sorted(
+        map(
+            tuple,
+            dedup.blocked_dedup_clusters(docs, small_graph_cap=1_000_000).collect(),
+        )
+    )
+    caching.release_cached()
+    loop = sorted(map(tuple, dedup.blocked_dedup_clusters(docs).collect()))
+    caching.release_cached()
+    assert fast == loop
+
+    # chain 0-1-2-...-30 collapses to cluster 0 either way
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    f = sorted(
+        map(
+            tuple,
+            dedup.connected_components(chain, small_graph_cap=10_000).collect(),
+        )
+    )
+    caching.release_cached()
+    l = sorted(map(tuple, dedup.connected_components(chain).collect()))
+    caching.release_cached()
+    assert f == l
+    assert all(c == 0 for _, c in f)
+
+
+def test_driver_union_find_over_cap_falls_back_to_loop(spark):
+    # cap below the edge count -> the distributed loop runs (observable
+    # via the loop's localCheckpoint leaving no driver-path shortcut:
+    # results still correct)
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, small_graph_cap=2).collect()
+    }
+    caching.release_cached()
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
