@@ -652,6 +652,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     k: int = 64,
     bands: int = 16,
+    small_graph_cap: int = 0,
 ) -> DataFrame:
     """End-to-end near-dup clustering: exact-dup collapse → MinHash →
     LSH pairs → connected components → (doc_id, cluster_id,
@@ -676,7 +677,7 @@ def dedup_clusters(
     pairs = caching.persist_tracked(
         minhash_lsh_pairs(reps, text_col, id_col, k=k, bands=bands)
     )
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, small_graph_cap=small_graph_cap)
     # the CC loop ran eagerly and checkpoint-truncated its output
     # lineage: the pair list and the LSH band table feeding it are dead
     # weight now — release them before returning (members stays: the

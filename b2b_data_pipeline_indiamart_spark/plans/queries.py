@@ -1155,7 +1155,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative min-label propagation) → per-doc cluster id + keep-flag.
     The operator that turns pair lists into an actual deduped corpus."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.dedup_clusters(docs).orderBy("doc_id")
+    # bimodal CC cap on: the LSH pair graph after exact-collapse fits
+    # the driver at any bench SF; the distributed loop (oracle-pinned
+    # via dedup_clusters_blocked) takes over past 200k edges
+    return dedup.dedup_clusters(docs, small_graph_cap=200_000).orderBy("doc_id")
 
 
 @_register(
