@@ -381,8 +381,11 @@ def connected_components(
     oracle-pinned artifact via the ``dedup_clusters_blocked`` key,
     which forces cap 0; pytest pins both paths identical on the same
     graphs. The split saves the loop's per-round sync cost exactly
-    where that cost dominates (measured 8.1 → 0.3 s on the sf0.1
-    blocked graph's 4.2k edges).
+    where that cost dominates: measured 8.1 → 1.9 s cold on the
+    sf0.1 blocked graph's 4.2k edges (the residual is the
+    count/collect/parallelize job overhead — the union-find itself is
+    microseconds), and end-to-end corpus_prep_e2e 7.7 → 2.9 s /
+    dedup_prune_clusters 5.4 → 1.2 s in the warm extended bench.
 
     This is the step that turns candidate PAIRS into dedup GROUPS (keep
     one representative per component). Alternating large-star /
