@@ -1198,7 +1198,14 @@ def dedup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible, so DuckDB mirrors the closure with a recursive CTE.
     The blocking prefix auto-sizes from the corpus count (expected
     block ~16 docs; see dedup.blocking_prefix_len) and the oracle's
-    ``p`` CTE computes the identical expression in SQL."""
+    ``p`` CTE computes the identical expression in SQL.
+
+    DELIBERATELY leaves the bimodal small-graph cap OFF: this key is
+    the distributed loop's hash-checked proof, so it always runs the
+    large-star/small-star rounds even though the test-SF graph would
+    fit the driver path (which the composition keys use and which is
+    pytest-pinned equal to the loop). Its bench cost is therefore the
+    loop's per-round sync floor, by design."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.blocked_dedup_clusters(docs).orderBy("doc_id")
 
