@@ -198,3 +198,25 @@ def kpi_summary(
         ).alias("missing_value_pct"),
     ]
     return df.agg(*aggs)
+
+
+def array_pairs(
+    df: DataFrame, array_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """C(n,2) ordered pairs from a SORTED array column, expanded
+    in-plan (nested transform + flatten + explode — one projection, no
+    self-join): the shared kernel of the market-basket keys
+    (part_copurchase / part_basket_lift) and the audience-overlap key
+    (events_user_type_overlap). Sorting upstream makes (a < b)
+    canonical, so pair counts never double-count orientation; output
+    rows = Σ C(len, 2) over input rows.
+    """
+    expr = f"""
+        flatten(transform({array_col}, (x, i) ->
+          transform(slice({array_col}, i + 2, size({array_col})),
+                    y -> named_struct('{a_name}', x, '{b_name}', y))))
+        """
+    return df.select(F.explode(F.expr(expr)).alias("__pr")).select(
+        F.col(f"__pr.{a_name}").alias(a_name),
+        F.col(f"__pr.{b_name}").alias(b_name),
+    )

@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    # cast to long BEFORE hashing: xxhash64 is type-sensitive (INT 7
+    # and BIGINT 7 hash differently), so without a common type a fact
+    # side typed int against a key side typed long would never collide
+    # in the filter and every true match would be dropped map-side.
+    # The probe side applies the identical cast.
+    key = key.cast("long")
     return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)]
 
 
@@ -65,7 +71,8 @@ def bloom_might_contain(
     """
     tests = []
     for i in range(k):
-        pos = f"pmod(xxhash64({key_sql}, {i}), {m_bits})"
+        # same bigint cast as the build side (xxhash64 is type-sensitive)
+        pos = f"pmod(xxhash64(cast({key_sql} as bigint), {i}), {m_bits})"
         word = f"coalesce(element_at({bloom_sql}, cast({pos} div 64 as int)), 0L)"
         mask = f"shiftleft(1L, cast(pmod({pos}, 64) as int))"
         tests.append(f"({word} & {mask}) != 0")

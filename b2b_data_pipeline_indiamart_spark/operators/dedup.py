@@ -416,10 +416,14 @@ def connected_components(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
     if small_graph_cap > 0:
-        # cheap count over a 2-column projection; the cap guarantees
-        # the subsequent collect is bounded regardless of corpus size
-        if raw.count() <= small_graph_cap:
-            return _connected_components_driver(raw)
+        # ONE bounded job decides the branch AND supplies the driver
+        # rows: limit(cap+1) never ships more than cap+1 two-long rows
+        # whatever the corpus size; cap+1 rows back means the graph is
+        # over the cap — fall through to the loop (the probe cost is
+        # one truncated scan of the 2-column edge projection).
+        head = raw.limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            return _connected_components_driver(raw.sparkSession, head)
     # Pin shuffle parallelism to the machine for the duration of the
     # loop (restored in the finally below). A vanilla session's default
     # 200 shuffle partitions get materialized by EVERY per-round
@@ -441,13 +445,18 @@ def connected_components(
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
-def _connected_components_driver(raw: DataFrame) -> DataFrame:
+def _connected_components_driver(spark: SparkSession, rows) -> DataFrame:
     """Driver-side closure for capped graphs: union-find with path
     compression and min-root union, so every node's label is the
     minimum reachable id — bit-identical to the distributed loop's
-    fixpoint. Input rows are bounded by the caller's cap; output is
-    parallelized back as a (node, cluster_id) frame."""
+    fixpoint, INCLUDING null-endpoint semantics (ids that failed the
+    long cast become NULL; the loop treats a node with a null partner
+    as a singleton and emits one (NULL, NULL) row for the null
+    endpoint itself — SQL min() ignores nulls and DISTINCT keeps one
+    NULL). ``rows`` is the already-collected, cap-bounded edge list;
+    output is parallelized back as a (node, cluster_id) frame."""
     parent: dict[int, int] = {}
+    has_null = False
 
     def find(x: int) -> int:
         r = x
@@ -457,12 +466,15 @@ def _connected_components_driver(raw: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in raw.collect():
+    for row in rows:
         a, b = row["a"], row["b"]
+        if a is not None:
+            parent.setdefault(a, a)
+        if b is not None:
+            parent.setdefault(b, b)
         if a is None or b is None:
+            has_null = True
             continue
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:  # min root wins -> labels are component minima
             if ra < rb:
@@ -470,9 +482,9 @@ def _connected_components_driver(raw: DataFrame) -> DataFrame:
             else:
                 parent[ra] = rb
     out = [(n, find(n)) for n in parent]
-    return raw.sparkSession.createDataFrame(
-        out, "node BIGINT, cluster_id BIGINT"
-    )
+    if has_null:
+        out.append((None, None))
+    return spark.createDataFrame(out, "node BIGINT, cluster_id BIGINT")
 
 
 #: ~32 MB of (long, long) edge rows per shuffle task in the CC loop.

@@ -171,7 +171,12 @@ def global_cumsum(
         key=lambda row: row["__pid"],
     )
     if not parts:
-        return base.drop("__pid").withColumn(out_col, F.lit(None))
+        # typed NULL: an untyped (void) column breaks parquet writes
+        # and unionByName with the non-empty path's numeric output
+        sum_type = dict(local.dtypes)["__local"]
+        return base.drop("__pid").withColumn(
+            out_col, F.lit(None).cast(sum_type)
+        )
     is_float = any(isinstance(row["t"], float) for row in parts)
     offsets, acc = [], 0.0 if is_float else 0
     for row in parts:
@@ -217,10 +222,16 @@ def global_ntile_many(
     orders, same arithmetic.
 
     ``specs``: score column name → order_cols (must each be a TOTAL
-    order, e.g. tie-broken by ``key_col``).
+    order, e.g. tie-broken by ``key_col``). ``key_col`` must be a
+    UNIQUE grain key (it is the join-back key; duplicates would
+    cross-multiply). Null keys are preserved: the join-back uses
+    null-safe equality, so a null-key grain row keeps its buckets
+    exactly as the chained form would.
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    if not specs:
+        return df
     narrow = narrow or {}
 
     def build(item):
@@ -228,11 +239,15 @@ def global_ntile_many(
         cols = [key_col, *narrow.get(out_col, [])]
         proj = df.select(*dict.fromkeys(cols))  # de-dup, keep order
         scored = global_ntile(proj, n, order_cols, out_col)
-        return scored.select(key_col, out_col)
+        return scored.select(
+            F.col(key_col).alias(f"__k_{out_col}"), out_col
+        )
 
     with ThreadPoolExecutor(max_workers=len(specs)) as pool:
         frames = list(pool.map(build, specs.items()))
     out = df
-    for fr in frames:
-        out = out.join(fr, key_col)
+    for fr, out_col in zip(frames, specs):
+        out = out.join(
+            fr, F.col(key_col).eqNullSafe(F.col(f"__k_{out_col}"))
+        ).drop(f"__k_{out_col}")
     return out

@@ -3117,6 +3117,23 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.ewma_hourly(events, "event_type", decay=0.8, window_hours=24)
 
 
+def _part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated market baskets shared by part_copurchase /
+    part_basket_lift: each order's DISTINCT sorted parts, kept only at
+    2..32 parts (bounds the quadratic pair expansion and drops
+    pathological mega-baskets at 100 TB). One order-keyed shuffle."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    return (
+        li.groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+        .filter((F.size("pks") >= 2) & (F.size("pks") <= 32))
+    )
+
+
 @_register(
     "part_copurchase",
     """
@@ -3143,22 +3160,9 @@ def part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion and drops pathological mega baskets at 100 TB; DISTINCT
     parts per basket so multi-lineitem repeats don't inflate pairs;
     top-20 via TakeOrderedAndProject with full tie-break ordering."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    baskets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("pks"))
-    baskets = baskets.filter((F.size("pks") >= 2) & (F.size("pks") <= 32))
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(pks, (x, i) ->
-                  transform(slice(pks, i + 2, size(pks)),
-                            y -> named_struct('pk1', x, 'pk2', y))))
-                """
-            )
-        ).alias("p")
-    ).select("p.pk1", "p.pk2")
+    pairs = analytics.array_pairs(
+        _part_baskets(spark, sf_dir), "pks", "pk1", "pk2"
+    )
     return (
         pairs.groupBy("pk1", "pk2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -3376,17 +3380,7 @@ def events_user_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     sz = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     per_user = tu.groupBy("u").agg(F.sort_array(F.collect_set("t")).alias("ts"))
-    pairs = per_user.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(ts, (x, i) ->
-                  transform(slice(ts, i + 2, size(ts)),
-                            y -> named_struct('t1', x, 't2', y))))
-                """
-            )
-        ).alias("p")
-    ).select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    pairs = analytics.array_pairs(per_user, "ts", "t1", "t2")
     inter = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("nb"))
     s1 = sz.select(F.col("t").alias("t1"), F.col("n").alias("n_t1"))
     s2 = sz.select(F.col("t").alias("t2"), F.col("n").alias("n_t2"))
@@ -4074,33 +4068,14 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic pair expansion keeps part_copurchase's 2..32 gate."""
     from ..operators import caching
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    baskets = caching.persist_tracked(
-        li.groupBy("ok")
-        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
-        .filter((F.size("pks") >= 2) & (F.size("pks") <= 32))
-    )
+    baskets = caching.persist_tracked(_part_baskets(spark, sf_dir))
     n_baskets = baskets.agg(
         F.count(F.lit(1)).cast("double").alias("__nb")
     )
     item = baskets.select(F.explode("pks").alias("pk")).groupBy("pk").agg(
         F.count(F.lit(1)).cast("double").alias("__c")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(pks, (x, i) ->
-                  transform(slice(pks, i + 2, size(pks)),
-                            y -> named_struct('pk1', x, 'pk2', y))))
-                """
-            )
-        ).alias("p")
-    ).select("p.pk1", "p.pk2")
+    pairs = analytics.array_pairs(baskets, "pks", "pk1", "pk2")
     top = (
         pairs.groupBy("pk1", "pk2")
         .agg(F.count(F.lit(1)).alias("n_pair"))

@@ -156,3 +156,20 @@ def test_driver_union_find_over_cap_falls_back_to_loop(spark):
     }
     caching.release_cached()
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_driver_union_find_null_endpoints_match_loop(spark):
+    # ids that fail the long cast become NULL; both CC paths must
+    # agree: null-partnered node is a singleton, one (NULL, NULL) row
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    pairs = spark.createDataFrame([(5, None), (1, 2)], "id_a long, id_b long")
+    fast = sorted(
+        map(tuple, dedup.connected_components(pairs, small_graph_cap=100).collect()),
+        key=str,
+    )
+    caching.release_cached()
+    loop = sorted(map(tuple, dedup.connected_components(pairs).collect()), key=str)
+    caching.release_cached()
+    assert fast == loop
+    assert (5, 5) in fast and (None, None) in fast

@@ -715,3 +715,14 @@ def test_global_ntile_many_equals_chained(spark, sf_small):
     )
     caching.release_cached()
     assert got == ref
+
+
+def test_bloom_semi_join_mixed_key_types(spark):
+    # xxhash64 is type-sensitive; the build/probe long casts must keep
+    # an int fact against a long key set correct (review finding)
+    from b2b_data_pipeline_indiamart_spark.operators import bloom
+
+    fact = spark.createDataFrame([(i,) for i in range(20)], "f int")
+    keys = spark.createDataFrame([(3,), (7,), (11,)], "k long")
+    got = sorted(r["f"] for r in bloom.bloom_semi_join(fact, keys, "f", "k").collect())
+    assert got == [3, 7, 11]
