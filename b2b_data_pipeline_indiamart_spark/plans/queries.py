@@ -4800,3 +4800,78 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("s_suppkey").asc())
         .limit(20)
     )
+
+
+@_register(
+    "events_attribution_report",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         j AS (SELECT p.event_id, p.ts, p.value,
+                      epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+               FROM p ASOF LEFT JOIN v
+                 ON p.user_id = v.user_id AND p.ts > v.ts),
+         f AS (SELECT strftime(ts, '%Y-%m-%d') AS day, value,
+                      CASE WHEN lag_us IS NOT NULL
+                                AND lag_us <= 86400000000 THEN 1 ELSE 0
+                      END AS attributed,
+                      CASE WHEN lag_us IS NOT NULL
+                                AND lag_us <= 86400000000 THEN lag_us
+                      END AS alag
+               FROM j)
+    SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(attributed) AS BIGINT) AS n_attributed,
+           round(sum(attributed) * 1.0 / count(*), 4) AS attribution_rate,
+           round(sum(CASE WHEN attributed = 1 THEN value ELSE 0 END), 2)
+             AS attributed_value,
+           round(avg(alag) / 60000000.0, 2) AS avg_lag_min
+    FROM f GROUP BY day
+    """,
+)
+def events_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution report — the BATCH twin of the
+    streaming view→purchase attribution join (streaming/jobs.
+    view_click_attribution): each purchase attributes to the user's
+    most recent strictly-earlier view only if it happened within the
+    24 h lookback (expired views = organic), rolled up per purchase
+    day with the attributed revenue and mean view→purchase lag.
+
+    Scale shape: the as-of core is temporal.asof_join's union +
+    last(ignorenulls) window (ONE user-keyed shuffle, no theta join);
+    the lookback bound and the day rollup are map-side + one tiny
+    keyed aggregate. The streaming twin bounds the same lookback with
+    its stream-stream join time interval — same semantics, two
+    execution models."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    j = temporal.asof_join(purchases, views, on=["user_id"], right_cols=[])
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts"))
+    attributed = F.when(
+        F.col("matched_ts").isNotNull() & (lag_us <= 86_400_000_000), 1
+    ).otherwise(0)
+    alag = F.when(attributed == 1, lag_us)
+    return (
+        j.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value"),
+            attributed.alias("__attr"),
+            alag.alias("__alag"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("__attr").cast("long").alias("n_attributed"),
+            round_half_up(F.sum("__attr") / F.count(F.lit(1)), 4).alias(
+                "attribution_rate"
+            ),
+            round_half_up(
+                F.sum(F.when(F.col("__attr") == 1, F.col("value")).otherwise(0.0)),
+                2,
+            ).alias("attributed_value"),
+            round_half_up(F.avg("__alag") / 60_000_000.0, 2).alias("avg_lag_min"),
+        )
+    )
