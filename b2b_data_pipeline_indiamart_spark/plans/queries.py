@@ -4875,3 +4875,177 @@ def events_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.avg("__alag") / 60_000_000.0, 2).alias("avg_lag_min"),
         )
     )
+
+
+@_register(
+    "events_funnel_windowed",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND epoch_us(e.ts) - epoch_us(v.t_view) <= 3600000000
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND epoch_us(e.ts) - epoch_us(c.t_click) <= 86400000000
+          GROUP BY e.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_view,
+           CAST(count(c.user_id) AS BIGINT) AS n_click_1h,
+           CAST(count(p.user_id) AS BIGINT) AS n_purchase_24h,
+           round(count(c.user_id) * 1.0 / count(*), 4) AS click_rate,
+           round(count(p.user_id) * 1.0
+                 / nullif(count(c.user_id), 0), 4) AS purchase_rate
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: first view → first click
+    within 1 HOUR of it → first purchase within 24 HOURS of that —
+    the step-deadline variant of events_user_funnel (real funnels
+    expire; an unconstrained funnel credits conversions weeks apart).
+
+    Scale shape: three user-keyed aggregates, each stage's candidate
+    set gated by a join against the previous stage's (user, ts) frame
+    — the stage frames are user-grain (small relative to events) and
+    every join keys on user_id, so the three shuffles share one
+    partitioning; the final rollup is a single row. No windows, no
+    per-user collect."""
+    events = _t(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_view"))
+                <= 3_600_000_000
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_click"))
+                <= 86_400_000_000
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    vc = v.join(c.select(F.col("user_id").alias("__cu")), v.user_id == F.col("__cu"), "left")
+    vcp = vc.join(p.select(F.col("user_id").alias("__pu")), v.user_id == F.col("__pu"), "left")
+    return vcp.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("__cu").alias("n_click_1h"),
+        F.count("__pu").alias("n_purchase_24h"),
+        round_half_up(F.count("__cu") / F.count(F.lit(1)), 4).alias("click_rate"),
+        round_half_up(
+            F.count("__pu") / F.nullif(F.count("__cu").cast("double"), F.lit(0.0)), 4
+        ).alias("purchase_rate"),
+    )
+
+
+@_register(
+    "docs_length_gini",
+    """
+    WITH r AS (SELECT source, n_chars,
+                      row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars ASC, doc_id ASC) AS rk,
+                      count(*) OVER (PARTITION BY source) AS n,
+                      sum(n_chars) OVER (PARTITION BY source) AS tot
+               FROM documents)
+    SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           round((2.0 * sum(CAST(rk AS DOUBLE) * n_chars)) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 4) AS gini
+    FROM r GROUP BY source
+    """,
+)
+def docs_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the corpus-
+    balance inequality readout (0 = all docs equal length, →1 = a few
+    giants dominate the source's token budget; the signal mixture
+    sampling weights should be sanity-checked against).
+
+    Uses the rank formulation G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n over a
+    SOURCE-PARTITIONED window (never a global sort — each source ranks
+    independently across the cluster), doc_id tie-break for an
+    engine-stable total order. One shuffle on source; the rollup rides
+    the same partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    wp = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        F.row_number().over(w).cast("double").alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("n_chars").over(wp).alias("tot"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        round_half_up(
+            (2.0 * F.sum(F.col("rk") * F.col("x")))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+@_register(
+    "supplier_hhi",
+    """
+    WITH rev AS (SELECT s_nationkey AS nationkey, l_suppkey,
+                        sum(l_extendedprice * (1 - l_discount)) AS r
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                 GROUP BY 1, 2),
+    tot AS (SELECT nationkey, sum(r) AS t FROM rev GROUP BY 1)
+    SELECT rev.nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(pow(r / t, 2)), 4) AS hhi
+    FROM rev JOIN tot USING (nationkey)
+    GROUP BY rev.nationkey
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    per nation — the antitrust-style market-structure readout (1/n =
+    perfectly even, →1 = monopoly). Supplier dim broadcast into the
+    fact scan; one keyed shuffle to (nation, supplier) revenue grain;
+    nation totals are a tiny second aggregate joined back; the share
+    squares fold into the final ≤25-row rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__r")
+        )
+    )
+    tot = rev.groupBy("nationkey").agg(F.sum("__r").alias("__t"))
+    return (
+        rev.join(tot, "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            round_half_up(
+                F.sum(F.pow(F.col("__r") / F.col("__t"), 2)), 4
+            ).alias("hhi"),
+        )
+    )
