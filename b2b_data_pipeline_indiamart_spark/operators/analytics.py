@@ -90,11 +90,27 @@ def share_top_n_others(df: DataFrame, group_col: str, n: int = 5) -> DataFrame:
     top = (
         counts.orderBy(F.col("cnt").desc(), F.col("group_value").asc())
         .limit(n)
-        .select("group_value", F.lit(True).alias("__top"))
+        .select(
+            F.col("group_value").alias("__tg"), F.lit(True).alias("__top")
+        )
     )
-    labelled = counts.join(F.broadcast(top), "group_value", "left").withColumn(
-        "label",
-        F.when(F.col("__top").isNotNull(), F.col("group_value")).otherwise(F.lit("Others")),
+    # null-safe membership join: a NULL group that ranks in the top N
+    # must keep its (NULL) label exactly like the window form and the
+    # SQL oracle's rn<=n CASE — a plain equi-join would never match
+    # NULL and silently demote it to 'Others'
+    labelled = (
+        counts.join(
+            F.broadcast(top),
+            F.col("group_value").eqNullSafe(F.col("__tg")),
+            "left",
+        )
+        .drop("__tg")
+        .withColumn(
+            "label",
+            F.when(F.col("__top").isNotNull(), F.col("group_value")).otherwise(
+                F.lit("Others")
+            ),
+        )
     )
     w_all = Window.partitionBy()
     return (

@@ -1002,6 +1002,11 @@ def ann_topk_pq(
     first = emb.select(as_double_array(F.col(vec_col)).alias("v")).first()
     dim = len(first["v"]) if first and first["v"] is not None else m
     books = pq_codebooks(emb, dim, m=m, k=n_centroids, vec_col=vec_col)
+    # stride must be the TRAINED codebook length, not the requested k:
+    # a sample smaller than n_centroids trains shorter books, and the
+    # flattened LUT's segments have the actual length — indexing with
+    # the requested k would read the wrong segment for every s >= 1
+    stride = len(books[0])
     dsub = dim // m
     cb = _pq_literal(books)
     codes = caching.persist_tracked(
@@ -1017,7 +1022,7 @@ def ann_topk_pq(
         f"""
         aggregate(
           zip_with(codes, sequence(0, {m - 1}), (c, s) ->
-            element_at(lut, s * {n_centroids} + c + 1)),
+            element_at(lut, s * {stride} + c + 1)),
           0D, (acc, x) -> acc + x)
         """
     )
@@ -1110,6 +1115,7 @@ def ann_topk_ivfpq(
     books = ivfpq_residual_codebooks(
         emb, cents, m=m, k=n_centroids, vec_col=vec_col, seed=seed + 1
     )
+    stride = len(books[0])  # actual trained length (see ann_topk_pq)
     cent_lit = _pq_literal(cents)
     cb = _pq_literal(books)
     dsub = dim // m
@@ -1149,7 +1155,7 @@ def ann_topk_ivfpq(
         f"""
         aggregate(
           zip_with(codes, sequence(0, {m - 1}), (c, s) ->
-            element_at(lut, s * {n_centroids} + c + 1)),
+            element_at(lut, s * {stride} + c + 1)),
           0D, (acc, x) -> acc + x)
         """
     )

@@ -104,6 +104,11 @@ def hybrid_salted_join(
         raise ValueError(f"hybrid_salted_join supports inner|left, got {how!r}")
     if hot is None:
         hot = hot_keys(facts, on, threshold)
+    # de-dup the membership set: the flag join is 1-to-N, so a
+    # caller-supplied histogram with repeated keys (e.g. per-partition
+    # counts not yet merged) would duplicate every hot-key row and
+    # break the results-identical-to-plain-join contract
+    hot = hot.select(*on).distinct()
     flag = F.broadcast(hot.withColumn("__hot", F.lit(True)))
     f_flagged = facts.join(flag, list(on), "left")
     b_flagged = build.join(flag, list(on), "left")

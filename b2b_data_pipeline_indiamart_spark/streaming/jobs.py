@@ -418,24 +418,16 @@ def streaming_cms_cells(
     space with O(1) memory and no watermark/eviction policy needed
     (counters only grow; emit in update mode).
 
-    Because both faces share the hash expression, a batch replay of
-    the same events produces bit-identical cells — pytest pins stream
-    cells == batch cells, the same twin contract as
-    streaming_decontaminate.
+    Both faces share the SAME code path — this delegates to
+    sketches.cms_cells (the transformation is streaming-agnostic, so
+    Spark plans it as a streaming aggregation when the input is a
+    stream), which is what makes the pinned stream-cells == batch-
+    cells twin contract unbreakable: there is one hash expression to
+    change, not two copies to keep in sync.
     """
-    rows = F.posexplode(F.array(*[F.lit(d) for d in range(depth)]))
-    return (
-        event_stream.select(F.col(key_col).alias("__k"))
-        .select("__k", rows.alias("row", "__d"))
-        .select(
-            "row",
-            F.pmod(F.xxhash64(F.col("__k"), F.col("row")), F.lit(width)).alias(
-                "bucket"
-            ),
-        )
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    from ..operators.sketches import cms_cells
+
+    return cms_cells(event_stream, key_col, depth=depth, width=width)
 
 
 def start_idempotent_batch_sink(
