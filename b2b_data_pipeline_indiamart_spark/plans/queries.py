@@ -5049,3 +5049,67 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi"),
         )
     )
+
+
+@_register(
+    "docs_vocab_coverage",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    inst AS (SELECT unnest({_TOKS}) AS tok FROM d WHERE s IS NOT NULL),
+    cnt AS (SELECT tok, count(*) AS c FROM inst GROUP BY tok),
+    tot AS (SELECT sum(c) AS t FROM cnt),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+               FROM cnt),
+    v(v) AS (VALUES (10), (25), (50))
+    SELECT v, CAST(sum(CASE WHEN rk <= v THEN c ELSE 0 END) AS BIGINT)
+                AS n_covered,
+           round(sum(CASE WHEN rk <= v THEN c ELSE 0 END) * 100.0 / max(t), 2)
+             AS coverage_pct
+    FROM ranked CROSS JOIN tot CROSS JOIN v
+    GROUP BY v
+    """,
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token INSTANCES
+    the top-V vocabulary types cover, for V in (10, 25, 50) — the
+    OOV-rate readout that sizes a tokenizer vocabulary (the
+    complement of coverage is what falls to <unk>/byte-fallback).
+    V values sized to the synthetic ~60-word vocabulary; production
+    curves use (16k, 32k, 64k) with the identical plan.
+
+    Scale shape: token counts with map-side combine; the grand total
+    is a one-row cross-broadcast; each cut's prefix sum is a
+    TakeOrderedAndProject(limit=V) over the type counts followed by a
+    V-row aggregate — NO window anywhere (the oracle's ranked window
+    is equivalent because the (count desc, token asc) tie-break makes
+    each limit-V prefix exactly the rn ≤ V set), so the plan never
+    sorts the unbounded type tail through one reducer at any corpus
+    size. The count table is persisted across its four consumers."""
+    from ..operators import caching
+
+    docs = _tp(spark, sf_dir, "documents")
+    toks = dedup.word_tokens(F.col("text"))
+    cnt = caching.persist_tracked(
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").alias("__t"))
+    cuts = None
+    for v in (10, 25, 50):
+        sv = (
+            cnt.orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(v)
+            .agg(
+                F.lit(v).alias("v"),
+                F.sum("c").cast("long").alias("n_covered"),
+            )
+        )
+        cuts = sv if cuts is None else cuts.unionByName(sv)
+    return cuts.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_covered",
+        round_half_up(F.col("n_covered") * 100.0 / F.col("__t"), 2).alias(
+            "coverage_pct"
+        ),
+    )

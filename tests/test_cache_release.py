@@ -23,6 +23,7 @@ DEDUP_KEYS = [
     "orders_value_deciles",
     "events_max_concurrency",
     "customer_rfm",
+    "docs_vocab_coverage",
 ]
 
 
