@@ -153,3 +153,40 @@ def test_range_join_duplicate_left_rows_not_merged(spark):
     assert len(out) == 2
     assert [r["cnt"] for r in out] == [3, 3]
     assert [r["s"] for r in out] == [7.0, 7.0]
+
+
+def test_attribution_report_deadline_semantics(spark):
+    """A view 25h before the purchase is EXPIRED (organic); 1h before
+    is attributed — pins the 24h lookback cut of the registry key's
+    core expression on an obvious frame."""
+    from datetime import datetime
+
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+    from pyspark.sql import functions as F
+
+    mk = lambda d, h: datetime(2026, 1, d, h)  # noqa: E731
+    purchases = spark.createDataFrame(
+        [(1, 1, mk(2, 12)), (2, 2, mk(2, 12))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    views = spark.createDataFrame(
+        [(1, mk(2, 11)), (2, mk(1, 11))],  # u1: 1h before; u2: 25h before
+        "user_id long, ts timestamp",
+    )
+    j = temporal.asof_join(purchases, views, on=["user_id"], right_cols=[])
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts"))
+    attributed = F.when(
+        F.col("matched_ts").isNotNull() & (lag_us <= 86_400_000_000), 1
+    ).otherwise(0)
+    got = {r["event_id"]: r["a"] for r in j.select("event_id", attributed.alias("a")).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_funnel_windowed_deadline_semantics(spark, sf_small):
+    """The windowed funnel can never credit MORE conversions than the
+    unconstrained funnel, and both stage counts are monotone."""
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    [w] = QUERIES["events_funnel_windowed"](spark, sf_small).collect()
+    assert w["n_view"] >= w["n_click_1h"] >= w["n_purchase_24h"] >= 0
+    assert 0.0 <= w["click_rate"] <= 1.0
