@@ -166,6 +166,11 @@ def global_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = base.withColumn("__local", F.sum(value_col).over(w))
+    # the accumulator type follows the SPARK dtype of the windowed sum
+    # (not a sniff of collected Python values — a Decimal column's sums
+    # must accumulate as Decimal and the offsets frame must carry the
+    # same decimal type, or the join-back addition silently widens)
+    sum_type = dict(local.dtypes)["__local"]
     parts = sorted(
         base.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect(),
         key=lambda row: row["__pid"],
@@ -173,18 +178,22 @@ def global_cumsum(
     if not parts:
         # typed NULL: an untyped (void) column breaks parquet writes
         # and unionByName with the non-empty path's numeric output
-        sum_type = dict(local.dtypes)["__local"]
         return base.drop("__pid").withColumn(
             out_col, F.lit(None).cast(sum_type)
         )
-    is_float = any(isinstance(row["t"], float) for row in parts)
-    offsets, acc = [], 0.0 if is_float else 0
+    if sum_type in ("double", "float"):
+        zero = 0.0
+    elif sum_type.startswith("decimal"):
+        from decimal import Decimal
+
+        zero = Decimal(0)
+    else:
+        zero = 0
+    offsets, acc = [], zero
     for row in parts:
         offsets.append((row["__pid"], acc))
-        acc += row["t"] or 0
-    off_df = spark.createDataFrame(
-        offsets, f"__pid INT, __off {'DOUBLE' if is_float else 'BIGINT'}"
-    )
+        acc += row["t"] or zero
+    off_df = spark.createDataFrame(offsets, f"__pid INT, __off {sum_type}")
     return (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(out_col, F.col("__local") + F.col("__off"))
@@ -215,11 +224,15 @@ def global_ntile_many(
     the full accumulating row.
 
     Each score is computed over a NARROW (key, order-columns)
-    projection (``narrow`` maps score name → the source columns its
-    ordering needs) and joined back on ``key_col`` — the range
-    shuffles carry 2-3 columns, never the full row. Bucket values are
-    identical to the chained form: same input rows, same total
-    orders, same arithmetic.
+    projection and joined back on ``key_col`` — the range shuffles
+    carry 2-3 columns, never the full row. The projection is derived
+    automatically from the spec's string-typed order columns;
+    ``narrow`` (score name → source columns) only needs an entry when
+    a spec orders by a Column EXPRESSION whose inputs the derivation
+    can't see — and a spec with expression order-cols and no ``narrow``
+    entry falls back to the full ``df`` (correct, just wider) instead
+    of failing at plan time. Bucket values are identical to the
+    chained form: same input rows, same total orders, same arithmetic.
 
     ``specs``: score column name → order_cols (must each be a TOTAL
     order, e.g. tie-broken by ``key_col``). ``key_col`` must be a
@@ -236,7 +249,12 @@ def global_ntile_many(
 
     def build(item):
         out_col, order_cols = item
-        cols = [key_col, *narrow.get(out_col, [])]
+        if out_col in narrow:
+            cols = [key_col, *narrow[out_col]]
+        elif all(isinstance(c, str) for c in order_cols):
+            cols = [key_col, *order_cols]
+        else:
+            cols = list(df.columns)  # expression order-col, no mapping
         proj = df.select(*dict.fromkeys(cols))  # de-dup, keep order
         scored = global_ntile(proj, n, order_cols, out_col)
         return scored.select(

@@ -1229,8 +1229,12 @@ def pca_variance(
     if not rows:
         raise ValueError("pca_variance: empty embedding table")
     # pin the reduce order so float summation is deterministic across
-    # collect orderings (partition arrival order is not guaranteed)
-    rows = sorted(rows, key=lambda r: (r["n"], tuple(r["s"])))
+    # collect orderings (partition arrival order is not guaranteed);
+    # the Gram payload is part of the key — two partitions can share
+    # (n, s) yet differ in g, which would leave the order ambiguous
+    rows = sorted(
+        rows, key=lambda r: (r["n"], tuple(r["s"]), tuple(r["g"]))
+    )
     n = sum(r["n"] for r in rows)
     s = np.zeros(dim)
     g = np.zeros((dim, dim))

@@ -450,26 +450,36 @@ def start_idempotent_batch_sink(
     the retry. Readers see exactly-once output; the partition layout
     also gives them epoch-grain pruning.
 
-    Scale notes: the ledger touch is one tiny driver-side file per
+    Scale notes: the ledger touch is one tiny driver-side marker per
     epoch (metadata-scale, like the streaming offset log itself);
-    the epoch write is a normal distributed parquet job. The same
-    shape serves JDBC (staging table + transactional rename) or an
-    API (request with epoch-id dedup key).
+    the epoch write is a normal distributed parquet job. The marker
+    check/create goes through the Hadoop FileSystem API, so the
+    ledger works on ANY URI Spark can write to (``s3a://``,
+    ``abfs://``, ``hdfs://``, ``file:``) — a plain ``os.path`` check
+    would silently never see markers on an object store and every
+    replayed epoch would rewrite. The same shape serves JDBC (staging
+    table + transactional rename) or an API (epoch-id dedup key).
     """
-    import os
 
-    os.makedirs(ledger_dir, exist_ok=True)
+    def _fs_and_path(spark, path_str: str):
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        return path.getFileSystem(hconf), path
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(ledger_dir, f"epoch-{epoch_id}")
-        if os.path.exists(marker):  # replay of a committed epoch
+        spark = batch_df.sparkSession
+        fs, marker = _fs_and_path(spark, f"{ledger_dir}/epoch-{epoch_id}")
+        if fs.exists(marker):  # replay of a committed epoch
             return
         (
             batch_df.write.mode("overwrite")  # retry overwrites partials
-            .parquet(os.path.join(output_dir, f"epoch={epoch_id}"))
+            .parquet(f"{output_dir}/epoch={epoch_id}")
         )
-        with open(marker, "w") as fh:  # commit AFTER the data lands
-            fh.write("done")
+        # commit AFTER the data lands; createNewFile is atomic on HDFS
+        # and a single conditional PUT on object stores
+        fs.mkdirs(marker.getParent())
+        fs.createNewFile(marker)
 
     return (
         sdf.writeStream.foreachBatch(write_epoch)

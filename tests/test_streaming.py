@@ -370,7 +370,12 @@ def test_idempotent_batch_sink_skips_replayed_epochs(spark, tmp_path):
     # with different data (the marker, not the content, decides)
     import os
 
-    markers = sorted(os.listdir(ledger))
+    # ignore Hadoop LocalFileSystem .crc sidecars — the ledger now
+    # goes through the FileSystem API so it works on object stores too
+    def visible(d):
+        return {f for f in os.listdir(d) if not f.startswith(".")}
+
+    markers = visible(ledger)
     assert markers  # at least one committed epoch
     before = first.collect()
     # restart with the same checkpoint + new file: new epoch appends,
@@ -382,6 +387,6 @@ def test_idempotent_batch_sink_skips_replayed_epochs(spark, tmp_path):
     _drain(q)
     df = spark.read.parquet(out)
     assert df.count() == len(BATCH1) + len(BATCH2)
-    assert sorted(os.listdir(ledger)) > markers  # new epoch committed
+    assert visible(ledger) > markers  # new epoch committed
     # epoch partition column gives epoch-grain pruning on read
     assert spark.read.parquet(out).where("epoch = 0").count() == len(BATCH1)
