@@ -386,3 +386,221 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance score per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    reduced to the unigram feature space a SQL engine states exactly;
+    real pipelines swap hashed-ngram features at this same seam).
+
+    ``target_pred`` marks the target distribution (e.g. curated /
+    in-domain docs); every document — target or not — is scored by the
+    average per-token log importance ratio
+
+        log( p_target(tok) / p_corpus(tok) )
+
+    with add-1 smoothing over the CORPUS vocabulary on both sides
+    (the target sample is sparse, so unsmoothed target probabilities
+    would be −inf for any token the target never saw). High score =
+    "looks like the target"; resample the corpus ∝ exp(score) or keep
+    top-k to shift the training mixture toward the target domain.
+
+    Scale shape: one explode; ONE groupBy(token) computing corpus and
+    target counts together (the target count is a conditional sum —
+    no second aggregation over the instance table); vocabulary-level
+    scalars (V, N, N_target) reduce that token table to one broadcast
+    row; a token-keyed join scores instances; groupBy(doc) averages.
+    The vocabulary table is deliberately NOT broadcast (unbounded at
+    corpus scale); everything shuffles on token or doc id only.
+
+    Output: (id, n_tokens, is_target, dsir_score 4dp) for docs with
+    ≥ 1 token.
+    """
+    base = docs.select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("__tgt"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
+    inst = base.filter(F.size("__toks") > 0).select(
+        F.col(id_col), "__tgt", F.explode("__toks").alias("tok")
+    )
+    cnt = inst.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    scalars = cnt.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("c").cast("double").alias("n_all"),
+        F.sum("ct").cast("double").alias("n_tgt"),
+    )
+    scored = cnt.join(F.broadcast(scalars)).select(
+        "tok",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("n_tgt") + F.col("v")))
+            - F.log((F.col("c") + 1.0) / (F.col("n_all") + F.col("v")))
+        ).alias("__lr"),
+    )
+    return (
+        inst.join(scored, "tok")
+        .groupBy(id_col, "__tgt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            round_half_up(F.avg("__lr"), 4).alias("dsir_score"),
+        )
+        .withColumnRenamed("__tgt", "is_target")
+        .select(id_col, "n_tokens", "is_target", "dsir_score")
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First BPE merge iteration over the corpus: the ``top_n`` most
+    frequent ADJACENT CHARACTER PAIRS inside words, weighted by word
+    frequency — exactly the statistic the classic BPE trainer
+    (Sennrich et al. 2016) maximizes when choosing its next merge.
+    Iterating this (re-segment on the merged symbol, recount) trains a
+    tokenizer; one iteration is the engine-shaped core: everything
+    else is loop control.
+
+    Scale shape: the pair expansion runs on the DISTINCT-WORD grain,
+    not the token-instance grain — explode → groupBy(token) word
+    frequencies first (map-side combine collapses the Zipf head), then
+    a map-only ``transform(sequence)`` fans each distinct word into
+    its (len−1) overlapping 2-char substrings carrying the word's
+    frequency, and one groupBy(pair) sums. Final top-n is a
+    TakeOrderedAndProject, never a global sort.
+
+    Output: (pair, pair_count) — count desc, pair asc, top_n rows.
+    """
+    base = docs.select(word_tokens(F.col(text_col)).alias("__toks"))
+    words = (
+        base.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document from three regex counts —
+    words, sentence-ending punctuation runs, and vowel-group syllable
+    estimates (the standard cheap syllable proxy). Score:
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Sentence count is floored at 1 (a fragment without terminal
+    punctuation is one sentence). Pure projection — zero shuffle, and
+    the whole expression stays inside whole-stage codegen.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch 2dp) for
+    docs with ≥ 1 word.
+    """
+    base = _with_tokens(docs, text_col, id_col)
+    s = F.col("__norm")
+    words = F.size("__toks")
+    sentences = F.greatest(F.regexp_count(s, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.size(F.regexp_extract_all(s, F.lit("[aeiouy]+"), 0))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return base.filter(words > 0).select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        round_half_up(flesch, 2).alias("flesch"),
+    )
+
+
+#: quality_logit weights — a deterministic stand-in for a trained
+#: fastText/logistic quality classifier (the seam where learned
+#: weights drop in; these are hand-set to be monotone in the features
+#: a curation team actually uses: length up, stopwords up, symbol
+#: noise down).
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -3.0,
+    "log_len": 0.8,
+    "avg_tok_len": 0.2,
+    "stop_ratio": 4.0,
+    "noise_ratio": -5.0,
+}
+
+
+def quality_logit(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality classifier score per document: a logistic model
+    over the interpretable features of :func:`doc_quality`
+    (log-length, mean token length, stopword ratio, digit+punct noise
+    ratio) with fixed :data:`QUALITY_LOGIT_WEIGHTS`. This is the
+    model-based quality filter of the CCNet / GPT-3 pipelines with
+    the learned weights replaced by a deterministic, SQL-statable
+    vector — swap in trained coefficients without touching the plan.
+
+    Map-only single projection (zero shuffle); the sigmoid is rounded
+    to 4dp and ``keep`` thresholds on the ROUNDED score so a last-ulp
+    exp() disagreement can never flip a row.
+
+    Output: (id, quality_prob 4dp, keep boolean) for all documents
+    with non-null normalized text.
+    """
+    w = QUALITY_LOGIT_WEIGHTS
+    base = _with_tokens(docs, text_col, id_col)
+    s = F.col("__norm")
+    toks = F.col("__toks")
+    n_chars = F.length(s)
+    n_tokens = F.size(toks)
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
+    safe_toks = F.when(n_tokens > 0, n_tokens.cast("double"))
+    n_digits = n_chars - F.length(F.regexp_replace(s, r"[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    stop_ratio = F.coalesce(
+        _stopword_hits(toks, LANG_STOPWORDS["en"]) / safe_toks, F.lit(0.0)
+    )
+    noise_ratio = F.coalesce((n_digits + n_punct) / safe_chars, F.lit(0.0))
+    avg_tok_len = F.coalesce(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_toks,
+        F.lit(0.0),
+    )
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_len"]) * F.log(F.lit(1.0) + n_tokens.cast("double"))
+        + F.lit(w["avg_tok_len"]) * avg_tok_len
+        + F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["noise_ratio"]) * noise_ratio
+    )
+    prob = round_half_up(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return base.filter(s.isNotNull()).select(
+        F.col(id_col),
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

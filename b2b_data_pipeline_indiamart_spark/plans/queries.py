@@ -5113,3 +5113,132 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_pct"
         ),
     )
+
+
+# ==========================================================================
+# Round 7 — LLM-data curation additions: DSIR importance scores, BPE
+# merge statistics, readability, model-based quality filter.
+# ==========================================================================
+
+
+@_register(
+    "docs_dsir_scores",
+    f"""
+    WITH d AS (SELECT doc_id, (lang = 'en') AS tgt, {_NORM} AS s FROM documents),
+    inst AS (SELECT doc_id, tgt, unnest({_TOKS}) AS tok FROM d WHERE s IS NOT NULL),
+    cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c,
+                   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+            FROM inst GROUP BY tok),
+    sc AS (SELECT CAST(count(*) AS DOUBLE) AS v, sum(c) AS n_all, sum(ct) AS n_tgt
+           FROM cnt),
+    lr AS (SELECT tok, ln((ct + 1) / (n_tgt + v)) - ln((c + 1) / (n_all + v)) AS lr
+           FROM cnt CROSS JOIN sc)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, tgt AS is_target,
+           round(avg(lr), 4) AS dsir_score
+    FROM inst JOIN lr USING (tok)
+    GROUP BY doc_id, tgt
+    """,
+)
+def docs_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling scores with the English documents as
+    the target distribution (operators/textstats.dsir_logratio): every
+    doc scored by its mean per-token log(p_target/p_corpus) under
+    add-1-smoothed unigram models. One explode, ONE token groupBy
+    carrying corpus and target counts together, a one-row broadcast
+    for the (V, N, N_target) scalars, a token-keyed scoring join and
+    the per-doc rollup — the vocabulary is never broadcast or
+    collected."""
+    docs = _tp(spark, sf_dir, "documents")
+    return textstats.dsir_logratio(docs, F.col("lang") == "en")
+
+
+@_register(
+    "docs_bpe_pairs",
+    f"""
+    WITH d AS (SELECT {_NORM} AS s FROM documents),
+    w AS (SELECT tok, CAST(count(*) AS BIGINT) AS wf
+          FROM (SELECT unnest({_TOKS}) AS tok FROM d WHERE s IS NOT NULL)
+          GROUP BY tok HAVING length(tok) >= 2),
+    p AS (SELECT unnest([substr(tok, CAST(i AS INT), 2) for i in range(1, length(tok))]) AS pair, wf
+          FROM w)
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC LIMIT 50
+    """,
+)
+def docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs weighted by word frequency —
+    the argmax statistic of one BPE trainer merge step
+    (operators/textstats.bpe_pair_counts). Pair expansion runs on the
+    DISTINCT-WORD grain (vocabulary-sized, not token-instance-sized);
+    the final top-n is TakeOrderedAndProject, never a global sort."""
+    docs = _tp(spark, sf_dir, "documents")
+    return textstats.bpe_pair_counts(docs, top_n=50)
+
+
+@_register(
+    "docs_readability",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    r AS (SELECT doc_id,
+            CAST(len({_TOKS}) AS BIGINT) AS n_words,
+            CAST(greatest(len(regexp_extract_all(s, '[.!?]+')), 1) AS BIGINT)
+              AS n_sentences,
+            CAST(len(regexp_extract_all(s, '[aeiouy]+')) AS BIGINT) AS n_syllables
+          FROM d WHERE s IS NOT NULL)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 2)
+             AS flesch
+    FROM r WHERE n_words > 0
+    """,
+)
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from regex word / sentence /
+    vowel-group-syllable counts (operators/textstats.readability) —
+    zero-shuffle map-only projection inside whole-stage codegen."""
+    docs = _tp(spark, sf_dir, "documents")
+    return textstats.readability(docs)
+
+
+@_register(
+    "docs_quality_logit",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, s, {_TOKS} AS tk FROM n WHERE s IS NOT NULL),
+    m AS (
+      SELECT doc_id,
+             length(s) AS n_chars, len(tk) AS n_tokens,
+             length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS n_digits,
+             length(s) - length(regexp_replace(s, '[^\\w\\s]', '', 'g')) AS n_punct,
+             len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS["en"])}, x)))
+               AS n_stop,
+             list_sum(list_transform(tk, x -> length(x))) AS tok_chars,
+             CASE WHEN length(s) > 0 THEN CAST(length(s) AS DOUBLE) END AS safe_chars,
+             CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END AS safe_toks
+      FROM t
+    ),
+    z AS (
+      SELECT doc_id,
+             -3.0
+             + 0.8 * ln(1.0 + CAST(n_tokens AS DOUBLE))
+             + 0.2 * coalesce(tok_chars / safe_toks, 0.0)
+             + 4.0 * coalesce(n_stop / safe_toks, 0.0)
+             - 5.0 * coalesce((n_digits + n_punct) / safe_chars, 0.0) AS z
+      FROM m
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 4) AS quality_prob,
+           round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+    FROM z
+    """,
+)
+def docs_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/textstats.quality_logit):
+    a logistic scorer over interpretable curation features with fixed
+    weights — the CCNet/GPT-3 quality-classifier seam as a map-only
+    Catalyst projection; `keep` thresholds on the ROUNDED probability
+    so a last-ulp exp() disagreement can never flip a row."""
+    docs = _tp(spark, sf_dir, "documents")
+    return textstats.quality_logit(docs)

@@ -92,3 +92,78 @@ def test_global_cumsum_integer_column_stays_exact(spark):
     caching.release_cached()
     assert got[30] == sum(i * 10 for i in range(1, 31))
     assert all(isinstance(v, int) for v in got.values())
+
+
+# ------------------------------------------------ batch A: curation ops
+
+
+def test_dsir_formula_hand_computed(spark):
+    import math
+
+    from b2b_data_pipeline_indiamart_spark.operators import textstats
+
+    # corpus: target doc "a a", non-target doc "a b"
+    # counts: a: c=3, ct=2; b: c=1, ct=0; V=2, N=4, Nt=2
+    docs = spark.createDataFrame(
+        [(1, "a a", "en"), (2, "a b", "de")], ["doc_id", "text", "lang"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.dsir_logratio(docs, F.col("lang") == "en").collect()
+    }
+    lr_a = math.log((2 + 1) / (2 + 2)) - math.log((3 + 1) / (4 + 2))
+    lr_b = math.log((0 + 1) / (2 + 2)) - math.log((1 + 1) / (4 + 2))
+    assert out[1]["is_target"] is True and out[2]["is_target"] is False
+    assert out[1]["dsir_score"] == round(lr_a, 4)
+    assert out[2]["dsir_score"] == round((lr_a + lr_b) / 2, 4)
+    # the target-looking doc scores higher
+    assert out[1]["dsir_score"] > out[2]["dsir_score"]
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import textstats
+
+    # "abab" x2 (pairs ab, ba, ab -> ab:2, ba:1 per occurrence),
+    # "ab" x1 -> ab:1. weighted: ab = 2*2+1 = 5, ba = 1*2 = 2
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab")], ["doc_id", "text"]
+    )
+    got = {r["pair"]: r["pair_count"] for r in
+           textstats.bpe_pair_counts(docs, top_n=10).collect()}
+    assert got == {"ab": 5, "ba": 2}
+
+
+def test_readability_hand_computed(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import textstats
+
+    # "see spot run. go!" -> words 4, sentences 2 (runs of [.!?]),
+    # vowel groups: ee, o, u, o -> 4 syllables
+    docs = spark.createDataFrame([(1, "see spot run. go!")], ["doc_id", "text"])
+    [r] = textstats.readability(docs).collect()
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (4, 2, 4)
+    expected = 206.835 - 1.015 * (4 / 2) - 84.6 * (4 / 4)
+    assert r["flesch"] == round(expected, 2)
+
+
+def test_readability_fragment_is_one_sentence(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import textstats
+
+    docs = spark.createDataFrame([(1, "no punctuation here")], ["doc_id", "text"])
+    [r] = textstats.readability(docs).collect()
+    assert r["n_sentences"] == 1
+
+
+def test_quality_logit_monotone_and_threshold(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import textstats
+
+    long_clean = " ".join(["the quick brown fox jumps over the lazy dog"] * 10)
+    noisy = "@@!! 123 456 $$%% 789 ##"
+    docs = spark.createDataFrame(
+        [(1, long_clean), (2, noisy)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_logit(docs).collect()}
+    assert out[1]["quality_prob"] > out[2]["quality_prob"]
+    assert out[1]["keep"] is True and out[2]["keep"] is False
+    # keep is exactly prob >= 0.5 on the rounded value
+    for r in out.values():
+        assert r["keep"] == (r["quality_prob"] >= 0.5)
