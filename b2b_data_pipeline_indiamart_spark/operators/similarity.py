@@ -114,6 +114,7 @@ def cosine_neardup_blocked(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_blocks: int = 8,
+    within: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via distributed block-pair gemm.
 
@@ -139,25 +140,43 @@ def cosine_neardup_blocked(
     gemm reorders float additions, but a ~1e-15 perturbation cannot
     move a value across a 5e-5 rounding bucket except on exact
     boundaries, which finite random data does not produce.
+
+    ``within``: optional grouping column — pairs are generated ONLY
+    inside equal (non-null) values of this column (the SemDeDup
+    within-cluster restriction). The gemm groups become
+    (within, bi, bj), so per-task memory is bounded by the largest
+    cluster's block pair and skew across clusters spreads over the
+    block-pair axis.
     """
     import numpy as np
     import pandas as pd
 
+    grp = (
+        F.col(within).alias("grp")
+        if within is not None
+        else F.lit(0).alias("grp")
+    )
     v = emb.select(
         F.col(id_col).cast("long").alias("id"),
         as_double_array(F.col(vec_col)).alias("v"),
+        grp,
     ).withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+    if within is not None:
+        # SQL equality semantics: null clusters never pair
+        v = v.filter(F.col("grp").isNotNull())
     # replicate each row into every block pair it belongs to: row in
     # block b joins pair group (min(b, o), max(b, o)) for each o
     rep = v.select(
         "id",
         "v",
         "blk",
+        "grp",
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("oblk"),
     ).select(
         "id",
         "v",
         "blk",
+        "grp",
         F.least("blk", "oblk").alias("bi"),
         F.greatest("blk", "oblk").alias("bj"),
     )
@@ -188,7 +207,7 @@ def cosine_neardup_blocked(
             id_b = np.maximum(a_ids[ii], b_ids[jj])
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": sims[ii, jj]})
 
-    return rep.groupBy("bi", "bj").applyInPandas(
+    return rep.groupBy("grp", "bi", "bj").applyInPandas(
         score, schema="id_a long, id_b long, cos_sim double"
     )
 
@@ -1262,4 +1281,103 @@ def pca_variance(
         out,
         "component INT, eigenvalue DOUBLE, explained_ratio DOUBLE, "
         "cum_ratio DOUBLE",
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    cluster_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    dropping near-identical embeddings WITHIN clusters.
+
+    The paper clusters the corpus (k-means) precisely so the O(N²)
+    pairwise cosine only runs inside each cluster; this operator takes
+    the cluster assignment as a column (k-means via
+    :func:`kmeans_centroids` + :func:`ivf_assign`, or any upstream
+    label) and applies the keep rule. Keep rule (deterministic,
+    SQL-statable): a vector is DROPPED iff some LOWER-ID vector in the
+    same cluster has cosine ≥ threshold with it — the lowest-id member
+    of every near-dup set always survives, and the rule needs no
+    transitive closure (it is exists-based, one pair scan).
+
+    Scale shape: within-cluster pairs come from the blocked gemm
+    (:func:`cosine_neardup_blocked` with ``within=cluster_col``), so
+    shuffle is O(N · n_blocks) and per-task memory is bounded by the
+    largest cluster's block pair; the dropped-id set is a distinct
+    projection of the pair table joined back id-keyed. Null clusters
+    never pair (SQL equality semantics) and are always kept.
+
+    Output: (id_col, cluster, kept) — one row per input vector.
+    """
+    pairs = cosine_neardup_blocked(
+        emb,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        n_blocks=n_blocks,
+        within=cluster_col,
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("__did"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    base = emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(cluster_col).alias("cluster"),
+    )
+    return base.join(
+        dropped, base[id_col] == dropped["__did"], "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+def semdedup_kmeans(
+    emb: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    n_blocks: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end SemDeDup: k-means cluster the embeddings
+    (:func:`kmeans_centroids` — deterministic seeded init, driver
+    Lloyd under the 64k sample cap, distributed partial-sum Lloyd
+    above), assign every vector to its nearest centroid
+    (:func:`ivf_assign`, map-only against the broadcast centroid
+    table), then apply the within-cluster keep rule of
+    :func:`semdedup`. Rows-only (k-means isn't SQL-expressible);
+    the oracle-checkable twin is ``semdedup_by_label`` which runs the
+    identical keep rule on a given assignment.
+
+    Output: (id_col, cluster, kept).
+    """
+    centroids = kmeans_centroids(
+        emb, dim, n_cells=n_clusters, vec_col=vec_col, seed=seed
+    )
+    assigned = ivf_assign(
+        emb, centroids, vec_col=vec_col, id_col=id_col, out_id="__aid"
+    )
+    src = emb.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col))
+    clustered = src.join(
+        assigned.select("__aid", "cell"),
+        src[id_col] == F.col("__aid"),
+    ).select(id_col, vec_col, F.col("cell").alias("__cluster"))
+    return semdedup(
+        clustered,
+        "__cluster",
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        n_blocks=n_blocks,
     )

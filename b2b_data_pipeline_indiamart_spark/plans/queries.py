@@ -5242,3 +5242,49 @@ def docs_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a last-ulp exp() disagreement can never flip a row."""
     docs = _tp(spark, sf_dir, "documents")
     return textstats.quality_logit(docs)
+
+
+@_register(
+    "semdedup_by_label",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS did
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e)) > 0
+                       THEN list_dot_product(a.e, b.e)
+                            / (sqrt(list_dot_product(a.e, a.e))
+                               * sqrt(list_dot_product(b.e, b.e)))
+                  END, 4) >= 0.3
+    )
+    SELECT v.vec_id, v.label AS cluster, (d.did IS NULL) AS kept
+    FROM v LEFT JOIN dropped d ON v.vec_id = d.did
+    """,
+)
+def semdedup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions with the given ``label`` column as
+    the cluster assignment (operators/similarity.semdedup): a vector
+    is dropped iff a lower-id vector in its cluster has cosine ≥ 0.3
+    with it — exists-based, so no transitive closure, and the lowest-
+    id member of every near-dup set always survives. Within-cluster
+    pairs come from the blocked gemm (applyInPandas groups keyed
+    (cluster, block_i, block_j)) — shuffle O(N·n_blocks), per-task
+    memory bounded by the largest cluster's block pair. The kmeans
+    twin is ``semdedup_kmeans`` (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, "label", threshold=0.3)
+
+
+@_register("semdedup_kmeans")  # rows-only oracle (kmeans clustering)
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SemDeDup: seeded k-means (8 cells) → map-only
+    nearest-centroid assignment against the broadcast centroid table →
+    the identical within-cluster keep rule as ``semdedup_by_label``.
+    Rows-only: the clustering isn't SQL-expressible; determinism and
+    the shared keep-rule contract are pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup_kmeans(emb, 64, n_clusters=8, threshold=0.3).orderBy(
+        "vec_id"
+    )

@@ -167,3 +167,104 @@ def test_quality_logit_monotone_and_threshold(spark):
     # keep is exactly prob >= 0.5 on the rounded value
     for r in out.values():
         assert r["keep"] == (r["quality_prob"] >= 0.5)
+
+
+# ------------------------------------------------ batch B: SemDeDup
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_semdedup_keep_rule_hand_computed(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    # cluster 0: a=[1,0], b=[1,0.1], c=[0,1]; cos(a,b) ~ 0.995,
+    # cos(a,c)=0, cos(b,c) ~ 0.0995 -> at 0.9: only b dropped.
+    # cluster 1: d=[1,0] identical to a but different cluster -> kept.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.1], 0),
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 0.0], 1),
+    ]
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semdedup(
+            _emb_df(spark, rows), "label", threshold=0.9
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_semdedup_exists_rule_is_not_transitive_closure(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    # chain: a~b (cos ~0.982), b~c (~0.985), a~c (~0.935): at 0.95
+    # b dropped (a below it), c dropped (b below it, even though b
+    # itself was dropped) — the documented exists-based rule.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.19], 0),
+        (3, [1.0, 0.38], 0),
+    ]
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semdedup(
+            _emb_df(spark, rows), "label", threshold=0.95
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_semdedup_null_cluster_always_kept(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    rows = [(1, [1.0, 0.0], None), (2, [1.0, 0.0], None)]
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semdedup(
+            _emb_df(spark, rows), "label", threshold=0.5
+        ).collect()
+    }
+    assert out == {1: True, 2: True}
+
+
+def test_semdedup_invariant_to_n_blocks(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    emb = catalog.load(spark, sf_small, "embeddings")
+    a = sorted(
+        map(tuple, similarity.semdedup(emb, "label", threshold=0.3, n_blocks=2).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.semdedup(emb, "label", threshold=0.3, n_blocks=7).collect())
+    )
+    assert a == b
+
+
+def test_semdedup_kmeans_deterministic_and_rule_consistent(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    emb = catalog.load(spark, sf_small, "embeddings")
+    r1 = similarity.semdedup_kmeans(emb, 64, n_clusters=8, threshold=0.3)
+    rows1 = sorted(map(tuple, r1.collect()))
+    rows2 = sorted(map(tuple, similarity.semdedup_kmeans(
+        emb, 64, n_clusters=8, threshold=0.3).collect()))
+    assert rows1 == rows2  # driver may re-run: must be deterministic
+    # the keep rule must agree with semdedup() run on the SAME clusters
+    clusters = spark.createDataFrame(
+        [(v, c) for (v, c, _k) in rows1], "vec_id long, cl int"
+    )
+    joined = emb.join(clusters, "vec_id").select("vec_id", "embedding", "cl")
+    ref = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semdedup(joined, "cl", threshold=0.3).collect()
+    }
+    assert {v: k for (v, _c, k) in rows1} == ref
+    # it actually deduplicates something on the test corpus
+    assert any(not k for (_v, _c, k) in rows1)
