@@ -530,3 +530,136 @@ def max_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             ).alias("at_time"),
         )
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type).
+
+    Each user's events are ordered by (ts, event_id) — the unique
+    event_id tie-break makes the sequence a total order, so the
+    transition set is deterministic. ``lead`` runs over a
+    user-partitioned window (P parallel tasks, never a global sort);
+    the pair counts aggregate on the tiny (cur, next) type-pair grain
+    with map-side combine, and the per-current-type totals are a
+    broadcast join (type cardinality is bounded — it is the schema,
+    not the data).
+
+    Output: (cur_type, next_type, n_transitions, prob 4dp).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    cnt = pairs.groupBy(
+        F.col("event_type").alias("cur_type"), "next_type"
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = cnt.groupBy("cur_type").agg(F.sum("n_transitions").alias("__t"))
+    return (
+        cnt.join(F.broadcast(tot), "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            round_half_up(F.col("n_transitions") / F.col("__t"), 4).alias("prob"),
+        )
+    )
+
+
+#: conversion-lag histogram edges, minutes (upper-exclusive except last)
+CONVERSION_LAG_BUCKETS = (
+    ("00-05m", 0, 5),
+    ("05-30m", 5, 30),
+    ("30m-2h", 30, 120),
+    ("02h-24h", 120, 1440),
+)
+
+
+def conversion_lag_histogram(events: DataFrame) -> DataFrame:
+    """Time-to-convert distribution: for every purchase, the lag to
+    the user's most recent strictly-earlier view, bucketed
+    (:data:`CONVERSION_LAG_BUCKETS`; lags beyond 24 h and purchases
+    with no prior view land in 'organic'). The companion of the
+    last-touch attribution report — same as-of core
+    (:func:`asof_join`: union + last(ignorenulls) window, ONE
+    user-keyed shuffle, no theta join), then a map-side bucket label
+    and a tiny groupBy on the bucket grain.
+
+    Output: (lag_bucket, n_conversions, avg_value 2dp, avg_lag_min
+    2dp — NULL for organic).
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    j = asof_join(purchases, views, on=["user_id"], right_cols=[])
+    lag_min = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts"))
+    ) / 60_000_000.0
+    bucket = F.lit("organic")
+    for name, lo, hi in reversed(CONVERSION_LAG_BUCKETS):
+        bucket = F.when(
+            F.col("matched_ts").isNotNull()
+            & (lag_min >= F.lit(float(lo)))
+            & (lag_min < F.lit(float(hi))),
+            F.lit(name),
+        ).otherwise(bucket)
+    in_window = F.col("matched_ts").isNotNull() & (lag_min < 1440.0)
+    return (
+        j.select(
+            bucket.alias("lag_bucket"),
+            F.col("value"),
+            F.when(in_window, lag_min).alias("__lag"),
+        )
+        .groupBy("lag_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            round_half_up(F.avg("value"), 2).alias("avg_value"),
+            round_half_up(F.avg("__lag"), 2).alias("avg_lag_min"),
+        )
+    )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU and rolling WAU (distinct users over the trailing
+    ``window_days`` days) per activity day, plus the DAU/WAU
+    stickiness ratio.
+
+    Exact rolling COUNT DISTINCT is not windowable (distinct doesn't
+    decompose), and a day-range theta self-join is the slow spelling.
+    Instead each (day, user) activity row is fanned MAP-ONLY into the
+    ``window_days`` window-end days it contributes to (``sequence`` +
+    ``explode`` — calendar-bounded fanout, no join), then one
+    countDistinct per window-end day. The inner join back to the
+    observed-day DAU table drops synthetic window-ends beyond the data
+    range and is keyed on the tiny day grain.
+
+    Output: (day 'yyyy-MM-dd', dau, wau, stickiness 4dp), observed
+    days only.
+    """
+    grain = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = grain.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    contrib = grain.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("wday"),
+        "user_id",
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            round_half_up(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )

@@ -5288,3 +5288,96 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_kmeans(emb, 64, n_clusters=8, threshold=0.3).orderBy(
         "vec_id"
     )
+
+
+@_register(
+    "events_markov_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events),
+    c AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+          FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT cur_type, sum(n_transitions) AS tt FROM c GROUP BY 1)
+    SELECT c.cur_type, c.next_type, c.n_transitions,
+           round(c.n_transitions * 1.0 / t.tt, 4) AS prob
+    FROM c JOIN t USING (cur_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/temporal.markov_transitions): lead() over a
+    user-partitioned window (total order via the event_id tie-break),
+    pair counts on the tiny type-pair grain, per-current-type totals
+    broadcast back."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.markov_transitions(events)
+
+
+@_register(
+    "events_conversion_lag",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    j AS (SELECT p.value, v.ts AS matched_ts,
+                 (epoch_us(p.ts) - epoch_us(v.ts)) / 60000000.0 AS lag_min
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND p.ts > v.ts),
+    b AS (SELECT value,
+            CASE WHEN matched_ts IS NOT NULL AND lag_min >= 0 AND lag_min < 5
+                   THEN '00-05m'
+                 WHEN matched_ts IS NOT NULL AND lag_min >= 5 AND lag_min < 30
+                   THEN '05-30m'
+                 WHEN matched_ts IS NOT NULL AND lag_min >= 30 AND lag_min < 120
+                   THEN '30m-2h'
+                 WHEN matched_ts IS NOT NULL AND lag_min >= 120 AND lag_min < 1440
+                   THEN '02h-24h'
+                 ELSE 'organic' END AS lag_bucket,
+            CASE WHEN matched_ts IS NOT NULL AND lag_min < 1440 THEN lag_min END
+              AS alag
+          FROM j)
+    SELECT lag_bucket, CAST(count(*) AS BIGINT) AS n_conversions,
+           round(avg(value), 2) AS avg_value,
+           round(avg(alag), 2) AS avg_lag_min
+    FROM b GROUP BY 1
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram (operators/temporal.
+    conversion_lag_histogram): per purchase, the lag to the user's
+    most recent strictly-earlier view bucketed into minute bands
+    (beyond-24h and no-view purchases are 'organic'). Same as-of core
+    as the attribution report — one user-keyed shuffle, no theta
+    join; the histogram is a tiny bucket-grain aggregate."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.conversion_lag_histogram(events)
+
+
+@_register(
+    "events_rolling_active_users",
+    """
+    WITH g AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM g GROUP BY day),
+    c AS (SELECT unnest([day + CAST(i AS INT) for i in range(0, 7)]) AS wday,
+                 user_id
+          FROM g),
+    wau AS (SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM c GROUP BY wday)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.wday
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU + stickiness per observed day
+    (operators/temporal.rolling_active_users). Exact rolling COUNT
+    DISTINCT without a day-range theta join: each (day, user) row
+    fans MAP-ONLY into the 7 window-end days it contributes to
+    (sequence + explode), then one countDistinct per day — the join
+    back to the DAU table is on the calendar-bounded day grain."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.rolling_active_users(events, window_days=7)

@@ -268,3 +268,92 @@ def test_semdedup_kmeans_deterministic_and_rule_consistent(spark, sf_small):
     assert {v: k for (v, _c, k) in rows1} == ref
     # it actually deduplicates something on the test corpus
     assert any(not k for (_v, _c, k) in rows1)
+
+
+# ------------------------------------------------ batch C: events ops
+
+
+def test_markov_transitions_hand_computed(spark):
+    from datetime import datetime
+
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+
+    mk = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> purchase
+        (1, mk(0), 1, "view", 1.0),
+        (2, mk(1), 1, "click", 1.0),
+        (3, mk(2), 1, "purchase", 5.0),
+        # user 2: view -> click
+        (4, mk(0), 2, "view", 1.0),
+        (5, mk(3), 2, "click", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        (r["cur_type"], r["next_type"]): (r["n_transitions"], r["prob"])
+        for r in temporal.markov_transitions(events).collect()
+    }
+    # user 2's click is terminal (no successor), so the only click
+    # transition is user 1's click->purchase: P = 1/1
+    assert got == {
+        ("view", "click"): (2, 1.0),
+        ("click", "purchase"): (1, 1.0),
+    }
+
+
+def test_conversion_lag_buckets_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+
+    t0 = datetime(2026, 1, 10, 12, 0)
+    rows = [
+        # u1: view then purchase 10 min later -> 05-30m
+        (1, t0, 1, "view", 0.0),
+        (2, t0 + timedelta(minutes=10), 1, "purchase", 100.0),
+        # u2: view then purchase 30h later -> organic (expired)
+        (3, t0, 2, "view", 0.0),
+        (4, t0 + timedelta(hours=30), 2, "purchase", 50.0),
+        # u3: purchase with no view at all -> organic
+        (5, t0, 3, "purchase", 10.0),
+        # u4: view then purchase 2 min later -> 00-05m
+        (6, t0, 4, "view", 0.0),
+        (7, t0 + timedelta(minutes=2), 4, "purchase", 20.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r["lag_bucket"]: r
+        for r in temporal.conversion_lag_histogram(events).collect()
+    }
+    assert got["05-30m"]["n_conversions"] == 1
+    assert got["05-30m"]["avg_lag_min"] == 10.0
+    assert got["00-05m"]["n_conversions"] == 1
+    assert got["organic"]["n_conversions"] == 2
+    assert got["organic"]["avg_lag_min"] is None
+    assert got["organic"]["avg_value"] == 30.0
+
+
+def test_rolling_active_users_hand_computed(spark):
+    from datetime import datetime
+
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+
+    d = lambda day, u: (day * 100 + u, datetime(2026, 1, day, 9), u, "view", 1.0)  # noqa: E731
+    # day 1: users {1,2}; day 5: {2,3}; day 10: {1}
+    rows = [d(1, 1), d(1, 2), d(5, 2), d(5, 3), d(10, 1)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["day"]: (r["dau"], r["wau"]) for r in
+           temporal.rolling_active_users(events).collect()}
+    # day 1 window [dec 26..jan 1]: users {1,2}; day 5 window
+    # [dec 30..jan 5]: {1,2,3}; day 10 window [jan 4..10]: {1,2,3}
+    assert got == {
+        "2026-01-01": (2, 2),
+        "2026-01-05": (2, 3),
+        "2026-01-10": (1, 3),
+    }
