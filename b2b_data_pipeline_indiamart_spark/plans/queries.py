@@ -5381,3 +5381,161 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the DAU table is on the calendar-bounded day grain."""
     events = _t(spark, sf_dir, "events")
     return temporal.rolling_active_users(events, window_days=7)
+
+
+@_register(
+    "supplier_lead_time",
+    """
+    SELECT s_suppkey, s_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(avg(lag), 2) AS avg_lag_days,
+           round(quantile_cont(lag, 0.5), 2) AS med_lag_days,
+           round(quantile_cont(lag, 0.9), 2) AS p90_lag_days
+    FROM (
+      SELECT l_suppkey, datediff('day', o_orderdate, l_shipdate) AS lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) j JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment lead time: order→ship lag stats with
+    EXACT interpolated median and p90 (Spark `percentile`, not the
+    approx sketch — the per-supplier groups sort in parallel, one
+    task per supplier partition, never a global sort). One fact-fact
+    SortMergeJoin on orderkey; the supplier dim is broadcast; the
+    final aggregate shuffles on the bounded supplier grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey", F.datediff("l_shipdate", "o_orderdate").alias("lag")
+    )
+    return (
+        j.join(F.broadcast(supp), j["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            round_half_up(F.avg("lag"), 2).alias("avg_lag_days"),
+            round_half_up(F.expr("percentile(lag, 0.5)"), 2).alias("med_lag_days"),
+            round_half_up(F.expr("percentile(lag, 0.9)"), 2).alias("p90_lag_days"),
+        )
+    )
+
+
+@_register(
+    "customer_interarrival",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+           round(avg(gap), 2) AS avg_gap_days,
+           CAST(min(gap) AS BIGINT) AS min_gap_days,
+           CAST(max(gap) AS BIGINT) AS max_gap_days
+    FROM g JOIN customer ON o_custkey = c_custkey
+    WHERE gap IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def customer_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order inter-arrival time by market segment: per-customer gaps
+    between consecutive orders (lag over a customer-partitioned
+    window, orderkey tie-break for a total order), rolled up per
+    segment with repeat-customer counts. The window shuffles once on
+    custkey — P parallel tasks; the customer dim is broadcast; the
+    rollup grain is the 5-segment table."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.join(F.broadcast(cust), g["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.countDistinct("o_custkey").cast("long").alias("n_repeat_customers"),
+            round_half_up(F.avg("gap"), 2).alias("avg_gap_days"),
+            F.min("gap").cast("long").alias("min_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+        )
+    )
+
+
+@_register(
+    "nation_trade_balance",
+    """
+    WITH sell AS (
+      SELECT s_nationkey AS nk,
+             sum(l_extendedprice * (1 - l_discount)) AS sell_rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1
+    ),
+    buy AS (
+      SELECT c_nationkey AS nk, sum(o_totalprice) AS buy_spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT n_name,
+           round(coalesce(sell_rev, 0), 2) AS sell_revenue,
+           round(coalesce(buy_spend, 0), 2) AS buy_spend,
+           round(coalesce(sell_rev, 0) - coalesce(buy_spend, 0), 2) AS balance
+    FROM nation
+    LEFT JOIN sell ON n_nationkey = sell.nk
+    LEFT JOIN buy ON n_nationkey = buy.nk
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: supply-side revenue (lineitems
+    shipped by the nation's suppliers) vs demand-side spend (orders
+    placed by its customers). Both fact scans aggregate down to the
+    25-row nation grain FIRST (broadcast dim joins, map-side
+    combine), then the nation spine left-joins the two tiny
+    aggregates — no fact-fact join anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    sell = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sell_rev"
+            )
+        )
+    )
+    buy = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum("o_totalprice").alias("buy_spend"))
+    )
+    return (
+        nation.join(sell, nation["n_nationkey"] == sell["nk"], "left")
+        .join(buy, nation["n_nationkey"] == buy["nk"], "left")
+        .select(
+            "n_name",
+            round_half_up(F.coalesce("sell_rev", F.lit(0.0)), 2).alias(
+                "sell_revenue"
+            ),
+            round_half_up(F.coalesce("buy_spend", F.lit(0.0)), 2).alias(
+                "buy_spend"
+            ),
+            round_half_up(
+                F.coalesce("sell_rev", F.lit(0.0))
+                - F.coalesce("buy_spend", F.lit(0.0)),
+                2,
+            ).alias("balance"),
+        )
+    )
