@@ -10,6 +10,11 @@ from b2b_data_pipeline_indiamart_spark.sources.checkpoint import (
     resumable_ingest,
     save_manifest,
 )
+from b2b_data_pipeline_indiamart_spark.sources.orc_text_source import (
+    read_orc,
+    read_text_documents,
+    write_orc,
+)
 from b2b_data_pipeline_indiamart_spark.sources.sinks import (
     write_bucketed,
     write_csv,
@@ -25,6 +30,9 @@ __all__ = [
     "load_manifest",
     "save_manifest",
     "resumable_ingest",
+    "read_orc",
+    "read_text_documents",
+    "write_orc",
     "write_parquet",
     "write_bucketed",
     "write_csv",

@@ -5,6 +5,8 @@ import sqlite3
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from b2b_data_pipeline_indiamart_spark.sources import (
     load_manifest,
     read_csv_normalized,
@@ -361,3 +363,74 @@ def test_upsert_partitions_replaces_only_touched_partitions(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
     )
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.sources import read_orc, write_orc
+
+    orders = catalog.load(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+    # filter + projection reach the ORC scan, exactly as for parquet
+    plan = (
+        back.filter(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)" in plan
+    assert "o_orderstatus" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_orc_partitioned_write_prunes(spark, sf_small, tmp_path):
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.sources import read_orc, write_orc
+
+    orders = catalog.load(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_orc_part")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    ref = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == ref
+
+
+def test_text_documents_per_file_and_per_line(spark, tmp_path):
+    from b2b_data_pipeline_indiamart_spark.sources import read_text_documents
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first line\nsecond line\n")
+    (d / "b.txt").write_text("only line")
+
+    per_file = read_text_documents(spark, str(d)).collect()
+    assert len(per_file) == 2
+    texts = {r["source"].rsplit("/", 1)[-1]: r["text"] for r in per_file}
+    assert texts["a.txt"] == "first line\nsecond line\n"
+    assert texts["b.txt"] == "only line"
+
+    per_line = read_text_documents(spark, str(d), per_line=True)
+    rows = {
+        (r["source"].rsplit("/", 1)[-1], r["line_no"]): (r["doc_id"], r["text"])
+        for r in per_line.collect()
+    }
+    # trailing newline yields a final empty line — documented split
+    assert rows[("a.txt", 0)][1] == "first line"
+    assert rows[("a.txt", 1)][1] == "second line"
+    assert rows[("b.txt", 0)][1] == "only line"
+    # ids are deterministic across re-reads and repartitioning
+    again = {
+        (r["source"].rsplit("/", 1)[-1], r["line_no"]): r["doc_id"]
+        for r in read_text_documents(spark, str(d), per_line=True)
+        .repartition(7)
+        .collect()
+    }
+    assert {k: v[0] for k, v in rows.items()} == again
+    # and unique across the corpus
+    ids = [v[0] for v in rows.values()]
+    assert len(ids) == len(set(ids))
