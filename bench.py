@@ -81,6 +81,17 @@ EXTENDED_KEYS = [
     "events_max_concurrency",
     "orders_value_deciles",
     "orders_bloom_prune",
+    # r7 additions: the shuffle-heavy members of the curation /
+    # SemDeDup / events batches (readability, quality_logit, markov,
+    # trade balance etc. are map-only or tiny-grain and covered by
+    # correctness runs)
+    "docs_dsir_scores",
+    "semdedup_by_label",
+    "semdedup_kmeans",
+    "docs_bpe_pairs",
+    "events_rolling_active_users",
+    "events_conversion_lag",
+    "supplier_lead_time",
 ]
 
 
