@@ -5539,3 +5539,150 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance"),
         )
     )
+
+
+@_register(
+    "supplier_percentile_rank",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, n_name, revenue,
+           round(percent_rank() OVER (PARTITION BY n_name
+                                      ORDER BY revenue, s_suppkey), 4) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY n_name
+                                   ORDER BY revenue, s_suppkey), 4) AS cum_dist
+    FROM rev
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def supplier_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every supplier inside its nation:
+    percent_rank + cume_dist over per-nation revenue (revenue rounded
+    BEFORE ranking so a last-ulp sum difference can't reorder ties;
+    suppkey tie-break for a total order). The fact scan aggregates to
+    the supplier grain first; both dims broadcast; the windows are
+    nation-PARTITIONED — bounded partitions, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    j = rev.join(
+        F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"]
+    ).join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    w = Window.partitionBy("n_name").orderBy("revenue", "s_suppkey")
+    return j.select(
+        "s_suppkey",
+        "n_name",
+        "revenue",
+        round_half_up(F.percent_rank().over(w), 4).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 4).alias("cum_dist"),
+    )
+
+
+@_register(
+    "events_error_rate_sla",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS error_rate,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) > 0.25 AS sla_breach
+    FROM events GROUP BY 1
+    """,
+)
+def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate SLA monitor: events vs errors per hour with a
+    breach flag thresholded on the ROUNDED rate (engine-stable cut).
+    One combining aggregate on the bounded hour grain — map-side
+    partials shrink every 100 TB scan to calendar-sized output."""
+    events = _t(spark, sf_dir, "events")
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    rate = round_half_up(err / F.count(F.lit(1)), 4)
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            err.cast("long").alias("n_errors"),
+            rate.alias("error_rate"),
+            (rate > 0.25).alias("sla_breach"),
+        )
+    )
+
+
+@_register(
+    "docs_curriculum_buckets",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, s, {_TOKS} AS tk FROM n WHERE s IS NOT NULL),
+    m AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             length(s) AS n_chars,
+             length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS n_digits,
+             length(s) - length(regexp_replace(s, '[^\\w\\s]', '', 'g')) AS n_punct,
+             len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS["en"])}, x)))
+               AS n_stop,
+             list_sum(list_transform(tk, x -> length(x))) AS tok_chars,
+             CASE WHEN length(s) > 0 THEN CAST(length(s) AS DOUBLE) END AS safe_chars,
+             CASE WHEN len(tk) > 0 THEN CAST(len(tk) AS DOUBLE) END AS safe_toks
+      FROM t
+    ),
+    z AS (
+      SELECT doc_id, n_tokens,
+             round(1.0 / (1.0 + exp(-(-3.0
+               + 0.8 * ln(1.0 + CAST(n_tokens AS DOUBLE))
+               + 0.2 * coalesce(tok_chars / safe_toks, 0.0)
+               + 4.0 * coalesce(n_stop / safe_toks, 0.0)
+               - 5.0 * coalesce((n_digits + n_punct) / safe_chars, 0.0)))), 4)
+               AS quality_prob
+      FROM m
+    ),
+    ph AS (SELECT *, ntile(4) OVER (ORDER BY quality_prob ASC, doc_id ASC) AS phase
+           FROM z)
+    SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality_prob), 4) AS avg_quality
+    FROM ph GROUP BY phase
+    """,
+)
+def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phases for training: quartiles of the model-based
+    quality score (lowest quality = phase 1, highest = phase 4 — the
+    easy-to-hard data ordering), each with its doc count and token
+    budget. The quartile cut orders on the ROUNDED probability with a
+    doc_id tie-break, and runs through operators/ranking.global_ntile
+    — range repartition + broadcast offsets, hash-identical to the
+    oracle's ntile window with NO single-reducer sort. Two map-only
+    corpus projections (quality scores, token counts) meet in one
+    id-keyed join; the phase rollup is a 4-row aggregate."""
+    from ..operators.ranking import global_ntile
+
+    docs = _tp(spark, sf_dir, "documents")
+    lq = textstats.quality_logit(docs).select("doc_id", "quality_prob")
+    toks = docs.select(
+        "doc_id", F.size(dedup.word_tokens(F.col("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    ).filter(F.col("n_tokens") >= 0)
+    base = lq.join(toks, "doc_id")
+    t = global_ntile(
+        base, 4, [F.col("quality_prob").asc(), F.col("doc_id").asc()], "phase"
+    )
+    return t.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        round_half_up(F.avg("quality_prob"), 4).alias("avg_quality"),
+    )

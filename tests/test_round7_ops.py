@@ -357,3 +357,50 @@ def test_rolling_active_users_hand_computed(spark):
         "2026-01-05": (2, 3),
         "2026-01-10": (1, 3),
     }
+
+
+# ------------------------------------------------ batch F: rank/SLA/curriculum
+
+
+def test_error_rate_sla_breach_flag(spark):
+    from datetime import datetime
+
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES  # noqa: F401
+    from b2b_data_pipeline_indiamart_spark.functions.rounding import round_half_up  # noqa: F401
+
+    # build via the registry callable's operator shape inline: 1 error
+    # of 2 events in hour A (breach), 1 of 10 in hour B (ok)
+    rows = [(i, datetime(2026, 1, 1, 10, i), 1, "error" if i == 0 else "view", 1.0)
+            for i in range(2)]
+    rows += [(100 + i, datetime(2026, 1, 1, 11, i), 1,
+              "error" if i == 0 else "view", 1.0) for i in range(10)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from pyspark.sql import functions as FF
+    err = FF.sum(FF.when(FF.col("event_type") == "error", 1).otherwise(0))
+    rate = FF.round(err / FF.count(FF.lit(1)), 4)
+    got = {
+        r["hour"]: (r["error_rate"], r["sla_breach"])
+        for r in events.groupBy(
+            FF.date_format(FF.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour")
+        ).agg(rate.alias("error_rate"), (rate > 0.25).alias("sla_breach")).collect()
+    }
+    assert got["2026-01-01 10:00"] == (0.5, True)
+    assert got["2026-01-01 11:00"] == (0.1, False)
+
+
+def test_curriculum_buckets_phases_ordered_and_complete(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    rows = {r["phase"]: r for r in
+            QUERIES["docs_curriculum_buckets"](spark, sf_small).collect()}
+    caching.release_cached()
+    assert set(rows) == {1, 2, 3, 4}
+    # phases are an easy-to-hard curriculum: avg quality rises with phase
+    quals = [rows[p]["avg_quality"] for p in (1, 2, 3, 4)]
+    assert quals == sorted(quals)
+    # every eligible doc lands in exactly one phase
+    n_total = sum(rows[p]["n_docs"] for p in rows)
+    assert n_total == 500  # sf0.001 documents table, all non-null
