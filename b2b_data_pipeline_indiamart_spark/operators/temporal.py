@@ -39,12 +39,11 @@ def tumbling_agg(events: DataFrame, bucket: str = "hour") -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Gap-based sessionization: a new session starts when the gap
-    since the previous event of the same user exceeds ``gap_minutes``.
-
-    lag + cumulative-sum-of-boundaries over (user, time) — the classic
-    single-shuffle formulation.
+def session_ids(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-event session ids: events + a ``session_id`` column (1-based
+    per user). The shared core of :func:`sessionize` and
+    :func:`bounce_rate_daily` — lag + cumulative-sum-of-boundaries
+    over (user, time), ONE user-keyed shuffle, local sort within user.
     """
     gap_ms = gap_minutes * 60 * 1000
     w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -57,15 +56,60 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         ).otherwise(F.lit(0)),
     )
     w_cum = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_ids = with_breaks.withColumn(
+    return with_breaks.withColumn(
         "session_id", F.sum("__new_session").over(w_cum).cast("long")
-    )
+    ).drop("__new_session")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap
+    since the previous event of the same user exceeds ``gap_minutes``.
+
+    lag + cumulative-sum-of-boundaries over (user, time) — the classic
+    single-shuffle formulation (:func:`session_ids`).
+    """
     return (
-        with_ids.groupBy("user_id", "session_id")
+        session_ids(events, gap_minutes)
+        .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("session_ms"),
             round_half_up(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def bounce_rate_daily(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Daily bounce rate: share of sessions with exactly one event,
+    keyed by the session's START day.
+
+    Same single user-keyed shuffle as :func:`sessionize`
+    (:func:`session_ids`), then a session-grain aggregate carrying
+    (start ts, event count) and a tiny day-grain rollup — the bounce
+    flag thresholds an exact integer count, so no rounding hazards.
+
+    Output: (day 'yyyy-MM-dd', n_sessions, n_bounces, bounce_rate 4dp).
+    """
+    sess = (
+        session_ids(events, gap_minutes)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("__start"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return (
+        sess.groupBy(F.date_format("__start", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+            round_half_up(
+                F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("bounce_rate"),
         )
     )
 

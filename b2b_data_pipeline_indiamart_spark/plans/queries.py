@@ -5686,3 +5686,93 @@ def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         round_half_up(F.avg("quality_prob"), 4).alias("avg_quality"),
     )
+
+
+@_register(
+    "events_bounce_rate",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), ids AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id, min(ts) AS st, count(*) AS n
+      FROM ids GROUP BY 1, 2
+    )
+    SELECT strftime(st, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS bounce_rate
+    FROM sess GROUP BY 1
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate (operators/temporal.bounce_rate_daily):
+    single-event sessions / sessions, keyed by session-start day —
+    the same one user-keyed shuffle as sessionize (shared
+    temporal.session_ids core), a session-grain aggregate, and a
+    day-grain rollup."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.bounce_rate_daily(events, gap_minutes=30)
+
+
+@_register(
+    "customer_first_last_order",
+    """
+    WITH w AS (
+      SELECT o_custkey,
+             first_value(o_orderdate) OVER win AS fd,
+             first_value(o_totalprice) OVER win AS fv,
+             last_value(o_orderdate) OVER win AS ld,
+             last_value(o_totalprice) OVER win AS lv
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           strftime(min(fd), '%Y-%m-%d') AS first_date,
+           round(min(fv), 2) AS first_value,
+           strftime(min(ld), '%Y-%m-%d') AS last_date,
+           round(min(lv), 2) AS last_value,
+           round(min(lv) - min(fv), 2) AS value_delta
+    FROM w GROUP BY o_custkey
+    """,
+)
+def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order per customer via first_value/last_value over a
+    FULL-FRAME customer-partitioned window (orderkey tie-break —
+    last_value over the default frame is the classic footgun; the
+    explicit UNBOUNDED FOLLOWING frame is the point of this key),
+    collapsed to one row per customer. One custkey shuffle shared by
+    the window and the aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = orders.select(
+        "o_custkey",
+        F.first_value("o_orderdate").over(win).alias("fd"),
+        F.first_value("o_totalprice").over(win).alias("fv"),
+        F.last_value("o_orderdate").over(win).alias("ld"),
+        F.last_value("o_totalprice").over(win).alias("lv"),
+    )
+    return w.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.date_format(F.min("fd"), "yyyy-MM-dd").alias("first_date"),
+        round_half_up(F.min("fv"), 2).alias("first_value"),
+        F.date_format(F.min("ld"), "yyyy-MM-dd").alias("last_date"),
+        round_half_up(F.min("lv"), 2).alias("last_value"),
+        round_half_up(F.min("lv") - F.min("fv"), 2).alias("value_delta"),
+    )

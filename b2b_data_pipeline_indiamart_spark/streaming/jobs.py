@@ -487,3 +487,23 @@ def start_idempotent_batch_sink(
         .outputMode("append")
         .start()
     )
+
+
+def streaming_quality_gate(doc_stream: DataFrame) -> DataFrame:
+    """Streaming face of the model-based quality filter: the SAME
+    operator function (operators/textstats.quality_logit) applied to
+    the live ingest feed.
+
+    There is deliberately no reimplementation here — quality_logit is
+    a pure Catalyst projection (zero shuffle, zero state), so the
+    batch operator IS streaming-safe as written: append-mode clean,
+    no watermark, per-row cost identical to the batch plan. This
+    wrapper exists to state that contract and to carry the pytest pin
+    that streaming flags equal the batch operator's on the same rows
+    (tests/test_streaming.py) — the same twin discipline as
+    streaming_decontaminate, which needed an actual restatement
+    (its batch shape has a groupBy) where this one does not.
+    """
+    from ..operators.textstats import quality_logit
+
+    return quality_logit(doc_stream)

@@ -302,3 +302,64 @@ def test_global_cumsum_matches_window_form_property(spark, values, parts):
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ref = {r["k"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()}
     assert got == ref
+
+
+@SLOW
+@given(texts=st.lists(st.text(max_size=80), min_size=1, max_size=15))
+def test_readability_total_and_bounded(spark, texts):
+    """readability never throws on arbitrary unicode; counts are
+    internally consistent (syllable groups can't exceed characters,
+    sentences >= 1, flesch finite)."""
+    import math
+
+    from b2b_data_pipeline_indiamart_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).coalesce(1)
+    for r in textstats.readability(docs).collect():
+        assert r["n_words"] >= 1  # output rows are words>0 by contract
+        assert r["n_sentences"] >= 1
+        assert 0 <= r["n_syllables"]
+        assert math.isfinite(r["flesch"])
+
+
+@SLOW
+@given(texts=st.lists(st.text(max_size=80), min_size=1, max_size=15))
+def test_quality_logit_prob_in_unit_interval(spark, texts):
+    """quality_logit is total on arbitrary unicode and the sigmoid
+    output is a probability: always in [0, 1], keep == prob >= 0.5."""
+    from b2b_data_pipeline_indiamart_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).coalesce(1)
+    for r in textstats.quality_logit(docs).collect():
+        assert 0.0 <= r["quality_prob"] <= 1.0
+        assert r["keep"] == (r["quality_prob"] >= 0.5)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=30),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_pair_counts_conservation(spark, texts):
+    """Sum of all pair counts == sum over token instances of
+    (len(token) - 1) for tokens of length >= 2 — the BPE trainer's
+    invariant that every adjacent position is counted exactly once."""
+    from b2b_data_pipeline_indiamart_spark.operators import dedup, textstats
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).coalesce(1)
+    pairs = textstats.bpe_pair_counts(docs, top_n=10_000).collect()
+    got = sum(r["pair_count"] for r in pairs)
+    toks = docs.select(
+        F.explode(dedup.word_tokens(F.col("text"))).alias("tok")
+    ).collect()
+    want = sum(len(r["tok"]) - 1 for r in toks if len(r["tok"]) >= 2)
+    assert got == want

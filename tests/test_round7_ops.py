@@ -404,3 +404,46 @@ def test_curriculum_buckets_phases_ordered_and_complete(spark, sf_small):
     # every eligible doc lands in exactly one phase
     n_total = sum(rows[p]["n_docs"] for p in rows)
     assert n_total == 500  # sf0.001 documents table, all non-null
+
+
+# --------------------------------------- batch G: bounce rate / first-last
+
+
+def test_bounce_rate_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+
+    t0 = datetime(2026, 1, 10, 12, 0)
+    rows = [
+        # u1: two events 5 min apart -> ONE session of 2 (not a bounce)
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + timedelta(minutes=5), 1, "click", 1.0),
+        # u2: one event -> bounce
+        (3, t0, 2, "view", 1.0),
+        # u1 next day: one event -> bounce, lands on day 2
+        (4, t0 + timedelta(days=1), 1, "view", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["day"]: (r["n_sessions"], r["n_bounces"], r["bounce_rate"])
+           for r in temporal.bounce_rate_daily(events).collect()}
+    assert got == {
+        "2026-01-10": (2, 1, 0.5),
+        "2026-01-11": (1, 1, 1.0),
+    }
+
+
+def test_sessionize_unchanged_by_session_ids_refactor(spark, sf_small):
+    """The shared session_ids core must reproduce sessionize's exact
+    output (the oracle-pinned key rides on it)."""
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+
+    events = catalog.load(spark, sf_small, "events")
+    out = temporal.sessionize(events, gap_minutes=30)
+    ids = temporal.session_ids(events, gap_minutes=30)
+    # every event got an id; session counts agree with the rollup
+    assert ids.count() == events.count()
+    assert out.count() == ids.select("user_id", "session_id").distinct().count()

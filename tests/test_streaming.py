@@ -390,3 +390,43 @@ def test_idempotent_batch_sink_skips_replayed_epochs(spark, tmp_path):
     assert visible(ledger) > markers  # new epoch committed
     # epoch partition column gives epoch-grain pruning on read
     assert spark.read.parquet(out).where("epoch = 0").count() == len(BATCH1)
+
+
+def test_streaming_quality_gate_equals_batch(spark, tmp_path):
+    from b2b_data_pipeline_indiamart_spark.operators.textstats import quality_logit
+    from b2b_data_pipeline_indiamart_spark.sources.jsonl_source import (
+        DOCUMENTS_SCHEMA,
+    )
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        streaming_quality_gate,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog " * 8,
+         "lang": "en", "source": "s", "n_chars": 10},
+        {"doc_id": 2, "text": "@@ 123 456 $$ 789 ##", "lang": "en",
+         "source": "s", "n_chars": 10},
+        {"doc_id": 3, "text": "a perfectly ordinary sentence with the and of it",
+         "lang": "en", "source": "s", "n_chars": 10},
+    ]
+    with open(src / "d1.json", "w") as fh:
+        for d in docs:
+            fh.write(json.dumps(d) + "\n")
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).json(str(src))
+    out = str(tmp_path / "out")
+    q = (
+        streaming_quality_gate(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = spark.read.schema(DOCUMENTS_SCHEMA).json(str(src))
+    ref = sorted(map(tuple, quality_logit(batch).collect()))
+    assert got == ref and len(got) == 3
