@@ -510,12 +510,76 @@ def encode_gif(arr) -> bytes:
     )
 
 
+def decode_bmp_pixels(payload: bytes | None):
+    """REAL BMP pixel decode (stdlib-only): BITMAPINFOHEADER walk →
+    (H, W, C) uint8 array for the uncompressed 24-bit BGR and 32-bit
+    BGRA variants (BI_RGB), honoring row padding (rows align to 4
+    bytes) and row order (positive height = bottom-up, negative =
+    top-down). Returns None for non-BMP bytes or compressed /
+    palettized variants — callers fall back to header-only decode.
+
+    BMP is the one mainstream raster format whose pixel data is plain
+    bytes, so unlike PNG (zlib) and GIF (LZW) there is no entropy
+    stage at all: this is a slice-and-reshape, fully vectorized.
+    """
+    import numpy as np
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — out of scope
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + stride * h
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        rows = rows[::-1]
+    # BGR(A) → RGB(A)
+    rgb = rows[..., [2, 1, 0] + ([3] if ch == 4 else [])]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(arr) -> bytes:
+    """Minimal valid 24-bit bottom-up BMP writer (stdlib-only) — the
+    demo/test producer for :func:`decode_bmp_pixels`."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in a[::-1]:  # bottom-up
+        line = row[:, [2, 1, 0]].tobytes()  # RGB → BGR
+        body += line + b"\x00" * (stride - len(line))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
 def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     """Full decode for the formats still beyond the stdlib.
 
     What IS decoded for real: PNG pixels (:func:`decode_png_pixels`,
     stdlib zlib — samples, channel count, pixel statistics), GIF
     first-frame pixels (:func:`decode_gif_pixels`, hand-rolled LZW),
+    BMP pixels (:func:`decode_bmp_pixels`, plain slice-and-reshape),
     image container dimensions (:func:`parse_image_header`), WAV
     duration (:func:`parse_wav_header`). This stub marks the
     remainder: JPEG pixel data, audio samples, and video frames need
@@ -524,10 +588,10 @@ def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     raise NotImplementedError(
         "JPEG pixel decode, audio samples and video frames require "
         "PIL/soundfile/ffmpeg, none of which ship in this environment; "
-        "PNG/GIF pixels decode for real via decode_png_pixels/"
-        "decode_gif_pixels, headers via parse_image_header/"
-        "parse_wav_header, and unrecognized payloads fall back to the "
-        "deterministic _decode_stub"
+        "PNG/GIF/BMP pixels decode for real via decode_png_pixels/"
+        "decode_gif_pixels/decode_bmp_pixels, headers via "
+        "parse_image_header/parse_wav_header, and unrecognized "
+        "payloads fall back to the deterministic _decode_stub"
     )
 
 
@@ -561,10 +625,11 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def decode_one(payload, kind: str) -> dict:
         if kind == "image":
             # full pixel decode first (PNG via stdlib zlib, GIF via
-            # hand-rolled LZW) — real sample statistics; header-only
-            # decode as the fallback tier
+            # hand-rolled LZW, BMP via plain slicing) — real sample
+            # statistics; header-only decode as the fallback tier
             for px, name in ((decode_png_pixels(payload), "pixels:png"),
-                             (decode_gif_pixels(payload), "pixels:gif")):
+                             (decode_gif_pixels(payload), "pixels:gif"),
+                             (decode_bmp_pixels(payload), "pixels:bmp")):
                 if px is not None:
                     return {
                         "width": int(px.shape[1]), "height": int(px.shape[0]),

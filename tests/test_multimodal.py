@@ -332,3 +332,71 @@ def test_extract_features_reports_real_gif_pixel_stats(spark):
     assert (row["width"], row["height"], row["channels"]) == (10, 6, 3)
     assert row["px_mean"] == round(float(arr.mean()), 4)
     assert row["px_std"] == round(float(arr.std()), 4)
+
+
+def test_bmp_roundtrip_rgb_and_gray():
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 7, 3), (4, 4), (3, 5, 3)]:  # odd widths hit padding
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_bmp_pixels(encode_bmp(arr))
+        want = arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
+        assert out.shape == want.shape
+        assert (out == want).all()
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    arr = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    b = bytearray(encode_bmp(arr))
+    # flip to top-down: negate height, reverse the stored row order
+    h = struct.unpack("<i", bytes(b[22:26]))[0]
+    b[22:26] = struct.pack("<i", -h)
+    stride = (2 * 3 + 3) & ~3
+    rows = [bytes(b[54 + i * stride : 54 + (i + 1) * stride]) for i in range(2)]
+    b[54:] = rows[1] + rows[0]
+    out = decode_bmp_pixels(bytes(b))
+    assert (out == arr).all()
+
+
+def test_bmp_rejects_compressed_and_short_payloads():
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+
+    assert decode_bmp_pixels(None) is None
+    assert decode_bmp_pixels(b"BM" + b"\x00" * 10) is None  # truncated
+    assert decode_bmp_pixels(b"\x89PNG\r\n\x1a\n") is None  # not a BMP
+
+
+def test_extract_features_bmp_pixel_tier(spark):
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        encode_bmp,
+        extract_media_features,
+    )
+
+    arr = np.full((3, 5, 3), 64, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(arr)), {"source": "t", "lang": "en"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    [row] = extract_media_features(media).collect()
+    assert row["decoder"] == "pixels:bmp"
+    assert (row["width"], row["height"], row["channels"]) == (5, 3, 3)
+    assert row["px_mean"] == 64.0 and row["px_std"] == 0.0
