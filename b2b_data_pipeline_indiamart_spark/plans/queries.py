@@ -5776,3 +5776,127 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.min("lv"), 2).alias("last_value"),
         round_half_up(F.min("lv") - F.min("fv"), 2).alias("value_delta"),
     )
+
+
+@_register(
+    "docs_pack_efficiency",
+    f"""
+    WITH RECURSIVE n AS (
+      SELECT doc_id, {_NORM} AS s FROM documents
+    ),
+    src AS (
+      SELECT doc_id,
+             coalesce(len({_TOKS}), 0) AS n_tokens,
+             CAST(doc_id % 8 AS INT) AS pack_bucket
+      FROM n
+    ),
+    t AS (
+      SELECT doc_id, n_tokens, pack_bucket,
+             row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn
+      FROM src
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, pack_bucket, rn,
+             CAST(0 AS BIGINT) AS bin_id,
+             n_tokens AS bin_fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.n_tokens, t.pack_bucket, t.rn,
+             CASE WHEN p.bin_fill > 0 AND p.bin_fill + t.n_tokens > 256
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.bin_fill > 0 AND p.bin_fill + t.n_tokens > 256
+                  THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+      FROM t JOIN packed p ON t.pack_bucket = p.pack_bucket AND t.rn = p.rn + 1
+    )
+    SELECT pack_bucket,
+           CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_tokens) * 1.0 / (count(DISTINCT bin_id) * 256), 4)
+             AS utilization
+    FROM packed GROUP BY pack_bucket
+    """,
+)
+def docs_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA rollup: bins, docs, token totals and bin UTILIZATION
+    (packed tokens / bin capacity) per pack bucket — the fill-rate
+    report a training pipeline watches to size its packing budget
+    (wasted bin space = wasted accelerator steps). Rides the exact
+    docs_pack_sequences operator (applyInPandas greedy next-fit, text
+    never ships) plus one bucket-grain aggregate; the oracle replays
+    the same greedy recurrence and rolls it up."""
+    from ..operators.dedup import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", F.size(word_tokens(F.col("text"))).alias("ws_tokens")
+    )
+    packed = packing.pack_sequences(
+        with_tokens, "ws_tokens", budget=256, n_buckets=8, bucket_mode="mod"
+    )
+    return (
+        packed.groupBy("pack_bucket")
+        .agg(
+            F.countDistinct("bin_id").cast("long").alias("n_bins"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            round_half_up(
+                F.sum("n_tokens") / (F.countDistinct("bin_id") * 256), 4
+            ).alias("utilization"),
+        )
+    )
+
+
+@_register(
+    "events_anomaly_mad",
+    """
+    WITH cnt AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (SELECT event_type, quantile_cont(n, 0.5) AS m FROM cnt GROUP BY 1),
+    mad AS (
+      SELECT cnt.event_type, quantile_cont(abs(n - m), 0.5) AS mad
+      FROM cnt JOIN med USING (event_type) GROUP BY 1, m
+    )
+    SELECT cnt.event_type, hour, n,
+           CASE WHEN mad > 0
+                THEN round((n - m) / (1.4826 * mad), 4) END AS robust_z,
+           coalesce(abs(CASE WHEN mad > 0
+                             THEN round((n - m) / (1.4826 * mad), 4) END) > 3,
+                    false) AS is_anomaly
+    FROM cnt JOIN med USING (event_type) JOIN mad USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly flags on hourly volume per event
+    type — the outlier-resistant companion of events_anomaly_zscore: a
+    single wild hour inflates a stddev but barely moves the MAD, so
+    the robust z keeps flagging what the classic z misses. Two exact
+    medians via `percentile` over the bounded (type, hour) grain; the
+    per-type scalars broadcast back; the robust z is rounded BEFORE
+    the |z| > 3 cut so the flag is engine-stable. mad = 0 (constant
+    series) yields NULL z and no flag."""
+    events = _t(spark, sf_dir, "events")
+    cnt = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = cnt.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("m"))
+    j = cnt.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(n - m), 0.5)").alias("mad")
+    )
+    out = j.join(F.broadcast(mad), "event_type")
+    rz = F.when(
+        F.col("mad") > 0,
+        round_half_up((F.col("n") - F.col("m")) / (1.4826 * F.col("mad")), 4),
+    )
+    return out.select(
+        "event_type",
+        "hour",
+        "n",
+        rz.alias("robust_z"),
+        F.coalesce(F.abs(rz) > 3, F.lit(False)).alias("is_anomaly"),
+    )

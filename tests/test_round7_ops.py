@@ -447,3 +447,68 @@ def test_sessionize_unchanged_by_session_ids_refactor(spark, sf_small):
     # every event got an id; session counts agree with the rollup
     assert ids.count() == events.count()
     assert out.count() == ids.select("user_id", "session_id").distinct().count()
+
+
+# --------------------------------- batch H: pack efficiency / MAD anomaly
+
+
+def test_pack_efficiency_consistency(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    rows = QUERIES["docs_pack_efficiency"](spark, sf_small).collect()
+    assert {r["pack_bucket"] for r in rows} == set(range(8))
+    for r in rows:
+        # fill can never exceed capacity unless a single doc overflows
+        # a bin (next-fit places oversized docs alone); utilization is
+        # positive and tokens/bins are consistent
+        assert r["n_bins"] >= 1 and r["n_docs"] >= 1
+        assert r["utilization"] == round(
+            r["total_tokens"] / (r["n_bins"] * 256), 4
+        )
+
+
+def test_anomaly_mad_flags_spike_zscore_misses_nothing(spark):
+    from datetime import datetime
+
+    # 23 calm hours of ~6 events and one 60-event spike: the median
+    # and MAD ignore the spike, so its robust z is huge
+    rows = []
+    eid = 0
+    for h in range(23):
+        for i in range(6 + (h % 2)):  # 6 or 7 events per hour
+            rows.append((eid, datetime(2026, 1, 1, h, i), 1, "view", 1.0))
+            eid += 1
+    for i in range(60):
+        rows.append((eid, datetime(2026, 1, 1, 23, i % 60), 1, "view", 1.0))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["hour"]: r for r in _mad_on(events).collect()}
+    spike = got["2026-01-01 23:00"]
+    assert spike["is_anomaly"] is True and spike["robust_z"] > 3
+    calm = got["2026-01-01 11:00"]
+    assert calm["is_anomaly"] is False
+
+
+def _mad_on(events):
+    from pyspark.sql import functions as FF
+
+    from b2b_data_pipeline_indiamart_spark.functions.rounding import round_half_up
+
+    cnt = events.groupBy(
+        "event_type",
+        FF.date_format(FF.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+    ).agg(FF.count(FF.lit(1)).cast("long").alias("n"))
+    med = cnt.groupBy("event_type").agg(FF.expr("percentile(n, 0.5)").alias("m"))
+    j = cnt.join(FF.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(FF.expr("percentile(abs(n - m), 0.5)").alias("mad"))
+    out = j.join(FF.broadcast(mad), "event_type")
+    rz = FF.when(
+        FF.col("mad") > 0,
+        round_half_up((FF.col("n") - FF.col("m")) / (1.4826 * FF.col("mad")), 4),
+    )
+    return out.select(
+        "event_type", "hour", "n", rz.alias("robust_z"),
+        FF.coalesce(FF.abs(rz) > 3, FF.lit(False)).alias("is_anomaly"),
+    )
