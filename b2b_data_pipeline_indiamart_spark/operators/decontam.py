@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_half_up
 from .dedup import normalize_doc
 
 
@@ -95,4 +96,40 @@ def decontaminate(
         F.col(id_col),
         F.coalesce(F.col("__shared"), F.lit(0)).cast("long").alias("shared_ngrams"),
         (F.coalesce(F.col("__shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of the doc's distinct
+    word n-grams that occur in NO other document — the self-information
+    signal dedup pipelines use to find template/boilerplate families
+    (low novelty = the doc is mostly phrases the corpus repeats) and
+    data buyers use to price a source's marginal contribution.
+
+    Scale shape: the distinct (doc, gram) table of
+    :func:`ngram_fingerprints` (grams are md5 fingerprints — 8-byte
+    shuffle keys, text never ships twice), one groupBy(gram) document-
+    frequency count with map-side combine over the repeated head, a
+    gram-keyed join back, and the per-doc rollup. Same three-shuffle
+    silhouette as TF-IDF; the gram table is never broadcast or
+    collected.
+
+    Output: (id, n_grams, novelty 4dp) for docs with ≥ n tokens.
+    """
+    grams = ngram_fingerprints(docs, text_col, id_col, n)
+    df_cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(df_cnt, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            round_half_up(
+                F.avg(F.when(F.col("__df") == 1, 1.0).otherwise(0.0)), 4
+            ).alias("novelty"),
+        )
     )

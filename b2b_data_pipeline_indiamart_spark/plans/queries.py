@@ -5900,3 +5900,120 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz.alias("robust_z"),
         F.coalesce(F.abs(rz) > 3, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@_register(
+    "docs_ngram_novelty",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+    g AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[u.i:u.i+2], ' ')) AS gram
+      FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ),
+    dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM g JOIN dfc USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty (operators/decontam.ngram_novelty): the
+    share of a doc's distinct word trigrams that no other document
+    contains — the boilerplate/marginal-contribution signal. Grams are
+    md5 fingerprints (8-byte shuffle keys); one document-frequency
+    groupBy, one gram-keyed join back, one per-doc rollup — the TF-IDF
+    silhouette, gram table never broadcast."""
+    docs = _tp(spark, sf_dir, "documents")
+    from ..operators.decontam import ngram_novelty
+
+    return ngram_novelty(docs, n=3)
+
+
+@_register(
+    "customer_churn_flags",
+    """
+    WITH last_o AS (
+      SELECT o_custkey AS custkey, max(o_orderdate) AS last_order
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS horizon FROM orders)
+    SELECT custkey,
+           strftime(last_order, '%Y-%m-%d') AS last_order,
+           CAST(datediff('day', last_order, horizon) AS BIGINT) AS days_idle,
+           datediff('day', last_order, horizon) > 60 AS churned
+    FROM last_o CROSS JOIN mx
+    """,
+)
+def customer_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn flags at the data horizon: per ordering customer, days
+    since their last order relative to the corpus-max order date;
+    idle > 60 days = churned. One customer-grain aggregate plus a
+    one-row broadcast scalar for the horizon — no window, no theta
+    join, exact integer day arithmetic (no rounding hazards)."""
+    orders = _t(spark, sf_dir, "orders")
+    last_o = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order")
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("horizon"))
+    idle = F.datediff("horizon", "last_order")
+    return last_o.join(F.broadcast(mx)).select(
+        "custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+        idle.cast("long").alias("days_idle"),
+        (idle > 60).alias("churned"),
+    )
+
+
+@_register(
+    "embedding_knn_degree",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e)) > 0
+                       THEN list_dot_product(a.e, b.e)
+                            / (sqrt(list_dot_product(a.e, a.e))
+                               * sqrt(list_dot_product(b.e, b.e)))
+                  END, 4) >= 0.3
+    ),
+    deg AS (
+      SELECT v.vec_id, CAST(count(p.nid) AS BIGINT) AS degree
+      FROM v LEFT JOIN (
+        SELECT id_a AS vid, id_b AS nid FROM p
+        UNION ALL
+        SELECT id_b AS vid, id_a AS nid FROM p
+      ) p ON v.vec_id = p.vid
+      GROUP BY v.vec_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM deg GROUP BY degree
+    """,
+)
+def embedding_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the ε-neighbor graph (cosine ≥ 0.3) —
+    the index-health histogram ANN teams read before trusting recall
+    numbers (hub vectors and isolated points both degrade graph/IVF
+    indexes). Pairs come from the distributed block-pair gemm
+    (cosine_neardup_blocked); both directions are counted by a
+    map-only union, zero-degree vectors survive the left join, and
+    the histogram is a tiny degree-grain aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_neardup_blocked(emb, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    both = pairs.select(F.col("id_a").alias("vid")).unionAll(
+        pairs.select(F.col("id_b").alias("vid"))
+    )
+    deg_cnt = both.groupBy("vid").agg(F.count(F.lit(1)).alias("__d"))
+    ids = emb.select(F.col("vec_id").cast("long").alias("vec_id"))
+    deg = ids.join(deg_cnt, ids["vec_id"] == deg_cnt["vid"], "left").select(
+        "vec_id", F.coalesce("__d", F.lit(0)).cast("long").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )

@@ -512,3 +512,36 @@ def _mad_on(events):
         "event_type", "hour", "n", rz.alias("robust_z"),
         FF.coalesce(FF.abs(rz) > 3, FF.lit(False)).alias("is_anomaly"),
     )
+
+
+# ------------------------------------- batch I: novelty / churn / degree
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from b2b_data_pipeline_indiamart_spark.operators.decontam import ngram_novelty
+
+    # doc1 "a b c d": trigrams {abc, bcd}; doc2 "a b c": {abc}
+    # abc df=2 (shared), bcd df=1 (unique) -> doc1 novelty 0.5, doc2 0
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["novelty"])
+           for r in ngram_novelty(docs, n=3).collect()}
+    assert got == {1: (2, 0.5), 2: (1, 0.0)}
+
+
+def test_knn_degree_hand_computed(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    # a~b (cos 1.0), c orthogonal: degrees a=1, b=1, c=0
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = similarity.cosine_neardup_blocked(emb, threshold=0.5)
+    both = pairs.select(F.col("id_a").alias("vid")).unionAll(
+        pairs.select(F.col("id_b").alias("vid"))
+    )
+    deg = {r["vid"]: r["d"] for r in both.groupBy("vid").agg(
+        F.count(F.lit(1)).alias("d")).collect()}
+    assert deg == {1: 1, 2: 1}  # c has no row (zero degree)
