@@ -430,3 +430,42 @@ def test_streaming_quality_gate_equals_batch(spark, tmp_path):
     batch = spark.read.schema(DOCUMENTS_SCHEMA).json(str(src))
     ref = sorted(map(tuple, quality_logit(batch).collect()))
     assert got == ref and len(got) == 3
+
+
+def test_available_now_trigger_drains_backlog_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: the batch-catchup mode — process every
+    file already in the source (respecting maxFilesPerTrigger
+    batching), then stop on its own. The operational shape for
+    'catch the nightly backlog up, then exit' jobs that still keep
+    streaming checkpoint semantics (a later run resumes from the
+    offset log instead of reprocessing)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(src / "b1.json", BATCH1)
+    _write_events(src / "b2.json", BATCH2)
+    out = str(tmp_path / "out")
+    q = (
+        read_event_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)  # stops ITSELF once the backlog drains
+    assert not q.isActive
+    assert spark.read.parquet(out).count() == len(BATCH1) + len(BATCH2)
+    # a restart with the same checkpoint sees nothing new and exits
+    # without duplicating output
+    q = (
+        read_event_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(BATCH1) + len(BATCH2)
