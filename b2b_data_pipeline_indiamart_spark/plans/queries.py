@@ -6017,3 +6017,155 @@ def embedding_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
+
+
+@_register(
+    "events_first_touch_attribution",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, ts, event_type, value,
+             min(view_us) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+               AS first_view_us
+      FROM u
+    ),
+    p AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, value,
+             CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END AS attributed,
+             CASE WHEN first_view_us IS NOT NULL
+                  THEN epoch_us(ts) - first_view_us END AS alag
+      FROM w WHERE event_type = 'purchase'
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(attributed) AS BIGINT) AS n_attributed,
+           round(sum(attributed) * 1.0 / count(*), 4) AS attribution_rate,
+           round(sum(CASE WHEN attributed = 1 THEN value ELSE 0 END), 2)
+             AS attributed_value,
+           round(avg(alag) / 60000000.0, 2) AS avg_lag_min
+    FROM p GROUP BY day
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution — the marketing counterpart of the
+    last-touch report: each purchase attributes to the user's EARLIEST
+    view inside the 24 h lookback. Where last-touch reduces to an
+    as-of join, first-touch needs a bounded RANGE-frame window
+    (min over [t−24h, t)) — user-partitioned, value-bounded frame, so
+    state per task is one frame's rows and the plan has no theta join
+    and no unbounded window. The day rollup is calendar-sized."""
+    events = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "view", us).alias("view_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    flagged = u.withColumn("first_view_us", F.min("view_us").over(w)).filter(
+        F.col("event_type") == "purchase"
+    )
+    attributed = F.when(F.col("first_view_us").isNotNull(), 1).otherwise(0)
+    alag = F.when(attributed == 1, us - F.col("first_view_us"))
+    return (
+        flagged.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "value",
+            attributed.alias("__attr"),
+            alag.alias("__alag"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("__attr").cast("long").alias("n_attributed"),
+            round_half_up(F.sum("__attr") / F.count(F.lit(1)), 4).alias(
+                "attribution_rate"
+            ),
+            round_half_up(
+                F.sum(F.when(F.col("__attr") == 1, F.col("value")).otherwise(0.0)),
+                2,
+            ).alias("attributed_value"),
+            round_half_up(F.avg("__alag") / 60_000_000.0, 2).alias("avg_lag_min"),
+        )
+    )
+
+
+@_register(
+    "docs_cross_source_overlap",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_NORM} AS s FROM documents),
+    t AS (SELECT source, {_TOKS} AS toks FROM d),
+    g AS (SELECT DISTINCT source, md5(array_to_string(toks[u.i:u.i+2], ' ')) AS gram
+          FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+          WHERE len(toks) >= 3),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    p AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4) AS jaccard
+    FROM p JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
+    """,
+)
+def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: trigram-fingerprint Jaccard
+    between every source pair — the provenance check run before
+    declaring two crawls 'independent' (a high cell means one source
+    republishes the other). The key scale property: grams are deduped
+    to the (source, gram) grain FIRST, so the per-gram source set is
+    bounded by the SOURCE DIMENSION (tens), never document count —
+    pair expansion is the in-plan array_pairs kernel over a sorted
+    collect_set, and the per-source totals (20 rows) broadcast into
+    the final Jaccard projection."""
+    from ..operators.analytics import array_pairs
+    from ..operators.dedup import word_tokens
+
+    docs = _tp(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - 2),
+        lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, 3), " ")),
+    )
+    g = (
+        docs.select("source", toks.alias("__toks"))
+        .filter(F.size("__toks") >= 3)
+        .select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sets = g.groupBy("gram").agg(
+        F.sort_array(F.collect_set("source")).alias("__srcs")
+    )
+    pairs = array_pairs(sets, "__srcs", "src_a", "src_b")
+    inter = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    sa = sz.select(F.col("source").alias("__sa"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("__sb"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), F.col("src_a") == F.col("__sa"))
+        .join(F.broadcast(sb), F.col("src_b") == F.col("__sb"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            round_half_up(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

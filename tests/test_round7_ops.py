@@ -545,3 +545,63 @@ def test_knn_degree_hand_computed(spark):
     deg = {r["vid"]: r["d"] for r in both.groupBy("vid").agg(
         F.count(F.lit(1)).alias("d")).collect()}
     assert deg == {1: 1, 2: 1}  # c has no row (zero degree)
+
+
+# ------------------------------- batch J: first-touch / source overlap
+
+
+def test_first_touch_picks_earliest_view_in_window(spark):
+    from datetime import datetime, timedelta
+
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES  # noqa: F401
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FF
+
+    t0 = datetime(2026, 1, 10, 12, 0)
+    rows = [
+        # u1: views at t0 and t0+10m, purchase at t0+20m ->
+        # first-touch = t0 (lag 20m); last-touch would be 10m
+        (1, t0, 1, "view", 0.0),
+        (2, t0 + timedelta(minutes=10), 1, "view", 0.0),
+        (3, t0 + timedelta(minutes=20), 1, "purchase", 50.0),
+        # u2: view 30h before purchase -> outside window, organic
+        (4, t0 - timedelta(hours=30), 2, "view", 0.0),
+        (5, t0, 2, "purchase", 10.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    us = FF.unix_micros(FF.col("ts"))
+    u = events.filter(FF.col("event_type").isin("view", "purchase")).select(
+        "user_id", "ts", "event_type", "value",
+        FF.when(FF.col("event_type") == "view", us).alias("view_us"),
+    )
+    w = W.partitionBy("user_id").orderBy(us).rangeBetween(-86_400_000_000, -1)
+    got = (
+        u.withColumn("fv", FF.min("view_us").over(w))
+        .filter(FF.col("event_type") == "purchase")
+        .select("user_id", "fv", us.alias("pus"))
+        .collect()
+    )
+    by_user = {r["user_id"]: r for r in got}
+    # u1 attributed to the EARLIEST view (lag 20 min, not 10)
+    assert by_user[1]["pus"] - by_user[1]["fv"] == 20 * 60 * 1_000_000
+    assert by_user[2]["fv"] is None  # outside 24h window
+
+
+def test_cross_source_overlap_jaccard_hand_computed(spark):
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+    import os
+    import tempfile
+
+    # two sources sharing exactly one trigram out of 2 and 1
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "s1", 7), (2, "a b c", "en", "s2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        [r] = QUERIES["docs_cross_source_overlap"](spark, d).collect()
+    # s1 grams {abc,bcd}, s2 {abc}: inter 1, union 2 -> jaccard 0.5
+    assert (r["src_a"], r["src_b"]) == ("s1", "s2")
+    assert (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]) == (1, 2, 1, 0.5)
