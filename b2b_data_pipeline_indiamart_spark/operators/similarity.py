@@ -1381,3 +1381,62 @@ def semdedup_kmeans(
         threshold=threshold,
         n_blocks=n_blocks,
     )
+
+
+def ann_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: a CHEAP
+    approximate pass (SQ8 ADC over uint8 codes, :func:`ann_topk_sq8`)
+    shortlists ``shortlist`` candidates per query, then an EXACT
+    cosine re-rank over full-precision vectors picks the final top-k.
+    Recall at k equals the shortlist's recall (the re-rank is exact
+    within it), so quantization error only costs candidates, never
+    final ordering — recall rises monotonically with ``shortlist``
+    while the expensive exact scoring stays O(queries × shortlist)
+    instead of O(queries × corpus).
+
+    Scale shape: stage 1 scans the 4×-narrower code column once;
+    stage 2 joins the tiny candidate table (|Q| × shortlist rows,
+    BROADCAST) against the corpus — the full-precision vectors of
+    only the candidates ever reach the re-ranker, and the final
+    window partitions by query (bounded frames).
+
+    Output: (query_id, neighbor_id, cos_sim 4dp, rnk) — same contract
+    as :func:`brute_force_topk`, so recall pins compare directly.
+    """
+    cand = ann_topk_sq8(
+        emb, queries, k=shortlist, vec_col=vec_col, id_col=id_col, levels=levels
+    ).select("query_id", "neighbor_id")
+    corpus = emb.select(
+        F.col(id_col).cast("long").alias("__nid"),
+        as_double_array(F.col(vec_col)).alias("__nv"),
+    )
+    qs = queries.select(
+        F.col(id_col).cast("long").alias("__qid"),
+        as_double_array(F.col(vec_col)).alias("__qv"),
+    )
+    j = (
+        corpus.join(F.broadcast(cand), corpus["__nid"] == cand["neighbor_id"])
+        .join(F.broadcast(qs), F.col("query_id") == F.col("__qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(cosine(F.col("__qv"), F.col("__nv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

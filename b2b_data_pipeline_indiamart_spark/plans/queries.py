@@ -6261,3 +6261,86 @@ def q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
     )
+
+
+@_register("ann_rerank")  # rows-only (SQ8 shortlist) + recall-vs-exact test
+def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/similarity.ann_rerank): SQ8-ADC
+    shortlist of 64 over the uint8 code column, exact cosine re-rank
+    to top-10 — recall equals shortlist recall because the re-rank is
+    exact within it. Rows-only (quantization error in stage 1);
+    determinism and recall ≥ the plain SQ8@10 path are pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_rerank(emb, queries, k=10, shortlist=64).orderBy(
+        "query_id", "rnk"
+    )
+
+
+@_register(
+    "docs_token_percentiles",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_NORM} AS s FROM documents),
+    t AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM d WHERE s IS NOT NULL)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_tokens, 0.25), 2) AS p25,
+           round(quantile_cont(n_tokens, 0.5), 2) AS p50,
+           round(quantile_cont(n_tokens, 0.75), 2) AS p75,
+           round(quantile_cont(n_tokens, 0.95), 2) AS p95
+    FROM t GROUP BY source
+    """,
+)
+def docs_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length percentiles (exact interpolated p25/50/
+    75/95) — the sequence-length budget input for packing and context
+    sizing, complementing the power-of-two histogram. One map-only
+    token count, one aggregate on the bounded source grain (exact
+    `percentile` sorts within each source's partition — fine on a
+    dimension-sized grain; approx_percentile is the documented swap if
+    the grain were ever data-sized)."""
+    docs = _tp(spark, sf_dir, "documents")
+    from ..operators.dedup import word_tokens
+
+    t = docs.select(
+        "source",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        round_half_up(F.expr("percentile(n_tokens, 0.25)"), 2).alias("p25"),
+        round_half_up(F.expr("percentile(n_tokens, 0.5)"), 2).alias("p50"),
+        round_half_up(F.expr("percentile(n_tokens, 0.75)"), 2).alias("p75"),
+        round_half_up(F.expr("percentile(n_tokens, 0.95)"), 2).alias("p95"),
+    )
+
+
+@_register(
+    "orders_monthly_seasonality",
+    """
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT avg(rev) AS avg_rev FROM m)
+    SELECT month, round(rev, 2) AS revenue,
+           round(rev / avg_rev, 4) AS seasonal_index
+    FROM m CROSS JOIN t
+    """,
+)
+def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: month revenue relative to the
+    average month (index > 1 = peak season). One combining aggregate
+    to the 12-row month grain, a one-row broadcast for the average —
+    the shape every seasonal-adjustment job starts from."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(F.month("o_orderdate").cast("int").alias("month")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    t = m.agg(F.avg("rev").alias("avg_rev"))
+    return m.join(F.broadcast(t)).select(
+        "month",
+        round_half_up(F.col("rev"), 2).alias("revenue"),
+        round_half_up(F.col("rev") / F.col("avg_rev"), 4).alias("seasonal_index"),
+    )

@@ -186,3 +186,45 @@ def test_kmeans_distributed_subsample_filter(emb):
     hash-threshold filter and still train (no empty cells crash)."""
     c = similarity.kmeans_centroids_distributed(emb, dim=64, n_cells=4, sample_cap=100)
     assert len(c) == 4 and len(c[0]) == 64
+
+
+def test_ann_rerank_recall_at_least_sq8(spark, sf_medium):
+    """The exact re-rank can only improve on the raw SQ8 ranking:
+    recall@10 vs exact must be >= the plain SQ8@10 recall, and the
+    final ordering must be exactly the exact-cosine order within the
+    shortlist."""
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    emb = catalog.load(spark, sf_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    truth = {
+        q: {r["neighbor_id"] for r in rows}
+        for q, rows in _group(exact.collect()).items()
+    }
+    rer = _group(similarity.ann_rerank(emb, queries, k=10, shortlist=64).collect())
+    sq8 = _group(similarity.ann_topk_sq8(emb, queries, k=10).collect())
+
+    def recall(got):
+        hits = total = 0
+        for q, t in truth.items():
+            g = {r["neighbor_id"] for r in got.get(q, [])}
+            hits += len(g & t)
+            total += len(t)
+        return hits / total
+
+    r_rerank, r_sq8 = recall(rer), recall(sq8)
+    assert r_rerank >= r_sq8
+    assert r_rerank >= 0.9
+    # within each query the rerank output is sorted by exact cosine
+    for q, rows in rer.items():
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def _group(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(r)
+    return out
