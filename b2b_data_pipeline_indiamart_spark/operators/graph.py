@@ -1,0 +1,181 @@
+"""Graph analytics: PageRank over an edge table.
+
+The second iterative-fixpoint operator family in the repo (the first
+is the connected-components loop in operators/dedup.py) — kept
+deliberately parallel to it in its scale discipline:
+
+- Every iteration is ONE keyed shuffle (contributions grouped by
+  destination) plus broadcast-scale scalars (dangling mass, delta).
+- The only driver round-trips are loop control: a 2-scalar collect per
+  iteration (convergence delta + dangling mass), never rank data.
+- Per-iteration frames are persisted through caching.persist_tracked
+  and the PREVIOUS iteration is released as soon as the next one
+  materializes — bounded ~2-iteration block storage at any graph size
+  (the dedup CC loop's bookkeeping argument, restated).
+- Ranks are rounded to 10 decimal digits at every iteration boundary,
+  so the float-summation order inside a groupBy cannot leak across
+  iterations: re-runs converge bit-identically unless a sum lands
+  exactly on a rounding boundary (measure-zero on real data) — the
+  same stabilization the oracle-facing keys apply before comparisons.
+
+PageRank itself is the standard damped formulation (Page et al. 1999):
+    r' = (1-d)/N + d * (Σ_in r_j / outdeg_j + dangling/N)
+with dangling mass redistributed uniformly. Convergence = max |Δr| <
+tol, checked per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_up
+from . import caching
+
+#: iteration-boundary rounding — see module docstring
+_RANK_SCALE = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 20,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge table → (node, rank 6dp, n_iter).
+
+    For an undirected graph pass both orientations. Self-loops and
+    duplicate edges are deduped. Nodes appearing only as destinations
+    (dangling) keep their mass — it redistributes uniformly.
+
+    Scale shape per iteration: contributions = edges ⋈ ranks on src
+    (both sides hash-partitioned on the node key — Catalyst reuses the
+    partitioning across iterations), one groupBy(dst) sum, a LEFT join
+    back onto the node spine so zero-in-degree nodes keep receiving
+    the teleport term. Dangling mass and the convergence delta are
+    one-row aggregates collected as loop control.
+    """
+    # persist the deduped edge table BEFORE counting it: the count, the
+    # node spine, the degree table and every iteration all read it, and
+    # an upstream edge expansion (e.g. the basket pair kernel) must run
+    # exactly once, not once per consumer
+    e = caching.persist_tracked(
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    # size the loop's parallelism from the live edge count (the dedup
+    # CC loop's argument): per-iteration fixed overhead dominates on
+    # small graphs, so tiny frames get tiny shuffles; AQE is gated off
+    # for the loop on small graphs — its per-stage re-planning costs
+    # more than the stages on frames this size (same measurement as
+    # dedup.py's CC loop)
+    n_edges = e.count()
+    p = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                   n_edges // 50_000 + 2))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if n_edges < 1_000_000:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_loop(
+            e, p, damping, tol, max_iter
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _pagerank_loop(
+    e: DataFrame, p: int, damping: float, tol: float, max_iter: int
+) -> DataFrame:
+    e = caching.persist_tracked(e.repartition(p, "s"))
+    nodes = caching.persist_tracked(
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("node"),
+            F.lit(None).cast("double").alias("rank"),
+            F.lit(0).alias("n_iter"),
+        )
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # (node, deg) spine: deg NULL = dangling (no out-edges)
+    spine = caching.persist_tracked(
+        nodes.join(out_deg, nodes["node"] == out_deg["s"], "left")
+        .select("node", "deg")
+        .repartition(p, "node")
+    )
+    teleport = (1.0 - damping) / n_nodes
+    ranks = caching.persist_tracked(
+        spine.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    )
+    # dangling mass of the INITIAL ranks (uniform): one tiny job
+    [row] = spine.agg(
+        F.sum(F.when(F.col("deg").isNull(), 1.0 / n_nodes)).alias("dm")
+    ).collect()
+    dangling = (row["dm"] or 0.0) / n_nodes
+    it = 0
+    for it in range(1, max_iter + 1):
+        cur = spine.join(ranks, "node")
+        contribs = (
+            e.join(
+                cur.select(
+                    F.col("node").alias("s"),
+                    (F.col("rank") / F.col("deg")).alias("share"),
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        new_ranks = caching.persist_tracked(
+            spine.join(contribs, "node", "left").select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(teleport)
+                    + damping * (F.coalesce("inflow", F.lit(0.0)) + dangling),
+                    _RANK_SCALE,
+                ).alias("rank"),
+            )
+        )
+        # ONE loop-control collect per iteration: convergence delta of
+        # this step AND the next step's dangling mass, fused
+        [drow] = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(
+                F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("n.deg").isNull(), F.col("n.rank"))
+                ).alias("dm"),
+            )
+            .collect()
+        )
+        dangling = (drow["dm"] or 0.0) / n_nodes
+        ranks.unpersist()
+        ranks = new_ranks.drop("deg")
+        if drow["delta"] is not None and drow["delta"] < tol:
+            break
+    return ranks.select(
+        "node", round_half_up(F.col("rank"), 6).alias("rank"), F.lit(it).alias("n_iter")
+    )
+
+
+def copurchase_edges(baskets: DataFrame, array_col: str = "pks") -> DataFrame:
+    """Both orientations of the basket pair expansion → (src, dst):
+    the undirected co-purchase graph as a directed edge table for
+    :func:`pagerank`. Reuses the in-plan array_pairs kernel."""
+    from .analytics import array_pairs
+
+    p = array_pairs(baskets, array_col, "a", "b")
+    return p.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )

@@ -6344,3 +6344,26 @@ def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("rev"), 2).alias("revenue"),
         round_half_up(F.col("rev") / F.col("avg_rev"), 4).alias("seasonal_index"),
     )
+
+
+@_register("part_pagerank")  # rows-only (iterative float fixpoint)
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part co-purchase graph
+    (operators/graph.pagerank): which parts anchor the catalog's
+    basket structure. Edges are the gated basket pairs
+    (2..32-part orders) in both orientations; the loop is one keyed
+    shuffle per iteration with 2-scalar loop-control collects,
+    bounded ~2-iteration cache storage, and iteration-boundary
+    rounding so re-runs are deterministic. Rows-only: an iterative
+    float fixpoint isn't SQL-expressible — determinism, a hand-built
+    star-graph pin, and rank-mass conservation are pytest-checked."""
+    from ..operators import caching, graph
+
+    # tighter basket gate than the lift keys (<=16 parts): centrality
+    # is about the co-purchase STRUCTURE, and a mega-basket's C(n,2)
+    # clique both quadruples the edge table and adds uniform noise
+    baskets = caching.persist_tracked(
+        _part_baskets(spark, sf_dir).filter(F.size("pks") <= 16)
+    )
+    edges = graph.copurchase_edges(baskets)
+    return graph.pagerank(edges, tol=1e-6, max_iter=20).orderBy("node")

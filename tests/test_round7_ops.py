@@ -605,3 +605,55 @@ def test_cross_source_overlap_jaccard_hand_computed(spark):
     # s1 grams {abc,bcd}, s2 {abc}: inter 1, union 2 -> jaccard 0.5
     assert (r["src_a"], r["src_b"]) == ("s1", "s2")
     assert (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]) == (1, 2, 1, 0.5)
+
+
+# ------------------------------------------------ batch M: PageRank
+
+
+def test_pagerank_star_graph_hand_checked(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import caching, graph
+
+    # undirected star: hub 0 <-> spokes 1..4. Symmetry: all spokes
+    # equal; hub > spoke. Closed form (d=0.85, N=5):
+    # hub = 0.03 + 0.85 * 4*spoke (spokes have outdeg 1)
+    # spoke = 0.03 + 0.85 * hub/4
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r["rank"] for r in
+            graph.pagerank(edges, tol=1e-7, max_iter=30).collect()}
+    caching.release_cached()
+    hub, spokes = rows[0], [rows[i] for i in range(1, 5)]
+    assert len(set(spokes)) == 1  # symmetry
+    assert hub > spokes[0]
+    # closed-form solution within the convergence envelope: delta
+    # contracts by the damping factor per iteration, so 30 iterations
+    # leave a residual of ~0.3 * 0.85^30 ~= 2e-3
+    assert abs(hub - 0.475676) < 3e-3
+    assert abs(spokes[0] - 0.131081) < 3e-3
+    assert abs(sum(rows.values()) - 1.0) < 1e-4  # mass conserved
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    from b2b_data_pipeline_indiamart_spark.operators import caching, graph
+
+    # 1 -> 2, 2 has no out-edges (dangling): without redistribution
+    # total mass decays; with it, ranks still sum to 1
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in
+            graph.pagerank(edges, tol=1e-7, max_iter=30).collect()}
+    caching.release_cached()
+    assert abs(sum(rows.values()) - 1.0) < 1e-4
+    assert rows[2] > rows[1]  # the sink receives 1's mass
+
+
+def test_pagerank_deterministic_across_runs(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    a = [tuple(r) for r in QUERIES["part_pagerank"](spark, sf_small).collect()]
+    caching.release_cached()
+    b = [tuple(r) for r in QUERIES["part_pagerank"](spark, sf_small).collect()]
+    caching.release_cached()
+    assert a == b and len(a) > 0
