@@ -92,6 +92,11 @@ EXTENDED_KEYS = [
     "events_rolling_active_users",
     "events_conversion_lag",
     "supplier_lead_time",
+    "ann_rerank",
+    "docs_ngram_novelty",
+    "docs_cross_source_overlap",
+    "events_first_touch_attribution",
+    "part_pagerank",  # iterative loop: dominated by per-iteration sync
 ]
 
 
