@@ -507,3 +507,64 @@ def streaming_quality_gate(doc_stream: DataFrame) -> DataFrame:
     from ..operators.textstats import quality_logit
 
     return quality_logit(doc_stream)
+
+
+def running_distinct_types(events: DataFrame) -> DataFrame:
+    """Per-user distinct-event-type tracker via Spark 4's
+    ``transformWithStateInPandas`` — the SECOND-generation stateful
+    API (SPARK-49564): a ``StatefulProcessor`` class with typed state
+    handles (ValueState here; ListState/MapState and event/processing
+    timers in the same API) instead of applyInPandasWithState's single
+    tuple. This is the template for new custom stateful operators;
+    the older API stays on the sessionizer for comparison.
+
+    State per user is one (sorted distinct types) value; each batch
+    emits (user_id, n_types, n_events). Requires the RocksDB state
+    store provider and the ``protobuf`` Python package (the TWS
+    driver↔worker channel is proto-serialized) — absent protobuf,
+    the query fails at initialization, and the pytest coverage is
+    importorskip-gated accordingly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_types", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen",
+                T.StructType(
+                    [T.StructField("types", T.ArrayType(T.StringType()))]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen = set(self._seen.get()[0]) if self._seen.exists() else set()
+            n = 0
+            for pdf in rows:
+                seen |= set(pdf["event_type"])
+                n += len(pdf)
+            self._seen.update(([sorted(seen)],))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_types": [len(seen)], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=DistinctTypes(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -469,3 +469,50 @@ def test_available_now_trigger_drains_backlog_and_stops(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(BATCH1) + len(BATCH2)
+
+
+def test_running_distinct_types_transform_with_state(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas template. The TWS channel is
+    protobuf-serialized; absent the protobuf package (this container),
+    the runner can't initialize — skip with the honest reason, same
+    policy as the multimodal codec stubs."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs the protobuf package "
+        "for its driver<->worker state channel",
+    )
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        running_distinct_types,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        _write_events(src / "b1.json", BATCH1)
+        q = start_memory_sink(
+            running_distinct_types(read_event_stream(spark, str(src))),
+            "tws_types",
+            output_mode="update",
+        )
+        _drain(q)
+        rows = {
+            r["user_id"]: r["n_types"]
+            for r in spark.sql("select * from tws_types").collect()
+        }
+        ref = {}
+        for e in BATCH1:
+            ref.setdefault(e["user_id"], set()).add(e["event_type"])
+        assert rows == {u: len(t) for u, t in ref.items()}
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
