@@ -434,3 +434,48 @@ def test_text_documents_per_file_and_per_line(spark, tmp_path):
     # and unique across the corpus
     ids = [v[0] for v in rows.values()]
     assert len(ids) == len(set(ids))
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on a plain parquet lake: a column added by a
+    later writer is visible with mergeSchema=true (older files read
+    NULL), and the default cheap read keeps the footer-sampled schema.
+    The contract incremental ingestion leans on when producers add
+    fields."""
+    p = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        p + "/part=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p + "/part=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score", "part"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_ignore_corrupt_files_quarantines_bad_parquet(spark, tmp_path):
+    """Operational guard for dirty lakes: with ignoreCorruptFiles the
+    scan survives a garbage file and returns the healthy rows; the
+    default strict mode fails loudly. Both behaviors pinned."""
+    p = tmp_path / "lake"
+    spark.createDataFrame([(i,) for i in range(5)], "id long").coalesce(
+        1
+    ).write.parquet(str(p))
+    (p / "garbage.parquet").write_bytes(b"this is not a parquet file")
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    with _pytest.raises(Exception):
+        # strict mode fails already at footer inference
+        spark.read.parquet(str(p)).count()
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        # schema stated explicitly: inference may sample the corrupt
+        # file and give up even in tolerant mode — the same reason the
+        # JSONL reader requires a stated schema
+        assert spark.read.schema("id long").parquet(str(p)).count() == 5
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
