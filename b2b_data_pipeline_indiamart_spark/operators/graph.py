@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.rounding import round_half_up
 from . import caching
@@ -57,13 +58,27 @@ def pagerank(
     the teleport term. Dangling mass and the convergence delta are
     one-row aggregates collected as loop control.
     """
+    # node id typing: cast integer-family ids to long (8-byte shuffle
+    # keys), but NEVER cast arbitrary ids — cast('long') on a string id
+    # like 'user_42' yields NULL for every row and the operator would
+    # return a silently empty result instead of a type error. Non-
+    # integer ids are aligned on string so both endpoints union/join
+    # on one type.
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(edges.schema[src].dataType, int_types) and isinstance(
+        edges.schema[dst].dataType, int_types
+    ):
+        id_type = "long"
+    else:
+        id_type = "string"
     # persist the deduped edge table BEFORE counting it: the count, the
     # node spine, the degree table and every iteration all read it, and
     # an upstream edge expansion (e.g. the basket pair kernel) must run
     # exactly once, not once per consumer
     e = caching.persist_tracked(
         edges.select(
-            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+            F.col(src).cast(id_type).alias("s"),
+            F.col(dst).cast(id_type).alias("d"),
         )
         .filter(F.col("s") != F.col("d"))
         .distinct()
@@ -92,6 +107,7 @@ def pagerank(
 def _pagerank_loop(
     e: DataFrame, p: int, damping: float, tol: float, max_iter: int
 ) -> DataFrame:
+    e_pre = e
     e = caching.persist_tracked(e.repartition(p, "s"))
     nodes = caching.persist_tracked(
         e.select(F.col("s").alias("node"))
@@ -99,6 +115,11 @@ def _pagerank_loop(
         .distinct()
     )
     n_nodes = nodes.count()
+    # the count above materialized the repartitioned copy; the pre-
+    # repartition cache fed only the edge count and that copy, so
+    # release it NOW — holding both would double the edge-table cache
+    # footprint for the whole loop, breaking the bounded-storage claim
+    e_pre.unpersist()
     if n_nodes == 0:
         return nodes.select(
             F.col("node"),

@@ -612,7 +612,11 @@ def markov_transitions(events: DataFrame) -> DataFrame:
     )
 
 
-#: conversion-lag histogram edges, minutes (upper-exclusive except last)
+#: conversion-lag histogram edges, minutes. EVERY bucket is upper-
+#: exclusive, including the last — a lag of exactly 1440 min falls
+#: outside the window and counts as organic, matching the registered
+#: oracle's `lag_min < 1440`. Do not "fix" this to <=: it would break
+#: hash parity.
 CONVERSION_LAG_BUCKETS = (
     ("00-05m", 0, 5),
     ("05-30m", 5, 30),

@@ -87,7 +87,13 @@ def read_text_documents(
         )
     lines = raw.select(
         "source",
-        F.posexplode(F.split(F.col("value"), "\n")).alias("line_no", "text"),
+        # \r?\n so CRLF corpora match Spark's own line reader (which
+        # strips \r\n) — a bare-\n split leaves an invisible trailing
+        # \r on every line, silently breaking exact-dedup hashes and
+        # token stats downstream
+        F.posexplode(F.split(F.col("value"), "\\r?\\n")).alias(
+            "line_no", "text"
+        ),
     )
     return lines.select(
         F.xxhash64("source", "line_no").alias("doc_id"),

@@ -522,16 +522,44 @@ def running_distinct_types(events: DataFrame) -> DataFrame:
     emits (user_id, n_types, n_events). Requires the RocksDB state
     store provider and the ``protobuf`` Python package (the TWS
     driver↔worker channel is proto-serialized) — absent protobuf,
-    the query fails at initialization, and the pytest coverage is
-    importorskip-gated accordingly.
+    the query fails at initialization, and the end-to-end pytest
+    coverage is importorskip-gated accordingly. The processor class
+    itself lives at module level so its CROSS-BATCH state handling is
+    unit-tested against a fake ValueState even where protobuf is
+    missing (tests/test_streaming.py) — that path is the whole point
+    of a stateful operator and must not depend on env luck.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=DistinctTypesProcessor(),
+        outputStructType=DistinctTypesProcessor.OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
-    out_schema = T.StructType(
+
+def _stateful_processor_base():
+    """Import StatefulProcessor lazily: the module import is
+    protobuf-free in Spark 4.1, but keep the seam explicit so a future
+    Spark that moves the proto import to module scope degrades to a
+    clear ImportError at operator-construction time, not repo import
+    time."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return StatefulProcessor
+
+
+class DistinctTypesProcessor(_stateful_processor_base()):
+    """transformWithStateInPandas processor for running_distinct_types.
+
+    One ValueState per user holding the sorted distinct event types.
+    ``ValueState.update`` takes ONE tuple element per schema field —
+    ``(list,)`` for the single array<string> field. Double-wrapping
+    ``([list],)`` pickles fine on batch 1 but corrupts state: the next
+    batch's ``get()[0]`` is a list-of-lists and ``set()`` raises
+    unhashable-type, killing the query on any RETURNING user.
+    """
+
+    OUT_SCHEMA = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
             T.StructField("n_types", T.LongType()),
@@ -539,32 +567,25 @@ def running_distinct_types(events: DataFrame) -> DataFrame:
         ]
     )
 
-    class DistinctTypes(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._seen = handle.getValueState(
-                "seen",
-                T.StructType(
-                    [T.StructField("types", T.ArrayType(T.StringType()))]
-                ),
-            )
-
-        def handleInputRows(self, key, rows, timer_values):
-            seen = set(self._seen.get()[0]) if self._seen.exists() else set()
-            n = 0
-            for pdf in rows:
-                seen |= set(pdf["event_type"])
-                n += len(pdf)
-            self._seen.update(([sorted(seen)],))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_types": [len(seen)], "n_events": [n]}
-            )
-
-        def close(self) -> None:
-            pass
-
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=DistinctTypes(),
-        outputStructType=out_schema,
-        outputMode="Update",
-        timeMode="None",
+    STATE_SCHEMA = T.StructType(
+        [T.StructField("types", T.ArrayType(T.StringType()))]
     )
+
+    def init(self, handle) -> None:
+        self._seen = handle.getValueState("seen", self.STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        seen = set(self._seen.get()[0]) if self._seen.exists() else set()
+        n = 0
+        for pdf in rows:
+            seen |= set(pdf["event_type"])
+            n += len(pdf)
+        self._seen.update((sorted(seen),))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_types": [len(seen)], "n_events": [n]}
+        )
+
+    def close(self) -> None:
+        pass

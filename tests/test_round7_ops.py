@@ -648,6 +648,29 @@ def test_pagerank_dangling_mass_redistributes(spark):
     assert rows[2] > rows[1]  # the sink receives 1's mass
 
 
+def test_pagerank_string_node_ids(spark):
+    """Non-integer node ids must WORK, not silently empty out: the
+    regression was cast('long') nulling every string id, the self-loop
+    filter then dropping all rows, and the caller getting an empty
+    frame instead of ranks. String-relabeled graph must produce the
+    same ranks as the long-id original."""
+    from b2b_data_pipeline_indiamart_spark.operators import caching, graph
+
+    pairs = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    long_edges = spark.createDataFrame(pairs, "src long, dst long")
+    str_edges = spark.createDataFrame(
+        [(f"user_{s}", f"user_{d}") for s, d in pairs],
+        "src string, dst string",
+    )
+    want = {f"user_{r['node']}": r["rank"] for r in
+            graph.pagerank(long_edges, tol=1e-7, max_iter=30).collect()}
+    caching.release_cached()
+    got = {r["node"]: r["rank"] for r in
+           graph.pagerank(str_edges, tol=1e-7, max_iter=30).collect()}
+    caching.release_cached()
+    assert got == want and len(got) == 5
+
+
 def test_pagerank_deterministic_across_runs(spark, sf_small):
     from b2b_data_pipeline_indiamart_spark.operators import caching
     from b2b_data_pipeline_indiamart_spark.plans import QUERIES

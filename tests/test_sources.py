@@ -479,3 +479,24 @@ def test_ignore_corrupt_files_quarantines_bad_parquet(spark, tmp_path):
         assert spark.read.schema("id long").parquet(str(p)).count() == 5
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_text_documents_per_line_strips_crlf(spark, tmp_path):
+    """CRLF corpora: per_line splitting must match Spark's own line
+    reader (\r\n stripped). Regression: a bare-\n split left every
+    line with an invisible trailing \r, silently desyncing dedup
+    hashes from the same corpus read via spark.read.text."""
+    from b2b_data_pipeline_indiamart_spark.sources import read_text_documents
+
+    f = tmp_path / "win.txt"
+    f.write_bytes(b"first line\r\nsecond line\r\nthird")
+    rows = (
+        read_text_documents(spark, str(tmp_path), per_line=True)
+        .orderBy("line_no")
+        .collect()
+    )
+    assert [r["text"] for r in rows] == ["first line", "second line", "third"]
+    native = [
+        r["value"] for r in spark.read.text(str(f)).collect()
+    ]
+    assert sorted(r["text"] for r in rows) == sorted(native)

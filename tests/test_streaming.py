@@ -516,3 +516,61 @@ def test_running_distinct_types_transform_with_state(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_distinct_types_processor_cross_batch_state():
+    """The CROSS-BATCH path of the TWS processor, driven directly with
+    a fake ValueState (no protobuf / RocksDB needed). This is the
+    regression pin for the state double-wrap bug: update() takes one
+    tuple element per schema field — (sorted_list,), not
+    ([sorted_list],) — and the corruption only ever surfaced on the
+    SECOND batch for a returning user, which the end-to-end test
+    (single batch per user, protobuf-gated) never reached."""
+    import pandas as pd
+
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        DistinctTypesProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, new_value):
+            assert isinstance(new_value, tuple) and len(new_value) == 1
+            # schema field is array<string>: flat list of strings only
+            assert all(isinstance(t, str) for t in new_value[0])
+            self._v = new_value
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    proc = DistinctTypesProcessor()
+    proc.init(FakeHandle())
+
+    def run_batch(types):
+        out = list(
+            proc.handleInputRows(
+                (7,), iter([pd.DataFrame({"event_type": types})]), None
+            )
+        )
+        assert len(out) == 1
+        return out[0].iloc[0]
+
+    first = run_batch(["view", "click", "view"])
+    assert (first["n_types"], first["n_events"]) == (2, 3)
+    # returning user: state from batch 1 must merge with batch 2
+    second = run_batch(["purchase", "view"])
+    assert (second["n_types"], second["n_events"]) == (3, 2)
+    third = run_batch(["click"])
+    assert (third["n_types"], third["n_events"]) == (3, 1)
