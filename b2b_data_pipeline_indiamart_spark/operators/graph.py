@@ -94,14 +94,23 @@ def pagerank(
     p = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
                    n_edges // 50_000 + 2))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
     if n_edges < 1_000_000:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # pin the session shuffle width to the loop's own p: every exchange
+    # the loop DOES need (the groupBy(dst) combine, the node-spine
+    # distinct) then lands hash(key, p), which is exactly the
+    # partitioning of the persisted edge/rank frames — so
+    # EnsureRequirements elides the join exchanges instead of
+    # re-shuffling a p-partitioned cache into a differently-sized join
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         return _pagerank_loop(
             e, p, damping, tol, max_iter
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def _pagerank_loop(
@@ -126,65 +135,85 @@ def _pagerank_loop(
             F.lit(None).cast("double").alias("rank"),
             F.lit(0).alias("n_iter"),
         )
-    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # (node, deg) spine: deg NULL = dangling (no out-edges)
-    spine = caching.persist_tracked(
-        nodes.join(out_deg, nodes["node"] == out_deg["s"], "left")
-        .select("node", "deg")
-        .repartition(p, "node")
-    )
+    spark = e.sparkSession
     teleport = (1.0 - damping) / n_nodes
-    ranks = caching.persist_tracked(
-        spine.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    # single loop frame (node, deg, rank): the out-degree spine and the
+    # rank vector TOGETHER, so every iteration is ONE aligned left join
+    # (ranks ⋈ inflow, both hash(node, p) — no exchange) plus the one
+    # essential shuffle (the groupBy(dst) combine). Carrying deg also
+    # lets the loop-control aggregate read delta AND dangling mass off
+    # the new frame alone — no old⋈new join. deg NULL = dangling.
+    #
+    # Each iteration's frame is localCheckpoint-ed, NOT persisted: the
+    # loop body references the previous frame TWICE (shares + the
+    # prev-rank carry), and persist does not truncate the LOGICAL
+    # plan — Catalyst's tree copies would expand the doubly-referenced
+    # lineage into a 2^k-node tree and OOM the driver around k≈25
+    # (measured on the 8-edge star test). The eager checkpoint keeps
+    # every iteration's plan shallow, exactly the dedup CC loop's
+    # argument; block bookkeeping mirrors it too (~2-iteration
+    # storage: previous blocks released once the next checkpoint is
+    # materialized).
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    pre_ids = caching.persistent_rdd_ids(spark)
+    ranks = (
+        nodes.join(out_deg, nodes["node"] == out_deg["s"], "left")
+        .select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+        .localCheckpoint()
     )
+    prev_ids = caching.persistent_rdd_ids(spark) - pre_ids
     # dangling mass of the INITIAL ranks (uniform): one tiny job
-    [row] = spine.agg(
+    [row] = ranks.agg(
         F.sum(F.when(F.col("deg").isNull(), 1.0 / n_nodes)).alias("dm")
     ).collect()
+    nodes.unpersist()  # folded into the ranks frame now
     dangling = (row["dm"] or 0.0) / n_nodes
     it = 0
     for it in range(1, max_iter + 1):
-        cur = spine.join(ranks, "node")
+        shares = ranks.filter(F.col("deg").isNotNull()).select(
+            F.col("node").alias("s"),
+            (F.col("rank") / F.col("deg")).alias("share"),
+        )
         contribs = (
-            e.join(
-                cur.select(
-                    F.col("node").alias("s"),
-                    (F.col("rank") / F.col("deg")).alias("share"),
-                ),
-                "s",
-            )
+            e.join(shares, "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("share").alias("inflow"))
         )
-        new_ranks = caching.persist_tracked(
-            spine.join(contribs, "node", "left").select(
+        pre_ids = caching.persistent_rdd_ids(spark)
+        new_ranks = (
+            ranks.select("node", "deg", F.col("rank").alias("prev"))
+            .join(contribs, "node", "left")
+            .select(
                 "node",
                 "deg",
+                "prev",
                 F.round(
                     F.lit(teleport)
                     + damping * (F.coalesce("inflow", F.lit(0.0)) + dangling),
                     _RANK_SCALE,
                 ).alias("rank"),
             )
+            .localCheckpoint()
         )
+        new_ids = caching.persistent_rdd_ids(spark) - pre_ids
         # ONE loop-control collect per iteration: convergence delta of
-        # this step AND the next step's dangling mass, fused
-        [drow] = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "node")
-            .agg(
-                F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("delta"),
-                F.sum(
-                    F.when(F.col("n.deg").isNull(), F.col("n.rank"))
-                ).alias("dm"),
-            )
-            .collect()
-        )
+        # this step AND the next step's dangling mass, read straight
+        # off the new frame (prev rank carried — no join needed)
+        [drow] = new_ranks.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+            F.sum(F.when(F.col("deg").isNull(), F.col("rank"))).alias("dm"),
+        ).collect()
         dangling = (drow["dm"] or 0.0) / n_nodes
-        ranks.unpersist()
-        ranks = new_ranks.drop("deg")
+        # previous iteration's blocks fed only the checkpoint just
+        # materialized — release them now (eager: data is safe)
+        caching.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        ranks = new_ranks
         if drow["delta"] is not None and drow["delta"] < tol:
             break
+    # the final checkpoint feeds the returned plan; releasable by the
+    # caller via caching.release_cached() after materializing
+    caching.track_rdd_ids(spark, prev_ids)
     return ranks.select(
         "node", round_half_up(F.col("rank"), 6).alias("rank"), F.lit(it).alias("n_iter")
     )
