@@ -573,6 +573,76 @@ def encode_bmp(arr) -> bytes:
     return header + info + bytes(body)
 
 
+def decode_pnm_pixels(payload: bytes | None):
+    """REAL netpbm pixel decode (stdlib-only): binary PGM (``P5``,
+    grayscale) and PPM (``P6``, RGB) → (H, W, C) uint8 array. The
+    header is whitespace-separated ASCII tokens (``#`` comments legal
+    anywhere between tokens) followed by exactly ONE whitespace byte,
+    then raw samples — like BMP there is no entropy stage, so the
+    body is a frombuffer+reshape. Returns None for non-PNM bytes,
+    ASCII variants (P1–P3), bitmaps (P4) and maxval > 255 (16-bit
+    samples) — callers fall back to the header/stub tiers.
+    """
+    import numpy as np
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 10 or b[:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        return None
+    ch = 1 if b[1:2] == b"5" else 3
+    # tokenize the header: skip whitespace and #-to-EOL comments
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(b):
+        c = b[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            nl = b.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        else:
+            end = pos
+            while end < len(b) and b[end : end + 1] not in b" \t\r\n#":
+                end += 1
+            tokens.append(b[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    pos += 1  # exactly one whitespace byte after maxval
+    need = w * h * ch
+    if len(b) < pos + need:
+        return None
+    arr = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    return np.ascontiguousarray(arr.reshape(h, w, ch))
+
+
+def encode_pnm(arr) -> bytes:
+    """Minimal binary PGM/PPM writer (stdlib-only) — the demo/test
+    producer for :func:`decode_pnm_pixels`. 2-D input → P5, 3-channel
+    → P6."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch == 1:
+        magic = b"P5"
+    elif ch == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"PNM supports 1 or 3 channels, got {ch}")
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
 def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     """Full decode for the formats still beyond the stdlib.
 
@@ -580,6 +650,7 @@ def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     stdlib zlib — samples, channel count, pixel statistics), GIF
     first-frame pixels (:func:`decode_gif_pixels`, hand-rolled LZW),
     BMP pixels (:func:`decode_bmp_pixels`, plain slice-and-reshape),
+    netpbm PGM/PPM pixels (:func:`decode_pnm_pixels`),
     image container dimensions (:func:`parse_image_header`), WAV
     duration (:func:`parse_wav_header`). This stub marks the
     remainder: JPEG pixel data, audio samples, and video frames need
@@ -629,7 +700,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             # statistics; header-only decode as the fallback tier
             for px, name in ((decode_png_pixels(payload), "pixels:png"),
                              (decode_gif_pixels(payload), "pixels:gif"),
-                             (decode_bmp_pixels(payload), "pixels:bmp")):
+                             (decode_bmp_pixels(payload), "pixels:bmp"),
+                             (decode_pnm_pixels(payload), "pixels:pnm")):
                 if px is not None:
                     return {
                         "width": int(px.shape[1]), "height": int(px.shape[0]),

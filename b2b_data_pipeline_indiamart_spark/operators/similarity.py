@@ -1197,6 +1197,60 @@ def ann_topk_ivfpq(
     )
 
 
+def _mean_cov(
+    emb: DataFrame, dim: int, vec_col: str, caller: str
+) -> "tuple[int, 'np.ndarray', 'np.ndarray']":
+    """Distributed (n, mean, population covariance) of an embedding
+    column — the shared DATA-scale phase of :func:`pca_variance` and
+    :func:`pca_project`: one narrow ``mapInPandas`` pass emits per-
+    batch (count, column-sum, Gram) partials via a single ``X.T @ X``
+    gemm, so only ``partitions × (dim + dim²)`` floats reach the
+    driver, never the vectors. Partials reduce in a pinned sort order
+    (the Gram payload included in the key) so float summation is
+    deterministic across partition arrival orders.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [list(x.sum(axis=0))],
+                    "g": [list((x.T @ x).ravel())],
+                }
+            )
+
+    src = emb.select(as_double_array(F.col(vec_col)).alias("v"))
+    rows = src.mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError(f"{caller}: empty embedding table")
+    # pin the reduce order so float summation is deterministic across
+    # collect orderings (partition arrival order is not guaranteed);
+    # the Gram payload is part of the key — two partitions can share
+    # (n, s) yet differ in g, which would leave the order ambiguous
+    rows = sorted(
+        rows, key=lambda r: (r["n"], tuple(r["s"]), tuple(r["g"]))
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in rows:
+        s += np.asarray(r["s"], dtype=np.float64)
+        g += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
 def pca_variance(
     emb: DataFrame,
     dim: int,
@@ -1224,44 +1278,8 @@ def pca_variance(
     determinism and a numpy-reference parity test are pytest-pinned.
     """
     import numpy as np
-    import pandas as pd
 
-    def partials(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
-            )
-            yield pd.DataFrame(
-                {
-                    "n": [len(x)],
-                    "s": [list(x.sum(axis=0))],
-                    "g": [list((x.T @ x).ravel())],
-                }
-            )
-
-    src = emb.select(as_double_array(F.col(vec_col)).alias("v"))
-    rows = src.mapInPandas(
-        partials, schema="n long, s array<double>, g array<double>"
-    ).collect()
-    if not rows:
-        raise ValueError("pca_variance: empty embedding table")
-    # pin the reduce order so float summation is deterministic across
-    # collect orderings (partition arrival order is not guaranteed);
-    # the Gram payload is part of the key — two partitions can share
-    # (n, s) yet differ in g, which would leave the order ambiguous
-    rows = sorted(
-        rows, key=lambda r: (r["n"], tuple(r["s"]), tuple(r["g"]))
-    )
-    n = sum(r["n"] for r in rows)
-    s = np.zeros(dim)
-    g = np.zeros((dim, dim))
-    for r in rows:
-        s += np.asarray(r["s"], dtype=np.float64)
-        g += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
-    mu = s / n
-    cov = g / n - np.outer(mu, mu)
+    n, mu, cov = _mean_cov(emb, dim, vec_col, caller="pca_variance")
     evals = np.linalg.eigvalsh(cov)[::-1]  # ascending -> descending
     total = float(evals.sum())
     out = []
@@ -1440,3 +1458,153 @@ def ann_rerank(
         j.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    ``k`` most cosine-similar corpus vectors with a DIFFERENT label —
+    the pairs a contrastive/metric-learning objective learns most from
+    (near-duplicates across the class boundary).
+
+    Scale shape mirrors :func:`brute_force_topk`: anchors are a small
+    broadcast set, the corpus is scanned once with both sides
+    L2-normalizing in their own narrow projection (norm computed once
+    per vector, dot product per pair), the label inequality prunes
+    map-side before any shuffle, and the final ranking is a per-anchor
+    window over ≤ corpus candidate rows. The label filter uses plain
+    ``<>`` — NULL-labeled vectors are never mined as negatives (an
+    unlabeled vector is not evidence of a different class).
+
+    Output: (anchor_id, anchor_label, neighbor_id, neighbor_label,
+    cos_sim 4dp, rnk) — cos_sim rounded BEFORE ranking so engine ulp
+    differences cannot reorder ties; ties broken by neighbor_id.
+    """
+
+    def normalized(df, out_id):
+        v = as_double_array(F.col(vec_col))
+        step = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(label_col).alias(f"{out_id[:-3]}_label"),
+            v.alias("__v"),
+            norm(v).alias("__n"),
+        )
+        return step.select(
+            out_id,
+            f"{out_id[:-3]}_label",
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col("__v"), lambda e: e / F.col("__n")),
+            ).alias(f"{out_id}_v"),
+        )
+
+    a = normalized(anchors, "anchor_id")
+    spark = emb.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
+    c = normalized(emb, "neighbor_id")
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("neighbor_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            round_half_up(
+                dot(F.col("anchor_id_v"), F.col("neighbor_id_v")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            "rnk",
+        )
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    dim: int,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PCA dimensionality reduction APPLIED: project every embedding
+    onto the top-``k`` principal components — the standard pre-ANN
+    dim-reduce (64 → 8 here) and the transform half of
+    :func:`pca_variance`'s diagnostic.
+
+    Scale shape: the moments come from the shared :func:`_mean_cov`
+    pass (partials-only driver traffic); the ``dim × k`` component
+    matrix then rides into a second map-only Arrow pass as a plain
+    closure literal — ``(X − μ) @ V`` per batch, one gemm, zero
+    shuffles end to end.
+
+    Determinism: eigenvectors are sign-ambiguous (±v solve the same
+    eigenproblem), so each component is pinned to make its largest-
+    magnitude entry positive — with the pinned-order covariance
+    reduce this makes re-runs bit-stable; projected coordinates round
+    to 6dp as the usual float-order guard. Rows-only by design
+    (eigensolves aren't SQL-expressible); numpy-reference parity and
+    variance-capture are pytest-pinned.
+
+    Output: (``id_col``, proj array<double> length k).
+    """
+    import numpy as np
+    import pandas as pd
+
+    _, mu, cov = _mean_cov(emb, dim, vec_col, caller="pca_project")
+    evals, evecs = np.linalg.eigh(cov)
+    v = evecs[:, ::-1][:, :k]  # top-k components, descending eigenvalue
+    # sign pin: largest-|entry| of each component positive
+    idx = np.argmax(np.abs(v), axis=0)
+    signs = np.sign(v[idx, np.arange(v.shape[1])])
+    signs[signs == 0] = 1.0
+    v = v * signs
+    v_lit = [[float(x) for x in row] for row in v]
+    mu_lit = [float(x) for x in mu]
+
+    def project(batches):
+        vm = np.asarray(v_lit)
+        mv = np.asarray(mu_lit)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["v"]]
+            )
+            z = (x - mv) @ vm
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "proj": [
+                        [round(float(t), 6) for t in row] for row in z
+                    ],
+                }
+            )
+
+    src = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    )
+    return src.mapInPandas(
+        project, schema="id long, proj array<double>"
+    ).select(F.col("id").alias(id_col), "proj")

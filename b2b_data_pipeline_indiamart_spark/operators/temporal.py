@@ -711,3 +711,36 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
             round_half_up(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE ``session_window``
+    aggregate — the streaming-ready twin of :func:`sessionize`
+    (identical single user-keyed shuffle; this exact expression drops
+    into a ``readStream`` + watermark plan unchanged, which the
+    lag/cumsum formulation cannot).
+
+    Boundary semantics differ from :func:`sessionize` at exactly-gap:
+    ``session_window`` merges events whose [ts, ts+gap) intervals
+    OVERLAP, so a successor arriving exactly ``gap`` later starts a
+    NEW session (strict <), while the lag-formulation's ``diff > gap``
+    test keeps it. The registered oracle states the native semantics
+    (``>= gap``) — don't "align" them.
+
+    Output: (user_id, session_start_us, session_end_us, n_events,
+    sum_value 2dp); session_end = last event + gap, exactly the
+    native window's close, surfaced as exact epoch microseconds.
+    """
+    w = events.groupBy(
+        "user_id", F.session_window("ts", gap).alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_half_up(F.sum("value"), 2).alias("sum_value"),
+    )
+    return w.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )

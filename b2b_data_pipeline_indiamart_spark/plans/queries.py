@@ -6367,3 +6367,97 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = graph.copurchase_edges(baskets)
     return graph.pagerank(edges, tol=1e-6, max_iter=20).orderBy("node")
+
+
+@_register(
+    "embedding_hard_negatives",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, e AS ae
+          FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label,
+             v.vec_id AS neighbor_id, v.label AS neighbor_label,
+             round(CASE WHEN sqrt(list_dot_product(ae, ae))
+                             * sqrt(list_dot_product(v.e, v.e)) > 0
+                        THEN list_dot_product(ae, v.e)
+                             / (sqrt(list_dot_product(ae, ae))
+                                * sqrt(list_dot_product(v.e, v.e)))
+                   END, 4) AS cos_sim
+      FROM v CROSS JOIN a WHERE v.label <> a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, neighbor_id, neighbor_label,
+           cos_sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negatives):
+    for each of the 10 lowest-id anchor vectors, the 5 most
+    cosine-similar corpus vectors with a DIFFERENT label — the
+    near-duplicates across the class boundary that a contrastive
+    objective learns most from. Anchors broadcast, corpus scanned
+    once, label inequality pruned map-side, per-anchor bounded
+    window; cos_sim rounded 4dp BEFORE ranking, neighbor_id
+    tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(emb, anchors, k=5)
+
+
+@_register(
+    "events_session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), ids AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregate
+    (temporal.sessionize_native) — the streaming-ready twin of
+    events_sessionize: same single user-keyed shuffle, but the exact
+    expression drops into a watermarked readStream plan unchanged.
+    Boundary semantics are the native ones (exactly-gap successor
+    starts a NEW session — intervals merge only on strict overlap),
+    which the oracle's >= gap flag restates; session_end = last event
+    + gap, the native window close."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.sessionize_native(events, gap="30 minutes")
+
+
+@_register("embedding_pca_project")  # rows-only (eigensolve)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dim-reduce applied (similarity.pca_project): every
+    embedding projected onto the top-8 principal components — the
+    standard pre-ANN reduction. Moments via the shared partials-only
+    _mean_cov pass, then one map-only Arrow gemm; component signs
+    pinned (largest-|entry| positive) and coordinates rounded 6dp so
+    re-runs are bit-stable. Rows-only: eigensolves aren't
+    SQL-expressible — determinism, numpy parity, and variance capture
+    are pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_project(emb, dim=64, k=8).orderBy("vec_id")

@@ -17,6 +17,7 @@ from b2b_data_pipeline_indiamart_spark.sources.orc_text_source import (
 )
 from b2b_data_pipeline_indiamart_spark.sources.sinks import (
     write_bucketed,
+    write_clustered,
     write_csv,
     write_jdbc,
     write_json,
@@ -35,6 +36,7 @@ __all__ = [
     "write_orc",
     "write_parquet",
     "write_bucketed",
+    "write_clustered",
     "write_csv",
     "write_jdbc",
     "write_json",

@@ -230,3 +230,72 @@ def upsert_partitions(
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    *,
+    target_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet write: multi-column data skipping
+    without a table format.
+
+    Partitioning prunes on ONE coarse column; clustering makes the
+    parquet row-group/file MIN-MAX stats tight on SEVERAL columns at
+    once, so a reader filtering on any of them skips most files. Each
+    clustering column is linearly scaled to 16 bits against its global
+    min/max (one tiny aggregate, folded in as literals), the bit
+    patterns are Morton-interleaved into a single z-value — built
+    entirely from Catalyst shift/mask expressions, no UDF — and the
+    frame is range-partitioned + sorted on it, giving every output
+    file a compact hyper-rectangle of the value space.
+
+    Linear scaling is the simple-and-honest variant (heavy skew
+    compresses into few codes; the fix at scale is rank-based scaling
+    via approxQuantile cut points — same interleave downstream).
+    NULLs scale to 0, degenerate (min == max) columns contribute a
+    constant. Best-effort layout only: results are identical under
+    any layout, readers need no special handling.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cluster_cols)
+    if not cols:
+        raise ValueError("write_clustered: need at least one cluster column")
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    n = len(cols)
+    bits = 16
+    scaled = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None or float(mx) == float(mn):
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        span = float(mx) - float(mn)
+        s = (
+            (F.coalesce(F.col(c).cast("double"), F.lit(float(mn))) - float(mn))
+            / span
+            * ((1 << bits) - 1)
+        )
+        scaled.append(F.round(s, 0).cast("long"))
+    z = F.lit(0).cast("long")
+    for i, s in enumerate(scaled):
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    zdf = df.withColumn("__z", z)
+    parts = target_files or df.rdd.getNumPartitions()
+    (
+        zdf.repartitionByRange(parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -97,6 +97,12 @@ EXTENDED_KEYS = [
     "docs_cross_source_overlap",
     "events_first_touch_attribution",
     "part_pagerank",  # iterative loop: dominated by per-iteration sync
+    # late-r7 additions: the new embedding/session keys with real
+    # shuffle or gemm cost (the PNM decode and clustered-write sink
+    # are pytest-covered, not query keys)
+    "embedding_hard_negatives",
+    "embedding_pca_project",
+    "events_session_window_native",
 ]
 
 

@@ -400,3 +400,67 @@ def test_extract_features_bmp_pixel_tier(spark):
     assert row["decoder"] == "pixels:bmp"
     assert (row["width"], row["height"], row["channels"]) == (5, 3, 3)
     assert row["px_mean"] == 64.0 and row["px_std"] == 0.0
+
+
+def test_pnm_roundtrip_gray_and_rgb():
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_pnm_pixels,
+        encode_pnm,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape in [(5, 7, 3), (4, 4), (1, 1, 3)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_pnm_pixels(encode_pnm(arr))
+        want = arr if arr.ndim == 3 else arr[:, :, None]
+        assert out.shape == want.shape
+        assert (out == want).all()
+
+
+def test_pnm_header_comments_and_split_whitespace():
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_pnm_pixels,
+    )
+
+    # comments between any tokens, tokens split across lines — all
+    # legal netpbm; body = 2x3 gray ramp
+    body = bytes(range(6))
+    b = b"P5 # binary pgm\n# another comment\n3\n# w then h\n2 255\n" + body
+    out = decode_pnm_pixels(b)
+    assert out.shape == (2, 3, 1)
+    assert out.tobytes() == body
+
+
+def test_pnm_rejects_ascii_16bit_and_truncated():
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        decode_pnm_pixels,
+    )
+
+    assert decode_pnm_pixels(None) is None
+    assert decode_pnm_pixels(b"P2\n2 2\n255\n0 1 2 3") is None  # ASCII PGM
+    assert decode_pnm_pixels(b"P5\n2 2\n65535\n" + b"\x00" * 8) is None  # 16-bit
+    assert decode_pnm_pixels(b"P6\n4 4\n255\n\x00\x01") is None  # truncated
+    assert decode_pnm_pixels(b"BM\x00\x00") is None  # not PNM
+
+
+def test_extract_features_pnm_pixel_tier(spark):
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        encode_pnm,
+        extract_media_features,
+    )
+
+    arr = np.full((3, 5, 3), 200, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_pnm(arr)), {"source": "t", "lang": "en"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    [row] = extract_media_features(media).collect()
+    assert row["decoder"] == "pixels:pnm"
+    assert (row["width"], row["height"], row["channels"]) == (5, 3, 3)
+    assert row["px_mean"] == 200.0 and row["px_std"] == 0.0

@@ -680,3 +680,53 @@ def test_pagerank_deterministic_across_runs(spark, sf_small):
     b = [tuple(r) for r in QUERIES["part_pagerank"](spark, sf_small).collect()]
     caching.release_cached()
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------------ PCA project
+
+
+def test_pca_project_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    out = {r["vec_id"]: np.asarray(r["proj"]) for r in
+           QUERIES["embedding_pca_project"](spark, sf_small).collect()}
+    rows = spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()
+    ids = [r["vec_id"] for r in rows]
+    x = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    v = evecs[:, ::-1][:, :8]
+    idx = np.argmax(np.abs(v), axis=0)
+    signs = np.sign(v[idx, np.arange(8)])
+    signs[signs == 0] = 1.0
+    ref = (x - mu) @ (v * signs)
+    assert set(out) == set(ids)
+    for i, vid in enumerate(ids):
+        assert np.allclose(out[vid], ref[i], atol=2e-5)
+
+
+def test_pca_project_deterministic_and_variance_capture(spark, sf_small):
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    a = [tuple((r["vec_id"], tuple(r["proj"]))) for r in
+         QUERIES["embedding_pca_project"](spark, sf_small).collect()]
+    b = [tuple((r["vec_id"], tuple(r["proj"]))) for r in
+         QUERIES["embedding_pca_project"](spark, sf_small).collect()]
+    assert a == b and len(a) > 0
+    # per-component variance of the projection == top eigenvalues
+    # (descending), i.e. the reduce actually captured the top of the
+    # spectrum and components arrive in order
+    z = np.array([list(p) for _, p in a])
+    var = z.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
+    x = np.array([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()
+    ])
+    ref = np.linalg.eigvalsh(np.cov(x, rowvar=False, bias=True))[::-1][:8]
+    assert np.allclose(var, ref, atol=1e-4)

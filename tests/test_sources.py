@@ -500,3 +500,57 @@ def test_text_documents_per_line_strips_crlf(spark, tmp_path):
         r["value"] for r in spark.read.text(str(f)).collect()
     ]
     assert sorted(r["text"] for r in rows) == sorted(native)
+
+
+def test_write_clustered_tightens_rowgroup_stats(spark, tmp_path):
+    """Z-order layout contract, measured on the actual parquet
+    metadata: after write_clustered on (x, y), each output file's
+    min-max span on BOTH columns is a small fraction of the global
+    span (readers filtering on either column skip most files), while
+    a hash-layout write leaves per-file spans ~ the full range. Also
+    pins that clustering is layout-only: the row multiset survives."""
+    import pyarrow.parquet as pq
+
+    from b2b_data_pipeline_indiamart_spark.sources.sinks import write_clustered
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id",
+        # two independent uniform dims (distinct primes keep them
+        # uncorrelated so clustering must genuinely interleave)
+        "CAST(id * 2654435761 % 4096 AS LONG) AS x",
+        "CAST(id * 40503 % 4096 AS LONG) AS y",
+    )
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_clustered(df, clustered, ["x", "y"], target_files=16)
+    df.repartition(16).write.parquet(plain)
+
+    def avg_span(path, col):
+        import glob as g
+
+        spans = []
+        for f in g.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                spans.append(hi - lo)
+        assert spans
+        return sum(spans) / len(spans)
+
+    for col in ("x", "y"):
+        tight = avg_span(clustered, col)
+        loose = avg_span(plain, col)
+        # 16 files over a 2-D z-curve: each covers ~1/4 of each axis;
+        # give slack for boundary files
+        assert tight < 0.5 * loose, (col, tight, loose)
+        assert loose > 0.9 * 4095  # hash layout: every file ~full range
+    a = sorted(tuple(r) for r in spark.read.parquet(clustered).collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b

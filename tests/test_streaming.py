@@ -574,3 +574,48 @@ def test_distinct_types_processor_cross_batch_state():
     assert (second["n_types"], second["n_events"]) == (3, 2)
     third = run_batch(["click"])
     assert (third["n_types"], third["n_events"]) == (3, 1)
+
+
+def test_session_window_stream_matches_batch_twin(spark, tmp_path):
+    """Twin pin for the native session_window pair: every session the
+    STREAMING aggregate emits (append mode — closed sessions only)
+    must appear, with identical bounds and event count, in the BATCH
+    operator sessionize_native run over the same rows. The streaming
+    side can only lag (open sessions unemitted), never disagree."""
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark.operators.temporal import (
+        sessionize_native,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(src / "b1.json", BATCH1)
+    _write_events(src / "b2.json", BATCH2)
+    sdf = streaming_session_aggregate(
+        read_event_stream(spark, str(src)), gap="30 minutes", watermark="1 minute"
+    )
+    q = start_memory_sink(sdf, "twin_sessions", output_mode="append")
+    _drain(q)
+    streamed = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, unix_micros(session_start) AS start_us, "
+            "unix_micros(session_end) AS end_us, n_events FROM twin_sessions"
+        ).collect()
+    }
+    assert streamed, "watermark must have closed at least one session"
+    batch_events = spark.createDataFrame(
+        [(i, ts, uid, et, v, "{}") for i, (ts, uid, et, v) in
+         enumerate(BATCH1 + BATCH2)],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    batch = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in sessionize_native(batch_events, gap="30 minutes").collect()
+    }
+    assert streamed <= batch
