@@ -1608,3 +1608,65 @@ def pca_project(
     return src.mapInPandas(
         project, schema="id long, proj array<double>"
     ).select(F.col("id").alias(id_col), "proj")
+
+
+def cluster_label_purity(
+    emb: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster-quality QA: k-means the embeddings and report, per
+    cluster, how label-pure it is — n_vecs, the majority label, and
+    purity = majority count / cluster size. Near-1 purity says the
+    embedding geometry respects the labels (clusters usable for
+    SemDeDup blocking / per-cluster curation); near-uniform purity
+    says the labels carry no geometric signal.
+
+    Scale shape: training/assignment are the shared IVF machinery
+    (:func:`kmeans_centroids` seeded deterministic init,
+    :func:`ivf_assign` map-only against the broadcast centroid
+    table); the purity readout is two combining aggregates on the
+    (cluster, label) then cluster grain — never wider than
+    n_clusters × labels. Majority ties break toward the SMALLER
+    label (max on (count, -label)) so the report is deterministic.
+    Rows-only (k-means isn't SQL-expressible); determinism and a
+    separable-corpus purity pin are pytest-checked.
+
+    Output: (cluster, n_vecs, majority_label, purity 4dp).
+    """
+    centroids = kmeans_centroids(
+        emb, dim, n_cells=n_clusters, vec_col=vec_col, seed=seed
+    )
+    assigned = ivf_assign(
+        emb, centroids, vec_col=vec_col, id_col=id_col, out_id="__aid"
+    )
+    lab = emb.select(
+        F.col(id_col).cast("long").alias("__lid"), F.col(label_col)
+    )
+    cl = assigned.select("__aid", F.col("cell").alias("cluster")).join(
+        lab, F.col("__aid") == F.col("__lid")
+    )
+    per_label = cl.groupBy("cluster", label_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_label.groupBy("cluster")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.max(
+                F.struct(F.col("n"), (-F.col(label_col)).alias("neg"))
+            ).alias("__m"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            (-F.col("__m.neg")).cast("int").alias("majority_label"),
+            round_half_up(F.col("__m.n") / F.col("n_vecs"), 4).alias(
+                "purity"
+            ),
+        )
+    )

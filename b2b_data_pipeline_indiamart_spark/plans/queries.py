@@ -6461,3 +6461,151 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pytest-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pca_project(emb, dim=64, k=8).orderBy("vec_id")
+
+
+@_register(
+    "customer_pareto_curve",
+    """
+    WITH c AS (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS rev
+               FROM orders GROUP BY 1),
+    d AS (SELECT custkey, rev,
+                 ntile(10) OVER (ORDER BY rev DESC, custkey ASC) AS decile
+          FROM c),
+    g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                 sum(rev) AS rev FROM d GROUP BY decile),
+    t AS (SELECT sum(rev) AS total FROM g)
+    SELECT decile, n_customers, round(rev, 2) AS revenue,
+           round(sum(rev) OVER (ORDER BY decile ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / total, 4) AS cum_share
+    FROM g CROSS JOIN t
+    """,
+)
+def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/ABC) curve: customers in revenue
+    deciles (1 = biggest spenders) with each decile's revenue and the
+    cumulative revenue share — the 80/20 readout every account-tier
+    decision starts from.
+
+    Scale shape: orders pre-aggregate to the customer grain (one keyed
+    combining shuffle), revenue rounded 2dp BEFORE ranking so decile
+    edges are engine-stable, the decile assignment is the distributed
+    ranking.global_ntile (range repartition + broadcast offsets — no
+    single-reducer window over customers), and the cumulative share is
+    a window over the BOUNDED 10-row decile grain (exempted as
+    bounded-by-construction in the plan guard)."""
+    from ..operators.ranking import global_ntile
+
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        round_half_up(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    d = global_ntile(
+        c, 10, [F.col("rev").desc(), F.col("custkey").asc()], "decile"
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").alias("__rev"),
+    )
+    t = g.agg(F.sum("__rev").alias("__total"))
+    w = Window.orderBy(F.col("decile").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.join(F.broadcast(t))
+        .withColumn("__cum", F.sum("__rev").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            round_half_up(F.col("__rev"), 2).alias("revenue"),
+            round_half_up(F.col("__cum") / F.col("__total"), 4).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+@_register(
+    "events_type_drift",
+    """
+    WITH wt AS (SELECT date_trunc('week', ts) AS wk, event_type AS etype,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+    wks AS (SELECT wk, sum(n) AS tot FROM wt GROUP BY 1),
+    types AS (SELECT DISTINCT etype FROM wt),
+    spine AS (SELECT w.wk, t.etype, w.tot FROM wks w CROSS JOIN types t),
+    shares AS (
+      SELECT s.wk, s.etype,
+             round(coalesce(wt.n, 0) * 1.0 / s.tot, 6) AS share
+      FROM spine s LEFT JOIN wt ON wt.wk = s.wk AND wt.etype = s.etype),
+    lagged AS (
+      SELECT wk, etype, share,
+             lag(share) OVER (PARTITION BY etype ORDER BY wk ASC)
+               AS prev_share
+      FROM shares)
+    SELECT strftime(wk, '%Y-%m-%d') AS week,
+           round(0.5 * sum(abs(share - prev_share)), 6) AS tvd
+    FROM lagged WHERE prev_share IS NOT NULL
+    GROUP BY wk
+    """,
+)
+def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event-type distribution drift: total variation
+    distance (0.5·Σ|p−q|) between each week's event-type share vector
+    and the previous OBSERVED week's — the pipeline-monitoring alarm
+    for schema/traffic shifts (a type appearing, vanishing, or
+    rebalancing moves TVD toward 1).
+
+    Scale shape: one (week, type) combining aggregate, a tiny week
+    totals rollup, the full week×type spine from a broadcast cross
+    join (missing types COUNT AS ZERO — exactly what naive lag-per-
+    observed-row gets wrong), shares rounded 6dp before differencing,
+    and the lag window partitioned by TYPE (bounded partitions, no
+    global sort). Output: (week, tvd) for every week with a
+    predecessor."""
+    from ..operators import caching
+
+    events = _t(spark, sf_dir, "events")
+    wt = events.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.col("event_type").alias("etype"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = caching.persist_tracked(wt)
+    wks = wt.groupBy("wk").agg(F.sum("n").alias("tot"))
+    types = wt.select("etype").distinct()
+    spine = wks.crossJoin(F.broadcast(types))
+    shares = (
+        spine.join(wt, ["wk", "etype"], "left")
+        .select(
+            "wk",
+            "etype",
+            round_half_up(
+                F.coalesce(F.col("n"), F.lit(0)) / F.col("tot"), 6
+            ).alias("share"),
+        )
+    )
+    w = Window.partitionBy("etype").orderBy(F.col("wk").asc())
+    lagged = shares.withColumn("prev_share", F.lag("share").over(w))
+    return (
+        lagged.filter(F.col("prev_share").isNotNull())
+        .groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"))
+        .agg(
+            round_half_up(
+                0.5 * F.sum(F.abs(F.col("share") - F.col("prev_share"))), 6
+            ).alias("tvd")
+        )
+    )
+
+
+@_register("embedding_cluster_purity")  # rows-only (k-means assignment)
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label purity QA (similarity.cluster_label_purity):
+    seeded k-means (k=8) over the embeddings, then per-cluster size,
+    majority label, and purity — the health check run before trusting
+    clusters for SemDeDup blocking or per-cluster curation. Rows-only:
+    k-means isn't SQL-expressible; determinism and a separable-corpus
+    pin are pytest-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_label_purity(emb, dim=64, n_clusters=8).orderBy(
+        "cluster"
+    )

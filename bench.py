@@ -103,6 +103,8 @@ EXTENDED_KEYS = [
     "embedding_hard_negatives",
     "embedding_pca_project",
     "events_session_window_native",
+    "customer_pareto_curve",
+    "embedding_cluster_purity",
 ]
 
 

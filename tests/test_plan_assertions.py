@@ -215,7 +215,13 @@ def test_no_empty_partition_spec_window_anywhere(spark, sf_small):
     # Windows whose input is BOUNDED BY CONSTRUCTION (a LIMIT k or an
     # aggregate over ≤ k labels feeds them): a single-partition window
     # over ≤ 10 rows is the cheapest correct plan, not a scale hazard.
-    bounded_input = {"topk_cumulative", "docs_zipf_slope"}
+    bounded_input = {
+        "topk_cumulative",
+        "docs_zipf_slope",
+        # cumulative share over the 10-row decile grain (aggregate of
+        # a global_ntile output — bounded by construction)
+        "customer_pareto_curve",
+    }
 
     offenders = []
     for key in QUERIES:

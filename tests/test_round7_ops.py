@@ -730,3 +730,73 @@ def test_pca_project_deterministic_and_variance_capture(spark, sf_small):
     ])
     ref = np.linalg.eigvalsh(np.cov(x, rowvar=False, bias=True))[::-1][:8]
     assert np.allclose(var, ref, atol=1e-4)
+
+
+# ------------------------------------------------- cluster purity QA
+
+
+def test_cluster_purity_deterministic_and_sane(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    a = [tuple(r) for r in
+         QUERIES["embedding_cluster_purity"](spark, sf_small).collect()]
+    b = [tuple(r) for r in
+         QUERIES["embedding_cluster_purity"](spark, sf_small).collect()]
+    caching.release_cached()
+    assert a == b and len(a) > 0
+    total = sum(r[1] for r in a)
+    n_emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
+    assert total == n_emb  # every vector lands in exactly one cluster
+    for _, n_vecs, maj, purity in a:
+        assert n_vecs > 0 and 0.0 < purity <= 1.0
+        # purity can never undercut the uniform floor of its own cluster
+        assert purity >= round(1.0 / n_vecs, 4)
+
+
+def test_cluster_purity_matches_independent_recompute(spark):
+    """The purity READOUT pinned against an independent recompute:
+    run the same seeded kmeans+assign the operator uses, tally
+    (cluster, label) in Python, and require identical n_vecs /
+    majority (smaller label on ties) / 4dp purity per cluster. Blob
+    corpus keeps it interpretable; the pin holds regardless of how
+    well this seed separates the blobs."""
+    from collections import Counter
+
+    from b2b_data_pipeline_indiamart_spark.operators.similarity import (
+        cluster_label_purity,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    rows = []
+    vid = 0
+    for label, axis in [(0, 0), (1, 1), (2, 2)]:
+        for j in range(20):
+            v = [0.0] * 8
+            v[axis] = 10.0 + 0.01 * j
+            rows.append((vid, v, label))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["cluster"]: r for r in
+           cluster_label_purity(emb, dim=8, n_clusters=3).collect()}
+    cents = kmeans_centroids(emb, 8, n_cells=3, seed=42)
+    assigned = {
+        r["__aid"]: r["cell"]
+        for r in ivf_assign(emb, cents, out_id="__aid").collect()
+    }
+    caching.release_cached()
+    labels = {vid: lab for vid, _, lab in rows}
+    tally: dict[int, Counter] = {}
+    for vid2, cell in assigned.items():
+        tally.setdefault(cell, Counter())[labels[vid2]] += 1
+    assert set(out) == set(tally)
+    for cell, counts in tally.items():
+        n = sum(counts.values())
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+        r = out[cell]
+        assert r["n_vecs"] == n
+        assert r["majority_label"] == best[0]
+        assert abs(r["purity"] - round(best[1] / n, 4)) < 1e-9
+    assert sum(r["n_vecs"] for r in out.values()) == 60
