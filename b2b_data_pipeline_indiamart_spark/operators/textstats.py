@@ -11,6 +11,7 @@ and shuffle nothing unless the caller aggregates.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -603,4 +604,121 @@ def quality_logit(
         F.col(id_col),
         prob.alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 50,
+    vocab_cap: int = 65536,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Train a classic BPE merge list (Sennrich et al. 2016) on the
+    corpus: iteratively merge the most frequent adjacent symbol pair,
+    weighted by word frequency.
+
+    Scale framing mirrors the IVF trainer: the TRAINING input is the
+    distinct-word frequency table — vocabulary-sized, not corpus-
+    sized — capped to the ``vocab_cap`` most frequent words
+    (TakeOrdered, deterministic (wf desc, tok asc) cut) and collected
+    to the driver, where the exact merge loop is pure Python over at
+    most ``vocab_cap`` short symbol sequences. The Zipf tail beyond
+    the cap contributes negligible pair mass; the merge list (the
+    model artifact, ``n_merges`` rows) is what ships back to the
+    cluster. Ties break deterministically by (count desc, pair asc).
+    """
+    from .dedup import word_tokens
+
+    base = docs.select(word_tokens(F.col(text_col)).alias("__toks"))
+    words = (
+        base.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("tok") >= 2)
+        .orderBy(F.col("wf").desc(), F.col("tok").asc())
+        .limit(vocab_cap)
+        .collect()
+    )
+    vocab = [([*r["tok"]], int(r["wf"])) for r in words]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wf in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wf
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for syms, _ in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a trained merge list to one word: repeatedly merge the
+    present pair with the LOWEST rank (training order) — the standard
+    BPE apply, guaranteed to reproduce the training segmentation on
+    words the trainer saw."""
+    syms = [*word]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_tokenize_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document subword statistics under a trained BPE merge list:
+    (id, n_words, n_subwords, avg_subwords_per_word 4dp) — the
+    tokenizer-fit readout (how much the learned vocab compresses this
+    corpus; 1.0 = every word is a single learned symbol).
+
+    Scale shape: segmentation runs ONCE PER DISTINCT WORD (an
+    Arrow-batched pandas UDF on the vocabulary grain — the Zipf head
+    never re-segments per instance), then one keyed join from the
+    token-instance explode onto the word grain and a per-doc
+    combining aggregate. The merge list rides into the UDF closure as
+    ``n_merges`` tuples, broadcast-sized by construction.
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("int")
+    def n_subwords(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: len(bpe_segment(w, ranks)))
+
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    )
+    word_grain = (
+        toks.select("tok").distinct().withColumn("n_sub", n_subwords("tok"))
+    )
+    return (
+        toks.join(word_grain, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .withColumn(
+            "avg_subwords_per_word",
+            round_half_up(F.col("n_subwords") / F.col("n_words"), 4),
+        )
     )

@@ -6609,3 +6609,64 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_label_purity(emb, dim=64, n_clusters=8).orderBy(
         "cluster"
     )
+
+
+@_register(
+    "corpus_prep_semantic",
+    # composition oracle: the model-based quality scorer and the
+    # SemDeDup keep rule are ALREADY registered oracles — embed both
+    # as CTEs and AND the keep legs on the doc_id == vec_id bridge.
+    None,  # filled in right below (needs ORACLE entries built above)
+)
+def corpus_prep_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup-paper pipeline composition: model-based text
+    quality (docs_quality_logit) ∩ semantic near-dup dedup
+    (semdedup_by_label) in ONE plan — a document survives iff its
+    text scores above the keep threshold AND its embedding is the
+    kept representative of its semantic near-dup set. The inner join
+    on doc_id == vec_id scopes the decision to the text∩vector slice
+    (corpus_coverage_matrix is the audit for the rest).
+
+    Scale shape: the quality leg is a map-only projection; the
+    SemDeDup leg is the blocked within-cluster gemm (shuffle
+    O(N·n_blocks)); the bridge is one 8-byte keyed join. Output:
+    (doc_id, text_keep, sem_keep, selected)."""
+    docs = _tp(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = textstats.quality_logit(docs).select(
+        "doc_id", F.col("keep").alias("text_keep")
+    )
+    s = similarity.semdedup(emb, "label", threshold=0.3).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("sem_keep")
+    )
+    return q.join(s, "doc_id").select(
+        "doc_id",
+        "text_keep",
+        "sem_keep",
+        (F.col("text_keep") & F.col("sem_keep")).alias("selected"),
+    )
+
+
+ORACLE["corpus_prep_semantic"] = f"""
+    WITH q AS ({ORACLE["docs_quality_logit"]}),
+    s AS ({ORACLE["semdedup_by_label"]})
+    SELECT q.doc_id, q.keep AS text_keep, s.kept AS sem_keep,
+           (q.keep AND s.kept) AS selected
+    FROM q JOIN s ON q.doc_id = s.vec_id
+"""
+
+
+@_register("docs_bpe_tokenize")  # rows-only (iterative merge training)
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer train + apply (textstats.bpe_train_merges /
+    bpe_tokenize_docs): 50 merges trained on the capped distinct-word
+    frequency table (driver loop on the vocabulary grain — the IVF
+    trainer's framing), then per-doc subword counts with segmentation
+    computed once per DISTINCT word. Extends docs_bpe_pairs (the
+    single-merge argmax statistic) to the whole training loop.
+    Rows-only: the iterative merge recurrence isn't SQL-expressible —
+    determinism, merge-list order, and concat-preservation are
+    pytest-pinned."""
+    docs = _tp(spark, sf_dir, "documents")
+    merges = textstats.bpe_train_merges(docs, n_merges=50)
+    return textstats.bpe_tokenize_docs(docs, merges).orderBy("doc_id")

@@ -105,6 +105,8 @@ EXTENDED_KEYS = [
     "events_session_window_native",
     "customer_pareto_curve",
     "embedding_cluster_purity",
+    "corpus_prep_semantic",
+    "docs_bpe_tokenize",
 ]
 
 

@@ -800,3 +800,64 @@ def test_cluster_purity_matches_independent_recompute(spark):
         assert r["majority_label"] == best[0]
         assert abs(r["purity"] - round(best[1] / n, 4)) < 1e-9
     assert sum(r["n_vecs"] for r in out.values()) == 60
+
+
+# ------------------------------------------------------------ BPE apply
+
+
+def test_bpe_train_merges_hand_corpus(spark):
+    """Classic-BPE behavior on a corpus where the merge order is
+    computable by hand: 'abab' x3 + 'abc' x2 -> pair counts
+    ab:8 (3*2+2), ba:3, bc:2 -> first merge ('a','b'); then
+    ('ab','ab'):3 vs ('ab','c'):2 -> second merge ('ab','ab')."""
+    from b2b_data_pipeline_indiamart_spark.operators.textstats import (
+        bpe_segment,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab abc abc")], "doc_id long, text string"
+    )
+    # words (distinct grain): abab wf=3, abc wf=2
+    # step 1: ab:3*2+2=8 beats ba:3, bc:2 -> ('a','b')
+    # step 2: (ab,ab):3 beats (ab,c):2 -> ('ab','ab')
+    # step 3: only (ab,c):2 remains    -> ('ab','c'), then no pairs
+    merges = bpe_train_merges(docs, n_merges=5)
+    assert merges == [("a", "b"), ("ab", "ab"), ("ab", "c")]
+
+
+def test_bpe_segment_reproduces_training_and_preserves_concat(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import word_tokens
+    from b2b_data_pipeline_indiamart_spark.operators.textstats import (
+        bpe_segment,
+        bpe_train_merges,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    merges = bpe_train_merges(docs, n_merges=30)
+    assert len(merges) == 30 and len(set(merges)) == 30
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = [r["tok"] for r in docs.select(
+        F.explode(word_tokens(F.col("text"))).alias("tok")
+    ).distinct().limit(200).collect()]
+    for w in words:
+        segs = bpe_segment(w, ranks)
+        assert "".join(segs) == w  # merges never invent or drop chars
+        # no adjacent pair with a rank may remain (greedy ran to fixpoint)
+        assert all(
+            (a, b) not in ranks for a, b in zip(segs, segs[1:])
+        ), (w, segs)
+
+
+def test_bpe_tokenize_docs_deterministic_and_bounded(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    a = [tuple(r) for r in QUERIES["docs_bpe_tokenize"](spark, sf_small).collect()]
+    b = [tuple(r) for r in QUERIES["docs_bpe_tokenize"](spark, sf_small).collect()]
+    caching.release_cached()
+    assert a == b and len(a) > 0
+    for _, n_words, n_subwords, avg in a:
+        # each word yields between 1 and len(word) subwords
+        assert n_words <= n_subwords
+        assert 1.0 <= avg
