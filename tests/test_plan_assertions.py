@@ -64,14 +64,21 @@ def test_whole_stage_codegen_on_flagship(spark, sf_small):
     assert "WholeStageCodegen" in buf.getvalue()
 
 
+#: keys whose docstrings DECLARE an Arrow-batched Python stage (pandas
+#: UDF on a bounded grain); everything else must stay JVM-only. mapInPandas
+#: keys surface as MapInPandas, asserted per-key where they matter.
+ARROW_DECLARED = {"docs_bpe_tokenize"}
+
+
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_no_row_at_a_time_python(spark, sf_small, key):
     # BatchEvalPython = per-row Python UDF — banned from every plan.
-    # (ArrowEvalPython / mapInPandas would be acceptable where declared;
-    # the registry currently needs neither.)
+    # ArrowEvalPython only where the key declares its vectorized
+    # Python stage (ARROW_DECLARED).
     plan = _plan(spark, sf_small, key)
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    if key not in ARROW_DECLARED:
+        assert "ArrowEvalPython" not in plan
 
 
 @pytest.mark.parametrize("key", ["top_groups", "docs_token_topk", "q3_shipping_priority"])
@@ -310,3 +317,52 @@ def test_q7_nation_filter_applies_before_fact_join(spark, sf_small):
     plan = _plan(spark, sf_small, "q7_nation_volume")
     assert "In(n_name" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------ round 7b
+
+
+def test_hard_negatives_broadcasts_anchors_with_group_limit(spark, sf_small):
+    # anchors ride a broadcast (never shuffled against the corpus) and
+    # the per-anchor top-k applies a PARTIAL WindowGroupLimit before
+    # the anchor_id exchange — only k rows per (partition, anchor)
+    # enter the shuffle, not the full scored cross product
+    plan = _plan(spark, sf_small, "embedding_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_session_window_native_single_keyed_shuffle(spark, sf_small):
+    # partial session pre-merge -> ONE hashpartitioning(user_id)
+    # exchange -> MergingSessions; no extra exchanges, no window node
+    import re
+
+    plan = _plan(spark, sf_small, "events_session_window_native")
+    assert "MergingSessions" in plan
+    # formatted explain numbers each node once in the tree
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "BroadcastExchange" not in plan
+
+
+def test_type_drift_spine_is_broadcast(spark, sf_small):
+    # the week x type spine comes from broadcasting the tiny type dim
+    # (cross) and the counts join back as a broadcast hash join; the
+    # lag window partitions by type (non-empty partition spec is
+    # enforced registry-wide)
+    plan = _plan(spark, sf_small, "events_type_drift")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_tokenize_segments_on_distinct_word_grain(spark, sf_small):
+    # exactly ONE Python stage (the segmenter), and it runs above the
+    # distinct-token aggregate — the Zipf head never re-segments per
+    # token instance; the word grain then broadcasts back to the
+    # instance-grain join
+    import re
+
+    plan = _plan(spark, sf_small, "docs_bpe_tokenize")
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BroadcastHashJoin" in plan
