@@ -6670,3 +6670,49 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     merges = textstats.bpe_train_merges(docs, n_merges=50)
     return textstats.bpe_tokenize_docs(docs, merges).orderBy("doc_id")
+
+
+@_register(
+    "orders_backlog_aging",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    aged AS (
+      SELECT o_orderstatus AS status,
+             date_diff('day', o_orderdate, mxd) AS age_days,
+             o_totalprice
+      FROM orders CROSS JOIN mx
+    )
+    SELECT status,
+           CASE WHEN age_days <= 30 THEN '00-030d'
+                WHEN age_days <= 90 THEN '031-090d'
+                WHEN age_days <= 365 THEN '091-365d'
+                ELSE '365d+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM aged GROUP BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book aging report: orders bucketed by age (days before
+    the dataset's LATEST order date — a deterministic as-of point, not
+    wall clock) per status — the open-backlog triage view every order
+    workflow audits. One-row max-date aggregate cross-broadcast back
+    (never a driver round-trip), bucket edges on exact integer day
+    diffs, then a tiny (status × bucket) combining aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    aged = orders.join(F.broadcast(mx)).select(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(F.col("mxd"), F.col("o_orderdate")).alias("age_days"),
+        "o_totalprice",
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "00-030d")
+        .when(F.col("age_days") <= 90, "031-090d")
+        .when(F.col("age_days") <= 365, "091-365d")
+        .otherwise("365d+")
+    )
+    return aged.groupBy("status", bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("total_value"),
+    )

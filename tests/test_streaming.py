@@ -619,3 +619,48 @@ def test_session_window_stream_matches_batch_twin(spark, tmp_path):
         for r in sessionize_native(batch_events, gap="30 minutes").collect()
     }
     assert streamed <= batch
+
+
+def test_watermark_drops_late_rows_and_reports_in_progress(spark, tmp_path):
+    """Observability contract for watermarked aggregations: rows older
+    than (max event time - watermark) are DROPPED, and the drop is
+    visible in the query's progress metrics
+    (stateOperators.numRowsDroppedByWatermark) — the counter an
+    operator dashboard alerts on. Batch 1 advances the watermark far
+    past 10:xx; batch 2 replays a 10:05 event, which must not change
+    any aggregate."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(src / "b1.json", BATCH1 + BATCH2)  # max ts 14:00
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    sdf = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("ws"), "event_type", "n"
+        )
+    )
+    q = start_memory_sink(sdf, "wm_drop", output_mode="update")
+    q.processAllAvailable()
+    before = {
+        (str(r["ws"]), r["event_type"]): r["n"]
+        for r in spark.sql("select * from wm_drop").collect()
+    }
+    # replay a long-past event: watermark is 13:50, event is 10:05
+    _write_events(src / "b2.json", [("2026-01-01T10:05:00", 1, "view", 9.0)])
+    q.processAllAvailable()
+    after = {
+        (str(r["ws"]), r["event_type"]): r["n"]
+        for r in spark.sql("select * from wm_drop").collect()
+    }
+    dropped = sum(
+        int(op["numRowsDroppedByWatermark"])
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    q.stop()
+    assert after == before, "late row must not mutate closed windows"
+    assert dropped >= 1, "the drop must surface in progress metrics"
