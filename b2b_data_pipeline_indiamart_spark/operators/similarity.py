@@ -508,6 +508,43 @@ def ann_ivf_topk(
     )
 
 
+def _normed_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_id: str,
+    extra: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """(out_id[, extra aliases...], {out_id}_v) with the vector
+    L2-normalized and NULL on zero norm — the cosine = dot(â, b̂)
+    projection shared by :func:`brute_force_topk`,
+    :func:`cosine_range_search` and :func:`hard_negatives`
+    (``extra`` maps source→alias for columns that ride along, e.g.
+    labels). The norm materializes as its own column: referenced from
+    inside the transform lambda it must be a plain attribute, or the
+    whole fold would re-evaluate per element (the same inlining trap
+    as dedup._with_normalized; CollapseProject keeps the barrier
+    because __n is non-cheap and referenced twice). Distinct from
+    :func:`_unit_projection`, which passes zero-norm vectors through
+    unchanged (the PQ path must always have a vector)."""
+    extra = extra or {}
+    v = as_double_array(F.col(vec_col))
+    step = df.select(
+        F.col(id_col).alias(out_id),
+        *[F.col(src).alias(dst) for src, dst in extra.items()],
+        v.alias("__v"),
+        norm(v).alias("__n"),
+    )
+    return step.select(
+        out_id,
+        *extra.values(),
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("__v"), lambda e: e / F.col("__n")),
+        ).alias(f"{out_id}_v"),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -529,28 +566,12 @@ def brute_force_topk(
     defaultParallelism when the scan arrives under-parallelized.
     """
 
-    def normalized(df, out_id):
-        # norm materializes as its own column: referenced from inside
-        # the transform lambda it must be a plain attribute, or the
-        # whole fold would re-evaluate per element (the same inlining
-        # trap as dedup._with_normalized; CollapseProject keeps the
-        # barrier because __n is non-cheap and referenced twice)
-        v = as_double_array(F.col(vec_col))
-        step = df.select(F.col(id_col).alias(out_id), v.alias("__v"), norm(v).alias("__n"))
-        return step.select(
-            out_id,
-            F.when(
-                F.col("__n") > 0,
-                F.transform(F.col("__v"), lambda e: e / F.col("__n")),
-            ).alias(f"{out_id}_v"),
-        )
-
-    q = normalized(queries, "query_id")
+    q = _normed_projection(queries, vec_col, id_col, "query_id")
     spark = emb.sparkSession
     target = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < target:
         emb = emb.repartition(target)
-    c = normalized(emb, "neighbor_id")
+    c = _normed_projection(emb, vec_col, id_col, "neighbor_id")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -585,19 +606,8 @@ def cosine_range_search(
     map-side: zero shuffle, scales linearly in corpus size.
     """
 
-    def normalized(df, out_id):
-        v = as_double_array(F.col(vec_col))
-        step = df.select(F.col(id_col).alias(out_id), v.alias("__v"), norm(v).alias("__n"))
-        return step.select(
-            out_id,
-            F.when(
-                F.col("__n") > 0,
-                F.transform(F.col("__v"), lambda e: e / F.col("__n")),
-            ).alias(f"{out_id}_v"),
-        )
-
-    q = normalized(queries, "query_id")
-    c = normalized(emb, "neighbor_id")
+    q = _normed_projection(queries, vec_col, id_col, "query_id")
+    c = _normed_projection(emb, vec_col, id_col, "neighbor_id")
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1487,29 +1497,18 @@ def hard_negatives(
     differences cannot reorder ties; ties broken by neighbor_id.
     """
 
-    def normalized(df, out_id):
-        v = as_double_array(F.col(vec_col))
-        step = df.select(
-            F.col(id_col).alias(out_id),
-            F.col(label_col).alias(f"{out_id[:-3]}_label"),
-            v.alias("__v"),
-            norm(v).alias("__n"),
-        )
-        return step.select(
-            out_id,
-            f"{out_id[:-3]}_label",
-            F.when(
-                F.col("__n") > 0,
-                F.transform(F.col("__v"), lambda e: e / F.col("__n")),
-            ).alias(f"{out_id}_v"),
-        )
-
-    a = normalized(anchors, "anchor_id")
+    a = _normed_projection(
+        anchors, vec_col, id_col, "anchor_id",
+        extra={label_col: "anchor_label"},
+    )
     spark = emb.sparkSession
     target = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < target:
         emb = emb.repartition(target)
-    c = normalized(emb, "neighbor_id")
+    c = _normed_projection(
+        emb, vec_col, id_col, "neighbor_id",
+        extra={label_col: "neighbor_label"},
+    )
     scored = (
         c.crossJoin(F.broadcast(a))
         .filter(F.col("neighbor_label") != F.col("anchor_label"))
@@ -1601,12 +1600,16 @@ def pca_project(
                 }
             )
 
+    # carry the id column in ITS OWN type — cast('long') on a string
+    # id nulls every row and returns silently unjoinable output (the
+    # same defect class fixed in graph.pagerank)
+    id_type = emb.schema[id_col].dataType.simpleString()
     src = emb.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         as_double_array(F.col(vec_col)).alias("v"),
     )
     return src.mapInPandas(
-        project, schema="id long, proj array<double>"
+        project, schema=f"id {id_type}, proj array<double>"
     ).select(F.col("id").alias(id_col), "proj")
 
 
@@ -1638,6 +1641,20 @@ def cluster_label_purity(
 
     Output: (cluster, n_vecs, majority_label, purity 4dp).
     """
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        emb.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        # ivf_assign emits its id as long; a non-integer id would cast
+        # to NULL there and the join below would return an EMPTY frame
+        # with no error — fail loudly instead
+        raise ValueError(
+            f"cluster_label_purity: id column {id_col!r} must be an "
+            "integer type (got "
+            f"{emb.schema[id_col].dataType.simpleString()})"
+        )
     centroids = kmeans_centroids(
         emb, dim, n_cells=n_clusters, vec_col=vec_col, seed=seed
     )

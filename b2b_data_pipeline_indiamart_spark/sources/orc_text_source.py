@@ -87,11 +87,13 @@ def read_text_documents(
         )
     lines = raw.select(
         "source",
-        # \r?\n so CRLF corpora match Spark's own line reader (which
-        # strips \r\n) — a bare-\n split leaves an invisible trailing
-        # \r on every line, silently breaking exact-dedup hashes and
-        # token stats downstream
-        F.posexplode(F.split(F.col("value"), "\\r?\\n")).alias(
+        # \r\n|\r|\n matches Hadoop's LineRecordReader exactly (the
+        # reader behind spark.read.text terminates lines on CRLF, lone
+        # CR, or LF) — a bare-\n split leaves an invisible trailing \r
+        # on CRLF corpora and swallows classic-Mac lone-\r breaks
+        # entirely, silently desyncing exact-dedup hashes and token
+        # stats from the native reader
+        F.posexplode(F.split(F.col("value"), "\\r\\n|\\r|\\n")).alias(
             "line_no", "text"
         ),
     )

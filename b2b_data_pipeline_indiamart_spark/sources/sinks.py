@@ -246,40 +246,71 @@ def write_clustered(
     Partitioning prunes on ONE coarse column; clustering makes the
     parquet row-group/file MIN-MAX stats tight on SEVERAL columns at
     once, so a reader filtering on any of them skips most files. Each
-    clustering column is linearly scaled to 16 bits against its global
-    min/max (one tiny aggregate, folded in as literals), the bit
-    patterns are Morton-interleaved into a single z-value — built
-    entirely from Catalyst shift/mask expressions, no UDF — and the
-    frame is range-partitioned + sorted on it, giving every output
-    file a compact hyper-rectangle of the value space.
+    clustering column is linearly scaled to ``min(16, 63 // n)`` bits
+    against its global min/max (one tiny aggregate, folded in as
+    literals — the per-column width shrinks as columns are added so
+    every interleaved bit position stays inside the 63 non-sign bits
+    of the long; Spark's shiftleft masks shift counts mod 64, so an
+    unguarded 16-bit × 5-column interleave would silently wrap the
+    high bits of later columns onto the LOW z positions and destroy
+    the ordering). The bit patterns are Morton-interleaved into a
+    single z-value — built entirely from Catalyst shift/mask
+    expressions, no UDF — and the frame is range-partitioned + sorted
+    on it, giving every output file a compact hyper-rectangle of the
+    value space.
 
-    Linear scaling is the simple-and-honest variant (heavy skew
-    compresses into few codes; the fix at scale is rank-based scaling
-    via approxQuantile cut points — same interleave downstream).
-    NULLs scale to 0, degenerate (min == max) columns contribute a
-    constant. Best-effort layout only: results are identical under
-    any layout, readers need no special handling.
+    Accepted column types: numeric, date (days scale), timestamp
+    (microseconds scale). Anything else (strings…) has no meaningful
+    linear order for min/max skipping — rejected with a ValueError
+    rather than silently producing a useless layout. Linear scaling is
+    the simple-and-honest variant (heavy skew compresses into few
+    codes; the fix at scale is rank-based scaling via approxQuantile
+    cut points — same interleave downstream). NULLs scale to 0,
+    degenerate (min == max) columns contribute a constant.
+    Best-effort layout only: results are identical under any layout,
+    readers need no special handling.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     cols = list(cluster_cols)
     if not cols:
         raise ValueError("write_clustered: need at least one cluster column")
-    bounds = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
-    ).collect()[0]
     n = len(cols)
-    bits = 16
+    bits = min(16, 63 // n)
+    if bits < 4:
+        raise ValueError(
+            f"write_clustered: {n} cluster columns leave only {bits} bits "
+            "per column — too coarse to order on; cluster on fewer columns"
+        )
+    nums = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            nums[c] = F.unix_date(F.col(c)).cast("double")
+        elif isinstance(dt, T.TimestampType):
+            nums[c] = F.unix_micros(F.col(c)).cast("double")
+        elif isinstance(dt, T.NumericType):
+            nums[c] = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"write_clustered: column {c!r} has type "
+                f"{dt.simpleString()} — only numeric/date/timestamp "
+                "columns have a linear order min/max skipping can use"
+            )
+    bounds = df.agg(
+        *[F.min(nums[c]).alias(f"mn_{c}") for c in cols],
+        *[F.max(nums[c]).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
     scaled = []
     for c in cols:
         mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
-        if mn is None or mx is None or float(mx) == float(mn):
+        if mn is None or mx is None or mx == mn:
             scaled.append(F.lit(0).cast("long"))
             continue
         span = float(mx) - float(mn)
         s = (
-            (F.coalesce(F.col(c).cast("double"), F.lit(float(mn))) - float(mn))
+            (F.coalesce(nums[c], F.lit(float(mn))) - float(mn))
             / span
             * ((1 << bits) - 1)
         )

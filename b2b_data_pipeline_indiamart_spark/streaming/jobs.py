@@ -538,11 +538,16 @@ def running_distinct_types(events: DataFrame) -> DataFrame:
 
 
 def _stateful_processor_base():
-    """Import StatefulProcessor lazily: the module import is
-    protobuf-free in Spark 4.1, but keep the seam explicit so a future
-    Spark that moves the proto import to module scope degrades to a
-    clear ImportError at operator-construction time, not repo import
-    time."""
+    """Resolve the StatefulProcessor base class.
+
+    NOT lazy — this runs in ``DistinctTypesProcessor``'s base-class
+    list, i.e. at import of this module (which ``streaming/__init__``
+    pulls in). That is fine today: Spark 4.1's
+    ``stateful_processor`` module imports without protobuf (only query
+    START needs it). The helper exists to keep the dependency in ONE
+    named seam: if a future Spark moves the proto import to module
+    scope, this is the single line to wrap in a stub-emitting
+    try/except so the batch package keeps importing."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     return StatefulProcessor

@@ -861,3 +861,37 @@ def test_bpe_tokenize_docs_deterministic_and_bounded(spark, sf_small):
         # each word yields between 1 and len(word) subwords
         assert n_words <= n_subwords
         assert 1.0 <= avg
+
+
+def test_pca_project_preserves_string_ids(spark):
+    """Review fix pinned: non-integer id columns survive in their own
+    type (the old cast('long') nulled every string id — the same
+    silent-corruption class fixed in pagerank)."""
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.similarity import (
+        pca_project,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(f"doc_{i}", [float(x) for x in rng.normal(size=4)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows, "doc_key string, embedding array<double>")
+    out = pca_project(emb, dim=4, k=2, id_col="doc_key").collect()
+    ids = {r["doc_key"] for r in out}
+    assert ids == {f"doc_{i}" for i in range(20)}
+    assert all(len(r["proj"]) == 2 for r in out)
+
+
+def test_cluster_purity_rejects_non_integer_ids(spark):
+    import pytest as _pytest
+
+    from b2b_data_pipeline_indiamart_spark.operators.similarity import (
+        cluster_label_purity,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0], 0)], "vec_id string, embedding array<double>, label int"
+    )
+    with _pytest.raises(ValueError, match="integer type"):
+        cluster_label_purity(emb, dim=2, n_clusters=2)

@@ -554,3 +554,55 @@ def test_write_clustered_tightens_rowgroup_stats(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(clustered).collect())
     b = sorted(tuple(r) for r in df.collect())
     assert a == b
+
+
+def test_write_clustered_dates_and_width_guards(spark, tmp_path):
+    """Review fixes pinned: (1) date/timestamp cluster columns work
+    (scaled via days/micros, not float(date) which crashed); (2) the
+    per-column bit width shrinks with column count so no interleaved
+    bit position ever wraps past bit 63 (Spark shiftleft masks mod 64
+    — an unguarded 5x16-bit interleave silently corrupted the order);
+    (3) unorderable types and too-many-columns fail loudly."""
+    import pytest as _pytest
+
+    from b2b_data_pipeline_indiamart_spark.sources.sinks import write_clustered
+
+    df = spark.range(512).selectExpr(
+        "id",
+        "date_add(date'2026-01-01', CAST(id % 365 AS INT)) AS d",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS t",
+        "CAST(id * 7 % 512 AS LONG) AS a",
+        "CAST(id * 13 % 512 AS LONG) AS b",
+        "CAST(id * 29 % 512 AS LONG) AS c",
+    )
+    out = str(tmp_path / "dated")
+    write_clustered(df, out, ["d", "t", "a", "b", "c"], target_files=8)
+    assert spark.read.parquet(out).count() == 512
+    back = sorted(r["id"] for r in spark.read.parquet(out).select("id").collect())
+    assert back == list(range(512))
+    with _pytest.raises(ValueError, match="linear order"):
+        write_clustered(
+            df.selectExpr("id", "CAST(id AS STRING) AS s"),
+            str(tmp_path / "x"),
+            ["s"],
+        )
+    wide = df.selectExpr(*[f"id * {i} AS c{i}" for i in range(16)])
+    with _pytest.raises(ValueError, match="too coarse"):
+        write_clustered(wide, str(tmp_path / "y"), [f"c{i}" for i in range(16)])
+
+
+def test_text_documents_per_line_matches_native_on_lone_cr(spark, tmp_path):
+    """Classic-Mac lone-\r line breaks: Hadoop's LineRecordReader
+    terminates lines on \r\n, lone \r, AND \n — the per_line split
+    must agree on all three (the \r?\n fix still merged lone-\r
+    lines)."""
+    from b2b_data_pipeline_indiamart_spark.sources import read_text_documents
+
+    f = tmp_path / "mac.txt"
+    f.write_bytes(b"alpha\rbeta\r\ngamma\ndelta")
+    got = sorted(
+        r["text"]
+        for r in read_text_documents(spark, str(tmp_path), per_line=True).collect()
+    )
+    native = sorted(r["value"] for r in spark.read.text(str(f)).collect())
+    assert got == native == ["alpha", "beta", "delta", "gamma"]

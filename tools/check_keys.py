@@ -26,9 +26,14 @@ def main() -> None:
     it = iter(args)
     for a in it:
         if a == "--sf":
-            sfs.append(next(it))
+            try:
+                sfs.append(next(it))
+            except StopIteration:
+                sys.exit("usage: check_keys.py KEY [KEY...] [--sf DIR ...]")
         else:
             keys.append(a)
+    if not keys:
+        sys.exit("usage: check_keys.py KEY [KEY...] [--sf DIR ...]")
     if not sfs:
         sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
