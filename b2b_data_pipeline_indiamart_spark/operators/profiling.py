@@ -91,3 +91,127 @@ def observe_quality(
             ]
         )
     return df.observe(obs, *metrics), obs
+
+
+def expectations(
+    df: DataFrame,
+    rules: "list[tuple]",
+    ref_tables: "dict[str, DataFrame] | None" = None,
+) -> DataFrame:
+    """Declarative data-quality constraint validation (the Deequ /
+    Great-Expectations shape): evaluate a rule list against a frame in
+    as few passes as the rule kinds allow and emit a tall report —
+    one row per rule: (rule, n_violations, passed).
+
+    Rule forms (name is the report key):
+      ("name", "not_null", col)
+      ("name", "positive", col)              # violations: col <= 0 or NULL
+      ("name", "range", col, lo, hi)         # inclusive bounds
+      ("name", "in_set", col, [values...])
+      ("name", "unique", [cols...])          # duplicate ROWS beyond the
+                                             # first occurrence count
+      ("name", "fk", [cols...], "ref", [ref_cols...])  # orphaned rows;
+                                             # ref resolved via ref_tables
+
+    Scale shape: every ROW-LEVEL rule (not_null / positive / range /
+    in_set) folds into ONE conditional-sum aggregate over a single
+    scan. `unique` adds one groupBy on its key (count − distinct via
+    sum(cnt−1) with map-side combine); each `fk` adds one LEFT ANTI
+    against the (distinct-collapsed, usually broadcastable) reference
+    keys. The report itself is rule-count rows — driver-scale by
+    construction, like profile_report.
+
+    NULL semantics: not_null counts NULLs (obviously); positive /
+    range / in_set count NULL as a violation only when the rule says
+    the column must also be present — they do NOT (a NULL is neither
+    in nor out of a range; compose with a not_null rule to forbid it).
+    `positive` is the exception by definition: it demands an actual
+    positive value, so NULL violates.
+    """
+    ref_tables = ref_tables or {}
+    row_exprs = []
+    tall: list[DataFrame] = []
+    spark = df.sparkSession
+    for rule in rules:
+        name, kind = rule[0], rule[1]
+        if kind == "not_null":
+            cond = F.col(rule[2]).isNull()
+        elif kind == "positive":
+            cond = F.col(rule[2]).isNull() | (F.col(rule[2]) <= 0)
+        elif kind == "range":
+            c, lo, hi = rule[2], rule[3], rule[4]
+            cond = F.col(c).isNotNull() & (
+                (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))
+            )
+        elif kind == "in_set":
+            c, vals = rule[2], rule[3]
+            cond = F.col(c).isNotNull() & ~F.col(c).isin(list(vals))
+        elif kind == "unique":
+            cols = list(rule[2])
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .agg(
+                    F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
+                .select(
+                    F.lit(name).alias("rule"),
+                    "n_violations",
+                    (F.col("n_violations") == 0).alias("passed"),
+                )
+            )
+            tall.append(dup)
+            continue
+        elif kind == "fk":
+            cols, ref_name, ref_cols = list(rule[2]), rule[3], list(rule[4])
+            ref = ref_tables[ref_name].select(
+                *[F.col(rc).alias(c) for c, rc in zip(cols, ref_cols)]
+            ).distinct()
+            orphans = (
+                df.select(*cols)
+                .join(F.broadcast(ref), cols, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                .select(
+                    F.lit(name).alias("rule"),
+                    "n_violations",
+                    (F.col("n_violations") == 0).alias("passed"),
+                )
+            )
+            tall.append(orphans)
+            continue
+        else:
+            raise ValueError(f"expectations: unknown rule kind {kind!r}")
+        row_exprs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        )
+    if row_exprs:
+        wide = df.agg(*row_exprs)
+        names = [e for e in wide.columns]
+        row_report = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(nm).alias("rule"),
+                            F.col(nm).alias("n_violations"),
+                        )
+                        for nm in names
+                    ]
+                )
+            ).alias("r")
+        ).select(
+            "r.rule",
+            "r.n_violations",
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+        tall.insert(0, row_report)
+    if not tall:
+        return spark.createDataFrame(
+            [], "rule string, n_violations long, passed boolean"
+        )
+    out = tall[0]
+    for t in tall[1:]:
+        out = out.unionByName(t)
+    return out

@@ -6716,3 +6716,65 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         round_half_up(F.sum("o_totalprice"), 2).alias("total_value"),
     )
+
+
+@_register(
+    "orders_expectations",
+    """
+    WITH rl AS (
+      SELECT
+        CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS orderdate_not_null,
+        CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_positive,
+        CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS status_in_set
+      FROM orders
+    ),
+    uq AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n FROM
+        (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'orderdate_not_null' AS rule, orderdate_not_null AS n_violations FROM rl
+      UNION ALL
+      SELECT 'totalprice_positive', totalprice_positive FROM rl
+      UNION ALL
+      SELECT 'status_in_set', status_in_set FROM rl
+      UNION ALL
+      SELECT 'orderkey_unique', n FROM uq
+      UNION ALL
+      SELECT 'custkey_fk', n FROM fk
+    )
+    """,
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders
+    (profiling.expectations — the Deequ/Great-Expectations shape):
+    not-null, positivity, value-set, key-uniqueness, and a
+    customer-FK referential check in one tall (rule, n_violations,
+    passed) report. Row-level rules fold into ONE conditional-sum
+    scan; uniqueness is one keyed combining aggregate; the FK check
+    is a LEFT ANTI against the distinct-collapsed broadcast key set."""
+    from ..operators import profiling
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return profiling.expectations(
+        orders,
+        [
+            ("orderdate_not_null", "not_null", "o_orderdate"),
+            ("totalprice_positive", "positive", "o_totalprice"),
+            ("status_in_set", "in_set", "o_orderstatus", ["F", "O", "P"]),
+            ("orderkey_unique", "unique", ["o_orderkey"]),
+            ("custkey_fk", "fk", ["o_custkey"], "customer", ["c_custkey"]),
+        ],
+        ref_tables={"customer": customer},
+    )

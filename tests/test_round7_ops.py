@@ -895,3 +895,64 @@ def test_cluster_purity_rejects_non_integer_ids(spark):
     )
     with _pytest.raises(ValueError, match="integer type"):
         cluster_label_purity(emb, dim=2, n_clusters=2)
+
+
+# ------------------------------------------------------- expectations
+
+
+def test_expectations_each_rule_kind_counts_planted_dirt(spark):
+    """Every rule kind against a frame with KNOWN violations (the
+    synthetic orders table is clean, so the registry key only proves
+    the zero path — this is the dirt path)."""
+    from b2b_data_pipeline_indiamart_spark.operators.profiling import (
+        expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 10.0, "F", 100),    # null date
+            (2, "2026-01-02", -5.0, "O", 101),  # non-positive price
+            (2, "2026-01-03", 7.0, "X", 999),   # dup key, bad status, orphan fk
+            (3, "2026-01-04", None, "P", 100),  # null price -> positive viol
+            (3, "2026-01-05", 900.0, "F", 100), # dup key, out of range
+        ],
+        "k long, d string, price double, status string, cust long",
+    )
+    ref = spark.createDataFrame([(100,), (101,)], "ck long")
+    out = {r["rule"]: (r["n_violations"], r["passed"]) for r in expectations(
+        df,
+        [
+            ("d_not_null", "not_null", "d"),
+            ("price_positive", "positive", "price"),
+            ("price_range", "range", "price", 0.0, 100.0),
+            ("status_in_set", "in_set", "status", ["F", "O", "P"]),
+            ("k_unique", "unique", ["k"]),
+            ("cust_fk", "fk", ["cust"], "ref", ["ck"]),
+        ],
+        ref_tables={"ref": ref},
+    ).collect()}
+    assert out == {
+        "d_not_null": (1, False),
+        "price_positive": (2, False),     # -5.0 and NULL
+        "price_range": (2, False),        # -5.0 and 900.0 (NULL not counted)
+        "status_in_set": (1, False),      # 'X' (NULL would not count)
+        "k_unique": (2, False),           # keys 2 and 3 each once extra
+        "cust_fk": (1, False),            # cust 999
+    }
+
+
+def test_expectations_clean_frame_all_pass_and_empty_rules(spark):
+    from b2b_data_pipeline_indiamart_spark.operators.profiling import (
+        expectations,
+    )
+
+    df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    out = expectations(
+        df, [("v_pos", "positive", "v"), ("k_uniq", "unique", ["k"])]
+    ).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in out)
+    assert expectations(df, []).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown rule kind"):
+        expectations(df, [("bad", "nope", "v")]).collect()
