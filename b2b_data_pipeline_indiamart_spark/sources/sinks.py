@@ -330,3 +330,55 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    schema: str | None = None,
+) -> int:
+    """Small-file compaction for a parquet directory — the lake
+    maintenance job every streaming/incremental sink eventually needs
+    (each microbatch/task leaves a file; a million 100 KB files make
+    listing and footer reads the bottleneck long before data volume
+    does). Rewrites the dataset into ``ceil(total_bytes /
+    target_file_bytes)`` files and returns the new file count.
+
+    Mechanics: read (with the caller's stated ``schema`` if given —
+    same rationale as the JSONL reader: inference over a corrupt or
+    evolving lake is the risk), repartition to the target count,
+    write to a ``_compacting`` sibling, then swap via the Hadoop
+    FileSystem API (works on any supported URI, same contract as the
+    streaming epoch ledger). The swap is delete-then-rename — NOT
+    atomic on object stores: run it from the single maintenance
+    owner of the path (concurrent readers on HDFS see the old listing
+    until the rename; on S3-style stores schedule it in the
+    ingestion pause, exactly like Delta/Iceberg's OPTIMIZE asks).
+    Row-content equality is the test's contract; ordering is not.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    src_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src_path.getFileSystem(hconf)
+    total = fs.getContentSummary(src_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    tmp = path.rstrip("/") + "_compacting"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_path):  # crashed prior run: its tmp is garbage
+        fs.delete(tmp_path, True)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(src_path, True)
+    if not fs.rename(tmp_path, src_path):
+        raise IOError(
+            f"compact_parquet: rename {tmp} -> {path} failed; "
+            "data is intact at the _compacting path"
+        )
+    return n_files

@@ -606,3 +606,24 @@ def test_text_documents_per_line_matches_native_on_lone_cr(spark, tmp_path):
     )
     native = sorted(r["value"] for r in spark.read.text(str(f)).collect())
     assert got == native == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob as g
+
+    from b2b_data_pipeline_indiamart_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "lake")
+    # 64 shards of a small frame = classic streaming-sink fragmentation
+    spark.range(2048).selectExpr("id", "id * 2 AS v").repartition(64).write.parquet(p)
+    before = len(g.glob(p + "/*.parquet"))
+    assert before >= 32
+    rows_before = sorted(tuple(r) for r in spark.read.parquet(p).collect())
+    n = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    after = len(g.glob(p + "/*.parquet"))
+    assert n == 1 and after == 1
+    assert not (tmp_path / "lake_compacting").exists()
+    rows_after = sorted(tuple(r) for r in spark.read.parquet(p).collect())
+    assert rows_after == rows_before
+    # idempotent: compacting a compact lake is a no-op rewrite
+    assert compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
