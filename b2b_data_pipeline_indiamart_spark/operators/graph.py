@@ -168,12 +168,23 @@ def _pagerank_loop(
     ).collect()
     nodes.unpersist()  # folded into the ranks frame now
     dangling = (row["dm"] or 0.0) / n_nodes
+    # frontier size gate: below the cap the per-iteration share table
+    # (≤ n_nodes rows of (long, double) ≈ 24 B/row) BROADCASTS into the
+    # contribution join, making it map-only over the cached edge
+    # partitions — no sort, no exchange on either side; the groupBy(d)
+    # combine stays the iteration's single shuffle. Above the cap
+    # (≈120 MB at 5M nodes) the partitioning-aligned join takes over —
+    # that path's cost is the per-iteration sort of the edge side,
+    # which is the right trade once ranks no longer fit an executor.
+    broadcast_frontier = n_nodes <= 5_000_000
     it = 0
     for it in range(1, max_iter + 1):
         shares = ranks.filter(F.col("deg").isNotNull()).select(
             F.col("node").alias("s"),
             (F.col("rank") / F.col("deg")).alias("share"),
         )
+        if broadcast_frontier:
+            shares = F.broadcast(shares)
         contribs = (
             e.join(shares, "s")
             .groupBy(F.col("d").alias("node"))

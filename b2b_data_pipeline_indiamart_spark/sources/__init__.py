@@ -16,6 +16,7 @@ from b2b_data_pipeline_indiamart_spark.sources.orc_text_source import (
     write_orc,
 )
 from b2b_data_pipeline_indiamart_spark.sources.sinks import (
+    compact_parquet,
     write_bucketed,
     write_clustered,
     write_csv,
@@ -34,6 +35,7 @@ __all__ = [
     "read_orc",
     "read_text_documents",
     "write_orc",
+    "compact_parquet",
     "write_parquet",
     "write_bucketed",
     "write_clustered",
