@@ -744,3 +744,36 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def weekly_users_hll_rollup(
+    events: DataFrame, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable-sketch rollup — THE incremental-distinct pattern at
+    scale: one Datasketches HLL sketch of user_id per DAY
+    (``hll_sketch_agg``), then weekly distincts by UNIONING the daily
+    sketches (``hll_union_agg``) — never re-scanning the raw events.
+    At 100 TB the daily sketches are a few KB each and persist as a
+    stage table; any rollup window (week / month / trailing-28d) is a
+    merge over those bytes, which exact countDistinct fundamentally
+    cannot do (distinct does not decompose).
+
+    Output: (week 'yyyy-MM-dd' — Monday of the ISO week, n_days,
+    est_users). Rows-only: the sketch estimate is engine-specific;
+    pytest pins determinism and the estimate's error vs the exact
+    weekly distinct (HLL lg_k=12 ⇒ ~1.6 % rel. std error).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"))
+    return (
+        daily.groupBy(
+            F.date_format(F.date_trunc("week", F.col("day")), "yyyy-MM-dd").alias(
+                "week"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+    )

@@ -6778,3 +6778,15 @@ def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ref_tables={"customer": customer},
     )
+
+
+@_register("events_users_hll_rollup")  # rows-only (sketch estimate)
+def events_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via DAILY Datasketches HLL sketches
+    unioned per week (temporal.weekly_users_hll_rollup) — the
+    mergeable-sketch rollup no exact distinct can express: daily
+    sketches persist once, every window is a byte-level merge.
+    Rows-only: estimates are engine-specific; determinism and the
+    error bound vs exact weekly distincts are pytest-pinned."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.weekly_users_hll_rollup(events).orderBy("week")

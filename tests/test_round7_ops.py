@@ -956,3 +956,51 @@ def test_expectations_clean_frame_all_pass_and_empty_rules(spark):
 
     with _pytest.raises(ValueError, match="unknown rule kind"):
         expectations(df, [("bad", "nope", "v")]).collect()
+
+
+# ------------------------------------------------- HLL sketch rollup
+
+
+def test_hll_rollup_error_bound_and_determinism(spark, sf_small):
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+    from pyspark.sql import functions as F
+
+    a = [tuple(r) for r in
+         QUERIES["events_users_hll_rollup"](spark, sf_small).collect()]
+    b = [tuple(r) for r in
+         QUERIES["events_users_hll_rollup"](spark, sf_small).collect()]
+    assert a == b and len(a) > 0
+    got = {r[0]: r[2] for r in a}
+    events = spark.read.parquet(f"{sf_small}/events.parquet")
+    exact = {
+        r["week"]: r["n"]
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(exact)
+    for wk, est in got.items():
+        # lg_k=12 -> ~1.6% rel std err; 5 sigma ~ 8%, floor for tiny weeks
+        assert abs(est - exact[wk]) <= max(8, 0.08 * exact[wk]), (
+            wk, est, exact[wk]
+        )
+
+
+def test_hll_union_equals_direct_sketch_of_union(spark):
+    """Merge soundness: union of daily sketches must estimate the
+    same set as one sketch over all rows — sketches are mergeable,
+    so both paths see identical estimates for identical lg_k."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).selectExpr(
+        "CAST(id % 7 AS LONG) AS day", "CAST(id % 997 AS LONG) AS user_id"
+    )
+    merged = (
+        df.groupBy("day").agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    assert merged == direct
