@@ -8,6 +8,7 @@ from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
     read_event_stream,
     running_user_totals,
     start_memory_sink,
+    start_incremental_rollup,
     start_parquet_ingest,
     stateful_sessionize,
     streaming_decontaminate,
@@ -26,5 +27,6 @@ __all__ = [
     "streaming_decontaminate",
     "view_click_attribution",
     "start_memory_sink",
+    "start_incremental_rollup",
     "start_parquet_ingest",
 ]

@@ -664,3 +664,54 @@ def test_watermark_drops_late_rows_and_reports_in_progress(spark, tmp_path):
     q.stop()
     assert after == before, "late row must not mutate closed windows"
     assert dropped >= 1, "the drop must surface in progress metrics"
+
+
+def test_incremental_rollup_maintains_partitioned_table(spark, tmp_path):
+    """The continuously-maintained rollup: after two microbatches the
+    parquet table must equal the BATCH hourly rollup over all events —
+    including an hour revised by the second batch — and be laid out as
+    day= partitions (plain readers, no streaming awareness)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from b2b_data_pipeline_indiamart_spark.streaming import (
+        start_incremental_rollup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    _write_events(src / "b1.json", BATCH1)
+    q = start_incremental_rollup(
+        read_event_stream(spark, str(src), max_files_per_trigger=1), out, ck
+    )
+    q.processAllAvailable()
+    # batch 2 adds a NEW hour and revises user activity inside 10:xx?
+    # (12:01 and 14:00 are new hours; the upsert must keep 10:xx/11:xx)
+    _write_events(src / "b2.json", BATCH2)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    all_events = spark.createDataFrame(
+        [(ts, uid, et, v) for ts, uid, et, v in BATCH1 + BATCH2],
+        "ts_s string, user_id long, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
+    want = {
+        (str(r["ws"]), r["event_type"]): (r["n"], r["sv"])
+        for r in all_events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv")
+        ).collect()
+    }
+    assert got == want
+    days = {d for d in os.listdir(out) if d.startswith("day=")}
+    assert days == {"day=2026-01-01"}
+    hours = {h for h in os.listdir(out + "/day=2026-01-01")
+             if h.startswith("hour=")}
+    assert hours == {"hour=10", "hour=11", "hour=12", "hour=14"}
