@@ -230,3 +230,85 @@ def purge_subjects(
             "left_anti",
         )
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: "list[str]", k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set — the privacy QA
+    gate before a data release: a row is re-identifiable when its
+    quasi-identifier combination is shared by fewer than ``k`` rows.
+
+    One keyed combining aggregate to the quasi-group grain, then a
+    one-row rollup: (k, n_rows, n_groups, n_small_groups,
+    n_risky_rows, risky_row_share 4dp). NULL quasi-values group as
+    their own value (SQL GROUP BY semantics) — a NULL city is itself
+    a fingerprint, so it must count toward group sizes, not escape
+    them.
+    """
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return g.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+    ).select(
+        "k",
+        "n_rows",
+        "n_groups",
+        "n_small_groups",
+        "n_risky_rows",
+        round_half_up(F.col("n_risky_rows") / F.col("n_rows"), 4).alias(
+            "risky_row_share"
+        ),
+    )
+
+
+def k_anonymity_suppress(
+    df: DataFrame, quasi_cols: "list[str]", k: int = 5
+) -> DataFrame:
+    """Enforcement half of :func:`k_anonymity_report`: NULL out the
+    quasi-identifier columns of every row whose quasi-group has fewer
+    than ``k`` members (suppression — the simplest k-anonymity
+    mechanism; generalization hierarchies are the finer-grained
+    alternative). Other columns pass through untouched, schema
+    preserved.
+
+    Scale shape: group sizes via one keyed combining aggregate; the
+    (usually tiny) risky-group set joins back as a broadcast flag
+    join on the quasi key with NULL-SAFE equality — a NULL city is a
+    real group and must suppress like any other. Never a window over
+    the full frame.
+    """
+    small = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") < k)
+        .select(
+            *[F.col(c).alias(f"__q_{c}") for c in quasi_cols],
+            F.lit(True).alias("__small"),
+        )
+    )
+    cond = None
+    for c in quasi_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = e if cond is None else (cond & e)
+    joined = df.join(F.broadcast(small), cond, "left")
+    out_cols = []
+    for c in df.columns:
+        if c in quasi_cols:
+            out_cols.append(
+                F.when(
+                    F.col("__small"), F.lit(None).cast(df.schema[c].dataType)
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

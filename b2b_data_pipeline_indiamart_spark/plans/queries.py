@@ -6790,3 +6790,36 @@ def events_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     error bound vs exact weekly distincts are pytest-pinned."""
     events = _t(spark, sf_dir, "events")
     return temporal.weekly_users_hll_rollup(events).orderBy("week")
+
+
+@_register(
+    "customer_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(5 AS INT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n), 4)
+             AS risky_row_share
+    FROM g
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (sampling.k_anonymity_report) on the customer
+    table over the (nation, market segment) quasi-identifier pair —
+    the privacy QA gate before a data release, completing the privacy
+    family next to pii_redact / anonymize_hash / purge_subjects. One
+    keyed combining aggregate + a one-row rollup."""
+    from ..operators import sampling
+
+    customer = _t(spark, sf_dir, "customer")
+    return sampling.k_anonymity_report(
+        customer, ["c_nationkey", "c_mktsegment"], k=5
+    )

@@ -107,3 +107,35 @@ def test_purge_subjects_anti_join_is_broadcast(spark):
     plan = out["events"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert out["events"].count() == 99
+
+
+def test_k_anonymity_report_and_suppress(spark):
+    from b2b_data_pipeline_indiamart_spark.operators.sampling import (
+        k_anonymity_report,
+        k_anonymity_suppress,
+    )
+
+    rows = (
+        [("IN", "retail", i) for i in range(6)]      # big group: safe
+        + [("US", "retail", 10), ("US", "retail", 11)]  # size 2: risky
+        + [(None, "b2b", 20)]                        # NULL group size 1: risky
+    )
+    df = spark.createDataFrame(rows, "country string, segment string, id long")
+    [r] = k_anonymity_report(df, ["country", "segment"], k=5).collect()
+    assert (r["n_rows"], r["n_groups"]) == (9, 3)
+    assert (r["n_small_groups"], r["n_risky_rows"]) == (2, 3)
+    assert r["risky_row_share"] == 0.3333
+
+    sup = {row["id"]: (row["country"], row["segment"])
+           for row in k_anonymity_suppress(df, ["country", "segment"], k=5).collect()}
+    assert len(sup) == 9
+    for i in range(6):
+        assert sup[i] == ("IN", "retail")  # safe group untouched
+    for i in (10, 11, 20):
+        assert sup[i] == (None, None)      # risky rows suppressed
+    # post-suppression: every surviving quasi-group is >= k or fully NULL
+    [r2] = k_anonymity_report(
+        k_anonymity_suppress(df, ["country", "segment"], k=5),
+        ["country", "segment"], k=3,
+    ).collect()
+    assert r2["n_small_groups"] == 0
