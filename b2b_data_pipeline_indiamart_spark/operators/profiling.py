@@ -169,8 +169,16 @@ def expectations(
             ref = ref_tables[ref_name].select(
                 *[F.col(rc).alias(c) for c, rc in zip(cols, ref_cols)]
             ).distinct()
+            # SQL FK semantics: a NULL key states NO relation and does
+            # not violate (compose with not_null to forbid it); only
+            # fully-present keys can be orphans
+            present = None
+            for c in cols:
+                p = F.col(c).isNotNull()
+                present = p if present is None else (present & p)
             orphans = (
-                df.select(*cols)
+                df.filter(present)
+                .select(*cols)
                 .join(F.broadcast(ref), cols, "left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
                 .select(

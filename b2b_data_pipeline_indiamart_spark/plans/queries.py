@@ -6738,7 +6738,8 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fk AS (
       SELECT CAST(count(*) AS BIGINT) AS n
-      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
         ON o.o_custkey = c.c_custkey
       WHERE c.c_custkey IS NULL
     )

@@ -357,6 +357,9 @@ def compact_parquet(
     until the rename; on S3-style stores schedule it in the
     ingestion pause, exactly like Delta/Iceberg's OPTIMIZE asks).
     Row-content equality is the test's contract; ordering is not.
+    Partitioned lakes: this rewrites the tree UNPARTITIONED — compact
+    a partitioned dataset per partition directory (point ``path`` at
+    the partition), or recombine with :func:`upsert_partitions`.
     """
     import math
 

@@ -913,7 +913,7 @@ def test_expectations_each_rule_kind_counts_planted_dirt(spark):
             (1, None, 10.0, "F", 100),    # null date
             (2, "2026-01-02", -5.0, "O", 101),  # non-positive price
             (2, "2026-01-03", 7.0, "X", 999),   # dup key, bad status, orphan fk
-            (3, "2026-01-04", None, "P", 100),  # null price -> positive viol
+            (3, "2026-01-04", None, "P", None), # null price; NULL fk = NO viol
             (3, "2026-01-05", 900.0, "F", 100), # dup key, out of range
         ],
         "k long, d string, price double, status string, cust long",
