@@ -6824,3 +6824,81 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.k_anonymity_report(
         customer, ["c_nationkey", "c_mktsegment"], k=5
     )
+
+
+@_register(
+    "events_ab_test",
+    """
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             round(sum(value), 2) AS user_value
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             avg(user_value) AS mean_value,
+             var_samp(user_value) AS var_value
+      FROM u GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        max(CASE WHEN variant = 0 THEN mean_value END) AS m0,
+        max(CASE WHEN variant = 0 THEN var_value END) AS s0,
+        max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        max(CASE WHEN variant = 1 THEN mean_value END) AS m1,
+        max(CASE WHEN variant = 1 THEN var_value END) AS s1
+      FROM v
+    )
+    SELECT n0 AS control_users, round(m0, 4) AS control_mean,
+           n1 AS treatment_users, round(m1, 4) AS treatment_mean,
+           round(m1 - m0, 4) AS abs_lift,
+           round((m1 - m0) / sqrt(s0 / n0 + s1 / n1), 4) AS z_score
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout on a CONTINUOUS metric — revenue (event
+    value) per user — with a Welch z-test: the statistic every
+    experimentation platform reports for non-binary goals. Variant
+    assignment is deterministic (user_id parity stands in for the
+    hash-bucket assignment an experiment framework provides);
+    per-user value is rounded 2dp BEFORE the moment aggregates so
+    both engines feed the test identical numbers.
+
+    Scale shape: ONE user-grain combining aggregate, a 2-row variant
+    rollup carrying (n, mean, sample variance), then the closed-form
+    Welch z on the 1-row wide frame — the whole test is three tiny
+    aggregates past the single user-keyed shuffle; nothing resembling
+    a per-user collect."""
+    events = _t(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        round_half_up(F.sum("value"), 2).alias("user_value")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "user_value"
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.avg("user_value").alias("mean_value"),
+        F.var_samp("user_value").alias("var_value"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("mean_value"))).alias("m0"),
+        F.max(F.when(F.col("variant") == 0, F.col("var_value"))).alias("s0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("mean_value"))).alias("m1"),
+        F.max(F.when(F.col("variant") == 1, F.col("var_value"))).alias("s1"),
+    )
+    return wide.select(
+        F.col("n0").alias("control_users"),
+        round_half_up(F.col("m0"), 4).alias("control_mean"),
+        F.col("n1").alias("treatment_users"),
+        round_half_up(F.col("m1"), 4).alias("treatment_mean"),
+        round_half_up(F.col("m1") - F.col("m0"), 4).alias("abs_lift"),
+        round_half_up(
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("s0") / F.col("n0") + F.col("s1") / F.col("n1")),
+            4,
+        ).alias("z_score"),
+    )

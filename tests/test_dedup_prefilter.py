@@ -70,3 +70,53 @@ def test_dedup_clusters_collapse_matches_uncollapsed(spark, sf_small):
         (F.col("doc_id") == cluster).alias("is_representative"),
     )
     assert _rows(naive) == _rows(dedup.dedup_clusters(docs))
+
+
+def test_lsh_banding_matches_theoretical_s_curve(spark):
+    """The banding s-curve, pinned against theory: under MinHash,
+    each signature coordinate of a pair with Jaccard s agrees with
+    probability s, so LSH with b bands x r rows makes the pair a
+    candidate with P = 1-(1-s^r)^b. Simulate pairs with EXACTLY that
+    coordinate-agreement distribution (seeded) and require the
+    observed candidate rate inside a 4-sigma + slack band of theory
+    for low / mid / high similarity — the property that makes
+    candidate generation O(corpus x bands) trustworthy: sub-threshold
+    pairs are dropped by PROBABILITY, not by luck."""
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    k, bands = 64, 16
+    r = k // bands
+    rng = np.random.default_rng(42)
+    n_pairs = 200
+    for s in (0.2, 0.5, 0.8):
+        rows = []
+        for i in range(n_pairs):
+            base = rng.integers(-(2**62), 2**62, size=k)
+            agree = rng.random(k) < s
+            partner = np.where(
+                agree, base, rng.integers(-(2**62), 2**62, size=k)
+            )
+            rows.append((2 * i, *[int(x) for x in base]))
+            rows.append((2 * i + 1, *[int(x) for x in partner]))
+        sigs = spark.createDataFrame(
+            rows,
+            "doc_id long, " + ", ".join(f"mh_{j} long" for j in range(k)),
+        )
+        cand = {
+            (row["id_a"], row["id_b"])
+            for row in lsh_candidate_pairs(sigs, k=k, bands=bands).collect()
+        }
+        hits = sum(1 for i in range(n_pairs) if (2 * i, 2 * i + 1) in cand)
+        observed = hits / n_pairs
+        theory = 1.0 - (1.0 - s**r) ** bands
+        sigma = (theory * (1 - theory) / n_pairs) ** 0.5
+        assert abs(observed - theory) <= 4 * sigma + 0.03, (
+            s, observed, theory
+        )
+        # unrelated docs must essentially never collide (64-bit bands)
+        strays = len(cand) - hits
+        assert strays <= 2, strays

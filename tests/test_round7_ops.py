@@ -1042,3 +1042,37 @@ def test_diff_snapshots_identical_frames_empty(spark, sf_small):
 
     orders = spark.read.parquet(f"{sf_small}/orders.parquet")
     assert diff_snapshots(orders, orders, ["o_orderkey"]).count() == 0
+
+
+# --------------------------------------------------------- A/B testing
+
+
+def test_ab_test_welch_z_hand_frame(spark, tmp_path):
+    """Welch z pinned on a hand frame: control users {10, 20}, treat
+    {30, 50} -> m0=15 m1=40, s0²=50 s1²=200, z = 25/sqrt(25+100)."""
+    import math
+    import os
+
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    events = spark.createDataFrame(
+        [
+            (1, "2026-01-01T10:00:00", 2, "view", 10.0, "{}"),
+            (2, "2026-01-01T10:01:00", 4, "view", 20.0, "{}"),
+            (3, "2026-01-01T10:02:00", 1, "view", 30.0, "{}"),
+            (4, "2026-01-01T10:03:00", 3, "view", 50.0, "{}"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "to_timestamp(ts_s) AS ts", "user_id", "event_type",
+        "value", "props",
+    )
+    d = str(tmp_path)
+    events.write.parquet(os.path.join(d, "events.parquet"))
+    [r] = QUERIES["events_ab_test"](spark, d).collect()
+    assert (r["control_users"], r["treatment_users"]) == (2, 2)
+    assert (r["control_mean"], r["treatment_mean"]) == (15.0, 40.0)
+    assert r["abs_lift"] == 25.0
+    want_z = 25.0 / math.sqrt(50.0 / 2 + 200.0 / 2)
+    assert abs(r["z_score"] - round(want_z, 4)) < 1e-9
