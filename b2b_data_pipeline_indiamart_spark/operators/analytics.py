@@ -236,3 +236,86 @@ def array_pairs(
         F.col(f"__pr.{a_name}").alias(a_name),
         F.col(f"__pr.{b_name}").alias(b_name),
     )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative pmf), k = 0..6 — the
+#: per-row replicate weights of the Poisson bootstrap. P(k>6) ≈ 8e-5
+#: truncates to 6; the bias is far below bootstrap noise at any B.
+_POISSON1_CDF = (
+    (0.36787944, 0),
+    (0.73575888, 1),
+    (0.91969860, 2),
+    (0.98101184, 3),
+    (0.99634015, 4),
+    (0.99940582, 5),
+)
+
+
+def poisson_bootstrap_lift(
+    user_values: DataFrame,
+    n_reps: int = 100,
+    value_col: str = "user_value",
+    variant_col: str = "variant",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Bootstrap CI for a between-variant mean lift via the POISSON
+    bootstrap — the industrial resampling scheme for data too large to
+    resample by shuffling: instead of materializing B resamples, every
+    (row, replicate) gets an independent Poisson(1) weight, which for
+    large n is exactly multinomial resampling's marginal. One explode
+    (×B) over the already-aggregated USER grain, one (replicate,
+    variant) weighted-mean aggregate, and a percentile over B tiny
+    rows — no data movement scales with B except the user-grain fanout.
+
+    Weights are DETERMINISTIC: uniform = xxhash64(id, replicate)
+    mapped through the Poisson(1) inverse CDF (truncated at 6,
+    P≈8e-5) — re-runs, retries, and repartitionings see identical
+    resamples, the same argument as stratified_sample's md5 threshold
+    (rand() is none of those things).
+
+    Output: one row (n_reps, point_lift 4dp, ci_lo 4dp, ci_hi 4dp) —
+    the 2.5/97.5 bootstrap percentiles of (mean₁ − mean₀).
+    """
+    reps = user_values.select(
+        variant_col,
+        value_col,
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("__rep"),
+    )
+    u = (F.abs(F.xxhash64(F.col(id_col), F.col("__rep"))) % 1_000_000) / 1_000_000.0
+    w = F.lit(6)
+    for cdf, k in reversed(_POISSON1_CDF):
+        w = F.when(u <= cdf, k).otherwise(w)
+    per_rv = (
+        reps.withColumn("__w", w)
+        .groupBy("__rep", variant_col)
+        .agg(
+            (F.sum(F.col("__w") * F.col(value_col)) / F.sum("__w")).alias(
+                "__m"
+            )
+        )
+    )
+    lifts = per_rv.groupBy("__rep").agg(
+        (
+            F.max(F.when(F.col(variant_col) == 1, F.col("__m")))
+            - F.max(F.when(F.col(variant_col) == 0, F.col("__m")))
+        ).alias("__lift")
+    )
+    point = user_values.groupBy(variant_col).agg(
+        F.avg(value_col).alias("__m")
+    ).agg(
+        (
+            F.max(F.when(F.col(variant_col) == 1, F.col("__m")))
+            - F.max(F.when(F.col(variant_col) == 0, F.col("__m")))
+        ).alias("__point")
+    )
+    ci = lifts.agg(
+        F.expr("percentile(__lift, 0.025)").alias("__lo"),
+        F.expr("percentile(__lift, 0.975)").alias("__hi"),
+    )
+    return ci.join(F.broadcast(point)).select(
+        F.lit(n_reps).cast("int").alias("n_reps"),
+        round_half_up(F.col("__point"), 4).alias("point_lift"),
+        round_half_up(F.col("__lo"), 4).alias("ci_lo"),
+        round_half_up(F.col("__hi"), 4).alias("ci_hi"),
+    )

@@ -6902,3 +6902,25 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+@_register("events_ab_bootstrap")  # rows-only (hash-driven resampling)
+def events_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the A/B revenue-per-user lift
+    (analytics.poisson_bootstrap_lift, B=100) — the resampling scheme
+    that scales: per-(user, replicate) Poisson(1) weights from
+    deterministic hashes instead of B materialized resamples; the
+    only fanout is ×B on the already-aggregated user grain.
+    Companion to events_ab_test's closed-form Welch z. Rows-only:
+    hash-driven weights are engine-specific; determinism, the
+    bracket/width sanity vs the Welch interval, and a collapsed-CI
+    degenerate case are pytest-pinned."""
+    events = _t(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        round_half_up(F.sum("value"), 2).alias("user_value")
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "user_value",
+    )
+    return analytics.poisson_bootstrap_lift(u, n_reps=100)

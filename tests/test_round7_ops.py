@@ -1076,3 +1076,34 @@ def test_ab_test_welch_z_hand_frame(spark, tmp_path):
     assert r["abs_lift"] == 25.0
     want_z = 25.0 / math.sqrt(50.0 / 2 + 200.0 / 2)
     assert abs(r["z_score"] - round(want_z, 4)) < 1e-9
+
+
+def test_ab_bootstrap_brackets_point_and_is_deterministic(spark, sf_small):
+    import math
+
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    [a] = QUERIES["events_ab_bootstrap"](spark, sf_small).collect()
+    [b] = QUERIES["events_ab_bootstrap"](spark, sf_small).collect()
+    assert tuple(a) == tuple(b)
+    assert a["ci_lo"] <= a["point_lift"] <= a["ci_hi"]
+    width = a["ci_hi"] - a["ci_lo"]
+    assert width > 0
+    # order-of-magnitude agreement with the closed-form Welch interval
+    [w] = QUERIES["events_ab_test"](spark, sf_small).collect()
+    welch_half = abs(w["abs_lift"] / w["z_score"]) * 1.96
+    assert 0.25 * welch_half <= width / 2 <= 4 * welch_half
+
+
+def test_ab_bootstrap_constant_values_collapse_ci(spark):
+    from b2b_data_pipeline_indiamart_spark.operators.analytics import (
+        poisson_bootstrap_lift,
+    )
+
+    u = spark.createDataFrame(
+        [(i, i % 2, 10.0) for i in range(40)],
+        "user_id long, variant int, user_value double",
+    )
+    [r] = poisson_bootstrap_lift(u, n_reps=50).collect()
+    # identical values in both arms: every resample's lift is exactly 0
+    assert (r["point_lift"], r["ci_lo"], r["ci_hi"]) == (0.0, 0.0, 0.0)
