@@ -1687,3 +1687,66 @@ def cluster_label_purity(
             ),
         )
     )
+
+
+def ood_scores(
+    emb: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding out-of-distribution / drift monitor: each vector's
+    distance (1 − cosine) to its assigned k-means centroid, z-scored
+    over the corpus — the health check that catches a shifted
+    embedding batch (new encoder version, corrupted upstream, novel
+    domain) before it poisons ANN indexes and dedup thresholds.
+
+    Scale shape: training/assignment are the shared IVF machinery
+    (driver-sample-capped seeded k-means + map-only broadcast-centroid
+    assignment); the assigned centroid joins back from a
+    ``n_clusters``-row broadcast table, the distance is a pure
+    Catalyst expression, and the z normalization folds the corpus
+    mean/stddev in as a one-row broadcast. Distances rounded 4dp
+    BEFORE the moment aggregates so the z is engine-stable across
+    re-runs.
+
+    Output: (id_col, cell, dist 4dp, z 4dp). Rows-only (k-means);
+    determinism and a planted-outlier pin are pytest-checked.
+    """
+    from . import caching
+
+    spark = emb.sparkSession
+    centroids = kmeans_centroids(
+        emb, dim, n_cells=n_clusters, vec_col=vec_col, seed=seed
+    )
+    assigned = ivf_assign(
+        emb, centroids, vec_col=vec_col, id_col=id_col, out_id="__oid"
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, __c array<double>",
+    )
+    d = caching.persist_tracked(
+        assigned.join(F.broadcast(cent_df), "cell").select(
+            F.col("__oid").alias(id_col),
+            "cell",
+            round_half_up(
+                F.lit(1.0) - cosine(F.col("v"), F.col("__c")), 4
+            ).alias("dist"),
+        )
+    )
+    mom = d.agg(
+        F.avg("dist").alias("__mu"), F.stddev_samp("dist").alias("__sd")
+    )
+    return d.join(F.broadcast(mom)).select(
+        id_col,
+        "cell",
+        "dist",
+        round_half_up(
+            (F.col("dist") - F.col("__mu"))
+            / F.when(F.col("__sd") > 0, F.col("__sd")),
+            4,
+        ).alias("z"),
+    )

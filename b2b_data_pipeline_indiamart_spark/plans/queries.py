@@ -6924,3 +6924,85 @@ def events_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_value",
     )
     return analytics.poisson_bootstrap_lift(u, n_reps=100)
+
+
+@_register(
+    "events_variant_type_chisq",
+    """
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant, event_type, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(o) AS n FROM u),
+    rowt AS (SELECT variant, sum(o) AS rn FROM u GROUP BY variant),
+    colt AS (SELECT event_type, sum(o) AS cn FROM u GROUP BY event_type),
+    e AS (
+      SELECT u.variant, u.event_type, u.o,
+             rowt.rn * colt.cn * 1.0 / tot.n AS exp
+      FROM u JOIN rowt USING (variant)
+             JOIN colt USING (event_type)
+             CROSS JOIN tot
+    )
+    SELECT round(sum((o - exp) * (o - exp) / exp), 4) AS chi2,
+           CAST((count(DISTINCT variant) - 1)
+                * (count(DISTINCT event_type) - 1) AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM e
+    """,
+)
+def events_variant_type_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is the event-type mix different
+    between experiment variants? (The categorical companion to the
+    Welch/bootstrap lift keys — sample-ratio-mismatch and behavioral-
+    shift detection in one statistic.)
+
+    Scale shape: ONE (variant × type) combining aggregate is the only
+    pass over the data; marginals and the grand total are rollups of
+    that tiny contingency table, expected counts a broadcast-joined
+    projection over ≤ variants × types rows, and the statistic one
+    final sum. chi2 rounded 4dp after the full expression."""
+    from ..operators import caching
+
+    events = _t(spark, sf_dir, "events")
+    u = events.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("o"))
+    u = caching.persist_tracked(u)
+    tot = u.agg(F.sum("o").alias("n"))
+    rowt = u.groupBy("variant").agg(F.sum("o").alias("rn"))
+    colt = u.groupBy("event_type").agg(F.sum("o").alias("cn"))
+    e = (
+        u.join(F.broadcast(rowt), "variant")
+        .join(F.broadcast(colt), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "variant",
+            "event_type",
+            "o",
+            (F.col("rn") * F.col("cn") / F.col("n")).alias("exp"),
+        )
+    )
+    return e.agg(
+        round_half_up(
+            F.sum((F.col("o") - F.col("exp")) ** 2 / F.col("exp")), 4
+        ).alias("chi2"),
+        (
+            (F.countDistinct("variant") - 1)
+            * (F.countDistinct("event_type") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+@_register("embedding_ood_scores")  # rows-only (k-means assignment)
+def embedding_ood_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OOD/drift monitor (similarity.ood_scores): distance
+    to the assigned k-means centroid, z-scored over the corpus — the
+    alarm for a shifted embedding batch before it poisons ANN indexes
+    and dedup thresholds. Rows-only: k-means isn't SQL-expressible;
+    determinism and a planted-outlier pin are pytest-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ood_scores(emb, dim=64, n_clusters=8).orderBy("vec_id")

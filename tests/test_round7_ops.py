@@ -1107,3 +1107,37 @@ def test_ab_bootstrap_constant_values_collapse_ci(spark):
     [r] = poisson_bootstrap_lift(u, n_reps=50).collect()
     # identical values in both arms: every resample's lift is exactly 0
     assert (r["point_lift"], r["ci_lo"], r["ci_hi"]) == (0.0, 0.0, 0.0)
+
+
+# ------------------------------------------------------------ OOD scores
+
+
+def test_ood_scores_deterministic_and_planted_outlier(spark):
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.similarity import (
+        ood_scores,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        v = np.zeros(8)
+        v[i % 2] = 10.0
+        v += rng.normal(0, 0.05, size=8)  # two tight blobs
+        rows.append((i, [float(x) for x in v]))
+    anti = [0.0] * 8
+    anti[5] = -7.0
+    anti[6] = 7.0  # far from both blobs
+    rows.append((999, anti))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(tuple(r) for r in ood_scores(emb, dim=8, n_clusters=2).collect())
+    b = sorted(tuple(r) for r in ood_scores(emb, dim=8, n_clusters=2).collect())
+    caching.release_cached()
+    assert a == b and len(a) == 61
+    by_id = {r[0]: r for r in a}
+    top = max(a, key=lambda r: r[3])
+    assert top[0] == 999  # the planted outlier has the max z
+    assert by_id[999][3] > 3.0
+    # blob members sit near their centroid: small distance
+    assert all(by_id[i][2] < 0.05 for i in range(60))
