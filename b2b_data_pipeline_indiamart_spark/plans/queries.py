@@ -7006,3 +7006,120 @@ def embedding_ood_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism and a planted-outlier pin are pytest-checked."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ood_scores(emb, dim=64, n_clusters=8).orderBy("vec_id")
+
+
+@_register(
+    "events_mannwhitney",
+    """
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT variant, v,
+             row_number() OVER (ORDER BY v ASC, variant ASC,
+                                random()) AS rn
+      FROM u
+    ),
+    mid AS (SELECT v, avg(rn) AS midrank, count(*) AS t
+            FROM r GROUP BY v),
+    j AS (SELECT u.variant, mid.midrank, mid.t
+          FROM u JOIN mid ON u.v = mid.v),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        sum(CASE WHEN variant = 1 THEN midrank ELSE 0 END) AS r1
+      FROM j
+    ),
+    ties AS (SELECT sum(t * t * t - t) AS tt FROM mid),
+    f AS (
+      SELECT n0, n1, r1, n0 + n1 AS n, tt FROM s CROSS JOIN ties
+    )
+    SELECT n0 AS control_users, n1 AS treatment_users,
+           round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n0 * n1 / 2.0)
+                 / sqrt(n0 * n1 / 12.0
+                        * ((n + 1) - tt / (n * (n - 1.0)))), 4) AS z_score
+    FROM f
+    """,
+)
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test on revenue-per-user between the
+    experiment variants — the NONPARAMETRIC leg of the testing family
+    (Welch assumes finite variance behaves; heavy-tailed revenue often
+    doesn't). Midranks handle ties; the variance carries the standard
+    tie correction.
+
+    Scale shape — the reason this key exists: ranks come from
+    ranking.global_cumsum on the DISTINCT-VALUE grain, not a global
+    window. Per-value counts (one combining aggregate) cumsum in value
+    order; midrank = cum_before + (t+1)/2 — an O(distinct values)
+    prefix scan with broadcast offsets, joined back to the user grain.
+    The oracle's row_number()+avg formulation is the single-reducer
+    statement of the same midranks (its random() tie-break inside a
+    value group is averaged away by construction). Values rounded 2dp
+    BEFORE ranking so tie GROUPS are engine-identical."""
+    from ..operators import caching
+    from ..operators.ranking import global_cumsum
+
+    events = _t(spark, sf_dir, "events")
+    u = caching.persist_tracked(
+        events.groupBy("user_id")
+        .agg(round_half_up(F.sum("value"), 2).alias("v"))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "v"
+        )
+    )
+    per_v = u.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    cum = global_cumsum(per_v, [F.col("v").asc()], "t", "cum")
+    mid = cum.select(
+        "v",
+        "t",
+        (F.col("cum") - F.col("t") + (F.col("t") + 1) / 2.0).alias(
+            "midrank"
+        ),
+    )
+    j = u.join(mid, "v")
+    s = j.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("midrank")).otherwise(0.0)
+        ).alias("r1"),
+    )
+    ties = mid.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tt")
+    )
+    f = s.crossJoin(F.broadcast(ties)).select(
+        "n0", "n1", "r1", (F.col("n0") + F.col("n1")).alias("n"), "tt"
+    )
+    return f.select(
+        F.col("n0").alias("control_users"),
+        F.col("n1").alias("treatment_users"),
+        round_half_up(
+            F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0, 2
+        ).alias("u_stat"),
+        round_half_up(
+            (
+                F.col("r1")
+                - F.col("n1") * (F.col("n1") + 1) / 2.0
+                - F.col("n0") * F.col("n1") / 2.0
+            )
+            / F.sqrt(
+                F.col("n0")
+                * F.col("n1")
+                / 12.0
+                * (
+                    (F.col("n") + 1)
+                    - F.col("tt") / (F.col("n") * (F.col("n") - 1.0))
+                )
+            ),
+            4,
+        ).alias("z_score"),
+    )

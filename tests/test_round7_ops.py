@@ -1141,3 +1141,45 @@ def test_ood_scores_deterministic_and_planted_outlier(spark):
     assert by_id[999][3] > 3.0
     # blob members sit near their centroid: small distance
     assert all(by_id[i][2] < 0.05 for i in range(60))
+
+
+def test_mannwhitney_hand_reference(spark, tmp_path):
+    """U and tie-corrected z pinned against a pure-Python midrank
+    computation on a frame WITH ties across variants."""
+    import math
+    import os
+
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    # users 0..7 alternate variants; values planted with cross-variant ties
+    vals = {0: 5.0, 2: 7.0, 4: 7.0, 6: 12.0,   # variant 0
+            1: 7.0, 3: 9.0, 5: 12.0, 7: 15.0}  # variant 1
+    rows = []
+    for i, (uid, v) in enumerate(sorted(vals.items())):
+        rows.append((i, "2026-01-01T10:00:00", uid, "view", v, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr("event_id", "to_timestamp(ts_s) AS ts", "user_id",
+                 "event_type", "value", "props")
+    d = str(tmp_path)
+    events.write.parquet(os.path.join(d, "events.parquet"))
+    [r] = QUERIES["events_mannwhitney"](spark, d).collect()
+
+    # reference: midranks over sorted values
+    allv = sorted(vals.values())
+    def midrank(v):
+        idx = [i + 1 for i, x in enumerate(allv) if x == v]
+        return sum(idx) / len(idx)
+    r1 = sum(midrank(v) for u, v in vals.items() if u % 2 == 1)
+    n0 = n1 = 4
+    n = 8
+    u_stat = r1 - n1 * (n1 + 1) / 2.0
+    from collections import Counter
+    tt = sum(t**3 - t for t in Counter(allv).values())
+    var = n0 * n1 / 12.0 * ((n + 1) - tt / (n * (n - 1.0)))
+    z = (u_stat - n0 * n1 / 2.0) / math.sqrt(var)
+    assert (r["control_users"], r["treatment_users"]) == (4, 4)
+    assert r["u_stat"] == round(u_stat, 2)
+    assert abs(r["z_score"] - round(z, 4)) < 1e-9
