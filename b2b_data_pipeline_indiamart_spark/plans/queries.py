@@ -7123,3 +7123,158 @@ def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+@_register(
+    "events_ab_cuped",
+    """
+    WITH span AS (
+      SELECT epoch_ms(min(ts)) AS lo,
+             (epoch_ms(min(ts)) + epoch_ms(max(ts))) / 2 AS mid
+      FROM events
+    ),
+    u AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             round(sum(CASE WHEN epoch_ms(ts) < mid THEN value
+                            ELSE 0 END), 2) AS pre,
+             round(sum(CASE WHEN epoch_ms(ts) >= mid THEN value
+                            ELSE 0 END), 2) AS post
+      FROM events CROSS JOIN span GROUP BY user_id
+    ),
+    th AS (
+      SELECT covar_samp(pre, post) / var_samp(pre) AS theta,
+             avg(pre) AS mu_pre, var_samp(post) AS var_post
+      FROM u
+    ),
+    adj AS (
+      SELECT variant, post, post - theta * (pre - mu_pre) AS y,
+             var_post, theta
+      FROM u CROSS JOIN th
+    ),
+    v AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             avg(y) AS m, var_samp(y) AS s,
+             max(var_post) AS var_post, max(theta) AS theta
+      FROM adj GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             max(CASE WHEN variant = 0 THEN m END) AS m0,
+             max(CASE WHEN variant = 0 THEN s END) AS s0,
+             max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             max(CASE WHEN variant = 1 THEN m END) AS m1,
+             max(CASE WHEN variant = 1 THEN s END) AS s1,
+             max(var_post) AS var_post,
+             max(theta) AS theta,
+             (sum(n_users * s) / sum(CAST(n_users AS DOUBLE)))
+               AS pooled_var_adj
+      FROM v
+    )
+    SELECT n0 AS control_users, n1 AS treatment_users,
+           round(theta, 4) AS theta,
+           round(m1 - m0, 4) AS adjusted_lift,
+           round((m1 - m0) / sqrt(s0 / n0 + s1 / n1), 4) AS z_score,
+           round(1.0 - pooled_var_adj / var_post, 4) AS var_reduction
+    FROM wide
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the A/B lift:
+    adjust each user's post-period revenue by their PRE-period
+    revenue — y = post − θ·(pre − mean(pre)), θ = cov(pre,post)/
+    var(pre) — then run the Welch z on the adjusted metric. The
+    pre/post split is the calendar midpoint of the event span (a
+    stand-in for the experiment-start timestamp a real platform
+    supplies); var_reduction reports how much metric variance the
+    covariate removed (θ²·corr² in expectation).
+
+    Scale shape: ONE user-grain combining aggregate builds (pre,
+    post); θ/μ/var are a one-row broadcast; the adjustment is map-only
+    arithmetic; the test is the same 2-row rollup + 1-row closed form
+    as events_ab_test. Pre/post sums rounded 2dp before the moment
+    aggregates (engine-identical inputs), statistics rounded after
+    the full expressions."""
+    events = _t(spark, sf_dir, "events")
+    span = events.agg(
+        ((F.unix_millis(F.min("ts")) + F.unix_millis(F.max("ts"))) / 2).alias(
+            "mid"
+        )
+    )
+    u = (
+        events.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            round_half_up(
+                F.sum(
+                    F.when(
+                        F.unix_millis("ts") < F.col("mid"), F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("pre"),
+            round_half_up(
+                F.sum(
+                    F.when(
+                        F.unix_millis("ts") >= F.col("mid"), F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("post"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "pre",
+            "post",
+        )
+    )
+    from ..operators import caching
+
+    u = caching.persist_tracked(u)
+    th = u.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("mu_pre"),
+        F.var_samp("post").alias("var_post"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "variant",
+        (
+            F.col("post") - F.col("theta") * (F.col("pre") - F.col("mu_pre"))
+        ).alias("y"),
+        "var_post",
+        "theta",
+    )
+    v = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("s"),
+        F.max("var_post").alias("var_post"),
+        F.max("theta").alias("theta"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("s1"),
+        F.max("var_post").alias("var_post"),
+        F.max("theta").alias("theta"),
+        (
+            F.sum(F.col("n_users") * F.col("s"))
+            / F.sum(F.col("n_users").cast("double"))
+        ).alias("pooled_var_adj"),
+    )
+    return wide.select(
+        F.col("n0").alias("control_users"),
+        F.col("n1").alias("treatment_users"),
+        round_half_up(F.col("theta"), 4).alias("theta"),
+        round_half_up(F.col("m1") - F.col("m0"), 4).alias("adjusted_lift"),
+        round_half_up(
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("s0") / F.col("n0") + F.col("s1") / F.col("n1")),
+            4,
+        ).alias("z_score"),
+        round_half_up(
+            1.0 - F.col("pooled_var_adj") / F.col("var_post"), 4
+        ).alias("var_reduction"),
+    )

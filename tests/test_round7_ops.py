@@ -1183,3 +1183,38 @@ def test_mannwhitney_hand_reference(spark, tmp_path):
     assert (r["control_users"], r["treatment_users"]) == (4, 4)
     assert r["u_stat"] == round(u_stat, 2)
     assert abs(r["z_score"] - round(z, 4)) < 1e-9
+
+
+def test_cuped_reduces_variance_and_keeps_planted_effect(spark, tmp_path):
+    """CUPED on a corpus where pre-period strongly predicts post:
+    theta ~ 1, variance reduction substantial, and the planted +5.0
+    treatment effect survives adjustment (CUPED is unbiased)."""
+    import os
+    import random
+
+    from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+    rng = random.Random(7)
+    rows, eid = [], 0
+    for uid in range(200):
+        base = rng.uniform(10, 100)          # user-level propensity
+        effect = 5.0 if uid % 2 == 1 else 0.0
+        # pre event (day 1) and post event (day 9); span mid = day 5
+        rows.append((eid, "2026-01-01T00:00:00", uid, "view",
+                     round(base + rng.uniform(-1, 1), 2), "{}")); eid += 1
+        rows.append((eid, "2026-01-09T00:00:00", uid, "view",
+                     round(base + effect + rng.uniform(-1, 1), 2), "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr("event_id", "to_timestamp(ts_s) AS ts", "user_id",
+                 "event_type", "value", "props")
+    d = str(tmp_path)
+    events.write.parquet(os.path.join(d, "events.parquet"))
+    [r] = QUERIES["events_ab_cuped"](spark, d).collect()
+    assert (r["control_users"], r["treatment_users"]) == (100, 100)
+    assert 0.9 <= r["theta"] <= 1.1            # pre ~ post slope ~ 1
+    assert r["var_reduction"] > 0.9            # base variance removed
+    assert abs(r["adjusted_lift"] - 5.0) < 0.5  # unbiased effect
+    assert r["z_score"] > 10                   # tiny residual noise
