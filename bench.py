@@ -107,6 +107,11 @@ EXTENDED_KEYS = [
     "embedding_cluster_purity",
     "corpus_prep_semantic",
     "docs_bpe_tokenize",
+    # experimentation family members with real fanout/scan cost (the
+    # 1-row Welch/chi-square keys are covered by correctness runs)
+    "events_ab_bootstrap",
+    "events_mannwhitney",
+    "events_ab_cuped",
 ]
 
 
