@@ -169,14 +169,19 @@ def _pagerank_loop(
     nodes.unpersist()  # folded into the ranks frame now
     dangling = (row["dm"] or 0.0) / n_nodes
     # frontier size gate: below the cap the per-iteration share table
-    # (≤ n_nodes rows of (long, double) ≈ 24 B/row) BROADCASTS into the
+    # (≤ n_nodes rows of (long, double)) BROADCASTS into the
     # contribution join, making it map-only over the cached edge
     # partitions — no sort, no exchange on either side; the groupBy(d)
-    # combine stays the iteration's single shuffle. Above the cap
-    # (≈120 MB at 5M nodes) the partitioning-aligned join takes over —
-    # that path's cost is the per-iteration sort of the edge side,
-    # which is the right trade once ranks no longer fit an executor.
-    broadcast_frontier = n_nodes <= 5_000_000
+    # combine stays the iteration's single shuffle. Cap at 2M nodes:
+    # the executor-side HashedRelation is several × the raw ~24 B/row
+    # (row + hash-map overhead), each iteration ships a FRESH
+    # broadcast, and stale ones are only reclaimed by the
+    # ContextCleaner after driver GC — so the worst transient cost is
+    # ~max_iter × relation size, which a 2M cap keeps in the
+    # low-hundreds-of-MB band at the default max_iter=20. Above the
+    # cap the partitioning-aligned join takes over — the right trade
+    # once ranks no longer fit comfortably per executor.
+    broadcast_frontier = n_nodes <= 2_000_000
     it = 0
     for it in range(1, max_iter + 1):
         shares = ranks.filter(F.col("deg").isNotNull()).select(

@@ -166,6 +166,10 @@ def expectations(
             continue
         elif kind == "fk":
             cols, ref_name, ref_cols = list(rule[2]), rule[3], list(rule[4])
+            # no forced broadcast: a dimension at warehouse scale would
+            # OOM the driver under an unconditional hint — the plain
+            # LEFT ANTI lets AQE broadcast exactly when the distinct
+            # key set is actually small
             ref = ref_tables[ref_name].select(
                 *[F.col(rc).alias(c) for c, rc in zip(cols, ref_cols)]
             ).distinct()
@@ -179,7 +183,7 @@ def expectations(
             orphans = (
                 df.filter(present)
                 .select(*cols)
-                .join(F.broadcast(ref), cols, "left_anti")
+                .join(ref, cols, "left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
                 .select(
                     F.lit(name).alias("rule"),
@@ -192,7 +196,12 @@ def expectations(
         else:
             raise ValueError(f"expectations: unknown rule kind {kind!r}")
         row_exprs.append(
-            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            # coalesce: F.sum over an EMPTY frame is NULL, and a clean-
+            # but-empty partition must report (0, passed=True), not
+            # (None, None) — same guard the unique branch carries
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(name)
         )
     if row_exprs:
         wide = df.agg(*row_exprs)

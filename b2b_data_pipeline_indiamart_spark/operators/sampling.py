@@ -247,14 +247,22 @@ def k_anonymity_report(
     them.
     """
     g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    # coalesce the sums: over an EMPTY frame they are NULL, and an
+    # empty (trivially safe) release must report zeros a gate can
+    # compare, not Nones
     return g.agg(
         F.lit(k).cast("int").alias("k"),
-        F.sum("__n").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("__n") < k, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_small_groups"),
-        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_risky_rows"),
     ).select(
@@ -263,9 +271,12 @@ def k_anonymity_report(
         "n_groups",
         "n_small_groups",
         "n_risky_rows",
-        round_half_up(F.col("n_risky_rows") / F.col("n_rows"), 4).alias(
-            "risky_row_share"
-        ),
+        F.when(
+            F.col("n_rows") > 0,
+            round_half_up(F.col("n_risky_rows") / F.col("n_rows"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("risky_row_share"),
     )
 
 

@@ -219,17 +219,23 @@ def upsert_partitions(
     with no Delta/Iceberg layer: a daily re-run replaces exactly its
     own date partitions, so late-arriving corrections reprocess one
     partition instead of rewriting the dataset, and a crashed job can
-    simply re-run. The conf is set on the WRITE's session scope and
-    restored after — static overwrite (wipe the whole path) remains
-    the default for full rebuilds via :func:`write_parquet`.
+    simply re-run. The dynamic mode rides as a per-write
+    DataFrameWriter option (thread-safe — never a session-conf
+    toggle); static overwrite (wipe the whole path) remains the
+    default for full rebuilds via :func:`write_parquet`.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-WRITE option, not the session conf: a session-global toggle
+    # races any concurrent write on the same SparkSession (another
+    # thread's overwrite between our set and restore would turn
+    # static and wipe untouched partitions — the exact failure this
+    # function exists to prevent). The DataFrameWriter option scopes
+    # the mode to this write alone.
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def write_clustered(
@@ -367,21 +373,45 @@ def compact_parquet(
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     src_path = jvm.org.apache.hadoop.fs.Path(path)
     fs = src_path.getFileSystem(hconf)
+    tmp = path.rstrip("/") + "_compacting"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    aside = path.rstrip("/") + "_pre_compact"
+    aside_path = jvm.org.apache.hadoop.fs.Path(aside)
+    # crash recovery FIRST: the swap below never deletes the only
+    # copy, so the invariant is "at least one complete copy exists at
+    # src, tmp, or aside". If a prior run died mid-swap, put it back.
+    if not fs.exists(src_path):
+        if fs.exists(tmp_path):
+            # died between rename(src→aside) and rename(tmp→src); the
+            # tmp copy was fully written before any rename started
+            fs.rename(tmp_path, src_path)
+        elif fs.exists(aside_path):
+            fs.rename(aside_path, src_path)
+        else:
+            raise IOError(f"compact_parquet: {path} does not exist")
     total = fs.getContentSummary(src_path).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(path)
-    tmp = path.rstrip("/") + "_compacting"
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(tmp_path):  # crashed prior run: its tmp is garbage
-        fs.delete(tmp_path, True)
+    # overwrite mode replaces any stale/partial tmp from a prior crash
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    fs.delete(src_path, True)
+    # swap sequence that keeps a complete copy reachable at every
+    # step: park the old tree aside, move the new one in, THEN drop
+    # the old. (The previous delete-then-rename left a window where
+    # the only copy sat at the tmp path — and a later run treated
+    # that tmp as garbage.)
+    if fs.exists(aside_path):  # superseded old data from a prior run
+        fs.delete(aside_path, True)
+    if not fs.rename(src_path, aside_path):
+        raise IOError(f"compact_parquet: could not park {path} aside")
     if not fs.rename(tmp_path, src_path):
+        # put the original back; nothing lost
+        fs.rename(aside_path, src_path)
         raise IOError(
             f"compact_parquet: rename {tmp} -> {path} failed; "
-            "data is intact at the _compacting path"
+            "original restored"
         )
+    fs.delete(aside_path, True)
     return n_files

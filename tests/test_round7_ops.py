@@ -1218,3 +1218,25 @@ def test_cuped_reduces_variance_and_keeps_planted_effect(spark, tmp_path):
     assert r["var_reduction"] > 0.9            # base variance removed
     assert abs(r["adjusted_lift"] - 5.0) < 0.5  # unbiased effect
     assert r["z_score"] > 10                   # tiny residual noise
+
+
+def test_expectations_and_k_anonymity_empty_frame_report_zeros(spark):
+    """Review fix pinned: aggregates over an EMPTY frame must report
+    (0, passed=True) / all-zero privacy stats, never NULLs a gate
+    would misread."""
+    from b2b_data_pipeline_indiamart_spark.operators.profiling import (
+        expectations,
+    )
+    from b2b_data_pipeline_indiamart_spark.operators.sampling import (
+        k_anonymity_report,
+    )
+
+    empty = spark.createDataFrame([], "k long, v double, c string")
+    out = {r["rule"]: (r["n_violations"], r["passed"]) for r in expectations(
+        empty,
+        [("v_pos", "positive", "v"), ("c_set", "in_set", "c", ["a"])],
+    ).collect()}
+    assert out == {"v_pos": (0, True), "c_set": (0, True)}
+    [r] = k_anonymity_report(empty, ["c"], k=5).collect()
+    assert (r["n_rows"], r["n_groups"], r["n_small_groups"],
+            r["n_risky_rows"], r["risky_row_share"]) == (0, 0, 0, 0, 0.0)

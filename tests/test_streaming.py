@@ -688,9 +688,16 @@ def test_incremental_rollup_maintains_partitioned_table(spark, tmp_path):
         read_event_stream(spark, str(src), max_files_per_trigger=1), out, ck
     )
     q.processAllAvailable()
-    # batch 2 adds a NEW hour and revises user activity inside 10:xx?
-    # (12:01 and 14:00 are new hours; the upsert must keep 10:xx/11:xx)
-    _write_events(src / "b2.json", BATCH2)
+    # batch 2 exercises BOTH upsert paths: 12:01/14:00 open NEW hour
+    # partitions (the untouched 10:xx/11:xx must survive the dynamic
+    # overwrite) and the 11:45 event REVISES the already-written
+    # 11:00 hour — it sits above the post-batch-1 watermark
+    # (11:30 − 15 min = 11:15), so the aggregate must change and the
+    # hour=11 partition must be rewritten, the operator's headline
+    # claim. (An event at/below 11:15 would be silently dropped and
+    # the test would assert nothing.)
+    revise = [("2026-01-01T11:45:00", 2, "buy", 7.0)]
+    _write_events(src / "b2.json", BATCH2 + revise)
     q.processAllAvailable()
     q.stop()
     got = {
@@ -698,7 +705,7 @@ def test_incremental_rollup_maintains_partitioned_table(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     all_events = spark.createDataFrame(
-        [(ts, uid, et, v) for ts, uid, et, v in BATCH1 + BATCH2],
+        [(ts, uid, et, v) for ts, uid, et, v in BATCH1 + BATCH2 + revise],
         "ts_s string, user_id long, event_type string, value double",
     ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
     want = {
