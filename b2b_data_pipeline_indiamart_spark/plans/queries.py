@@ -7278,3 +7278,76 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("pooled_var_adj") / F.col("var_post"), 4
         ).alias("var_reduction"),
     )
+
+
+@_register(
+    "experiment_report_e2e",
+    # composition oracle: all four test statistics are ALREADY
+    # registered oracles — embed them as CTEs and unpivot the
+    # interesting numbers into one tall (test, metric, value) report
+    None,  # filled in right below (needs ORACLE entries built above)
+)
+def experiment_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation FLAGSHIP composition: every statistic an
+    experiment readout page shows — Welch z on the raw metric, CUPED-
+    adjusted z + variance reduction, the Mann-Whitney nonparametric z,
+    and the chi-square SRM/behavior check — computed in ONE submission
+    and unpivoted to a tall (test, metric, value) report. Each leg is
+    the registered operator unchanged; the composition is a union of
+    four 1-row frames, so the whole report costs the four user-grain
+    aggregates and nothing more."""
+    welch = events_ab_test(spark, sf_dir).select(
+        F.lit("welch").alias("test"),
+        F.explode(
+            F.create_map(
+                F.lit("lift"), F.col("abs_lift"),
+                F.lit("z"), F.col("z_score"),
+            )
+        ).alias("metric", "value"),
+    )
+    cuped = events_ab_cuped(spark, sf_dir).select(
+        F.lit("cuped").alias("test"),
+        F.explode(
+            F.create_map(
+                F.lit("lift"), F.col("adjusted_lift"),
+                F.lit("z"), F.col("z_score"),
+                F.lit("var_reduction"), F.col("var_reduction"),
+            )
+        ).alias("metric", "value"),
+    )
+    mw = events_mannwhitney(spark, sf_dir).select(
+        F.lit("mannwhitney").alias("test"),
+        F.explode(
+            F.create_map(
+                F.lit("u"), F.col("u_stat"),
+                F.lit("z"), F.col("z_score"),
+            )
+        ).alias("metric", "value"),
+    )
+    chi = events_variant_type_chisq(spark, sf_dir).select(
+        F.lit("chisq").alias("test"),
+        F.explode(
+            F.create_map(
+                F.lit("chi2"), F.col("chi2"),
+                F.lit("dof"), F.col("dof").cast("double"),
+            )
+        ).alias("metric", "value"),
+    )
+    return welch.unionByName(cuped).unionByName(mw).unionByName(chi)
+
+
+ORACLE["experiment_report_e2e"] = f"""
+    WITH welch AS ({ORACLE["events_ab_test"]}),
+    cuped AS ({ORACLE["events_ab_cuped"]}),
+    mw AS ({ORACLE["events_mannwhitney"]}),
+    chi AS ({ORACLE["events_variant_type_chisq"]})
+    SELECT 'welch' AS test, 'lift' AS metric, abs_lift AS value FROM welch
+    UNION ALL SELECT 'welch', 'z', z_score FROM welch
+    UNION ALL SELECT 'cuped', 'lift', adjusted_lift FROM cuped
+    UNION ALL SELECT 'cuped', 'z', z_score FROM cuped
+    UNION ALL SELECT 'cuped', 'var_reduction', var_reduction FROM cuped
+    UNION ALL SELECT 'mannwhitney', 'u', u_stat FROM mw
+    UNION ALL SELECT 'mannwhitney', 'z', z_score FROM mw
+    UNION ALL SELECT 'chisq', 'chi2', chi2 FROM chi
+    UNION ALL SELECT 'chisq', 'dof', CAST(dof AS DOUBLE) FROM chi
+"""
