@@ -7351,3 +7351,56 @@ ORACLE["experiment_report_e2e"] = f"""
     UNION ALL SELECT 'chisq', 'chi2', chi2 FROM chi
     UNION ALL SELECT 'chisq', 'dof', CAST(dof AS DOUBLE) FROM chi
 """
+
+
+@_register(
+    "events_new_vs_returning",
+    """
+    WITH fu AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN day = first_day THEN 0 ELSE 1 END) AS BIGINT)
+             AS returning_users,
+           round(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS new_share
+    FROM du JOIN fu USING (user_id)
+    GROUP BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split — the growth dashboard's first
+    chart: per day, active users, users seen for the FIRST time, the
+    returning remainder, and the new-user share.
+
+    Scale shape: first-seen day is one user-grain combining aggregate;
+    the (day, user) activity grain is one distinct; the classifying
+    join is user-keyed (both sides already hash on user_id) and the
+    rollup is calendar-bounded. No windows."""
+    events = _t(spark, sf_dir, "events")
+    fu = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    du = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    new_flag = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        du.join(fu, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(new_flag).cast("long").alias("new_users"),
+            F.sum(1 - new_flag).cast("long").alias("returning_users"),
+            round_half_up(F.sum(new_flag) / F.count(F.lit(1)), 4).alias(
+                "new_share"
+            ),
+        )
+    )
