@@ -7404,3 +7404,45 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "lineitem_discount_sensitivity",
+    """
+    SELECT CAST(round(l_discount * 100) AS INT) AS discount_pct,
+           CASE WHEN l_quantity < 10 THEN 'qty_00_09'
+                WHEN l_quantity < 25 THEN 'qty_10_24'
+                ELSE 'qty_25_up' END AS qty_band,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * l_discount), 2) AS discount_given,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def lineitem_discount_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount sensitivity matrix — the what-if exploration behind
+    TPC-H Q6: discount given and net revenue per (discount %, quantity
+    band) cell, the grid a pricing analyst scans before moving a
+    discount threshold. ONE combining aggregate to a bounded
+    (11 × 3)-cell grain, full scan stays in whole-stage codegen;
+    discount_pct via round(×100) so float discounts land on exact
+    integer cells on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_band = (
+        F.when(F.col("l_quantity") < 10, "qty_00_09")
+        .when(F.col("l_quantity") < 25, "qty_10_24")
+        .otherwise("qty_25_up")
+    )
+    return li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct"),
+        qty_band.alias("qty_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("discount_given"),
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("net_revenue"),
+    )
