@@ -26,10 +26,28 @@ TABLES = (
     "embeddings",
 )
 
-# Tables small enough (bounded by SF * ~200k rows) to broadcast in joins.
+# Tables joined on the dim side of star joins. region/nation are FIXED
+# size (5 / 25 rows at every SF) and may always broadcast; customer /
+# supplier / part are SF-PROPORTIONAL (SF·150k / SF·10k / SF·200k rows)
+# and must only broadcast behind the size gate below — at the 100 TB
+# target (~SF 100k) customer alone is ~15 B rows, and a forced
+# ``F.broadcast()`` hint overrides both autoBroadcastJoinThreshold and
+# AQE, turning "slower shuffle join" into "guaranteed executor OOM".
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+FIXED_DIM_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# On-disk cap for the size-gated broadcast hint. Spark's own planner
+# stat for a parquet scan is the file footprint (fileCompressionFactor
+# defaults to 1.0), so gating the HINT at the same number the session
+# uses for spark.sql.autoBroadcastJoinThreshold keeps hinted and
+# unhinted plans consistent: under the cap the hint merely documents
+# intent; over it the hint disappears and threshold + AQE pick the
+# join — shuffle on the key is the scale-safe default.
+BROADCAST_CAP_BYTES = 64 << 20
+
+_disk_bytes_cache: dict[str, int] = {}
 
 
 def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
@@ -53,6 +71,55 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         return _load_events(spark, path)
     return spark.read.parquet(path)
+
+
+def table_disk_bytes(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """On-disk footprint of ``<sf_dir>/<table>.parquet``, via the Hadoop
+    FileSystem API (metadata only — no Spark job; works on any
+    supported URI, same contract as compact_parquet / the streaming
+    epoch ledger). Cached per path: the testdata is immutable for a
+    session, and the cache keeps the gate free on the 185-key registry
+    where the same dims load thousands of times."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    cached = _disk_bytes_cache.get(path)
+    if cached is not None:
+        return cached
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    size = int(fs.getContentSummary(jpath).getLength())
+    _disk_bytes_cache[path] = size
+    return size
+
+
+def gate_broadcast(
+    df: DataFrame, spark: SparkSession, sf_dir: str, base_table: str
+) -> DataFrame:
+    """Size-gated broadcast hint for a frame whose row count is bounded
+    by ``base_table`` (the frame may filter / project / dim-join the
+    base, never fact-join it, so the base's footprint is an upper
+    bound). Under ``BROADCAST_CAP_BYTES`` the hint is applied — at
+    bench SFs this reproduces the designed broadcast plans exactly;
+    over the cap the frame is returned unhinted and the 64 MB
+    threshold + AQE decide, which at the 100 TB target means a shuffle
+    join on the key instead of an executor-OOM broadcast. The gate is
+    a filesystem-metadata read, not a count job — the same "cheap
+    size gate, scale-safe fallback" pattern as PageRank's 2M-node
+    broadcast-frontier cap (operators/graph.py)."""
+    if (
+        base_table in FIXED_DIM_TABLES
+        or table_disk_bytes(spark, sf_dir, base_table) <= BROADCAST_CAP_BYTES
+    ):
+        from pyspark.sql import functions as F
+
+        return F.broadcast(df)
+    return df
+
+
+def load_dim(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``load`` + size-gated broadcast hint (see ``gate_broadcast``)."""
+    return gate_broadcast(load(spark, sf_dir, table), spark, sf_dir, table)
 
 
 def _right_size_shuffle(spark: SparkSession) -> None:

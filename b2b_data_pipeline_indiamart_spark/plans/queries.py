@@ -15,9 +15,17 @@ correctness gate). Conventions that make the hash-compare stable:
   1-ulp difference in the interpolated percentile cannot move a row
   across the cut line.
 
-Scale notes live with each query; dimension tables are explicitly
-``broadcast()`` (also caught by autoBroadcastJoinThreshold, but the
-hint documents intent and survives a conservative cluster config).
+Scale notes live with each query. Broadcast-hint policy: region/nation
+(fixed 5/25 rows at every SF) carry an explicit ``F.broadcast`` —
+the hint documents intent and survives a conservative cluster config —
+as do one-row/bounded aggregate frames (thresholds, totals, top-k).
+The SF-PROPORTIONAL tables (customer SF·150k, supplier SF·10k, part
+SF·200k) are NEVER force-broadcast: they go through the size-gated
+``_dim`` / ``_gb`` helpers (catalog.gate_broadcast), which apply the
+hint only while the base table's on-disk footprint is under the 64 MB
+cap and otherwise leave the join to autoBroadcastJoinThreshold + AQE —
+at the 100 TB target that means a shuffle join on the key instead of a
+forced executor-OOM broadcast.
 """
 
 from __future__ import annotations
@@ -70,6 +78,27 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Fact-side load: adaptive scan-parallelism (catalog.load_parallel)
     for plans with heavy per-row work between scan and first shuffle."""
     return catalog.load_parallel(spark, sf_dir, name)
+
+
+def _dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Dim-side load with a SIZE-GATED broadcast hint
+    (catalog.load_dim): region/nation are fixed-size and always
+    hinted; customer/supplier/part are SF-proportional, so the hint
+    applies only while the on-disk footprint is under the 64 MB cap —
+    at the 100 TB target they fall back to threshold + AQE (shuffle
+    join on the key) instead of a forced executor-OOM broadcast."""
+    return catalog.load_dim(spark, sf_dir, name)
+
+
+def _gb(df: DataFrame, spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """Size-gated broadcast hint for a frame bounded by base table
+    ``base`` (catalog.gate_broadcast) — for filtered / projected /
+    dim-joined dim frames, whose row count a filter only shrinks but
+    whose SF-proportionality a filter does NOT remove (q3's 1/5
+    segment cut or q7's 2/25 nation cut is still ~billions of rows at
+    SF 100k, so the gate keys on the base footprint, not on 'was
+    filtered')."""
+    return catalog.gate_broadcast(df, spark, sf_dir, base)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,8 +448,8 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins broadcast every dim; dedup shuffles once on the dedup key;
     the final rollup is a low-cardinality aggregate."""
     li = _tp(spark, sf_dir, "lineitem")
-    part = F.broadcast(_t(spark, sf_dir, "part"))
-    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    part = _dim(spark, sf_dir, "part")
+    supp = _dim(spark, sf_dir, "supplier")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
     listing = (
@@ -723,7 +752,7 @@ def price_rating_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson corr(rating, price) (EDA_INSIGHTS.md). 4dp rounding
     absorbs one-pass vs two-pass float noise between engines."""
     orders = _t(spark, sf_dir, "orders")
-    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    cust = _dim(spark, sf_dir, "customer")
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .agg(
@@ -800,7 +829,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style 3-way join + agg + top-k.
 
-    customer (filtered, broadcast) ⋈ orders ⋈ lineitem: the only big
+    customer (filtered, size-gated broadcast: hinted at bench SFs,
+    shuffle-joined on custkey past the 64 MB cap — the segment cut is
+    1/5 and still SF-proportional) ⋈ orders ⋈ lineitem: the only big
     shuffle is orders⋈lineitem on orderkey; both date predicates push
     to the parquet scans; top-10 is TakeOrderedAndProject.
     """
@@ -814,7 +845,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_gb(cust, spark, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(round_half_up(F.sum(revenue), 2).alias("revenue"))
         .select(
@@ -847,17 +878,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style 6-way star join.
 
-    One fact-fact shuffle (orders⋈lineitem on orderkey); customer,
-    supplier, nation, region all broadcast — at 100 TB the dims stay
-    ≤ GBs while the facts never reshuffle after the orderkey join.
+    One fact-fact shuffle (orders⋈lineitem on orderkey); nation and
+    region are fixed-size broadcasts; customer and supplier are
+    SF-proportional, so their hints are size-gated — broadcast at
+    bench SFs, shuffle join on the key at 100 TB where customer alone
+    is ~15 B rows and a forced broadcast would OOM executors.
     """
-    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    cust = _dim(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    supp = _dim(spark, sf_dir, "supplier")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -3580,8 +3613,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gb(cust, spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gb(supp, spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -3717,7 +3750,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_gb(part, spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
             round_half_up(100.0 * F.sum(promo) / F.sum(disc), 2).alias(
@@ -3833,7 +3866,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_gb(part, spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .filter(b)
         .agg(
             round_half_up(
@@ -4158,7 +4191,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__m"))
-        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(_gb(supp, spark, sf_dir, "supplier"), F.col("suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -4327,7 +4360,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     lb = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(part_b), F.col("l_partkey") == F.col("p_partkey")
+        _gb(part_b, spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey")
     )
     th = lb.groupBy(F.col("l_partkey").alias("pk")).agg(
         round_half_up(0.2 * F.avg("l_quantity"), 2).alias("cut")
@@ -4688,9 +4721,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat2 = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_gb(cust, spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gb(supp, spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gb(part, spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             round_half_up(F.sum(nat2) / F.sum(vol), 4).alias("mkt_share"),
@@ -4794,7 +4827,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per.filter((F.col("__ns") >= 2) & (F.col("__nl") == 1))
-        .join(F.broadcast(supp), F.col("__late_supp") == F.col("s_suppkey"))
+        .join(_gb(supp, spark, sf_dir, "supplier"), F.col("__late_supp") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), F.col("s_suppkey").asc())
@@ -5032,7 +5065,7 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     rev = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(_gb(supp, spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__r")
@@ -5412,7 +5445,7 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", F.datediff("l_shipdate", "o_orderdate").alias("lag")
     )
     return (
-        j.join(F.broadcast(supp), j["l_suppkey"] == supp["s_suppkey"])
+        j.join(_gb(supp, spark, sf_dir, "supplier"), j["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
@@ -5460,7 +5493,7 @@ def customer_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap"),
     ).filter(F.col("gap").isNotNull())
     return (
-        g.join(F.broadcast(cust), g["o_custkey"] == cust["c_custkey"])
+        g.join(_gb(cust, spark, sf_dir, "customer"), g["o_custkey"] == cust["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_gaps"),
@@ -5508,7 +5541,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     sell = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(_gb(supp, spark, sf_dir, "supplier"), li["l_suppkey"] == supp["s_suppkey"])
         .groupBy(F.col("s_nationkey").alias("nk"))
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -5517,7 +5550,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     buy = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(_gb(cust, spark, sf_dir, "customer"), orders["o_custkey"] == cust["c_custkey"])
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(F.sum("o_totalprice").alias("buy_spend"))
     )
@@ -5574,7 +5607,7 @@ def supplier_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue")
     )
     j = rev.join(
-        F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"]
+        _gb(supp, spark, sf_dir, "supplier"), rev["l_suppkey"] == supp["s_suppkey"]
     ).join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
     w = Window.partitionBy("n_name").orderBy("revenue", "s_suppkey")
     return j.select(
@@ -6202,8 +6235,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     j = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(_gb(part, spark, sf_dir, "part"), li["l_partkey"] == part["p_partkey"])
+        .join(_gb(supp, spark, sf_dir, "supplier"), li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
     )
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
@@ -6253,9 +6286,9 @@ def q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     j = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(_gb(part, spark, sf_dir, "part"), li["l_partkey"] == part["p_partkey"])
         .join(
-            F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
+            _gb(bad, spark, sf_dir, "supplier"), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
         )
     )
     return j.groupBy("p_brand", "p_type", "p_size").agg(
