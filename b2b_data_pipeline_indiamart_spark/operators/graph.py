@@ -57,6 +57,20 @@ def pagerank(
     back onto the node spine so zero-in-degree nodes keep receiving
     the teleport term. Dangling mass and the convergence delta are
     one-row aggregates collected as loop control.
+
+    Concurrency contract: the loop pins ``spark.sql.shuffle.partitions``
+    (and, on small graphs, ``spark.sql.adaptive.enabled``) for its
+    duration — Spark has no per-query equivalent of these two (unlike
+    ``partitionOverwriteMode``, which upsert_partitions scopes per
+    write), and the pin is what lets EnsureRequirements elide the
+    per-iteration join exchanges against the p-partitioned caches. Both
+    confs are restored on exit (to UNSET if they were unset — a
+    previously default-derived value stays default-derived), but while
+    the loop runs, OTHER queries submitted concurrently on the same
+    SparkSession will plan under the loop's values: run pagerank on a
+    session it has to itself (a per-job session via
+    ``SparkSession.newSession()`` shares the cluster but isolates
+    session confs).
     """
     # node id typing: cast integer-family ids to long (8-byte shuffle
     # keys), but NEVER cast arbitrary ids — cast('long') on a string id
@@ -93,8 +107,14 @@ def pagerank(
     n_edges = e.count()
     p = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
                    n_edges // 50_000 + 2))
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    # snapshot the confs as SET-OR-UNSET, not as resolved values: a
+    # conf the user never touched resolves to a DERIVED default (AQE
+    # true; shuffle width from the session builder / cluster manager),
+    # and writing that resolved value back on exit would PIN what was
+    # previously floating. Restore means: set back what was set, unset
+    # what was unset.
+    prev_aqe = _conf_snapshot(spark, "spark.sql.adaptive.enabled")
+    prev_sp = _conf_snapshot(spark, "spark.sql.shuffle.partitions")
     if n_edges < 1_000_000:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     # pin the session shuffle width to the loop's own p: every exchange
@@ -102,15 +122,34 @@ def pagerank(
     # distinct) then lands hash(key, p), which is exactly the
     # partitioning of the persisted edge/rank frames — so
     # EnsureRequirements elides the join exchanges instead of
-    # re-shuffling a p-partitioned cache into a differently-sized join
+    # re-shuffling a p-partitioned cache into a differently-sized join.
+    # Session-scoped by necessity (see the docstring's concurrency
+    # contract): Spark exposes no per-query handle for these two.
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         return _pagerank_loop(
             e, p, damping, tol, max_iter
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        _conf_restore(spark, "spark.sql.adaptive.enabled", prev_aqe)
+        _conf_restore(spark, "spark.sql.shuffle.partitions", prev_sp)
+
+
+def _conf_snapshot(spark, key: str):
+    """The conf's EXPLICIT session value, or None when it is unset and
+    resolving to a default (SQLConf.contains checks the session's
+    settings map — RuntimeConfig.get would hand back the resolved
+    default and erase the set/unset distinction)."""
+    if spark._jsparkSession.sessionState().conf().contains(key):
+        return spark.conf.get(key)
+    return None
+
+
+def _conf_restore(spark, key: str, prev) -> None:
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
 
 
 def _pagerank_loop(

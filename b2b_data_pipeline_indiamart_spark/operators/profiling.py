@@ -129,6 +129,19 @@ def expectations(
     positive value, so NULL violates.
     """
     ref_tables = ref_tables or {}
+    # rule names key the report AND the single-pass aggregate's column
+    # aliases: a duplicate would build two identically-named aggregate
+    # columns, and the explode's F.col(name) would then die with an
+    # ambiguous-reference AnalysisException (or, for unique/fk rules,
+    # silently emit duplicate report keys). Fail clearly up front.
+    seen: set = set()
+    for rule in rules:
+        if rule[0] in seen:
+            raise ValueError(
+                f"expectations: duplicate rule name {rule[0]!r} — report "
+                "keys must be unique"
+            )
+        seen.add(rule[0])
     row_exprs = []
     tall: list[DataFrame] = []
     spark = df.sparkSession

@@ -291,10 +291,14 @@ def k_anonymity_suppress(
     preserved.
 
     Scale shape: group sizes via one keyed combining aggregate; the
-    (usually tiny) risky-group set joins back as a broadcast flag
-    join on the quasi key with NULL-SAFE equality — a NULL city is a
-    real group and must suppress like any other. Never a window over
-    the full frame.
+    risky-group set joins back as a flag join on the quasi key with
+    NULL-SAFE equality — a NULL city is a real group and must
+    suppress like any other. Never a window over the full frame. The
+    risky set carries NO forced broadcast: a high-cardinality
+    quasi-identifier set (many tiny groups — exactly the risky-release
+    scenario this audits) makes it unbounded, so the hint is left to
+    the threshold + AQE, which broadcast precisely when the set is
+    actually small (the expectations fk branch's reasoning).
     """
     small = (
         df.groupBy(*quasi_cols)
@@ -309,7 +313,7 @@ def k_anonymity_suppress(
     for c in quasi_cols:
         e = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
         cond = e if cond is None else (cond & e)
-    joined = df.join(F.broadcast(small), cond, "left")
+    joined = df.join(small, cond, "left")
     out_cols = []
     for c in df.columns:
         if c in quasi_cols:

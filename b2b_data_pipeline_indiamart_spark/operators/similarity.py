@@ -1714,6 +1714,13 @@ def ood_scores(
 
     Output: (id_col, cell, dist 4dp, z 4dp). Rows-only (k-means);
     determinism and a planted-outlier pin are pytest-checked.
+
+    Degenerate corpora: when the distance spread is zero (every vector
+    equidistant from its centroid — e.g. all-identical embeddings) or
+    undefined (a single vector, stddev_samp NULL), z is 0.0 for every
+    row — "no vector deviates from the corpus" — so the drift monitor
+    stays total and a downstream ``z > cut`` filter passes vacuously
+    instead of dropping rows into a NULL hole.
     """
     from . import caching
 
@@ -1744,9 +1751,10 @@ def ood_scores(
         id_col,
         "cell",
         "dist",
-        round_half_up(
-            (F.col("dist") - F.col("__mu"))
-            / F.when(F.col("__sd") > 0, F.col("__sd")),
-            4,
-        ).alias("z"),
+        F.when(
+            F.col("__sd") > 0,
+            round_half_up((F.col("dist") - F.col("__mu")) / F.col("__sd"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
     )

@@ -1240,3 +1240,68 @@ def test_expectations_and_k_anonymity_empty_frame_report_zeros(spark):
     [r] = k_anonymity_report(empty, ["c"], k=5).collect()
     assert (r["n_rows"], r["n_groups"], r["n_small_groups"],
             r["n_risky_rows"], r["risky_row_share"]) == (0, 0, 0, 0, 0.0)
+
+
+def test_expectations_duplicate_rule_name_raises(spark):
+    """ADVICE r7: two rules sharing a name used to build duplicate
+    aliases in the single-pass aggregate and die later with an
+    ambiguous-reference AnalysisException (or silently duplicate
+    unique/fk report keys) — must be a clear ValueError up front."""
+    import pytest as _pytest
+
+    from b2b_data_pipeline_indiamart_spark.operators.profiling import (
+        expectations,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with _pytest.raises(ValueError, match="duplicate rule name 'v_ok'"):
+        expectations(
+            df, [("v_ok", "positive", "v"), ("v_ok", "not_null", "v")]
+        )
+
+
+def test_ood_scores_degenerate_spread_emits_zero_z(spark):
+    """ADVICE r7: constant distances (stddev 0) or a single vector
+    (stddev NULL) must yield z = 0.0 for every row — the monitor
+    stays total instead of NULLing out."""
+    from b2b_data_pipeline_indiamart_spark.operators.similarity import (
+        ood_scores,
+    )
+
+    # all-identical embeddings -> every distance identical -> sd == 0
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ood_scores(emb, dim=4, n_clusters=1).collect()
+    assert len(rows) == 6 and all(r["z"] == 0.0 for r in rows)
+    # single vector -> stddev_samp NULL -> same contract
+    one = spark.createDataFrame(
+        [(0, [0.5, 0.5, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    [r] = ood_scores(one, dim=4, n_clusters=1).collect()
+    assert r["z"] == 0.0
+
+
+def test_pagerank_restores_unset_confs_to_unset(spark):
+    """ADVICE r7: the loop's finally-restore must not pin a previously
+    default-derived conf — a conf that was UNSET before pagerank must
+    be unset after, and an explicitly set one must keep its value."""
+    from b2b_data_pipeline_indiamart_spark.operators.graph import (
+        _conf_snapshot,
+        pagerank,
+    )
+
+    key = "spark.sql.adaptive.enabled"
+    before = _conf_snapshot(spark, key)
+    if before is not None:  # make it unset for the probe, restore after
+        spark.conf.unset(key)
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 1)], "src int, dst int"
+        )
+        pagerank(edges, max_iter=3).collect()
+        assert _conf_snapshot(spark, key) is None
+    finally:
+        if before is not None:
+            spark.conf.set(key, before)
