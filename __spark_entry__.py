@@ -53,7 +53,15 @@ def _driver_evidence() -> Counter:
         except (OSError, ValueError):
             continue
         for key, res in graded.items():
-            if isinstance(res, dict) and res.get("hash_match"):
+            if not isinstance(res, dict):
+                continue
+            if res.get("hash_match"):
+                ev[key] += 1
+            elif key not in ORACLE and res.get("spark_rows") is not None:
+                # rows-only keys can never earn hash_match — a window
+                # appearance that produced rows IS their driver
+                # evidence (the weaker rows-only record); without this
+                # they'd rank zero forever and re-enter every window
                 ev[key] += 1
     return ev
 
@@ -61,19 +69,24 @@ def _driver_evidence() -> Counter:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering: oracle-bearing keys first, sorted by rounds of driver
-    evidence ascending (see :func:`_driver_evidence`) with registration
-    order as the tie-break, then the rows-only keys (slowest last so a
-    time-bounded grader sees the cheap determinism checks first).
+    Ordering: rounds of driver evidence ascending (see
+    :func:`_driver_evidence`) across BOTH kinds of key — r7 VERDICT
+    item 5: rows-only keys used to sort after every oracle key and so
+    never entered the driver's bounded window; now a never-witnessed
+    rows-only key outranks an already-hash-verified oracle key. Ties:
+    oracle keys before rows-only (the stronger check first), the
+    known-slow rows-only pair last within their band (a time-bounded
+    grader sees cheap determinism checks first), then registration
+    order.
     """
     ev = _driver_evidence()
     reg = {k: i for i, k in enumerate(QUERIES)}
-    tail = {"ann_lsh": 3, "multimodal_features": 4}
+    slow = {"ann_lsh": 1, "multimodal_features": 2}
 
     def rank(k: str):
         if k in ORACLE:
-            return (0, ev.get(k, 0), reg[k])
-        return (1, tail.get(k, 2), reg[k])
+            return (ev.get(k, 0), 0, 0, reg[k])
+        return (ev.get(k, 0), 1, slow.get(k, 0), reg[k])
 
     ordered = sorted(QUERIES, key=rank)
     return {k: QUERIES[k] for k in ordered}

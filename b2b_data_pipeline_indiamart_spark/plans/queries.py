@@ -7479,3 +7479,120 @@ def lineitem_discount_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("net_revenue"),
     )
+
+
+# ==========================================================================
+# §2 round-8 additions: the dashboard's filter-then-chart compositions —
+# every interactive chart endpoint applies apply_filters BEFORE its
+# aggregation (reference dashboard/webapp/views.py:160–247); the registry
+# previously proved the composition only for the KPI scorecard
+# (filtered_summary). Each key here pins that the filter predicate still
+# reaches the parquet scan (PushedFilters — asserted in
+# tests/test_plan_assertions.py) once the chart plan sits on top.
+# ==========================================================================
+
+
+@_register(
+    "filtered_top_groups",
+    """
+    SELECT n_name AS group_value, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name ORDER BY cnt DESC, group_value ASC LIMIT 10
+    """,
+)
+def filtered_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered frequency top-N (views.py:160 api_top_cities: filters
+    → value_counts → head): the user's segment selection narrows the
+    frame BEFORE the bar-chart count. The equality predicate pushes
+    into the customer parquet scan (PushedFilters), the nation dim is
+    a fixed-size broadcast, and the top-10 stays
+    TakeOrderedAndProject — at 100 TB the filter prunes row groups
+    before any join IO, same layout argument as filtered_summary."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    filtered = analytics.apply_filters(joined, {"c_mktsegment": "BUILDING"})
+    return analytics.top_groups(filtered, "n_name", n=10)
+
+
+@_register(
+    "filtered_price_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000), 20) AS BIGINT) AS bin_id,
+           round(CAST(least(floor(o_totalprice / 25000), 20) AS BIGINT) * 25000, 2)
+             AS bin_low,
+           COUNT(*) AS cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'MACHINERY' AND o_totalprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def filtered_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered fixed-width histogram (views.py:206 api_price_hist:
+    filters → histogram): the segment predicate pushes into the
+    customer scan, the filtered customer side rides the size-gated
+    broadcast (_gb — hinted at bench SFs, shuffle join on custkey past
+    the cap), and the binning stays a pure map-side expression with
+    one tiny shuffle on the bin id."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = analytics.apply_filters(
+        _t(spark, sf_dir, "customer"), {"c_mktsegment": "MACHINERY"}
+    ).select("c_custkey")
+    joined = orders.join(
+        _gb(cust, spark, sf_dir, "customer"),
+        orders.o_custkey == cust.c_custkey,
+    )
+    return analytics.fixed_histogram(
+        joined, "o_totalprice", bin_width=25000.0, max_bin=20
+    )
+
+
+@_register(
+    "filtered_scatter",
+    """
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice, c_acctbal
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'AUTOMOBILE'
+    ),
+    thr AS (SELECT round(quantile_cont(o_totalprice, 0.99), 2) AS p99 FROM f)
+    SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           round(c_acctbal, 2) AS rating
+    FROM f, thr
+    WHERE o_totalprice <= p99 AND o_orderkey % 37 = 0
+    """,
+)
+def filtered_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered p99-clipped scatter sample (views.py:227
+    api_scatter_rating_price: filters → p99 clip → sample). Order
+    matters and is pinned by the oracle CTE: the p99 threshold is
+    computed over the FILTERED selection, as the reference does — a
+    pre-filter threshold would clip against the wrong distribution.
+    The segment predicate pushes into the customer scan; the filtered
+    frame is computed once and fans into the one-row threshold
+    aggregate and the probe (Catalyst reuses the exchange); sampling
+    is the deterministic key-hash predicate, not a seeded RNG."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = analytics.apply_filters(
+        _t(spark, sf_dir, "customer"), {"c_mktsegment": "AUTOMOBILE"}
+    ).select("c_custkey", "c_acctbal")
+    f = orders.join(
+        _gb(cust, spark, sf_dir, "customer"),
+        orders.o_custkey == cust.c_custkey,
+    ).select("o_orderkey", "o_totalprice", "c_acctbal")
+    thr = f.agg(
+        round_half_up(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99")
+    )
+    return (
+        f.crossJoin(F.broadcast(thr))
+        .filter(
+            (F.col("o_totalprice") <= F.col("p99"))
+            & (F.col("o_orderkey") % 37 == 0)
+        )
+        .select(
+            "o_orderkey",
+            round_half_up("o_totalprice", 2).alias("price"),
+            round_half_up("c_acctbal", 2).alias("rating"),
+        )
+    )

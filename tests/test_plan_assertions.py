@@ -393,3 +393,21 @@ def test_bpe_tokenize_segments_on_distinct_word_grain(spark, sf_small):
     plan = _plan(spark, sf_small, "docs_bpe_tokenize")
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["filtered_top_groups", "filtered_price_histogram", "filtered_scatter"],
+)
+def test_filtered_charts_push_segment_predicate_to_scan(spark, sf_small, key):
+    """The dashboard's filter-then-chart composition must keep the
+    interactive predicate in the parquet scan once the chart plan sits
+    on top — apply_filters composing with a join/agg/threshold stack
+    must not strand the filter above the scan."""
+    plan = _plan(spark, sf_small, key)
+    scan = next(
+        s
+        for s in plan.split("\n\n")
+        if "Scan parquet" in s and "customer" in s
+    )
+    assert "EqualTo(c_mktsegment," in scan
