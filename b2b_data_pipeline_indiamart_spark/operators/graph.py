@@ -242,7 +242,13 @@ def _pagerank_loop(
                 "node",
                 "deg",
                 "prev",
-                F.round(
+                # floor-based half-up (functions.rounding), NOT F.round:
+                # the iteration snap must be bit-identical across
+                # engines so the unrolled DuckDB oracle for
+                # part_pagerank re-derives the same fixpoint —
+                # BigDecimal HALF_UP and DuckDB's scaled-multiply
+                # round() disagree at representability edges
+                round_half_up(
                     F.lit(teleport)
                     + damping * (F.coalesce("inflow", F.lit(0.0)) + dangling),
                     _RANK_SCALE,
