@@ -85,26 +85,30 @@ def pagerank(
         id_type = "long"
     else:
         id_type = "string"
-    # persist the deduped edge table BEFORE counting it: the count, the
-    # node spine, the degree table and every iteration all read it, and
-    # an upstream edge expansion (e.g. the basket pair kernel) must run
-    # exactly once, not once per consumer
-    e = caching.persist_tracked(
-        edges.select(
-            F.col(src).cast(id_type).alias("s"),
-            F.col(dst).cast(id_type).alias("d"),
-        )
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-    )
+    # raw (pre-dedup) edge stream — self-loops dropped, ids aligned.
+    # The dedup itself is FUSED into the loop's one partitioning
+    # shuffle (r8 rework, measured at sf0.1: hash(s, p) co-locates
+    # every duplicate of an (s, d) pair — duplicates share s — so
+    # repartition(p, 's') + dropDuplicates dedupes globally with NO
+    # second exchange; the old distinct-then-repartition shape paid
+    # two full shuffles of the edge table and cached it twice). The
+    # upstream expansion is therefore scanned twice (sizing count +
+    # the dedup shuffle): persist the INPUT if it is expensive — the
+    # co-purchase caller caches its basket frame, so the re-run is a
+    # cheap in-memory flatten.
+    e_raw = edges.select(
+        F.col(src).cast(id_type).alias("s"),
+        F.col(dst).cast(id_type).alias("d"),
+    ).filter(F.col("s") != F.col("d"))
     spark = edges.sparkSession
-    # size the loop's parallelism from the live edge count (the dedup
-    # CC loop's argument): per-iteration fixed overhead dominates on
+    # size the loop's parallelism from the RAW edge count (upper bound
+    # of the deduped count — fine for sizing, and a map-only job
+    # instead of a shuffle): per-iteration fixed overhead dominates on
     # small graphs, so tiny frames get tiny shuffles; AQE is gated off
     # for the loop on small graphs — its per-stage re-planning costs
     # more than the stages on frames this size (same measurement as
     # dedup.py's CC loop)
-    n_edges = e.count()
+    n_edges = e_raw.count()
     p = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
                    n_edges // 50_000 + 2))
     # snapshot the confs as SET-OR-UNSET, not as resolved values: a
@@ -128,7 +132,7 @@ def pagerank(
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         return _pagerank_loop(
-            e, p, damping, tol, max_iter
+            e_raw, p, damping, tol, max_iter
         )
     finally:
         _conf_restore(spark, "spark.sql.adaptive.enabled", prev_aqe)
@@ -153,21 +157,24 @@ def _conf_restore(spark, key: str, prev) -> None:
 
 
 def _pagerank_loop(
-    e: DataFrame, p: int, damping: float, tol: float, max_iter: int
+    e_raw: DataFrame, p: int, damping: float, tol: float, max_iter: int
 ) -> DataFrame:
-    e_pre = e
-    e = caching.persist_tracked(e.repartition(p, "s"))
+    # ONE shuffle builds the loop's edge cache: hash(s, p) partitioning
+    # co-locates all copies of any (s, d) pair (duplicates share s), and
+    # HashPartitioning(s) satisfies the dedup aggregate's
+    # ClusteredDistribution(s, d), so EnsureRequirements adds no second
+    # exchange — dedup runs partition-local over the repartition output
+    # (plan-asserted in tests/test_plan_assertions.py). The cache lands
+    # already partitioned for every iteration's contribution join.
+    e = caching.persist_tracked(
+        e_raw.repartition(p, "s").dropDuplicates(["s", "d"])
+    )
     nodes = caching.persist_tracked(
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("d").alias("node")))
         .distinct()
     )
     n_nodes = nodes.count()
-    # the count above materialized the repartitioned copy; the pre-
-    # repartition cache fed only the edge count and that copy, so
-    # release it NOW — holding both would double the edge-table cache
-    # footprint for the whole loop, breaking the bounded-storage claim
-    e_pre.unpersist()
     if n_nodes == 0:
         return nodes.select(
             F.col("node"),

@@ -411,3 +411,21 @@ def test_filtered_charts_push_segment_predicate_to_scan(spark, sf_small, key):
         if "Scan parquet" in s and "customer" in s
     )
     assert "EqualTo(c_mktsegment," in scan
+
+
+def test_pagerank_edge_dedup_fuses_into_partition_shuffle(spark):
+    """graph._pagerank_loop's r8 setup rework: repartition(p, 's') +
+    dropDuplicates(['s','d']) must plan exactly ONE exchange —
+    hash(s) co-locates every copy of an (s,d) pair, and
+    HashPartitioning(s) satisfies the dedup aggregate's clustered
+    distribution, so a second exchange means the fusion regressed to
+    the old two-shuffle shape."""
+    df = spark.createDataFrame([(1, 2), (1, 2), (2, 3)], "s long, d long")
+    plan = (
+        df.repartition(8, "s")
+        .dropDuplicates(["s", "d"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
