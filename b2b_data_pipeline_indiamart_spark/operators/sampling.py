@@ -327,3 +327,50 @@ def k_anonymity_suppress(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: "list[str]", sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure gate k-anonymity
+    misses: a quasi-group can be large (k-anonymous) yet carry only
+    ONE sensitive value, so membership alone reveals the attribute.
+    A group is l-diverse when its sensitive column takes ≥ ``l``
+    distinct (well-represented) values.
+
+    One keyed combining aggregate to the quasi-group grain carrying
+    count + count-distinct(sensitive), then a one-row rollup:
+    (l, n_rows, n_groups, n_nondiverse_groups, n_exposed_rows,
+    exposed_row_share 4dp). NULL sensitive values count as a value of
+    their own (they still partition the group's attribute space);
+    NULL quasi-values group as themselves, matching
+    :func:`k_anonymity_report`.
+    """
+    g = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        # count_distinct skips NULL; add the NULL-present flag so a
+        # NULL sensitive value counts as one more distinct value
+        (
+            F.countDistinct(sensitive_col)
+            + F.max(
+                F.when(F.col(sensitive_col).isNull(), 1).otherwise(0)
+            )
+        ).alias("__lv"),
+    )
+    bad = F.col("__lv") < l
+    return g.agg(
+        F.lit(l).cast("int").alias("l"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(
+            "n_nondiverse_groups"
+        ),
+        F.sum(F.when(bad, F.col("__n")).otherwise(0)).cast("long").alias(
+            "n_exposed_rows"
+        ),
+        round_half_up(
+            F.sum(F.when(bad, F.col("__n")).otherwise(0))
+            / F.sum("__n").cast("double"),
+            4,
+        ).alias("exposed_row_share"),
+    )

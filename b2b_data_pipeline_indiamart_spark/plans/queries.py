@@ -7645,3 +7645,437 @@ def filtered_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up("c_acctbal", 2).alias("rating"),
         )
     )
+
+
+@_register(
+    "part_triangle_census",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+                       CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+    sz AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND 16),
+    pr AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           JOIN sz ON sz.ok = a.ok),
+    deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT u AS node FROM pr UNION ALL SELECT v FROM pr
+            ) GROUP BY node),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pr e1 JOIN pr e2 ON e1.v = e2.u
+            JOIN pr e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_edges,
+           CAST((SELECT sum((deg * (deg - 1)) // 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           n_triangles,
+           round(CASE WHEN (SELECT sum((deg * (deg - 1)) // 2) FROM deg) > 0
+                      THEN 3.0 * n_triangles
+                           / (SELECT sum((deg * (deg - 1)) // 2) FROM deg)
+                 END, 4) AS global_clustering
+    FROM tri
+    """,
+)
+def part_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph — the third graph
+    family (after PageRank and connected components): how clique-like
+    is the catalog's basket structure (transitivity = 3·triangles /
+    wedges). The Spark plan runs degree-ordered compact-forward
+    counting (operators/graph.triangle_stats) — out-degrees bounded
+    ~√(2|E|) under ANY degree skew, each triangle counted once at its
+    lowest-ranked vertex; the oracle states the naive canonical-order
+    3-way self-join, which agrees on every VALUE while the engine-side
+    plan carries the skew bound the naive form lacks. Same 2..16
+    basket gate as part_pagerank."""
+    from ..operators import caching, graph
+
+    baskets = caching.persist_tracked(
+        _part_baskets(spark, sf_dir).filter(F.size("pks") <= 16)
+    )
+    pairs = analytics.array_pairs(baskets, "pks", "a", "b").dropDuplicates(
+        ["a", "b"]
+    )
+    return graph.triangle_stats(pairs.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ))
+
+
+@_register(
+    "nation_revenue_trend",
+    """
+    WITH m AS (
+      SELECT n_name,
+             CAST(datediff('month', DATE '1995-01-01',
+                           date_trunc('month', o_orderdate)) AS DOUBLE) AS x,
+             round(sum(o_totalprice), 2) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_months,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 2) AS slope,
+           round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+                 / count(*), 2) AS intercept
+    FROM m GROUP BY n_name
+    """,
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue trend line — closed-form OLS
+    (slope, intercept) over the month × nation revenue series, the
+    what's-growing-where readout a BI layer fits client-side and a
+    100 TB engine must fit IN the aggregate. Two combining
+    aggregates: fact scan → (nation, month) grain (map-side partials,
+    the only fact-sized shuffle, via the size-gated customer join),
+    then the five OLS sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    fold the ≤25×months series per nation — never a per-row
+    collect or an ML-library fit. x is months since a FIXED anchor
+    (1995-01) so the normal equations stay small-number (no
+    catastrophic cancellation from epoch-scale x); monthly y is
+    rounded 2dp before the second aggregate so cross-engine
+    summation-order noise cannot reach the regression."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    m = (
+        orders.join(
+            _gb(cust, spark, sf_dir, "customer"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.lit("1995-01-01").cast("timestamp"),
+            ).cast("double").alias("x"),
+        )
+        .agg(round_half_up(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    n, sx, sy = F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.groupBy("n_name").agg(
+        n.cast("long").alias("n_months"),
+        round_half_up(slope, 2).alias("slope"),
+        round_half_up((sy - slope * sx) / n, 2).alias("intercept"),
+    )
+
+
+@_register(
+    "customer_survival_km",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    c AS (
+      SELECT o_custkey,
+             datediff('day', min(o_orderdate), max(o_orderdate)) // 30 AS t,
+             (datediff('day', max(o_orderdate), (SELECT m FROM mx)) > 90)
+               AS event
+      FROM orders GROUP BY o_custkey
+    ),
+    g AS (SELECT t, sum(CASE WHEN event THEN 1 ELSE 0 END) AS d,
+                 count(*) AS m FROM c GROUP BY t),
+    w AS (SELECT t, d, m, sum(m) OVER (ORDER BY t DESC) AS n_risk FROM g),
+    s AS (
+      SELECT t, d, m, n_risk,
+             max(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS dead,
+             sum(CASE WHEN n_risk > d
+                      THEN ln((n_risk - d) / CAST(n_risk AS DOUBLE))
+                      ELSE 0 END) OVER (ORDER BY t) AS lnsum
+      FROM w
+    )
+    SELECT CAST(t AS BIGINT) AS t_bucket,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(m - d AS BIGINT) AS n_censored,
+           round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 4)
+             AS survival
+    FROM s ORDER BY t_bucket
+    """,
+)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer lifetimes — the
+    censoring-aware churn readout (naive churn rates over-count
+    customers who are simply still active). Lifetime = first→last
+    order in 30-day buckets; death = churn (last order > 90 days
+    before the dataset horizon), otherwise right-censored at the
+    horizon. S(t) = Π_{s≤t} (1 − d_s/n_s) with censored customers in
+    the risk set through their bucket — the standard product-limit
+    estimator.
+
+    Scale shape: one custkey-combining aggregate to customer grain,
+    one tiny aggregate to the ≤~50-row bucket grid; the at-risk
+    reverse cumsum and the product-limit prefix (as exp∘Σln with an
+    explicit absorbing-zero flag — Spark's ln(0) is NULL, DuckDB's is
+    -inf, so the zero case never touches ln) are windows over that
+    BOUNDED grid, not over customers. The horizon is a one-row
+    broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("__m"))
+    c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("__f"),
+            F.max("o_orderdate").alias("__l"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("datediff(__l, __f) div 30").alias("t"),
+            (F.datediff("__m", "__l") > 90).alias("event"),
+        )
+    )
+    g = c.groupBy("t").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc())
+    w_fwd = Window.orderBy("t")
+    s = g.select(
+        "t", "d", "m", F.sum("m").over(w_rev).alias("n_risk")
+    ).select(
+        "t",
+        "d",
+        "m",
+        "n_risk",
+        F.max(F.when(F.col("n_risk") == F.col("d"), 1).otherwise(0))
+        .over(w_fwd)
+        .alias("dead"),
+        F.sum(
+            F.when(
+                F.col("n_risk") > F.col("d"),
+                F.log((F.col("n_risk") - F.col("d")) / F.col("n_risk").cast("double")),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_fwd)
+        .alias("lnsum"),
+    )
+    return s.select(
+        F.col("t").cast("long").alias("t_bucket"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        (F.col("m") - F.col("d")).cast("long").alias("n_censored"),
+        round_half_up(
+            F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(F.exp("lnsum")), 4
+        ).alias("survival"),
+    ).orderBy("t_bucket")
+
+
+#: Benford first-digit expectations log10(1 + 1/d), embedded as
+#: Python-exact literals so neither engine's libm log is in the
+#: comparison path.
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+@_register(
+    "orders_benford_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS tot FROM g),
+    e(digit, expected) AS (VALUES
+      {", ".join(f"({d}, {v!r})" for d, v in _BENFORD.items())})
+    SELECT e.digit, CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+           round(coalesce(g.n, 0) / CAST((SELECT tot FROM t) AS DOUBLE), 4)
+             AS share,
+           round(e.expected, 4) AS expected_share,
+           round(abs(coalesce(g.n, 0) / CAST((SELECT tot FROM t) AS DOUBLE)
+                     - e.expected), 4) AS abs_deviation
+    FROM e LEFT JOIN g ON e.digit = g.digit
+    ORDER BY e.digit
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (real transactional magnitudes follow
+    log10(1+1/d); synthetic or manipulated ones usually don't, and the
+    per-digit deviation localizes WHERE the distribution breaks). The
+    first digit is taken from the integer's decimal string — exact and
+    engine-identical, never floor(x/10^floor(log10 x)) whose libm
+    log10 differs across engines at ulp level; the expectations are
+    embedded Python-exact literals for the same reason.
+
+    Scale shape: one map-side expression → a 9-bucket combining
+    aggregate; the total is a one-row broadcast; the digit spine is a
+    9-row literal table so silent-missing digits still report n=0.
+    Pure scan-aggregate at any SF."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = g.agg(F.sum("n").alias("tot"))
+    e = _t(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [(k, v) for k, v in _BENFORD.items()], "digit int, expected double"
+    )
+    share = F.coalesce(F.col("n"), F.lit(0)) / F.col("tot").cast("double")
+    return (
+        F.broadcast(e)
+        .join(g, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            round_half_up(share, 4).alias("share"),
+            round_half_up(F.col("expected"), 4).alias("expected_share"),
+            round_half_up(F.abs(share - F.col("expected")), 4).alias(
+                "abs_deviation"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+@_register(
+    "customer_l_diversity",
+    """
+    WITH b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             count(DISTINCT band) AS lv
+      FROM b GROUP BY 1, 2
+    )
+    SELECT CAST(3 AS INT) AS l,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN lv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nondiverse_groups,
+           CAST(sum(CASE WHEN lv < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows,
+           round(sum(CASE WHEN lv < 3 THEN n ELSE 0 END) * 1.0 / sum(n), 4)
+             AS exposed_row_share
+    FROM g
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (sampling.l_diversity_report) over the same
+    (nation, market segment) quasi-identifier pair as
+    customer_k_anonymity, with the account-balance band as the
+    sensitive attribute — the attribute-disclosure check k-anonymity
+    misses: a large group whose members all share one balance band
+    leaks the band by membership alone. One keyed combining aggregate
+    (count + count-distinct) + a one-row rollup."""
+    from ..operators import sampling
+
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    customer = _t(spark, sf_dir, "customer").withColumn("__band", band)
+    return sampling.l_diversity_report(
+        customer, ["c_nationkey", "c_mktsegment"], "__band", l=3
+    )
+
+
+#: BM25 demo query + Robertson parameters (Lucene defaults).
+_BM25_TERMS = ("hash", "join", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@_register(
+    "docs_bm25_topk",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t WHERE len(toks) >= 1),
+    tf AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(cnt) AS dlen FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd, avg(dlen) AS avgdl FROM dl),
+    df AS (SELECT token, count(*) AS dfreq FROM tf
+           WHERE token IN {_BM25_TERMS!r} GROUP BY 1),
+    s AS (
+      SELECT tf.doc_id,
+             sum(ln((nd - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                 * cnt * ({_BM25_K1} + 1.0)
+                 / (cnt + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dlen / avgdl)))
+               AS score
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25,
+           CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+                AS INT) AS rank
+    FROM s
+    ORDER BY rank LIMIT 20
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval top-20 for a fixed keyword query — the lexical
+    half of a retrieval stack next to the ANN keys (hybrid search =
+    BM25 ∪ dense). Okapi BM25 with the Lucene idf
+    (ln((N−df+0.5)/(df+0.5)+1), never negative) and k1=1.2, b=0.75.
+
+    Scale shape: one (doc, token) combining aggregate and the per-doc
+    length rollup are the only corpus-sized shuffles — shared shape
+    with docs_tfidf_topterms; the doc-frequency table is built ONLY
+    for the query's terms (3 rows — broadcast), so scoring is a
+    map-side semi-join of the term postings with two tiny broadcasts
+    (df, corpus stats), one groupBy(doc) to fold the per-term
+    contributions, and top-20 via TakeOrderedAndProject. Score rounded
+    4dp BEFORE ranking (doc_id tie-break) so the cut is
+    engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.col("doc_id"), dedup.word_tokens(F.col("text")).alias("__toks")
+        )
+        .filter(F.size("__toks") >= 1)
+        .select("doc_id", F.explode("__toks").alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
+    n = dl.agg(
+        F.count(F.lit(1)).alias("nd"), F.avg("dlen").alias("avgdl")
+    )
+    df_ = (
+        tf.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    idf = F.log(
+        (F.col("nd") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("cnt") * (_BM25_K1 + 1.0) / (
+        F.col("cnt")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    s = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(round_half_up(F.sum(contrib), 4).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
