@@ -251,6 +251,14 @@ _POISSON1_CDF = (
 )
 
 
+def poisson_cdf_hex(cdf: float) -> str:
+    """8-hex-char threshold for an md5-prefix uniform draw: a key
+    string ≤ this literal ⇔ the uniform ≤ cdf (to 1/16^8). Shared by
+    the Spark expression AND the DuckDB oracle so both engines
+    compare the same literals."""
+    return format(int(cdf * 16**8), "08x")
+
+
 def poisson_bootstrap_lift(
     user_values: DataFrame,
     n_reps: int = 100,
@@ -267,11 +275,16 @@ def poisson_bootstrap_lift(
     variant) weighted-mean aggregate, and a percentile over B tiny
     rows — no data movement scales with B except the user-grain fanout.
 
-    Weights are DETERMINISTIC: uniform = xxhash64(id, replicate)
-    mapped through the Poisson(1) inverse CDF (truncated at 6,
-    P≈8e-5) — re-runs, retries, and repartitionings see identical
-    resamples, the same argument as stratified_sample's md5 threshold
-    (rand() is none of those things).
+    Weights are DETERMINISTIC and ENGINE-PORTABLE: the uniform draw is
+    the first 8 hex chars of ``md5(id:replicate)`` compared as a STRING
+    against precomputed hex thresholds of the Poisson(1) inverse CDF
+    (truncated at 6, P≈8e-5) — re-runs, retries, and repartitionings
+    see identical resamples (the stratified_sample md5-threshold
+    argument; rand() is none of those things), and because the
+    thresholds are literals, DuckDB evaluates the *identical*
+    expression — which is what lets events_ab_bootstrap carry a
+    value-level oracle instead of the xxhash64 scheme's rows-only
+    check (r8: xxhash64 exists only in Spark).
 
     Output: one row (n_reps, point_lift 4dp, ci_lo 4dp, ci_hi 4dp) —
     the 2.5/97.5 bootstrap percentiles of (mean₁ − mean₀).
@@ -282,10 +295,20 @@ def poisson_bootstrap_lift(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("__rep"),
     )
-    u = (F.abs(F.xxhash64(F.col(id_col), F.col("__rep"))) % 1_000_000) / 1_000_000.0
+    key = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col(id_col).cast("string"),
+                F.col("__rep").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
     w = F.lit(6)
     for cdf, k in reversed(_POISSON1_CDF):
-        w = F.when(u <= cdf, k).otherwise(w)
+        w = F.when(key <= poisson_cdf_hex(cdf), k).otherwise(w)
     per_rv = (
         reps.withColumn("__w", w)
         .groupBy("__rep", variant_col)

@@ -6986,17 +6986,72 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("events_ab_bootstrap")  # rows-only (hash-driven resampling)
+def _poisson_weight_case_sql(key_expr: str) -> str:
+    """DuckDB CASE mirroring poisson_bootstrap_lift's weight map: the
+    SAME md5-prefix string compared against the SAME hex literals
+    (analytics.poisson_cdf_hex), so both engines draw identical
+    Poisson(1) replicate weights."""
+    from ..operators.analytics import _POISSON1_CDF, poisson_cdf_hex
+
+    whens = " ".join(
+        f"WHEN {key_expr} <= '{poisson_cdf_hex(cdf)}' THEN {k}"
+        for cdf, k in _POISSON1_CDF
+    )
+    return f"CASE {whens} ELSE 6 END"
+
+
+@_register(
+    "events_ab_bootstrap",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             round(sum(value), 2) AS user_value
+      FROM events GROUP BY user_id
+    ),
+    mm AS (
+      SELECT rep, variant, sum(wt * user_value) / sum(wt) AS mv
+      FROM (
+        SELECT variant, user_value,
+               {_poisson_weight_case_sql(
+                   "substr(md5(CAST(user_id AS VARCHAR) || ':' "
+                   "|| CAST(rep.x AS VARCHAR)), 1, 8)"
+               )} AS wt,
+               rep.x AS rep
+        FROM u, UNNEST(range(0, 100)) AS rep(x)
+      ) GROUP BY rep, variant
+    ),
+    l AS (
+      SELECT rep,
+             max(CASE WHEN variant = 1 THEN mv END)
+             - max(CASE WHEN variant = 0 THEN mv END) AS lift
+      FROM mm GROUP BY rep
+    ),
+    pt AS (
+      SELECT max(CASE WHEN variant = 1 THEN mv END)
+             - max(CASE WHEN variant = 0 THEN mv END) AS point
+      FROM (SELECT variant, avg(user_value) AS mv FROM u GROUP BY variant)
+    )
+    SELECT CAST(100 AS INT) AS n_reps,
+           round((SELECT point FROM pt), 4) AS point_lift,
+           round(quantile_cont(lift, 0.025), 4) AS ci_lo,
+           round(quantile_cont(lift, 0.975), 4) AS ci_hi
+    FROM l
+    """,
+)
 def events_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the A/B revenue-per-user lift
     (analytics.poisson_bootstrap_lift, B=100) — the resampling scheme
     that scales: per-(user, replicate) Poisson(1) weights from
     deterministic hashes instead of B materialized resamples; the
     only fanout is ×B on the already-aggregated user grain.
-    Companion to events_ab_test's closed-form Welch z. Rows-only:
-    hash-driven weights are engine-specific; determinism, the
-    bracket/width sanity vs the Welch interval, and a collapsed-CI
-    degenerate case are pytest-pinned."""
+    Companion to events_ab_test's closed-form Welch z.
+
+    Oracle-bearing since r8: the weight scheme moved from xxhash64
+    (Spark-only) to md5-hex-prefix vs literal thresholds — the SAME
+    expression both engines evaluate — so the full resampling
+    distribution is hash-checked, not just deterministic. Bracket /
+    width sanity vs the Welch interval and the collapsed-CI
+    degenerate case remain pytest-pinned."""
     events = _t(spark, sf_dir, "events")
     u = events.groupBy("user_id").agg(
         round_half_up(F.sum("value"), 2).alias("user_value")
