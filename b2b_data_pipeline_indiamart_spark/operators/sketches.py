@@ -9,7 +9,7 @@ that at 100 TB replaces a full groupBy over an unbounded key space
 with a fixed 4×1024-cell table.
 
 Spark-first shape: the sketch IS a groupBy — each event lands in
-``depth`` (row, bucket) cells via seeded xxhash64, and
+``depth`` (row, bucket) cells via seeded md5-prefix buckets, and
 groupBy(row, bucket).count() builds all counters in one map-side-
 combining shuffle whose output is exactly ``depth × width`` rows.
 Merging shards/streams is counter addition, which that same groupBy
@@ -25,16 +25,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cms_bucket(key, row, width: int):
+    """Engine-portable CMS bucket: first 8 hex chars of
+    ``md5(key:row)`` as an integer, mod width. Mirrored literally in
+    the DuckDB oracle."""
+    h = F.substring(
+        F.md5(F.concat_ws(":", key.cast("string"), row.cast("string"))), 1, 8
+    )
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(width))
+
+
 def cms_cells(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """Build the CMS counter table: (row, bucket, cnt), depth×width rows.
 
-    Seeded hash rows are emulated by hashing (key, row_index) together
-    — xxhash64 over the pair is an independent-enough family per row
-    index, and identical in any engine exposing the same hash (the
-    pytest gate checks the sketch's structural invariants rather than
-    cross-engine hashes; the key itself never leaves the executor).
+    Seeded hash rows are emulated by hashing ``key:row_index``
+    together — md5 over the pair is an independent-enough family per
+    row index, and ENGINE-PORTABLE: the bucket is the first 8 hex
+    chars parsed as an integer mod width, an expression DuckDB
+    evaluates identically (``('0x' || substr(md5(..), 1, 8))::BIGINT %
+    width``), which is what lets events_heavy_hitters_cms carry a
+    value-level oracle (r8; the previous xxhash64 family existed only
+    in Spark and forced a rows-only check).
 
     The per-event ×depth expansion happens in-plan (posexplode of a
     ``depth``-literal array) before the single hash shuffle; partial
@@ -47,9 +60,7 @@ def cms_cells(
         .select("__k", rows.alias("row", "__d"))
         .select(
             "row",
-            F.pmod(F.xxhash64(F.col("__k"), F.col("row")), F.lit(width)).alias(
-                "bucket"
-            ),
+            _cms_bucket(F.col("__k"), F.col("row"), width).alias("bucket"),
         )
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -90,7 +101,7 @@ def cms_estimate_heavy_hitters(
         "key",
         "exact_n",
         "row",
-        F.pmod(F.xxhash64(F.col("key"), F.col("row")), F.lit(width)).alias("bucket"),
+        _cms_bucket(F.col("key"), F.col("row"), width).alias("bucket"),
     )
     return (
         probes.join(F.broadcast(cells), ["row", "bucket"])

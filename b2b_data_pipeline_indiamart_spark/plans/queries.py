@@ -3023,16 +3023,48 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("events_heavy_hitters_cms")  # rows-only: xxhash64 bucketing is engine-specific
+@_register(
+    "events_heavy_hitters_cms",
+    """
+    WITH cells AS (
+      SELECT r.x AS row,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                 || CAST(r.x AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS bucket,
+             count(*) AS cnt
+      FROM events, UNNEST(range(0, 4)) AS r(x)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id AS key, count(*) AS exact_n FROM events
+      GROUP BY 1 ORDER BY exact_n DESC, key LIMIT 20
+    ),
+    probes AS (
+      SELECT key, exact_n, r.x AS row,
+             ('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                 || CAST(r.x AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS bucket
+      FROM exact, UNNEST(range(0, 4)) AS r(x)
+    )
+    SELECT key, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(min(cnt) AS BIGINT) AS cms_n,
+           CAST(min(cnt) - exact_n AS BIGINT) AS overestimate
+    FROM probes JOIN cells USING (row, bucket)
+    GROUP BY key, exact_n
+    ORDER BY exact_n DESC, key
+    """,
+)
 def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters over user_id
     (operators/sketches.cms_estimate_heavy_hitters, depth=4,
     width=1024): exact top-20 side-by-side with their CMS estimates —
     the constant-memory frequency sketch completing the mergeable
     family (HLL cardinality, t-digest quantiles, CMS frequency).
-    Rows-only: the sketch table is built from xxhash64 buckets; the
-    overestimate bound (est >= exact, est - exact <= e·N/width) is
-    pytest-pinned."""
+    Oracle-bearing since r8: buckets moved from xxhash64 (Spark-only)
+    to md5-hex-prefix mod width — DuckDB rebuilds the IDENTICAL
+    4×1024 sketch table, so the estimates hash-match cell for cell;
+    the overestimate bound (est >= exact, est - exact <= e·N/width)
+    stays pytest-pinned."""
     events = _t(spark, sf_dir, "events")
     from ..operators import sketches
 
