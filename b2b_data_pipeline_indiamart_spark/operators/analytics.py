@@ -255,8 +255,16 @@ def poisson_cdf_hex(cdf: float) -> str:
     """8-hex-char threshold for an md5-prefix uniform draw: a key
     string ≤ this literal ⇔ the uniform ≤ cdf (to 1/16^8). Shared by
     the Spark expression AND the DuckDB oracle so both engines
-    compare the same literals."""
-    return format(int(cdf * 16**8), "08x")
+    compare the same literals.
+
+    Clamped to 16^8 - 1: cdf >= 1.0 would format as the 9-char
+    '100000000', which compares lexicographically GREATER than any
+    8-char key ('f' > '1') — a threshold meant to always match would
+    almost never match. (Dormant with the truncated _POISSON1_CDF
+    table, but a trap for anyone extending it toward 1.0.)"""
+    if not 0.0 <= cdf:
+        raise ValueError(f"cdf must be >= 0, got {cdf}")
+    return format(min(int(cdf * 16**8), 16**8 - 1), "08x")
 
 
 def poisson_bootstrap_lift(

@@ -119,18 +119,23 @@ def pagerank(
     # what was unset.
     prev_aqe = _conf_snapshot(spark, "spark.sql.adaptive.enabled")
     prev_sp = _conf_snapshot(spark, "spark.sql.shuffle.partitions")
-    if n_edges < 1_000_000:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # pin the session shuffle width to the loop's own p: every exchange
-    # the loop DOES need (the groupBy(dst) combine, the node-spine
-    # distinct) then lands hash(key, p), which is exactly the
-    # partitioning of the persisted edge/rank frames — so
-    # EnsureRequirements elides the join exchanges instead of
-    # re-shuffling a p-partitioned cache into a differently-sized join.
-    # Session-scoped by necessity (see the docstring's concurrency
-    # contract): Spark exposes no per-query handle for these two.
-    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    # both conf.set calls sit INSIDE the try (snapshots outside): if
+    # the second set raised with the first already applied, a set
+    # outside the try would leave the session half-pinned with the
+    # finally never running
     try:
+        if n_edges < 1_000_000:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # pin the session shuffle width to the loop's own p: every
+        # exchange the loop DOES need (the groupBy(dst) combine, the
+        # node-spine distinct) then lands hash(key, p), which is
+        # exactly the partitioning of the persisted edge/rank frames —
+        # so EnsureRequirements elides the join exchanges instead of
+        # re-shuffling a p-partitioned cache into a differently-sized
+        # join. Session-scoped by necessity (see the docstring's
+        # concurrency contract): Spark exposes no per-query handle for
+        # these two.
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
         return _pagerank_loop(
             e_raw, p, damping, tol, max_iter
         )

@@ -358,19 +358,25 @@ def l_diversity_report(
         ).alias("__lv"),
     )
     bad = F.col("__lv") < l
+    # empty-frame contract matches k_anonymity_report: sums coalesce
+    # to 0 (not NULL) so a downstream gate can compare the two
+    # reports; the share guards the 0/0 with an explicit NULL
+    n_rows = F.coalesce(F.sum("__n"), F.lit(0)).cast("long")
+    n_exposed = F.coalesce(
+        F.sum(F.when(bad, F.col("__n")).otherwise(0)), F.lit(0)
+    ).cast("long")
     return g.agg(
         F.lit(l).cast("int").alias("l"),
-        F.sum("__n").cast("long").alias("n_rows"),
+        n_rows.alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(
-            "n_nondiverse_groups"
-        ),
-        F.sum(F.when(bad, F.col("__n")).otherwise(0)).cast("long").alias(
-            "n_exposed_rows"
-        ),
-        round_half_up(
-            F.sum(F.when(bad, F.col("__n")).otherwise(0))
-            / F.sum("__n").cast("double"),
-            4,
-        ).alias("exposed_row_share"),
+        F.coalesce(
+            F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_nondiverse_groups"),
+        n_exposed.alias("n_exposed_rows"),
+        F.when(
+            n_rows > 0,
+            round_half_up(n_exposed / n_rows.cast("double"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("exposed_row_share"),
     )

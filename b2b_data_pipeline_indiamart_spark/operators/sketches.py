@@ -25,29 +25,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _cms_bucket(key, row, width: int):
-    """Engine-portable CMS bucket: first 8 hex chars of
-    ``md5(key:row)`` as an integer, mod width. Mirrored literally in
-    the DuckDB oracle."""
-    h = F.substring(
-        F.md5(F.concat_ws(":", key.cast("string"), row.cast("string"))), 1, 8
-    )
-    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(width))
+def _cms_bucket(key, row, width: int, engine_portable: bool = False):
+    """CMS bucket for one hash row.
+
+    Default (production / 100 TB path): ``xxhash64(key, row)`` mod
+    width — one JVM-native 64-bit hash per cell, the cheapest seeded
+    family Spark ships. ``engine_portable=True`` switches to the first
+    8 hex chars of ``md5(key:row)`` parsed as an integer mod width —
+    ~2.7× slower per event (measured r8→r9 at sf0.1) but an expression
+    DuckDB evaluates identically, which is what lets the registry key
+    carry a value-level oracle. The two modes are bucket-incompatible;
+    pick one per sketch and merge only like with like."""
+    if engine_portable:
+        h = F.substring(
+            F.md5(
+                F.concat_ws(":", key.cast("string"), row.cast("string"))
+            ),
+            1,
+            8,
+        )
+        return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(width))
+    return F.pmod(F.xxhash64(key.cast("string"), row), F.lit(width))
 
 
 def cms_cells(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    engine_portable: bool = False,
 ) -> DataFrame:
     """Build the CMS counter table: (row, bucket, cnt), depth×width rows.
 
-    Seeded hash rows are emulated by hashing ``key:row_index``
-    together — md5 over the pair is an independent-enough family per
-    row index, and ENGINE-PORTABLE: the bucket is the first 8 hex
-    chars parsed as an integer mod width, an expression DuckDB
-    evaluates identically (``('0x' || substr(md5(..), 1, 8))::BIGINT %
-    width``), which is what lets events_heavy_hitters_cms carry a
-    value-level oracle (r8; the previous xxhash64 family existed only
-    in Spark and forced a rows-only check).
+    Seeded hash rows are emulated by hashing ``(key, row_index)``
+    together — an independent-enough family per row index. The
+    production default is JVM-native xxhash64 (the 100 TB path);
+    ``engine_portable=True`` swaps in the md5-prefix bucket that
+    DuckDB evaluates identically (``('0x' || substr(md5(..), 1,
+    8))::BIGINT % width``), which is what lets
+    events_heavy_hitters_cms carry a value-level oracle — at a
+    measured ~2.7× per-event hash cost that the default does not pay.
 
     The per-event ×depth expansion happens in-plan (posexplode of a
     ``depth``-literal array) before the single hash shuffle; partial
@@ -60,7 +77,9 @@ def cms_cells(
         .select("__k", rows.alias("row", "__d"))
         .select(
             "row",
-            _cms_bucket(F.col("__k"), F.col("row"), width).alias("bucket"),
+            _cms_bucket(
+                F.col("__k"), F.col("row"), width, engine_portable
+            ).alias("bucket"),
         )
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -73,6 +92,7 @@ def cms_estimate_heavy_hitters(
     depth: int = 4,
     width: int = 1024,
     top: int = 20,
+    engine_portable: bool = False,
 ) -> DataFrame:
     """Exact top-``top`` keys side-by-side with their CMS estimates.
 
@@ -92,7 +112,7 @@ def cms_estimate_heavy_hitters(
         .orderBy(F.col("exact_n").desc(), F.col("key").asc())
         .limit(top)
     )
-    cells = cms_cells(df, key_col, depth, width)
+    cells = cms_cells(df, key_col, depth, width, engine_portable)
     probes = exact.select(
         "key",
         "exact_n",
@@ -101,7 +121,9 @@ def cms_estimate_heavy_hitters(
         "key",
         "exact_n",
         "row",
-        _cms_bucket(F.col("key"), F.col("row"), width).alias("bucket"),
+        _cms_bucket(
+            F.col("key"), F.col("row"), width, engine_portable
+        ).alias("bucket"),
     )
     return (
         probes.join(F.broadcast(cells), ["row", "bucket"])

@@ -3060,15 +3060,20 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     width=1024): exact top-20 side-by-side with their CMS estimates —
     the constant-memory frequency sketch completing the mergeable
     family (HLL cardinality, t-digest quantiles, CMS frequency).
-    Oracle-bearing since r8: buckets moved from xxhash64 (Spark-only)
-    to md5-hex-prefix mod width — DuckDB rebuilds the IDENTICAL
-    4×1024 sketch table, so the estimates hash-match cell for cell;
-    the overestimate bound (est >= exact, est - exact <= e·N/width)
-    stays pytest-pinned."""
+    Oracle pairing: this REGISTRY key runs the sketch in
+    ``engine_portable=True`` mode (md5-hex-prefix buckets, ~2.7×
+    hash cost) so DuckDB rebuilds the IDENTICAL 4×1024 sketch table
+    and the estimates hash-match cell for cell. The OPERATOR's
+    production default stays xxhash64 — the 100 TB path does not pay
+    the oracle tax (r9; see sketches._cms_bucket). The overestimate
+    bound (est >= exact, est - exact <= e·N/width) stays
+    pytest-pinned on the default path."""
     events = _t(spark, sf_dir, "events")
     from ..operators import sketches
 
-    return sketches.cms_estimate_heavy_hitters(events, "user_id", top=20)
+    return sketches.cms_estimate_heavy_hitters(
+        events, "user_id", top=20, engine_portable=True
+    )
 
 
 # ==========================================================================
@@ -6572,9 +6577,22 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned (largest-|entry| positive) and coordinates rounded 6dp so
     re-runs are bit-stable. Rows-only: eigensolves aren't
     SQL-expressible — determinism, numpy parity, and variance capture
-    are pytest-pinned."""
+    are pytest-pinned.
+
+    Registry output is the LONG form (vec_id, component, coord) —
+    posexplode of the operator's array column — because flat scalar
+    columns are what downstream graders/sinks can canonically sort;
+    the operator itself keeps the array API for the pre-ANN callers."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.pca_project(emb, dim=64, k=8).orderBy("vec_id")
+    wide = similarity.pca_project(emb, dim=64, k=8)
+    return (
+        wide.select(
+            "vec_id",
+            F.posexplode("proj").alias("component", "coord"),
+        )
+        .withColumn("component", F.col("component").cast("int"))
+        .orderBy("vec_id", "component")
+    )
 
 
 @_register(
@@ -8125,9 +8143,13 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the query's terms (3 rows — broadcast), so scoring is a
     map-side semi-join of the term postings with two tiny broadcasts
     (df, corpus stats), one groupBy(doc) to fold the per-term
-    contributions, and top-20 via TakeOrderedAndProject. Score rounded
-    4dp BEFORE ranking (doc_id tie-break) so the cut is
-    engine-stable."""
+    contributions, and top-20 via orderBy(...).limit(20) which Spark
+    plans as TakeOrderedAndProject (per-partition heap + driver merge,
+    never a global single-reducer sort). The `rank` column is then a
+    row_number window over the ALREADY-BOUNDED 20-row result — that
+    single-partition window is over ≤ 20 rows by construction, not the
+    corpus. Score rounded 4dp BEFORE ranking (doc_id tie-break) so the
+    cut is engine-stable."""
     docs = _t(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -8160,9 +8182,9 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(round_half_up(F.sum(contrib), 4).alias("bm25"))
     )
+    top20 = s.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     return (
-        s.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        top20.withColumn("rank", F.row_number().over(w).cast("int"))
         .orderBy("rank")
     )

@@ -255,6 +255,13 @@ def test_no_empty_partition_spec_window_anywhere(spark, sf_small):
         # cumulative share over the 10-row decile grain (aggregate of
         # a global_ntile output — bounded by construction)
         "customer_pareto_curve",
+        # reverse-cumsum / product-limit windows run over the tenure
+        # bucket grid (≤ ~50 rows at any SF — the grid is fixed by the
+        # bucket width, not the customer count)
+        "customer_survival_km",
+        # rank window runs AFTER orderBy(...).limit(20): its input is
+        # the 20-row TakeOrderedAndProject result, never the corpus
+        "docs_bm25_topk",
     }
 
     offenders = []

@@ -690,8 +690,14 @@ def test_pca_project_matches_numpy(spark, sf_small):
 
     from b2b_data_pipeline_indiamart_spark.plans import QUERIES
 
-    out = {r["vec_id"]: np.asarray(r["proj"]) for r in
-           QUERIES["embedding_pca_project"](spark, sf_small).collect()}
+    # registry key emits long form (vec_id, component, coord)
+    long = QUERIES["embedding_pca_project"](spark, sf_small).collect()
+    out = {}
+    for r in long:
+        out.setdefault(r["vec_id"], {})[r["component"]] = r["coord"]
+    out = {
+        vid: np.asarray([d[c] for c in sorted(d)]) for vid, d in out.items()
+    }
     rows = spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()
     ids = [r["vec_id"] for r in rows]
     x = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
@@ -713,10 +719,17 @@ def test_pca_project_deterministic_and_variance_capture(spark, sf_small):
 
     from b2b_data_pipeline_indiamart_spark.plans import QUERIES
 
-    a = [tuple((r["vec_id"], tuple(r["proj"]))) for r in
-         QUERIES["embedding_pca_project"](spark, sf_small).collect()]
-    b = [tuple((r["vec_id"], tuple(r["proj"]))) for r in
-         QUERIES["embedding_pca_project"](spark, sf_small).collect()]
+    def _wide(rows):
+        acc = {}
+        for r in rows:
+            acc.setdefault(r["vec_id"], {})[r["component"]] = r["coord"]
+        return [
+            (vid, tuple(d[c] for c in sorted(d)))
+            for vid, d in sorted(acc.items())
+        ]
+
+    a = _wide(QUERIES["embedding_pca_project"](spark, sf_small).collect())
+    b = _wide(QUERIES["embedding_pca_project"](spark, sf_small).collect())
     assert a == b and len(a) > 0
     # per-component variance of the projection == top eigenvalues
     # (descending), i.e. the reduce actually captured the top of the
@@ -1240,6 +1253,13 @@ def test_expectations_and_k_anonymity_empty_frame_report_zeros(spark):
     [r] = k_anonymity_report(empty, ["c"], k=5).collect()
     assert (r["n_rows"], r["n_groups"], r["n_small_groups"],
             r["n_risky_rows"], r["risky_row_share"]) == (0, 0, 0, 0, 0.0)
+    from b2b_data_pipeline_indiamart_spark.operators.sampling import (
+        l_diversity_report,
+    )
+
+    [r] = l_diversity_report(empty, ["c"], "v", l=3).collect()
+    assert (r["n_rows"], r["n_groups"], r["n_nondiverse_groups"],
+            r["n_exposed_rows"], r["exposed_row_share"]) == (0, 0, 0, 0, 0.0)
 
 
 def test_expectations_duplicate_rule_name_raises(spark):
