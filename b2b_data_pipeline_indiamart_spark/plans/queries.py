@@ -8188,3 +8188,229 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top20.withColumn("rank", F.row_number().over(w).cast("int"))
         .orderBy("rank")
     )
+
+
+# ==========================================================================
+# §2 round-9 additions: the dashboard API tail (reference
+# dashboard/webapp/views.py) — the remaining endpoints a dashboard user
+# hits that had no registry key: the filtered bucket-share chart
+# (api_price_buckets), the dropdown option lists (api_filters), the
+# paged table readback (api_mini_rows / table pagination), and the
+# top-states bar (api_top_states).
+# ==========================================================================
+
+
+@_register(
+    "filtered_price_buckets",
+    """
+    WITH f AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_totalprice END AS price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'FURNITURE'
+    ), c AS (
+      SELECT CASE WHEN price IS NULL THEN 'Unknown'
+                  WHEN price < 10000 THEN 'Low (<10k)'
+                  WHEN price < 50000 THEN 'Mid (10k-50k)'
+                  ELSE 'High (50k+)' END AS price_bucket,
+             COUNT(*) AS cnt
+      FROM f GROUP BY 1
+    )
+    SELECT price_bucket, cnt,
+           round(cnt * 100.0 / sum(cnt) OVER (), 2) AS share_pct
+    FROM c
+    """,
+)
+def filtered_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered price-bucket share (views.py:182 api_price_buckets:
+    apply_filters → price_bucket value_counts) — the last chart
+    endpoint without a registry key. The user's segment selection
+    narrows the frame BEFORE bucketing, and the chart reads each
+    bucket's share of the FILTERED selection, so the denominator must
+    be the post-filter total (the oracle's sum() OVER () pins that).
+
+    Scale shape: the segment predicate pushes into the customer scan
+    (PushedFilters — plan-asserted); the filtered customer side rides
+    the size-gated broadcast (_gb); bucketing is a pure map-side CASE,
+    the count lands on the ≤4-label bucket grain, and the share joins
+    the 4-row counts against a one-row broadcast total — never a
+    global window over data. Every 97th order's price is nulled
+    (deterministic key predicate, mirrored in the oracle) so the
+    Unknown bucket is exercised, matching price_bucket's convention."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = analytics.apply_filters(
+        _t(spark, sf_dir, "customer"), {"c_mktsegment": "FURNITURE"}
+    ).select("c_custkey")
+    joined = orders.join(
+        _gb(cust, spark, sf_dir, "customer"),
+        orders.o_custkey == cust.c_custkey,
+    )
+    price = F.when(
+        F.col("o_orderkey") % 97 == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("o_totalprice"))
+    counts = (
+        joined.select(price_bucket(price).alias("price_bucket"))
+        .groupBy("price_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("__tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "price_bucket",
+        "cnt",
+        round_half_up(F.col("cnt") * 100.0 / F.col("__tot"), 2).alias(
+            "share_pct"
+        ),
+    )
+
+
+#: values the reference scrubs from the dropdown option lists
+#: (views.py:129 ``bad``) — blank/sentinel strings that standardization
+#: upstream should have nulled but a raw CSV may still carry
+_FILTER_BAD = ("", "nan", "none", "null", "unknown", "na", "n/a", "-")
+
+
+@_register(
+    "dashboard_filters",
+    f"""
+    WITH s AS (
+      SELECT DISTINCT n_name AS value
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name IS NOT NULL
+        AND lower(n_name) NOT IN {_FILTER_BAD!r}
+      ORDER BY value LIMIT 300
+    ), k AS (
+      SELECT DISTINCT c_mktsegment AS value
+      FROM customer
+      WHERE c_mktsegment IS NOT NULL
+        AND lower(c_mktsegment) NOT IN {_FILTER_BAD!r}
+      ORDER BY value LIMIT 300
+    )
+    SELECT 'state' AS filter_name, value FROM s
+    UNION ALL
+    SELECT 'keyword' AS filter_name, value FROM k
+    """,
+)
+def dashboard_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropdown option lists (views.py:117 api_filters): the distinct
+    sorted values feeding the dashboard's two filter dropdowns —
+    called on every page load. "States" map to the nations customers
+    actually live in (the geo column of this schema), "keywords" to
+    the market segments; blank/sentinel values are scrubbed exactly as
+    the reference does (views.py:129) and each list caps at 300.
+
+    Scale shape: each list is a partial-agg distinct on a
+    low-cardinality column (map-side combine collapses each partition
+    to its few distinct values before the shuffle), and the cap is
+    orderBy().limit(300) — TakeOrderedAndProject, never a global
+    sort. The nation join is a fixed-size broadcast. Long-form output
+    (filter_name, value) keeps the two lists in one flat frame."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+
+    def _options(df: DataFrame, col: str, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).alias("value"))
+            .filter(
+                F.col("value").isNotNull()
+                & ~F.lower(F.col("value")).isin(*_FILTER_BAD)
+            )
+            .distinct()
+            .orderBy("value")
+            .limit(300)
+            .select(F.lit(name).alias("filter_name"), "value")
+        )
+
+    states = _options(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey),
+        "n_name",
+        "state",
+    )
+    keywords = _options(cust, "c_mktsegment", "keyword")
+    return states.unionAll(keywords)
+
+
+@_register(
+    "table_page",
+    """
+    WITH f AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM f),
+    p AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                 CAST(row_number() OVER (ORDER BY o_orderkey) AS INT)
+                   AS page_row
+          FROM f)
+    SELECT page_row, o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS price, total_rows
+    FROM p CROSS JOIN t
+    WHERE page_row > 40 AND page_row <= 60
+    """,
+)
+def table_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LIMIT/OFFSET table page (views.py:249
+    api_mini_rows + the table view's pagination): page 3 of the
+    filtered order table at 20 rows/page, with the total row count the
+    pager needs to draw page numbers. Pagination is only meaningful
+    over a TOTAL order (the reference's frame has one from its index);
+    here the sort key is o_orderkey, so re-runs and retries return the
+    identical page.
+
+    Scale shape: the filter pushes to the scan; the page is
+    orderBy(key).limit(offset + size) — TakeOrderedAndProject keeps a
+    60-row heap per partition and merges on the driver, never a global
+    sort — and page_row is a row_number window over that BOUNDED
+    60-row result (exempted as bounded-by-construction in the plan
+    guard). The total is a one-row broadcast crossJoin. At 100 TB,
+    deep pages (offset ≫ 10^6) need keyset pagination (WHERE key >
+    last_seen LIMIT n) instead — the top-of-table pages a dashboard
+    actually renders are exactly this shape."""
+    offset, size = 40, 20
+    f = analytics.apply_filters(
+        _t(spark, sf_dir, "orders"), {"o_orderpriority": "1-URGENT"}
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    total = f.agg(F.count(F.lit(1)).cast("long").alias("total_rows"))
+    page = f.orderBy("o_orderkey").limit(offset + size)
+    w = Window.orderBy("o_orderkey")
+    return (
+        page.withColumn("page_row", F.row_number().over(w).cast("int"))
+        .filter(F.col("page_row") > offset)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "page_row",
+            "o_orderkey",
+            "o_custkey",
+            round_half_up("o_totalprice", 2).alias("price"),
+            "total_rows",
+        )
+    )
+
+
+@_register(
+    "filtered_top_states",
+    """
+    SELECT r_name AS group_value, COUNT(*) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_mktsegment = 'HOUSEHOLD'
+    GROUP BY r_name ORDER BY cnt DESC, group_value ASC LIMIT 12
+    """,
+)
+def filtered_top_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered top-states bar (views.py:171 api_top_states: filters →
+    state value_counts → head(12)) — the coarser-geo sibling of
+    filtered_top_groups, pinning the column-parameterized variant the
+    reference exposes as its own endpoint. Grouping rolls up to the
+    region grain (the "state" of this schema's geo hierarchy).
+
+    Scale shape: segment predicate into the customer scan
+    (PushedFilters — plan-asserted), both geo dims fixed-size
+    broadcasts, top-12 via TakeOrderedAndProject on the ≤5-row region
+    grain."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    filtered = analytics.apply_filters(joined, {"c_mktsegment": "HOUSEHOLD"})
+    return analytics.top_groups(filtered, "r_name", n=12)

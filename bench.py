@@ -112,6 +112,14 @@ EXTENDED_KEYS = [
     "events_ab_bootstrap",
     "events_mannwhitney",
     "events_ab_cuped",
+    # r8 additions (VERDICT r8 item 4): all six round-8 keys, so
+    # their runtime is tracked from the round they shipped
+    "part_triangle_census",
+    "nation_revenue_trend",
+    "customer_survival_km",
+    "orders_benford_audit",
+    "customer_l_diversity",
+    "docs_bm25_topk",
 ]
 
 

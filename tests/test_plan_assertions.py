@@ -262,6 +262,9 @@ def test_no_empty_partition_spec_window_anywhere(spark, sf_small):
         # rank window runs AFTER orderBy(...).limit(20): its input is
         # the 20-row TakeOrderedAndProject result, never the corpus
         "docs_bm25_topk",
+        # page_row window runs AFTER orderBy(key).limit(offset+size):
+        # its input is the 60-row TakeOrderedAndProject result
+        "table_page",
     }
 
     offenders = []
@@ -404,7 +407,13 @@ def test_bpe_tokenize_segments_on_distinct_word_grain(spark, sf_small):
 
 @pytest.mark.parametrize(
     "key",
-    ["filtered_top_groups", "filtered_price_histogram", "filtered_scatter"],
+    [
+        "filtered_top_groups",
+        "filtered_price_histogram",
+        "filtered_scatter",
+        "filtered_price_buckets",
+        "filtered_top_states",
+    ],
 )
 def test_filtered_charts_push_segment_predicate_to_scan(spark, sf_small, key):
     """The dashboard's filter-then-chart composition must keep the
