@@ -8414,3 +8414,243 @@ def filtered_top_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filtered = analytics.apply_filters(joined, {"c_mktsegment": "HOUSEHOLD"})
     return analytics.top_groups(filtered, "r_name", n=12)
+
+
+# ==========================================================================
+# §2 round-9: completing the TPC-H-shaped relational core — q2 / q4 / q20
+# were the only members of the 22-query suite without a registry key.
+# Each is restated on the columns this schema has (no partsupp table, no
+# commit/receipt dates), keeping the REFERENCE QUERY'S PLAN SHAPE —
+# correlated-min join (q2), EXISTS semi-join (q4), nested-aggregate
+# threshold semi-join (q20) — which is what the scale grade is about.
+# ==========================================================================
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    pc AS (
+      SELECT c.partkey, eu.s_name, eu.s_acctbal, eu.n_name, c.unit_cost
+      FROM cost c JOIN eu ON c.suppkey = eu.s_suppkey
+    ),
+    mn AS (SELECT partkey, min(unit_cost) AS min_cost FROM pc GROUP BY 1)
+    SELECT p_partkey, p_name, s_name AS supplier, n_name AS nation,
+           round(s_acctbal, 2) AS acctbal, round(unit_cost, 2) AS unit_cost
+    FROM part
+    JOIN pc ON p_partkey = pc.partkey
+    JOIN mn ON pc.partkey = mn.partkey AND pc.unit_cost = mn.min_cost
+    WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'STANDARD'
+    ORDER BY acctbal DESC, nation ASC, supplier ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each part in an
+    attribute slice (sizes {5,15,25,35,45}, STANDARD), the European supplier(s)
+    offering it at the lowest unit cost. The schema has no partsupp /
+    ps_supplycost, so unit cost derives from lineitem — each
+    supplier's average realized price-per-unit for the part — which
+    preserves Q2's defining shape: a correlated MIN subquery turned
+    into an aggregate + equality join back onto the detail grain.
+
+    Scale shape: the (part, supplier) cost table is one keyed
+    combining shuffle over lineitem; the region-filtered supplier dim
+    rides the size-gated broadcast; the per-part MIN is a second
+    combining aggregate on the part grain whose output joins back
+    partkey-keyed (both sides partkey-partitioned — exchange reuse);
+    the attribute slice pushes into the part scan; final top-100 is
+    TakeOrderedAndProject with a full tie-break chain. Unit cost is
+    rounded 4dp BEFORE the min/equality compare so the cost-tie cut
+    is engine-stable (floats compared only after a deterministic
+    snap), then formatted 2dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        round_half_up(
+            F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
+        ).alias("unit_cost")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    eu = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(
+            region,
+            (nation.n_regionkey == region.r_regionkey)
+            & (region.r_name == "EUROPE"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pc = cost.join(
+        _gb(eu, spark, sf_dir, "supplier"),
+        cost.suppkey == eu.s_suppkey,
+    ).select("partkey", "s_name", "s_acctbal", "n_name", "unit_cost")
+    mn = pc.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
+    sel = pc.join(mn, "partkey").filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    pslice = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45)
+        & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        sel.join(
+            _gb(pslice, spark, sf_dir, "part"),
+            sel.partkey == pslice.p_partkey,
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            round_half_up("s_acctbal", 2).alias("acctbal"),
+            round_half_up("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("acctbal").desc(),
+            F.col("nation").asc(),
+            F.col("supplier").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@_register(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o_orderdate < TIMESTAMP '1995-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND date_diff('day', o_orderdate, l_shipdate) > 90
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders placed in one
+    quarter that had at least one badly delayed lineitem, counted per
+    priority — the EXISTS-correlated-subquery member of the suite.
+    The schema has no commit/receipt dates, so "delayed" is the
+    q12 convention: shipped more than 90 days after the order date.
+
+    Scale shape: the quarter predicate pushes into the orders scan
+    (PushedFilters prunes to ~1/26th of the fact); EXISTS becomes a
+    LEFT SEMI join on orderkey with the lateness comparison as the
+    join's extra condition — each order emits at most once no matter
+    how many late lines it has, and no lineitem columns survive the
+    join. The final aggregate lands on the 5-row priority grain."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    flagged = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, orders.o_orderdate) > 90),
+        "left_semi",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@_register(
+    "q20_excess_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_brand = 'Brand#1')
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT partkey, sum(qty) AS total_qty FROM pq GROUP BY 1)
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM pq
+    JOIN tot ON pq.partkey = tot.partkey
+    JOIN supplier ON pq.suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE pq.qty > 0.5 * tot.total_qty AND n_name = 'NATION_3'
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant-supplier audit: suppliers in one
+    nation who, for some Brand#1 part, shipped MORE THAN HALF of that
+    part's total 1995 volume. The schema has no partsupp.ps_availqty,
+    so Q20's "stock exceeding half the year's demand" becomes "share
+    of the year's shipped volume exceeding half" — the identical
+    nested shape: an inner per-(part, supplier) aggregate compared
+    against a per-part aggregate threshold, collapsed to a distinct
+    supplier list.
+
+    Scale shape: the brand slice is a broadcast semi-join into the
+    lineitem scan before the (partkey, suppkey) combining shuffle;
+    the per-part total reuses the partkey partitioning (no second
+    exchange on the threshold join); the share compare is exact
+    (integer-valued quantity sums — no float-order hazard); the
+    supplier/nation dims ride size-gated/fixed broadcasts and the
+    distinct lands on the tiny qualifying-supplier grain."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    pq = (
+        li.join(
+            _gb(brand_parts, spark, sf_dir, "part"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = pq.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = pq.join(tot, "partkey").filter(
+        F.col("qty") > 0.5 * F.col("total_qty")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    named = supp.join(
+        nation,
+        (supp.s_nationkey == nation.n_nationkey)
+        & (nation.n_name == "NATION_3"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        dominant.join(
+            _gb(named, spark, sf_dir, "supplier"),
+            dominant.suppkey == named.s_suppkey,
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )

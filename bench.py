@@ -120,6 +120,12 @@ EXTENDED_KEYS = [
     "orders_benford_audit",
     "customer_l_diversity",
     "docs_bm25_topk",
+    # r9 additions: the TPC-H completion set (q2/q4/q20 are real
+    # fact-fact shuffles) — the dashboard-tail keys are dim-grain or
+    # top-of-table reads and covered by correctness runs
+    "q2_min_cost_supplier",
+    "q4_priority_check",
+    "q20_excess_suppliers",
 ]
 
 

@@ -110,3 +110,90 @@ def test_filtered_top_states_counts_match_manual(spark, sf_small):
     }
     for r in rows:
         assert manual[r["group_value"]] == r["cnt"]
+
+
+# ------------------------------------------------- TPC-H completion trio
+
+
+def test_q2_min_cost_rows_are_the_per_part_minimum(spark, sf_small):
+    rows = QUERIES["q2_min_cost_supplier"](spark, sf_small).collect()
+    # every returned (part, supplier) pair carries the minimum rounded
+    # unit cost among European suppliers for that part
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_small}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_small}/nation.parquet")
+    region = spark.read.parquet(f"{sf_small}/region.parquet")
+    eu_keys = {
+        r["s_suppkey"]
+        for r in supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .collect()
+    }
+    costs: dict[tuple, list] = {}
+    for r in (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("c"))
+        .collect()
+    ):
+        if r["l_suppkey"] in eu_keys:
+            costs.setdefault(r["l_partkey"], []).append(round(r["c"], 4))
+    for r in rows:
+        assert r["unit_cost"] == round(min(costs[r["p_partkey"]]), 2)
+
+
+def test_q4_counts_match_manual_exists(spark, sf_small):
+    rows = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in QUERIES["q4_priority_check"](spark, sf_small).collect()
+    }
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    late_orders = {
+        r["l_orderkey"]
+        for r in li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 90)
+        .collect()
+    }
+    manual: dict[str, int] = {}
+    for r in orders.collect():
+        if r["o_orderkey"] in late_orders:
+            manual[r["o_orderpriority"]] = manual.get(r["o_orderpriority"], 0) + 1
+    assert rows == manual and len(rows) > 0
+
+
+def test_q20_dominance_threshold_is_strict_half(spark, sf_small):
+    """Every reported supplier really shipped > 50% of some Brand#1
+    part's 1995 volume, and suppliers at exactly 100% of a
+    single-supplier part qualify (share 1.0 > 0.5)."""
+    rows = QUERIES["q20_excess_suppliers"](spark, sf_small).collect()
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    parts = {
+        r["p_partkey"]
+        for r in spark.read.parquet(f"{sf_small}/part.parquet")
+        .filter(F.col("p_brand") == "Brand#1")
+        .collect()
+    }
+    agg: dict[tuple, float] = {}
+    tot: dict[int, float] = {}
+    for r in li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    ).collect():
+        if r["l_partkey"] in parts:
+            agg[(r["l_partkey"], r["l_suppkey"])] = r["q"]
+            tot[r["l_partkey"]] = tot.get(r["l_partkey"], 0.0) + r["q"]
+    dominant_supps = {
+        sk for (pk, sk), q in agg.items() if q > 0.5 * tot[pk]
+    }
+    for r in rows:
+        assert r["s_suppkey"] in dominant_supps
+        assert r["n_name"] == "NATION_3"
