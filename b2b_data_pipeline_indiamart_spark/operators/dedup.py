@@ -1070,3 +1070,86 @@ def span_dup_report(
             ),
         )
     )
+
+
+def editdist_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 32,
+    max_block: int = 64,
+    min_sim: float = 0.8,
+) -> DataFrame:
+    """Prefix-blocked, edit-distance-VERIFIED near-duplicate pairs —
+    the character-level complement of the token-set verifiers
+    (:func:`ngram_jaccard_pairs` measures bag-of-shingles overlap;
+    Levenshtein measures ORDERED character agreement, catching
+    small in-place edits that reshuffle few shingles and, conversely,
+    refusing shingle-identical permutations).
+
+    Candidate generation is prefix blocking: documents sharing their
+    first ``prefix_len`` normalized characters form a block, and only
+    within-block pairs are scored — near-identical docs (boilerplate
+    variants, re-crawls with appended footers) overwhelmingly share
+    their head. Recall-limited BY DESIGN (a doc edited within the
+    first ``prefix_len`` chars escapes the block); the LSH keys are
+    the recall-oriented path, this one is the precision verifier.
+
+    Scale shape: one groupBy sizes the blocks and the self-join runs
+    only on blocks with 2..``max_block`` members — the cap is the
+    hot-block guard (a viral boilerplate prefix would otherwise
+    expand C(n,2) pairs; those blocks are exactly the ones exact/LSH
+    dedup already collapses, so skipping them loses nothing). The
+    verify is the JVM-native ``levenshtein`` on the pair row —
+    compute ∝ Σ C(block,2) ≤ |docs|·max_block/2, never corpus².
+    Similarity = 1 − dist/max(len) compared AFTER exact integer
+    division (both operands integers → IEEE-identical across
+    engines), so the cut is engine-stable.
+
+    Output: (doc_a, doc_b, edit_dist, sim 4dp), doc_a < doc_b.
+    """
+    d = (
+        _with_normalized(docs, text_col, id_col)
+        .filter(F.col("__norm").isNotNull() & (F.length("__norm") > 0))
+        .select(
+            F.col(id_col),
+            F.col("__norm"),
+            F.substring("__norm", 1, prefix_len).alias("__blk"),
+        )
+    )
+    sizes = d.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bn"))
+    blocked = d.join(
+        sizes.filter(
+            (F.col("__bn") >= 2) & (F.col("__bn") <= max_block)
+        ).select("__blk"),
+        "__blk",
+    )
+    a = blocked.select(
+        F.col("__blk"),
+        F.col(id_col).alias("doc_a"),
+        F.col("__norm").alias("__sa"),
+    )
+    b = blocked.select(
+        F.col("__blk"),
+        F.col(id_col).alias("doc_b"),
+        F.col("__norm").alias("__sb"),
+    )
+    pairs = a.join(b, "__blk").filter(F.col("doc_a") < F.col("doc_b"))
+    dist = F.levenshtein(F.col("__sa"), F.col("__sb"))
+    ml = F.greatest(F.length("__sa"), F.length("__sb"))
+    sim = 1.0 - dist.cast("double") / ml.cast("double")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            sim.alias("__sim"),
+        )
+        .filter(F.col("__sim") >= min_sim)
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            round_half_up(F.col("__sim"), 4).alias("sim"),
+        )
+    )

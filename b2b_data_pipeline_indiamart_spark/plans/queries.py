@@ -8654,3 +8654,38 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
     )
+
+
+@_register(
+    "docs_editdist_neardup",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    n AS (SELECT doc_id, s, substr(s, 1, 32) AS blk FROM d
+          WHERE s IS NOT NULL AND len(s) > 0),
+    bs AS (SELECT blk, count(*) AS bn FROM n GROUP BY 1),
+    nb AS (SELECT n.doc_id, n.s, n.blk FROM n JOIN bs USING (blk)
+           WHERE bn BETWEEN 2 AND 64),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 levenshtein(a.s, b.s) AS edit_dist,
+                 greatest(len(a.s), len(b.s)) AS ml
+          FROM nb a JOIN nb b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+           round(1.0 - edit_dist * 1.0 / ml, 4) AS sim
+    FROM p WHERE 1.0 - edit_dist * 1.0 / ml >= 0.8
+    """,
+)
+def docs_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs
+    (operators/dedup.editdist_neardup_pairs, prefix_len=32,
+    max_block=64, sim ≥ 0.8): the character-level verifier next to
+    the shingle-Jaccard one — catches small in-place edits, refuses
+    shingle-identical permutations. Prefix blocking bounds the pair
+    expansion (≤ |docs|·max_block/2 with the hot-block cap);
+    Levenshtein is the JVM builtin, and both engines evaluate the
+    identical integer DP, so the key is value-oracled end to end —
+    the only edit-distance key in the dedup family with a DuckDB
+    hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.editdist_neardup_pairs(
+        docs, prefix_len=32, max_block=64, min_sim=0.8
+    )

@@ -197,3 +197,51 @@ def test_q20_dominance_threshold_is_strict_half(spark, sf_small):
     for r in rows:
         assert r["s_suppkey"] in dominant_supps
         assert r["n_name"] == "NATION_3"
+
+
+# --------------------------------------------------- edit-distance dedup
+
+
+def test_editdist_neardup_pairs_verified_by_python(spark, sf_small):
+    """Every emitted pair's distance equals Python's DP edit distance
+    on the normalized texts, and sim >= 0.8."""
+    rows = QUERIES["docs_editdist_neardup"](spark, sf_small).collect()
+    import re
+
+    texts = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"]).strip().lower()
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows:
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        assert r["edit_dist"] == lev(a, b)
+        assert r["sim"] >= 0.8
+        assert r["doc_a"] < r["doc_b"]
+        # blocked pairs share the 32-char normalized prefix
+        assert a[:32] == b[:32]
+
+
+def test_editdist_hot_block_cap_skips_large_blocks(spark):
+    """A block larger than max_block contributes NO pairs (the
+    hot-block guard), while a 2-doc block still verifies."""
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
+        editdist_neardup_pairs,
+    )
+
+    base = "x" * 40
+    rows = [(i, base + f" tail {i}") for i in range(5)]  # hot block of 5
+    rows += [(100, "y" * 40 + " a"), (101, "y" * 40 + " b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = editdist_neardup_pairs(docs, max_block=4, min_sim=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(100, 101)}
