@@ -8689,3 +8689,91 @@ def docs_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.editdist_neardup_pairs(
         docs, prefix_len=32, max_block=64, min_sim=0.8
     )
+
+
+@_register(
+    "customer_cohort_ltv",
+    """
+    WITH o AS (SELECT o_custkey AS ck,
+                      (year(o_orderdate) * 12 + month(o_orderdate) - 1)
+                        AS om_idx,
+                      o_totalprice AS rev FROM orders),
+    fo AS (SELECT ck, min(om_idx) AS cm_idx FROM o GROUP BY 1),
+    x AS (SELECT o.ck, fo.cm_idx, o.om_idx - fo.cm_idx AS month_offset,
+                 o.rev
+          FROM o JOIN fo ON o.ck = fo.ck),
+    g AS (SELECT cm_idx, CAST(month_offset AS INT) AS month_offset,
+                 CAST(count(DISTINCT ck) AS BIGINT) AS n_active,
+                 CAST(floor(sum(rev) * 100 + 0.5) AS BIGINT) AS rev_cents
+          FROM x GROUP BY 1, 2)
+    SELECT printf('%04d-%02d', cm_idx // 12, (cm_idx % 12) + 1)
+             AS cohort_month,
+           month_offset, n_active,
+           rev_cents / 100.0 AS revenue,
+           round(sum(rev_cents) OVER (PARTITION BY cm_idx
+                                      ORDER BY month_offset)
+                 / 100.0
+                 / first_value(n_active) OVER (PARTITION BY cm_idx
+                                               ORDER BY month_offset),
+                 2) AS cum_ltv
+    FROM g
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order month, each cohort's active count, revenue, and
+    cumulative revenue PER COHORT MEMBER at every month offset — the
+    standard LTV readout next to events_retention's activity
+    triangle (retention counts users; this one follows the money).
+
+    Engine-portable month arithmetic: the month index is
+    ``year·12 + month − 1`` (pure integer expressions both engines
+    evaluate identically — no date-diff semantics to reconcile), and
+    the cohort label is re-rendered from the index with printf.
+
+    Scale shape: first-order month is one combining aggregate on the
+    customer grain; the cohort join shuffles orders once on custkey;
+    the triangle aggregate lands on the bounded (cohort × offset)
+    grain (≤ ~80×80 rows for a 7-year span at ANY SF); the running
+    LTV is a window over that bounded grain, PARTITIONED by cohort
+    (per-cohort sort, never global). Cohort size = first_value of
+    n_active at offset 0 (every member's first month is offset 0 by
+    construction), so no second join. The running sum is computed in
+    INTEGER CENTS (per-cell revenue half-up-snapped to cents first):
+    integer window addition is exact and order-independent, so the
+    cumulative column cannot pick up the one-ulp windowed-float
+    divergence a double cumsum shows across engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("om_idx"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    fo = o.groupBy("ck").agg(F.min("om_idx").alias("cm_idx"))
+    x = o.join(fo, "ck").select(
+        "ck",
+        "cm_idx",
+        (F.col("om_idx") - F.col("cm_idx")).cast("int").alias("month_offset"),
+        "rev",
+    )
+    g = x.groupBy("cm_idx", "month_offset").agg(
+        F.countDistinct("ck").cast("long").alias("n_active"),
+        F.floor(F.sum("rev") * 100 + 0.5).cast("long").alias("rev_cents"),
+    )
+    w = Window.partitionBy("cm_idx").orderBy("month_offset")
+    return g.select(
+        F.format_string(
+            "%04d-%02d",
+            F.expr("cm_idx div 12"),
+            F.expr("cm_idx % 12 + 1"),
+        ).alias("cohort_month"),
+        "month_offset",
+        "n_active",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        round_half_up(
+            F.sum("rev_cents").over(w) / F.lit(100.0)
+            / F.first("n_active").over(w),
+            2,
+        ).alias("cum_ltv"),
+    )

@@ -126,6 +126,8 @@ EXTENDED_KEYS = [
     "q2_min_cost_supplier",
     "q4_priority_check",
     "q20_excess_suppliers",
+    "docs_editdist_neardup",
+    "customer_cohort_ltv",
 ]
 
 

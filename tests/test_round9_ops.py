@@ -245,3 +245,40 @@ def test_editdist_hot_block_cap_skips_large_blocks(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = editdist_neardup_pairs(docs, max_block=4, min_sim=0.5).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in out} == {(100, 101)}
+
+
+# ----------------------------------------------------------- cohort LTV
+
+
+def test_cohort_ltv_triangle_invariants(spark, sf_small):
+    rows = QUERIES["customer_cohort_ltv"](spark, sf_small).collect()
+    assert len(rows) > 0
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    for cm, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["month_offset"])
+        # offset 0 exists (every member's first order is offset 0)
+        assert rs[0]["month_offset"] == 0
+        # cohort size = offset-0 actives >= any later month's actives
+        n0 = rs[0]["n_active"]
+        assert all(r["n_active"] <= n0 for r in rs)
+        # cum_ltv is nondecreasing (revenue >= 0 per cell)
+        ltvs = [r["cum_ltv"] for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(ltvs, ltvs[1:]))
+        # first cell: cum_ltv == revenue / n0 (±1 cent: the engine
+        # rounds half-up, Python's round() is banker's)
+        assert abs(ltvs[0] - rs[0]["revenue"] / n0) <= 0.011
+
+
+def test_cohort_ltv_conserves_total_revenue(spark, sf_small):
+    """Triangle cells partition the order table: cell revenues sum to
+    total order revenue (to cent rounding)."""
+    rows = QUERIES["customer_cohort_ltv"](spark, sf_small).collect()
+    total = sum(r["revenue"] for r in rows)
+    ref = (
+        spark.read.parquet(f"{sf_small}/orders.parquet")
+        .agg(F.sum("o_totalprice").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert abs(total - ref) <= 0.01 * len(rows)
