@@ -445,3 +445,55 @@ def test_pagerank_edge_dedup_fuses_into_partition_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------------------ round 9
+
+
+def test_q4_exists_is_left_semi_with_pushed_quarter(spark, sf_small):
+    """Q4's EXISTS must plan as LeftSemi (one emit per order, no
+    lineitem columns survive) with the quarter predicate at the
+    orders parquet scan."""
+    plan = _plan(spark, sf_small, "q4_priority_check")
+    assert "LeftSemi" in plan
+    scan = next(
+        s for s in plan.split("\n\n")
+        if "Scan parquet" in s and "orders" in s
+    )
+    assert "GreaterThanOrEqual(o_orderdate," in scan
+
+
+def test_q20_brand_slice_is_broadcast_semi_join(spark, sf_small):
+    """The Brand#1 part slice must ride a broadcast LEFT SEMI into the
+    lineitem scan side — never a shuffled semi join of the fact."""
+    plan = _plan(spark, sf_small, "q20_excess_suppliers")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    scan = next(
+        s for s in plan.split("\n\n")
+        if "Scan parquet" in s and "part" in s and "p_brand" in s
+    )
+    assert "EqualTo(p_brand,Brand#1)" in scan
+
+
+def test_q2_top100_is_take_ordered(spark, sf_small):
+    """Q2's final cut must be TakeOrderedAndProject (per-partition
+    heap + driver merge), not a global Sort feeding a limit."""
+    import re
+
+    plan = _plan(spark, sf_small, "q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    # the attribute slice reaches the part scan
+    scan = next(
+        s for s in plan.split("\n\n")
+        if "Scan parquet" in s and "p_size" in s
+    )
+    assert "EqualTo(p_type,STANDARD)" in scan
+
+
+def test_bm25_topk_is_take_ordered_then_bounded_window(spark, sf_small):
+    """r9 fix pin: the corpus-grain score frame must reach the top-20
+    through TakeOrderedAndProject/GlobalLimit; the rank window sits
+    above the bounded limit result, never over the corpus."""
+    df = QUERIES["docs_bm25_topk"](spark, sf_small)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys or "GlobalLimit" in phys
