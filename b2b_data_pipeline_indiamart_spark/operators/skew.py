@@ -119,3 +119,53 @@ def hybrid_salted_join(
     hot_out = salted_join(f_hot, b_hot, on, n_salts, how)
     cold_out = f_cold.join(b_cold, list(on), how)
     return hot_out.unionByName(cold_out)
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str
+) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key — the
+    measurement that decides between a plain hash join/agg, AQE's
+    skew-join split, and :func:`hybrid_salted_join`'s explicit
+    salting. Reports the group-size distribution of ``key_col``:
+    (n_keys, n_rows, mean_sz, p50_sz, p99_sz, max_sz, skew_ratio =
+    max/mean, max_share = max/rows).
+
+    Reading it: skew_ratio ≈ 1 and p99 ≈ p50 → uniform key, shuffle
+    freely. skew_ratio ≫ p99/mean → a few hot keys (the salting
+    case — feed :func:`hot_keys` with a threshold near p99·mean).
+    max_share near 1 → the key is ~constant and the shuffle
+    degenerates to one reducer regardless of strategy.
+
+    Scale shape: one keyed combining aggregate to the key grain, then
+    a one-row rollup. The percentiles are EXACT interpolated
+    (engine-parity with the DuckDB oracle); at the 100 TB grain swap
+    in approx_percentile — same one-pass shape, sketch-bounded
+    memory (the price_percentile_bands precedent).
+    """
+    from ..functions.rounding import round_half_up
+
+    g = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        round_half_up(F.avg("sz"), 4).alias("mean_sz"),
+        round_half_up(F.expr("percentile(sz, 0.5)"), 2).alias("p50_sz"),
+        round_half_up(F.expr("percentile(sz, 0.99)"), 2).alias("p99_sz"),
+        F.max("sz").cast("long").alias("max_sz"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "mean_sz",
+        "p50_sz",
+        "p99_sz",
+        "max_sz",
+        round_half_up(F.col("max_sz") / F.col("mean_sz"), 2).alias(
+            "skew_ratio"
+        ),
+        round_half_up(F.col("max_sz") / F.col("n_rows"), 6).alias(
+            "max_share"
+        ),
+    )

@@ -8777,3 +8777,104 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("cum_ltv"),
     )
+
+
+@_register(
+    "orders_key_skew_report",
+    """
+    WITH g AS (SELECT o_custkey AS k, count(*) AS sz FROM orders GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(sz) AS BIGINT) AS n_rows,
+                 round(avg(sz), 4) AS mean_sz,
+                 round(quantile_cont(sz, 0.5), 2) AS p50_sz,
+                 round(quantile_cont(sz, 0.99), 2) AS p99_sz,
+                 CAST(max(sz) AS BIGINT) AS max_sz
+          FROM g)
+    SELECT n_keys, n_rows, mean_sz, p50_sz, p99_sz, max_sz,
+           round(max_sz / mean_sz, 2) AS skew_ratio,
+           round(max_sz * 1.0 / n_rows, 6) AS max_share
+    FROM t
+    """,
+)
+def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/skew.key_skew_report)
+    over orders.o_custkey — the measurement that picks between plain
+    hash shuffle, AQE skew split, and hybrid_salted_join's explicit
+    salting (the report's thresholds feed skew.hot_keys). One keyed
+    combining aggregate + one-row rollup; exact interpolated
+    percentiles for oracle parity with approx_percentile documented
+    as the 100 TB swap."""
+    from ..operators.skew import key_skew_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_skew_report(orders, "o_custkey")
+
+
+@_register(
+    "embedding_sim_histogram",
+    """
+    WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings
+               WHERE substr(md5('simhist:' || CAST(vec_id AS VARCHAR)),
+                            1, 8) < '66666666'),
+    p AS (SELECT round(CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                                 * sqrt(list_dot_product(b.e, b.e)) > 0
+                            THEN list_dot_product(a.e, b.e)
+                                 / (sqrt(list_dot_product(a.e, a.e))
+                                    * sqrt(list_dot_product(b.e, b.e)))
+                       END, 4) AS cos_sim
+          FROM s a JOIN s b ON a.vec_id < b.vec_id)
+    SELECT CAST(floor(cos_sim * 20) AS INT) AS sim_bin,
+           round(CAST(floor(cos_sim * 20) AS INT) * 0.05, 2) AS bin_low,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(avg(cos_sim), 4) AS avg_sim
+    FROM p WHERE cos_sim IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram (0.05-wide bins) over a deterministic
+    ~40% sample — the threshold-calibration readout the near-dup /
+    SemDeDup keys depend on: the histogram's high tail shows where
+    the duplicate mass separates from the bulk, which is how
+    embedding_neardup's 0.35 and semdedup's cuts get chosen instead
+    of guessed.
+
+    Scale shape: sampling is the md5-threshold predicate (map-only,
+    retry/partitioning-invariant — the stratified_sample machinery);
+    pair scoring reuses the distributed block-pair gemm
+    (similarity.cosine_neardup_blocked at threshold −∞ — shuffle
+    O(sample·n_blocks), one BLAS gemm per block pair); the histogram
+    is a combining aggregate onto the ≤ 41-bin grain. Pair compute is
+    O(sample²) BY DESIGN — calibration runs on a sample precisely
+    because the full-corpus pair space is what the calibrated
+    threshold will prune."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("simhist"), F.col("vec_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        )
+        < "66666666"
+    )
+    sims = similarity.cosine_neardup_blocked(sample, threshold=-1.01)
+    sim_bin = F.floor(F.col("cos_sim") * 20).cast("int")
+    return (
+        sims.filter(F.col("cos_sim").isNotNull())
+        .groupBy(sim_bin.alias("sim_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            round_half_up(F.avg("cos_sim"), 4).alias("avg_sim"),
+        )
+        .select(
+            "sim_bin",
+            round_half_up(F.col("sim_bin") * 0.05, 2).alias("bin_low"),
+            "cnt",
+            "avg_sim",
+        )
+    )

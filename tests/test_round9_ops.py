@@ -282,3 +282,62 @@ def test_cohort_ltv_conserves_total_revenue(spark, sf_small):
         .collect()[0]["t"]
     )
     assert abs(total - ref) <= 0.01 * len(rows)
+
+
+# ------------------------------------------------------- skew diagnostics
+
+
+def test_key_skew_report_uniform_vs_hot_key(spark):
+    from b2b_data_pipeline_indiamart_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(1000)], "k long"
+    )
+    [r] = key_skew_report(uniform, "k").collect()
+    assert (r["n_keys"], r["n_rows"], r["max_sz"]) == (10, 1000, 100)
+    assert r["skew_ratio"] == 1.0 and r["p50_sz"] == 100.0
+
+    hot = spark.createDataFrame(
+        [(0,)] * 991 + [(i,) for i in range(1, 10)], "k long"
+    )
+    [r] = key_skew_report(hot, "k").collect()
+    assert r["max_sz"] == 991 and r["skew_ratio"] > 9
+    assert r["max_share"] == 0.991
+
+
+def test_orders_key_skew_report_consistency(spark, sf_small):
+    [r] = QUERIES["orders_key_skew_report"](spark, sf_small).collect()
+    n = spark.read.parquet(f"{sf_small}/orders.parquet").count()
+    assert r["n_rows"] == n
+    assert r["p50_sz"] <= r["p99_sz"] <= r["max_sz"]
+    assert abs(r["mean_sz"] - n / r["n_keys"]) < 0.001
+
+
+# ------------------------------------------------- similarity histogram
+
+
+def test_embedding_sim_histogram_accounts_for_all_pairs(spark, sf_small):
+    rows = QUERIES["embedding_sim_histogram"](spark, sf_small).collect()
+    assert len(rows) >= 1
+    # bins are 0.05-wide, bin_low = sim_bin * 0.05
+    for r in rows:
+        assert abs(r["bin_low"] - r["sim_bin"] * 0.05) < 1e-9
+        assert -1.0 <= r["avg_sim"] <= 1.0
+        # avg of the bin lies inside the bin (right edge inclusive due
+        # to 4dp pre-rounding)
+        assert r["bin_low"] - 1e-9 <= r["avg_sim"] <= r["bin_low"] + 0.05 + 1e-9
+    # total pair count == C(sample, 2)
+    import hashlib
+
+    ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()
+    ]
+    sample = [
+        i for i in ids
+        if hashlib.md5(f"simhist:{i}".encode()).hexdigest()[:8] < "66666666"
+    ]
+    n = len(sample)
+    assert sum(r["cnt"] for r in rows) == n * (n - 1) // 2
