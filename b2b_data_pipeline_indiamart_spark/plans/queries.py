@@ -3024,7 +3024,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "events_heavy_hitters_cms",
+    "events_heavy_hitters_cms_portable",
     """
     WITH cells AS (
       SELECT r.x AS row,
@@ -3054,26 +3054,44 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY exact_n DESC, key
     """,
 )
-def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch heavy hitters over user_id
-    (operators/sketches.cms_estimate_heavy_hitters, depth=4,
-    width=1024): exact top-20 side-by-side with their CMS estimates —
-    the constant-memory frequency sketch completing the mergeable
-    family (HLL cardinality, t-digest quantiles, CMS frequency).
-    Oracle pairing: this REGISTRY key runs the sketch in
-    ``engine_portable=True`` mode (md5-hex-prefix buckets, ~2.7×
-    hash cost) so DuckDB rebuilds the IDENTICAL 4×1024 sketch table
-    and the estimates hash-match cell for cell. The OPERATOR's
-    production default stays xxhash64 — the 100 TB path does not pay
-    the oracle tax (r9; see sketches._cms_bucket). The overestimate
-    bound (est >= exact, est - exact <= e·N/width) stays
-    pytest-pinned on the default path."""
+def events_heavy_hitters_cms_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-bearing twin of events_heavy_hitters_cms: the sketch in
+    ``engine_portable=True`` mode (md5-hex-prefix buckets) so DuckDB
+    rebuilds the IDENTICAL 4×1024 sketch table and the estimates
+    hash-match cell for cell. This mode pays a measured ~2.7× hash
+    cost and exists FOR the value oracle; the production key below
+    runs the xxhash64 default (VERDICT r8 item 3 — the 100 TB path
+    must not pay the oracle tax)."""
     events = _t(spark, sf_dir, "events")
     from ..operators import sketches
 
     return sketches.cms_estimate_heavy_hitters(
         events, "user_id", top=20, engine_portable=True
     )
+
+
+@_register("events_heavy_hitters_cms")  # rows-only (Spark-side xxhash64)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over user_id
+    (operators/sketches.cms_estimate_heavy_hitters, depth=4,
+    width=1024): exact top-20 side-by-side with their CMS estimates —
+    the constant-memory frequency sketch completing the mergeable
+    family (HLL cardinality, t-digest quantiles, CMS frequency).
+
+    PRODUCTION path: JVM-native xxhash64 buckets (the sketch hash has
+    no DuckDB equivalent, so this key is rows-only — determinism plus
+    the pytest-pinned overestimate bound est ≥ exact,
+    est − exact ≤ e·N/width). The value-level oracle lives on
+    events_heavy_hitters_cms_portable, which runs the identical
+    estimator with md5-prefix buckets both engines can compute; the
+    estimator logic is shared line for line, so the twin's hash gate
+    covers this key's code path up to the bucket function."""
+    events = _t(spark, sf_dir, "events")
+    from ..operators import sketches
+
+    return sketches.cms_estimate_heavy_hitters(events, "user_id", top=20)
 
 
 # ==========================================================================
