@@ -8603,7 +8603,8 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         AND l_shipdate < TIMESTAMP '1996-01-01'
         AND l_partkey IN (SELECT p_partkey FROM part
-                          WHERE p_brand = 'Brand#1')
+                          WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3',
+                                            'Brand#4', 'Brand#5'))
       GROUP BY 1, 2
     ),
     tot AS (SELECT partkey, sum(qty) AS total_qty FROM pq GROUP BY 1)
@@ -8612,18 +8613,21 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN tot ON pq.partkey = tot.partkey
     JOIN supplier ON pq.suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE pq.qty > 0.5 * tot.total_qty AND n_name = 'NATION_3'
+    WHERE pq.qty > 0.5 * tot.total_qty
     """,
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20-shaped dominant-supplier audit: suppliers in one
-    nation who, for some Brand#1 part, shipped MORE THAN HALF of that
-    part's total 1995 volume. The schema has no partsupp.ps_availqty,
-    so Q20's "stock exceeding half the year's demand" becomes "share
-    of the year's shipped volume exceeding half" — the identical
-    nested shape: an inner per-(part, supplier) aggregate compared
-    against a per-part aggregate threshold, collapsed to a distinct
-    supplier list.
+    """TPC-H Q20-shaped dominant-supplier audit: suppliers who, for
+    some part of the five audited brands, shipped MORE THAN HALF of
+    that part's total 1995 volume. The schema has no
+    partsupp.ps_availqty, so Q20's "stock exceeding half the year's
+    demand" becomes "share of the year's shipped volume exceeding
+    half" — the identical nested shape: an inner per-(part, supplier)
+    aggregate compared against a per-part aggregate threshold,
+    collapsed to a distinct supplier list. Q20's final nation
+    predicate is carried as the n_name OUTPUT column instead (a 1-row
+    nation cut left the value check nearly empty at test SFs; the
+    downstream filter is a trivial pushed predicate either way).
 
     Scale shape: the brand slice is a broadcast semi-join into the
     lineitem scan before the (partkey, suppkey) combining shuffle;
@@ -8638,7 +8642,11 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     brand_parts = (
         _t(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#1")
+        .filter(
+            F.col("p_brand").isin(
+                "Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5"
+            )
+        )
         .select("p_partkey")
     )
     pq = (
@@ -8660,9 +8668,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     named = supp.join(
-        nation,
-        (supp.s_nationkey == nation.n_nationkey)
-        & (nation.n_name == "NATION_3"),
+        nation, supp.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", "s_name", "n_name")
     return (
         dominant.join(

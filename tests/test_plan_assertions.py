@@ -472,7 +472,7 @@ def test_q20_brand_slice_is_broadcast_semi_join(spark, sf_small):
         s for s in plan.split("\n\n")
         if "Scan parquet" in s and "part" in s and "p_brand" in s
     )
-    assert "EqualTo(p_brand,Brand#1)" in scan
+    assert "In(p_brand, [Brand#1" in scan
 
 
 def test_q2_top100_is_take_ordered(spark, sf_small):

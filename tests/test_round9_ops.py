@@ -169,9 +169,9 @@ def test_q4_counts_match_manual_exists(spark, sf_small):
 
 
 def test_q20_dominance_threshold_is_strict_half(spark, sf_small):
-    """Every reported supplier really shipped > 50% of some Brand#1
-    part's 1995 volume, and suppliers at exactly 100% of a
-    single-supplier part qualify (share 1.0 > 0.5)."""
+    """The reported supplier set is EXACTLY the suppliers who shipped
+    > 50% of some audited-brand part's 1995 volume (suppliers at 100%
+    of a single-supplier part qualify: 1.0 > 0.5)."""
     rows = QUERIES["q20_excess_suppliers"](spark, sf_small).collect()
     li = spark.read.parquet(f"{sf_small}/lineitem.parquet").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -180,7 +180,11 @@ def test_q20_dominance_threshold_is_strict_half(spark, sf_small):
     parts = {
         r["p_partkey"]
         for r in spark.read.parquet(f"{sf_small}/part.parquet")
-        .filter(F.col("p_brand") == "Brand#1")
+        .filter(
+            F.col("p_brand").isin(
+                "Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5"
+            )
+        )
         .collect()
     }
     agg: dict[tuple, float] = {}
@@ -194,9 +198,8 @@ def test_q20_dominance_threshold_is_strict_half(spark, sf_small):
     dominant_supps = {
         sk for (pk, sk), q in agg.items() if q > 0.5 * tot[pk]
     }
-    for r in rows:
-        assert r["s_suppkey"] in dominant_supps
-        assert r["n_name"] == "NATION_3"
+    emitted = {r["s_suppkey"] for r in rows}
+    assert emitted == dominant_supps and len(emitted) > 0
 
 
 # --------------------------------------------------- edit-distance dedup
