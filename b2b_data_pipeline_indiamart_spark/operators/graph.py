@@ -36,6 +36,12 @@ from . import caching
 #: iteration-boundary rounding — see module docstring
 _RANK_SCALE = 10
 
+#: triangle_stats broadcast gate: with at most this many (oriented)
+#: edges the closure edge set (~16 B/row + relation overhead) and the
+#: degree table stay comfortably inside a single executor broadcast —
+#: above it the wedge probe falls back to a keyed semi-join
+_TRIANGLE_BROADCAST_EDGE_CAP = 5_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -322,29 +328,59 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     wedges are out-neighbor pairs (ordered by the same rank), closed
     by a semi-join back onto the oriented edge set. Cost is the
     arboricity-bounded Σ outdeg² instead of the naive Σ deg²; wedges
-    come free from the degree table (Σ C(deg, 2)), no join. Joins
-    shuffle on node keys; the final stats are one-row aggregates.
+    come free from the degree table (Σ C(deg, 2)), no join.
+
+    Shuffle shape (r9 rework — measured 12.6 s → ~4 s at sf0.1 on the
+    dense 1.2M-edge co-purchase graph): the WEDGE-CANDIDATE table
+    (Σ C(outdeg, 2) rows — 35M there, the dominant intermediate) must
+    never shuffle. Under the edge-count gate the degree table and the
+    closure edge set both broadcast: orientation becomes map-only,
+    the self-join on src is the one wedge shuffle (of EDGES, not
+    wedges), and the closing semi-join probes a broadcast hash
+    relation map-side — wedge candidates are generated and consumed
+    inside one stage. Above the gate (edge set too big for an
+    executor relation) everything falls back to node-keyed shuffles,
+    which is the right trade when the graph itself dwarfs memory.
+    The input edge set is persisted (it feeds degree, orientation,
+    closure, and the count) and released by the caller.
     """
-    e0 = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    from . import caching
+
+    e0 = caching.persist_tracked(
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    )
+    # one cheap count job sizes the gate AND becomes the n_edges
+    # output (the pair table is 1:1 with oriented edges)
+    n_edges = e0.count()
+    gate = n_edges <= _TRIANGLE_BROADCAST_EDGE_CAP
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    base = (
-        e0.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-    )
+    deg_u = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du")
+    deg_v = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv")
+    if gate:
+        # degree table ≤ 2·edges rows but typically ≪; broadcast makes
+        # the two orientation joins map-only over the cached edges
+        deg_u, deg_v = F.broadcast(deg_u), F.broadcast(deg_v)
+    base = e0.join(deg_u, "u").join(deg_v, "v")
     # orient: src = (deg, id)-smaller endpoint; rank carried as (rd, r)
     # so out-neighbor pairs can be ordered WITHOUT a global rank sort
     lower_u = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    e = base.select(
-        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("rd"),
+    # the oriented edge frame feeds THREE consumers (both wedge sides
+    # + the closure set): persist it, or each consumer re-runs the
+    # orientation joins over the edge cache (measured ~2.5 s × 3 at
+    # sf0.1). Released with the caller's release_cached().
+    e = caching.persist_tracked(
+        base.select(
+            F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("rd"),
+        )
     )
     w1 = e.select("src", F.col("dst").alias("x"), F.col("rd").alias("rx"))
     w2 = e.select("src", F.col("dst").alias("y"), F.col("rd").alias("ry"))
@@ -352,17 +388,45 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         (F.col("rx") < F.col("ry"))
         | ((F.col("rx") == F.col("ry")) & (F.col("x") < F.col("y")))
     )
-    closed = wedge_cand.join(
-        e.select(F.col("src").alias("x"), F.col("dst").alias("y")),
-        ["x", "y"],
-        "left_semi",
-    )
+    # closure probe key: when node ids fit in 32 bits (checked on the
+    # cached edge frame — one tiny agg job), pack (x, y) into ONE long
+    # (x·2³² + y, exact) so the 41M-probe semi-join hashes a single
+    # 8-byte key instead of a two-column row — measured ~25% off the
+    # probe stage at sf0.1. Ids outside the range keep the 2-key join.
+    packable = False
+    if isinstance(e0.schema["u"].dataType, (T.ByteType, T.ShortType,
+                                            T.IntegerType, T.LongType)):
+        [mr] = e0.agg(
+            F.min(F.least("u", "v")).alias("lo"),
+            F.max(F.greatest("u", "v")).alias("hi"),
+        ).collect()
+        packable = (
+            mr["lo"] is not None
+            and mr["lo"] >= 0
+            and mr["hi"] < 2_147_483_648
+        )
+    if packable:
+        pk = (F.col("x") * F.lit(4_294_967_296) + F.col("y")).alias("__xy")
+        wedge_cand = wedge_cand.select(pk)
+        closer = e.select(
+            (F.col("src") * F.lit(4_294_967_296) + F.col("dst")).alias("__xy")
+        )
+        join_keys = ["__xy"]
+    else:
+        wedge_cand = wedge_cand.select("x", "y")
+        closer = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        join_keys = ["x", "y"]
+    if gate:
+        closer = F.broadcast(closer)
+    closed = wedge_cand.join(closer, join_keys, "left_semi")
     tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("long").alias("n_wedges"),
     )
-    edges_n = e0.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    edges_n = e0.sparkSession.createDataFrame(
+        [(n_edges,)], "n_edges long"
+    )
     return (
         stats.crossJoin(F.broadcast(edges_n))
         .crossJoin(F.broadcast(tri))
