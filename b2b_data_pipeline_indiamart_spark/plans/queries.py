@@ -8902,3 +8902,53 @@ def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_sim",
         )
     )
+
+
+@_register(
+    "events_hourly_topk",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT h, user_id, cnt,
+             CAST(row_number() OVER (PARTITION BY h
+                                     ORDER BY cnt DESC, user_id ASC)
+                  AS INT) AS rnk
+      FROM c
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           user_id, CAST(cnt AS BIGINT) AS cnt, rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def events_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k: the 3 most active users in every hour with
+    their event counts and rank — the leaderboard-per-window readout
+    (trending items, noisiest tenants, hottest sessions) missing
+    between the global top-k keys and the per-window count keys.
+
+    Scale shape: one combining aggregate to the (hour, user) grain,
+    then a rank window PARTITIONED BY the hour — per-window sort,
+    never global — which Spark's optimizer executes as
+    WindowGroupLimit (plan-asserted): each partition keeps a k-row
+    heap per window instead of fully sorting the window, so the
+    post-aggregate sort cost is ∝ windows·k, not rows·log(rows).
+    Count-desc with user-id tie-break keeps the cut deterministic."""
+    events = _t(spark, sf_dir, "events")
+    c = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("h").orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "user_id",
+            "cnt",
+            "rnk",
+        )
+    )

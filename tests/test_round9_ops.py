@@ -344,3 +344,27 @@ def test_embedding_sim_histogram_accounts_for_all_pairs(spark, sf_small):
     ]
     n = len(sample)
     assert sum(r["cnt"] for r in rows) == n * (n - 1) // 2
+
+
+# ----------------------------------------------------- per-window top-k
+
+
+def test_events_hourly_topk_rank_and_counts(spark, sf_small):
+    rows = QUERIES["events_hourly_topk"](spark, sf_small).collect()
+    assert len(rows) > 0
+    by_hour: dict[str, list] = {}
+    for r in rows:
+        by_hour.setdefault(r["bucket_start"], []).append(r)
+    for h, rs in by_hour.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # counts non-increasing down the ranks
+        cnts = [r["cnt"] for r in rs]
+        assert cnts == sorted(cnts, reverse=True)
+
+
+def test_events_hourly_topk_plan_uses_window_group_limit(spark, sf_small):
+    df = QUERIES["events_hourly_topk"](spark, sf_small)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys
