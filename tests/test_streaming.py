@@ -722,3 +722,67 @@ def test_incremental_rollup_maintains_partitioned_table(spark, tmp_path):
     hours = {h for h in os.listdir(out + "/day=2026-01-01")
              if h.startswith("hour=")}
     assert hours == {"hour=10", "hour=11", "hour=12", "hour=14"}
+
+
+def test_streaming_scd2_dimension_sink(spark, tmp_path):
+    """Two micro-batches of attribute updates fold into a versioned
+    SCD2 snapshot: changed keys close their version, unchanged carry,
+    new keys open — through the foreachBatch snapshot-swap sink."""
+    import time
+
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        start_scd2_dimension_sink,
+    )
+
+    src = str(tmp_path / "updates")
+    snap_dir = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "IN"), (2, "US")], "id long, country string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+
+    stream = (
+        spark.readStream.schema("id long, country string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_scd2_dimension_sink(
+        stream, snap_dir, ckpt, ["id"], ["country"],
+        "id long, country string",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                if spark.read.parquet(snap_dir).count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        # batch 2: id=1 changes country, id=3 new
+        spark.createDataFrame(
+            [(1, "SG"), (3, "BR")], "id long, country string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                if spark.read.parquet(snap_dir).count() >= 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = {(r["id"], r["is_current"]): r for r in spark.read.parquet(snap_dir).collect()}
+    assert len(rows) == 4  # 1-closed, 1-open, 2-open, 3-open
+    assert rows[(1, False)]["country"] == "IN"
+    assert rows[(1, True)]["country"] == "SG"
+    assert rows[(2, True)]["country"] == "US"
+    assert rows[(3, True)]["country"] == "BR"
+    # closed version's valid_to == its successor's valid_from
+    assert rows[(1, False)]["valid_to"] == rows[(1, True)]["valid_from"]
