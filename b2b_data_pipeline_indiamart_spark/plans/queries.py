@@ -8952,3 +8952,59 @@ def events_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@_register(
+    "docs_dp_lang_counts",
+    """
+    WITH c AS (SELECT lang, count(*) AS true_n FROM documents GROUP BY 1),
+    u AS (SELECT lang, true_n,
+                 (('0x' || substr(md5('dp1:' || lang), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS uni
+          FROM c)
+    SELECT lang, CAST(true_n AS BIGINT) AS true_n,
+           round(CASE WHEN uni < 0.5 THEN ln(2.0 * uni)
+                      ELSE -ln(2.0 * (1.0 - uni)) END, 4) AS noise,
+           round(true_n + CASE WHEN uni < 0.5 THEN ln(2.0 * uni)
+                               ELSE -ln(2.0 * (1.0 - uni)) END, 4)
+             AS dp_n
+    FROM u
+    """,
+)
+def docs_dp_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the per-language document
+    counts — the publishable face of the privacy family (k-anonymity
+    and l-diversity GATE releases; the Laplace mechanism PERTURBS
+    them): count + Laplace(1/ε) noise at ε=1 satisfies ε-DP for a
+    count query (sensitivity 1).
+
+    The noise draw is DERIVED, not random: uniform = md5('dp1:'‖lang)
+    8-hex-prefix mapped into (0,1) (the +0.5 offset keeps it strictly
+    inside, so the inverse CDF never hits ±∞), then the standard
+    Laplace inverse CDF sign(u−½)·ln(...)  at scale b=1/ε=1. A
+    seeded-deterministic draw is what makes the release reproducible
+    across retries/engines — and is standard practice when the noise
+    seed is kept secret; the oracle evaluates the IDENTICAL
+    expression, so this is the only DP key that can carry a
+    value-level hash gate. True counts stay in the output for the
+    test's |dp−true| bound; a production release drops that column.
+
+    Scale shape: one combining aggregate to the tiny lang grain; the
+    noise is a map-side expression over ≤ |langs| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("true_n"))
+    uni = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("dp1"), F.col("lang"))), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    noise = F.when(uni < 0.5, F.log(2.0 * uni)).otherwise(
+        -F.log(2.0 * (1.0 - uni))
+    )
+    return c.select(
+        "lang",
+        F.col("true_n").cast("long").alias("true_n"),
+        round_half_up(noise, 4).alias("noise"),
+        round_half_up(F.col("true_n") + noise, 4).alias("dp_n"),
+    )

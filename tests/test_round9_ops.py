@@ -368,3 +368,23 @@ def test_events_hourly_topk_plan_uses_window_group_limit(spark, sf_small):
     df = QUERIES["events_hourly_topk"](spark, sf_small)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in phys
+
+
+# ------------------------------------------------------------ DP release
+
+
+def test_dp_lang_counts_noise_properties(spark, sf_small):
+    import math
+
+    rows = QUERIES["docs_dp_lang_counts"](spark, sf_small).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # dp_n = true_n + noise (to output rounding)
+        assert abs(r["dp_n"] - (r["true_n"] + r["noise"])) <= 0.001
+        # Laplace(1) tail: |noise| beyond ~ln(2/delta) is astronomically
+        # unlikely under the derived-uniform construction; assert the
+        # inverse-CDF range bound for an 8-hex uniform (u >= 2^-33)
+        assert abs(r["noise"]) <= -math.log(2 ** -33) + 1.0
+    # deterministic: same seed string -> identical release on re-run
+    again = QUERIES["docs_dp_lang_counts"](spark, sf_small).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
