@@ -534,3 +534,57 @@ def scd2_init(
         F.lit(open_end).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal (point-in-time) join of a fact stream against an SCD2
+    dimension: each fact row picks up the dimension version that was
+    CURRENT at the fact's own timestamp (``valid_from <= ts <
+    valid_to``) — the consumer side of :func:`scd2_apply`, and the
+    join that makes keeping history worthwhile (training-data
+    point-in-time correctness: features must reflect what was known
+    AT event time, not today's values — the leakage rule every
+    feature-store join has to obey).
+
+    Scale shape: an equi-join on the business key with the validity
+    range as a residual join condition — NOT a generic interval/theta
+    join, because version intervals of ONE key never overlap (the
+    scd2 invariant), so the per-key match is unique and the equi-join
+    keyed on the business key is the whole story: hash/sort-merge on
+    the key, range predicate evaluated on the joined row. Dimensions
+    are usually ≪ facts, so the dim side broadcasts under the
+    threshold/AQE like any other dim. No window, no explode, no
+    bucketized range trick needed (contrast operators/temporal's
+    range_join, where intervals DO overlap).
+
+    ``how='left'`` keeps facts whose timestamp precedes the first
+    version (NULL dim columns) — the honest default for late
+    backfills; 'inner' drops them.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    cond = None
+    for c in keys:
+        e = facts[c].eqNullSafe(dim[c])
+        cond = e if cond is None else (cond & e)
+    cond = (
+        cond
+        & (facts[ts_col] >= dim[valid_from])
+        & (facts[ts_col] < dim[valid_to])
+    )
+    joined = facts.join(dim, cond, how)
+    # drop the dim's duplicate key columns (facts' survive)
+    out = joined
+    for c in keys:
+        out = out.drop(dim[c])
+    return out

@@ -702,3 +702,44 @@ def test_scd2_apply_idempotent_on_unchanged_batch(spark):
     a = sorted(map(str, snap.collect()))
     b = sorted(map(str, snap2.collect()))
     assert a == b
+
+
+def test_scd2_asof_join_point_in_time(spark):
+    """Facts pick the dim version valid AT their timestamp; facts
+    before the first version keep NULLs under how='left'."""
+    from b2b_data_pipeline_indiamart_spark.sources.sinks import (
+        scd2_apply,
+        scd2_asof_join,
+        scd2_init,
+    )
+
+    snap = scd2_init(
+        spark.createDataFrame([(1, "IN"), (2, "US")], "id long, c string"),
+        ["id"], ["c"], "2026-01-01 00:00:00",
+    )
+    snap = scd2_apply(
+        snap,
+        spark.createDataFrame([(1, "SG"), (2, "US")], "id long, c string"),
+        ["id"], ["c"], "2026-02-01 00:00:00",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "2025-12-31 23:00:00"),  # before first version -> NULL
+            (1, "2026-01-15 00:00:00"),  # IN era
+            (1, "2026-02-01 00:00:00"),  # boundary: new version wins
+            (1, "2026-03-01 00:00:00"),  # SG era
+            (2, "2026-06-01 00:00:00"),  # unchanged key
+        ],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_asof_join(facts, snap, ["id"], "ts").orderBy("id", "ts")
+    got = [(r["id"], str(r["ts"])[:16], r["c"]) for r in out.collect()]
+    assert got == [
+        (1, "2025-12-31 23:00", None),
+        (1, "2026-01-15 00:00", "IN"),
+        (1, "2026-02-01 00:00", "SG"),
+        (1, "2026-03-01 00:00", "SG"),
+        (2, "2026-06-01 00:00", "US"),
+    ]
+    # every fact row appears exactly once (non-overlap invariant)
+    assert out.count() == facts.count()
