@@ -128,6 +128,9 @@ EXTENDED_KEYS = [
     "q20_excess_suppliers",
     "docs_editdist_neardup",
     "customer_cohort_ltv",
+    "embedding_sim_histogram",  # sample-pair gemm — the costliest r9 key
+    "events_hourly_topk",
+    "events_heavy_hitters_cms_portable",  # tracks the md5 oracle tax
 ]
 
 
