@@ -1153,3 +1153,50 @@ def editdist_neardup_pairs(
             round_half_up(F.col("__sim"), 4).alias("sim"),
         )
     )
+
+
+def simhash32_portable(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable 32-bit SimHash per document → (id, simhash) —
+    the oracle-bearing twin of :func:`simhash64`, built the same way
+    the CMS sketch got its value gate (sketches._cms_bucket): swap the
+    Spark-only token hash (xxhash64) for the md5 8-hex prefix both
+    engines evaluate identically, so a DuckDB oracle can rebuild the
+    SAME signatures bit for bit and the whole signature construction
+    (tokenize → per-bit majority vote → bit reassembly) is
+    value-verified — evidence :func:`simhash64` (identical structure,
+    different hash) inherits up to the hash function.
+
+    32 bits rather than 64: the md5 prefix parses to a 32-bit value,
+    and 32 per-bit JVM aggregate expressions keep the oracle's
+    token × bit spine (the SQL mirror of the 32 aggregates) tractable.
+    Production dedup stays on :func:`simhash64` — twice the bits at a
+    cheaper per-token hash.
+
+    Same one-shuffle shape as simhash64: per-bit sums are 32 JVM-side
+    aggregates over the exploded tokens, combining map-side.
+    """
+    norm = _with_normalized(docs, text_col, id_col)
+    tokens = F.filter(F.split(F.col("__norm"), r"\s+"), lambda t: t != "")
+    toks = norm.select(F.col(id_col), F.explode(tokens).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"b_{i}")
+        for i in range(32)
+    ]
+    per_bit = toks.groupBy(id_col).agg(*aggs)
+    sig = functools.reduce(
+        lambda acc, i: acc
+        + F.shiftleft(
+            F.when(F.col(f"b_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            i,
+        ),
+        range(1, 32),
+        F.when(F.col("b_0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return per_bit.select(F.col(id_col), sig.alias("simhash"))

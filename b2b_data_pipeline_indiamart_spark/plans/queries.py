@@ -9008,3 +9008,32 @@ def docs_dp_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(noise, 4).alias("noise"),
         round_half_up(F.col("true_n") + noise, 4).alias("dp_n"),
     )
+
+
+@_register(
+    "docs_simhash_portable",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM d
+            WHERE s IS NOT NULL),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv
+          FROM tok),
+    bits AS (SELECT doc_id, b.i,
+                    sum(CASE WHEN (hv >> b.i) & 1 = 1
+                             THEN 1 ELSE -1 END) AS sgn
+             FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) b
+             GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN sgn > 0 THEN 1::BIGINT << i
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY 1
+    """,
+)
+def docs_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing SimHash twin (operators/dedup.simhash32_portable):
+    md5-prefix token hash → 32-bit signature that DuckDB rebuilds bit
+    for bit — the CMS-style value gate for the SimHash family, whose
+    production key (dedup_simhash) stays on the cheaper xxhash64/64-bit
+    path and inherits the verified construction up to the hash fn."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash32_portable(docs)

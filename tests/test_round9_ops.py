@@ -388,3 +388,31 @@ def test_dp_lang_counts_noise_properties(spark, sf_small):
     # deterministic: same seed string -> identical release on re-run
     again = QUERIES["docs_dp_lang_counts"](spark, sf_small).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+# ------------------------------------------------- portable simhash twin
+
+
+def test_simhash_portable_tracks_similarity(spark):
+    """Identical texts get identical 32-bit signatures; a one-word edit
+    stays within a small hamming distance; unrelated texts are far."""
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
+        simhash32_portable,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base.replace("lazy", "sleepy")),
+            (4, "completely different words about spark shuffles " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash32_portable(docs).collect()}
+    assert sig[1] == sig[2]
+    assert all(0 <= s < 2 ** 32 for s in sig.values())
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sig[1], sig[3]) <= 10
+    assert ham(sig[1], sig[4]) > 5
