@@ -1200,3 +1200,54 @@ def simhash32_portable(
         F.when(F.col("b_0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
     return per_bit.select(F.col(id_col), sig.alias("simhash"))
+
+
+def minhash_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Engine-portable MinHash signatures in LONG form
+    (id, perm, minhash) — the oracle-bearing twin of
+    :func:`minhash_signatures`, same pattern as
+    :func:`simhash32_portable`: the permutation family is
+    ``md5(perm:shingle)`` 8-hex prefixes, an expression DuckDB
+    evaluates identically, so the oracle rebuilds every signature
+    cell and the construction (shingle → per-permutation min) is
+    value-verified end to end. Production LSH stays on
+    :func:`minhash_signatures` (xxhash64 ± seed multipliers — one
+    hash per shingle instead of k).
+
+    Long form deliberately: k wide columns hash-compare fine, but the
+    (id, perm) grain is what downstream band-grouping consumes and
+    what a flat canonical sort handles without schema games.
+
+    Scale shape: shingling is the shared in-plan kernel
+    (:func:`char_shingles` — distinct grams stay with the row), the
+    perm spine is a k-literal posexplode BEFORE the one combining
+    shuffle to the (doc, perm) grain — shuffle rows ∝ docs·k after
+    map-side partial mins, not shingles·k.
+    """
+    norm = _with_normalized(docs, text_col, id_col)
+    sh = norm.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col("__norm"), shingle_n)).alias("g"),
+    )
+    perms = F.posexplode(F.array(*[F.lit(i) for i in range(k)]))
+    e = sh.select(F.col(id_col), "g", perms.alias("perm", "__x"))
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("perm").cast("string"), F.col("g"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        e.select(F.col(id_col), F.col("perm").cast("int").alias("perm"), hv.alias("__h"))
+        .groupBy(id_col, "perm")
+        .agg(F.min("__h").alias("minhash"))
+    )

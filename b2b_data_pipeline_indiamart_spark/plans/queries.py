@@ -9037,3 +9037,33 @@ def docs_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     path and inherits the verified construction up to the hash fn."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash32_portable(docs)
+
+
+@_register(
+    "docs_minhash_portable",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(s) - 3, 2)),
+                    i -> substr(s, i, 5)))) AS g
+           FROM d WHERE s IS NOT NULL),
+    e AS (SELECT doc_id, p.i AS perm,
+                 ('0x' || substr(md5(CAST(p.i AS VARCHAR) || ':' || g),
+                                 1, 8))::BIGINT AS hv
+          FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) p)
+    SELECT doc_id, CAST(perm AS INT) AS perm,
+           CAST(min(hv) AS BIGINT) AS minhash
+    FROM e GROUP BY 1, 2
+    """,
+)
+def docs_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing MinHash twin (operators/dedup.minhash_portable,
+    k=16, 5-gram shingles): md5(perm:shingle)-prefix permutation
+    family that DuckDB evaluates identically, so every signature cell
+    hash-matches — value-verifying the shingle → per-permutation-min
+    construction the production LSH keys (xxhash64 family) inherit up
+    to the hash function. Long (doc, perm) form for canonical
+    comparison and band-grouping."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_portable(docs)

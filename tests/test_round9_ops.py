@@ -416,3 +416,29 @@ def test_simhash_portable_tracks_similarity(spark):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(sig[1], sig[3]) <= 10
     assert ham(sig[1], sig[4]) > 5
+
+
+def test_minhash_portable_estimates_jaccard(spark):
+    """Signature agreement rate between two near-identical docs is far
+    above two unrelated docs (MinHash's collision-probability =
+    Jaccard identity, at k=16 granularity)."""
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
+        minhash_portable,
+    )
+
+    base = "spark shuffles partition data across executors " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail"),
+            (3, "totally unrelated content about gardening tools " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    sig: dict[tuple, int] = {}
+    for r in minhash_portable(docs).collect():
+        sig[(r["doc_id"], r["perm"])] = r["minhash"]
+    assert len(sig) == 48  # 3 docs x 16 perms
+    agree_12 = sum(sig[(1, p)] == sig[(2, p)] for p in range(16))
+    agree_13 = sum(sig[(1, p)] == sig[(3, p)] for p in range(16))
+    assert agree_12 >= 10 and agree_13 <= 3
