@@ -9067,3 +9067,48 @@ def docs_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison and band-grouping."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_portable(docs)
+
+
+def _lsh_portable_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """DuckDB mirror of similarity.hyperplane_signature for the
+    portable LSH key: the SAME seeded-LCG hyperplanes (generated once
+    here, shared as float literals with the Spark plan) and the SAME
+    left-to-right dot-product fold — ``e[1]*w1 + e[2]*w2 + …`` is the
+    sequential order F.aggregate's fold uses, so both engines add the
+    identical doubles in the identical order and the sign cut cannot
+    diverge."""
+    planes = similarity._pseudo_random_planes(dim, n_planes, seed)
+    parts = []
+    for p, plane in enumerate(planes):
+        terms = " + ".join(
+            f"e[{i + 1}] * ({w!r})" for i, w in enumerate(plane)
+        )
+        parts.append(f"CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(parts)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM v
+    """
+
+
+@_register("embedding_lsh_buckets_portable", _lsh_portable_sql())
+def embedding_lsh_buckets_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-bearing bucket assignment for the random-hyperplane LSH
+    family (similarity.hyperplane_signature, 8 planes, seed 42): the
+    hyperplanes are the SAME seeded-LCG literals in both engines and
+    the dot product folds left-to-right on both sides, so every
+    vector's bucket id hash-matches — value-verifying the projection →
+    sign → bit-assembly construction that ann_lsh / lsh_bucketed_pairs
+    (rows-only: their 16-plane buckets feed a self-join) inherit.
+    Map-only plan: one projection over the embedding scan, no
+    shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        similarity.hyperplane_signature(
+            F.col("embedding"), 64, n_planes=8, seed=42
+        ).alias("bucket"),
+    )

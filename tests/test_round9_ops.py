@@ -442,3 +442,30 @@ def test_minhash_portable_estimates_jaccard(spark):
     agree_12 = sum(sig[(1, p)] == sig[(2, p)] for p in range(16))
     agree_13 = sum(sig[(1, p)] == sig[(3, p)] for p in range(16))
     assert agree_12 >= 10 and agree_13 <= 3
+
+
+def test_lsh_buckets_portable_matches_operator_signature(spark, sf_small):
+    """The portable key's buckets ARE hyperplane_signature's output at
+    (8 planes, seed 42) — no drift between the key and the operator."""
+    from pyspark.sql import functions as SF
+
+    from b2b_data_pipeline_indiamart_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    ref = {
+        r["vec_id"]: r["sig"]
+        for r in emb.select(
+            "vec_id",
+            hyperplane_signature(SF.col("embedding"), 64, 8, 42).alias("sig"),
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in QUERIES["embedding_lsh_buckets_portable"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == ref
+    assert all(0 <= b < 256 for b in got.values())
