@@ -469,3 +469,32 @@ def test_lsh_buckets_portable_matches_operator_signature(spark, sf_small):
     }
     assert got == ref
     assert all(0 <= b < 256 for b in got.values())
+
+
+# ------------------------------------------------------ sketch merging
+
+
+def test_cms_cells_merge_by_counter_addition(spark):
+    """The CMS mergeability contract: sketching two shards and ADDING
+    their counters cell-wise equals sketching the union — the property
+    that lets per-executor/per-day sketches roll up without rescans."""
+    from b2b_data_pipeline_indiamart_spark.operators.sketches import (
+        cms_cells,
+    )
+
+    rows = [(i % 37,) for i in range(500)] + [(999,)] * 50
+    half1 = spark.createDataFrame(rows[:275], "k long")
+    half2 = spark.createDataFrame(rows[275:], "k long")
+    whole = spark.createDataFrame(rows, "k long")
+
+    def cells(df):
+        return {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_cells(df, "k", depth=4, width=64).collect()
+        }
+
+    c1, c2, cw = cells(half1), cells(half2), cells(whole)
+    merged: dict[tuple, int] = dict(c1)
+    for k, v in c2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cw
