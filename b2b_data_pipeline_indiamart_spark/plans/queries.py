@@ -8485,9 +8485,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the (part, supplier) cost table is one keyed
     combining shuffle over lineitem; the region-filtered supplier dim
-    rides the size-gated broadcast; the per-part MIN is a second
-    combining aggregate on the part grain whose output joins back
-    partkey-keyed (both sides partkey-partitioned — exchange reuse);
+    rides the size-gated broadcast; the per-part MIN selection is a
+    partkey-PARTITIONED rank window (one shuffle of the cost table;
+    rank keeps cost ties exactly like the oracle's min-equality
+    join — the agg+join-back alternative computed the lineitem
+    aggregate twice and shuffled on a float key);
     the attribute slice pushes into the part scan; final top-100 is
     TakeOrderedAndProject with a full tie-break chain. Unit cost is
     rounded 4dp BEFORE the min/equality compare so the cost-tie cut
@@ -8518,9 +8520,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gb(eu, spark, sf_dir, "supplier"),
         cost.suppkey == eu.s_suppkey,
     ).select("partkey", "s_name", "s_acctbal", "n_name", "unit_cost")
-    mn = pc.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
-    sel = pc.join(mn, "partkey").filter(
-        F.col("unit_cost") == F.col("min_cost")
+    # per-part minimum as a PART-PARTITIONED rank window (rank, not
+    # row_number: cost ties all qualify, matching the oracle's
+    # min-equality join) — ONE shuffle of pc on partkey, instead of
+    # the agg+join-back shape's double computation of the lineitem
+    # aggregate plus a float-keyed equality shuffle (r9 plan audit)
+    w_min = Window.partitionBy("partkey").orderBy(F.col("unit_cost").asc())
+    sel = (
+        pc.withColumn("__rk", F.rank().over(w_min))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
     )
     pslice = _t(spark, sf_dir, "part").filter(
         F.col("p_size").isin(5, 15, 25, 35, 45)
