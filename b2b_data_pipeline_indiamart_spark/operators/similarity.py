@@ -772,8 +772,10 @@ def ann_topk_sq8(
     payload per vector is ``dim`` uint8 codes instead of ``dim``
     float32s: the 4× scan/shuffle-width cut is the point at 100 TB.
     Scores differ from exact cosine by quantization error (recall is
-    bounds-dependent), so this is a rows-only operator: determinism
-    and recall-vs-exact are pytest-pinned instead of oracle-checked.
+    bounds-dependent) but the whole pipeline is DETERMINISTIC — SQ8
+    has no trained state — so the ``ann_sq8`` registry key carries a
+    full DuckDB value oracle restating the same clamp/floor math;
+    recall-vs-exact stays pytest-pinned.
     """
     barr = dim_bounds(emb, vec_col)
     codes = scalar_quantize(emb, vec_col, id_col, levels, bounds=barr).select(

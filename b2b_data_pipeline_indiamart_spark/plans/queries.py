@@ -2356,14 +2356,69 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.retention_cohorts(events)
 
 
-@_register("ann_sq8")  # rows-only: SQ8 reconstruction error is engine-specific
+# SQ8 oracle building blocks: per-dimension corpus (min, max) bounds
+# folded into two 64-long arrays, then reconstruction x̂_d = mn_d +
+# code_d · rng_d / 255 with code_d = clamp(floor((x_d − mn_d) · 255 /
+# rng_d + 0.5)) — the exact float op ORDER of operators/similarity.py's
+# scalar_quantize/ann_topk_sq8 pair, so both engines land bit-identical
+# reconstructed vectors (the whole pipeline is deterministic: SQ8 has
+# no trained state, unlike PQ/IVF whose codebooks keep those keys
+# rows-only).
+_SQ8_RECON_CTES = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dims AS (SELECT unnest(range(1, 65)) AS d),
+    b AS (
+      SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs
+      FROM (SELECT d, min(e[d]) AS mn, max(e[d]) AS mx
+            FROM v CROSS JOIN dims GROUP BY d)
+    ),
+    recon AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), d ->
+               CASE WHEN maxs[d] - mins[d] <= 0.0 THEN mins[d]
+                    ELSE mins[d]
+                         + CAST(least(255.0, greatest(0.0,
+                             floor((e[d] - mins[d]) * 255.0
+                                   / (maxs[d] - mins[d]) + 0.5)))
+                           AS INT) * (maxs[d] - mins[d]) / 255.0
+               END) AS r
+      FROM v CROSS JOIN b
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    sq8_scored AS (
+      SELECT q.query_id, recon.vec_id AS neighbor_id, recon.r,
+             round(CASE WHEN sqrt(list_dot_product(qe, qe))
+                             * sqrt(list_dot_product(r, r)) > 0
+                        THEN list_dot_product(qe, r)
+                             / (sqrt(list_dot_product(qe, qe))
+                                * sqrt(list_dot_product(r, r)))
+                   END, 4) AS cos_sim_sq8
+      FROM recon CROSS JOIN q WHERE recon.vec_id <> q.query_id
+    )
+"""
+
+
+@_register(
+    "ann_sq8",
+    f"""
+    WITH {_SQ8_RECON_CTES}
+    SELECT query_id, neighbor_id, cos_sim_sq8, rnk FROM (
+      SELECT query_id, neighbor_id, cos_sim_sq8,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim_sq8 DESC, neighbor_id ASC) AS rnk
+      FROM sq8_scored
+    ) WHERE rnk <= 10
+    """,
+)
 def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric top-10 search over the SQ8-quantized corpus for the
     5 lowest-id query vectors (similarity.ann_topk_sq8): queries stay
     float, corpus vectors reconstruct from uint8 codes — the 4×
-    scan-width cut of SQ-backed vector indexes. Rows-only: scores
-    carry quantization error by design; determinism and recall-vs-
-    exact are pinned in tests/test_round5_ops.py."""
+    scan-width cut of SQ-backed vector indexes. Value-oracled since
+    round 9: SQ8 has no trained state, so the oracle restates the
+    identical clamp/floor quantization + reconstruction in DuckDB list
+    SQL and both engines agree on the 4dp scores (recall-vs-exact
+    stays pinned in tests/test_round5_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_topk_sq8(emb, queries, k=10).orderBy("query_id", "rnk")
@@ -6351,13 +6406,49 @@ def q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ann_rerank")  # rows-only (SQ8 shortlist) + recall-vs-exact test
+@_register(
+    "ann_rerank",
+    # Stage 1 (SQ8 shortlist) reuses the deterministic reconstruction
+    # CTEs shared with the ann_sq8 oracle; stage 2 re-scores the ≤64
+    # candidates per query with EXACT full-precision cosine — the same
+    # two-stage contract as operators/similarity.ann_rerank.
+    f"""
+    WITH {_SQ8_RECON_CTES},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim_sq8 DESC, neighbor_id ASC) AS srnk
+        FROM sq8_scored
+      ) WHERE srnk <= 64
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                             * sqrt(list_dot_product(n.e, n.e)) > 0
+                        THEN list_dot_product(q.qe, n.e)
+                             / (sqrt(list_dot_product(q.qe, q.qe))
+                                * sqrt(list_dot_product(n.e, n.e)))
+                   END, 4) AS cos_sim
+      FROM shortlist s
+      JOIN q ON q.query_id = s.query_id
+      JOIN v n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM exact
+    ) WHERE rnk <= 10
+    """,
+)
 def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval (operators/similarity.ann_rerank): SQ8-ADC
     shortlist of 64 over the uint8 code column, exact cosine re-rank
     to top-10 — recall equals shortlist recall because the re-rank is
-    exact within it. Rows-only (quantization error in stage 1);
-    determinism and recall ≥ the plain SQ8@10 path are pytest-pinned."""
+    exact within it. Value-oracled since round 9: the SQ8 stage is
+    deterministic (no trained state), so the full two-stage pipeline
+    restates in DuckDB list SQL; recall ≥ the plain SQ8@10 path stays
+    pytest-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_rerank(emb, queries, k=10, shortlist=64).orderBy(
