@@ -1,4 +1,4 @@
-"""Count-min sketch frequency estimation.
+"""Mergeable sketches: count-min frequency + portable HyperLogLog.
 
 Completes the mergeable-sketch family next to HLL++ cardinality
 (events_approx_users) and the t-digest/quantile bands
@@ -136,4 +136,108 @@ def cms_estimate_heavy_hitters(
             (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overestimate"),
         )
         .orderBy(F.col("exact_n").desc(), F.col("key").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Engine-portable HyperLogLog (the cardinality sibling of the CMS above)
+# --------------------------------------------------------------------------
+
+# m = 256 registers (log2 m = 8 → first 2 md5 hex chars select the
+# register); rho examines the next 12 hex chars = 48 bits, so
+# rho ∈ [1, 49]. alpha_256 = 0.7213 / (1 + 1.079/256) (Flajolet et al.
+# 2007). The estimate numerator alpha·m²·2⁵⁰ is ONE shared float
+# literal so both engines divide the same numerator by the same exact
+# integer.
+HLL_M = 256
+HLL_MAX_RHO = 49
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 50)
+_TWO_POW_50 = 1 << 50
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL register table (__g, __reg, __mx): md5-addressed
+    register + max(rho). Mergeable by construction — the max of two
+    shards' registers equals the whole-input registers (pytest-pinned),
+    which is what makes the sketch a partial aggregate at 100 TB."""
+    hx = F.md5(F.col(key_col).cast("string"))
+    stripped = F.regexp_replace(F.substring(hx, 3, 12), "^0*", "")
+    first = F.substring(stripped, 1, 1)
+    clz = (
+        F.when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(0))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .when(first.isin("2", "3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rho = F.when(stripped == "", F.lit(HLL_MAX_RHO)).otherwise(
+        (F.lit(12) - F.length(stripped)) * 4 + clz + 1
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.substring(hx, 1, 2).alias("__reg"),
+            rho.alias("__rho"),
+        )
+        .groupBy("__g", "__reg")
+        .agg(F.max("__rho").alias("__mx"))
+    )
+
+
+def hll_cardinality_portable(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Explicit-register HyperLogLog distinct-count per group, built
+    entirely from engine-portable expressions (md5 + string ops) so a
+    SQL oracle can rebuild the IDENTICAL 256 registers and estimate.
+
+    Register math: h = md5(key); register = first 2 hex chars; rho =
+    1 + leading zero BITS of the next 48 bits (4·leading-'0'-chars +
+    a 4-way CASE on the first non-zero nibble). The per-group sketch
+    is ``groupBy(group, register).max(rho)`` — one map-side-combining
+    shuffle whose output is ≤ m rows per group, the mergeable-sketch
+    property (max of maxes) falling out of the groupBy itself.
+
+    The harmonic mean is kept EXACT until the final division: each
+    register contributes 2^(50−rho) (a bigint, max 2⁵⁰), zero
+    registers contribute 2⁵⁰, and the float estimate
+    alpha·m²·2⁵⁰ / S happens once per group on the exact integer S —
+    no float-summation order for engines to disagree on. No
+    small-range correction on purpose: ln() is libm-dependent and
+    this sketch exists to be value-oracled; the PRODUCTION
+    cardinality path is Spark's HLL++ (events_approx_users /
+    events_users_hll_rollup), which keeps its bias corrections and
+    its engine-specific hash.
+
+    Output: (group, n_users_exact, nonzero_buckets, hll_est 4dp) —
+    the exact distinct count rides along to grade the estimate.
+    """
+    from ..functions.rounding import round_half_up
+
+    g = F.col(group_col)
+    base = df.filter(g.isNotNull() & F.col(key_col).isNotNull())
+    regs = hll_registers(base, group_col, key_col)
+    agg = regs.groupBy("__g").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - __mx AS INT))")
+        ).alias("__s_nonzero"),
+        F.count(F.lit(1)).alias("__nz"),
+    )
+    exact = base.groupBy(g.alias("__g")).agg(
+        F.countDistinct(key_col).cast("long").alias("n_users_exact")
+    )
+    s_total = F.col("__s_nonzero") + (F.lit(HLL_M) - F.col("__nz")) * F.lit(
+        _TWO_POW_50
+    )
+    return (
+        exact.join(agg, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_users_exact",
+            F.col("__nz").cast("long").alias("nonzero_buckets"),
+            round_half_up(
+                F.lit(HLL_NUMERATOR) / s_total.cast("double"), 4
+            ).alias("hll_est"),
+        )
+        .orderBy(group_col)
     )

@@ -50,6 +50,7 @@ from ..operators import (
     profiling,
     sampling,
     similarity,
+    sketches,
     temporal,
     textstats,
 )
@@ -1252,7 +1253,9 @@ def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory per group. Rows-only: DuckDB's approx_count_distinct is a
     different HLL implementation, so values differ by design;
     tests/test_functions_unit.py bounds the error against the exact
-    count instead."""
+    count instead. The register/estimate MATH is value-oracled by the
+    events_users_hll_portable twin (explicit md5-addressed registers
+    both engines rebuild)."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
@@ -3125,6 +3128,64 @@ def events_heavy_hitters_cms_portable(
     return sketches.cms_estimate_heavy_hitters(
         events, "user_id", top=20, engine_portable=True
     )
+
+
+@_register(
+    "events_users_hll_portable",
+    f"""
+    WITH base AS (
+      SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, user_id, substr(hx, 1, 2) AS reg,
+             regexp_replace(substr(hx, 3, 12), '^0*', '') AS stripped
+      FROM base
+    ),
+    rho AS (
+      SELECT event_type, reg,
+             CASE WHEN stripped = '' THEN {sketches.HLL_MAX_RHO}
+                  ELSE 4 * (12 - length(stripped))
+                       + CASE WHEN substr(stripped, 1, 1) IN
+                                   ('8','9','a','b','c','d','e','f') THEN 0
+                              WHEN substr(stripped, 1, 1) IN
+                                   ('4','5','6','7') THEN 1
+                              WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+                              ELSE 3 END + 1
+             END AS rho
+      FROM r
+    ),
+    regs AS (SELECT event_type, reg, max(rho) AS mx FROM rho GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type,
+             sum(1::BIGINT << CAST(50 - mx AS INT)) AS s_nonzero,
+             count(*) AS nz
+      FROM regs GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+      FROM base GROUP BY 1
+    )
+    SELECT e.event_type, n_users_exact,
+           CAST(nz AS BIGINT) AS nonzero_buckets,
+           round({sketches.HLL_NUMERATOR!r}
+                 / CAST(s_nonzero + ({sketches.HLL_M} - nz)
+                        * {1 << 50} AS DOUBLE), 4) AS hll_est
+    FROM exact e JOIN agg USING (event_type)
+    """,
+)
+def events_users_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing HyperLogLog twin (operators/sketches.
+    hll_cardinality_portable): 256 explicit md5-addressed registers per
+    event_type, rho from the next 48 hash bits, and an exact-integer
+    harmonic sum so both engines divide the same numerator by the same
+    bigint — the estimate hash-matches to 4dp. Completes the portable-
+    sketch pair with events_heavy_hitters_cms_portable; the PRODUCTION
+    cardinality keys stay on Spark's HLL++ (events_approx_users,
+    events_users_hll_rollup), whose engine-internal hash this twin
+    value-covers up to the register function."""
+    events = _t(spark, sf_dir, "events")
+    return sketches.hll_cardinality_portable(events, "event_type", "user_id")
 
 
 @_register("events_heavy_hitters_cms")  # rows-only (Spark-side xxhash64)

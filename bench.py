@@ -131,6 +131,7 @@ EXTENDED_KEYS = [
     "embedding_sim_histogram",  # sample-pair gemm — the costliest r9 key
     "events_hourly_topk",
     "events_heavy_hitters_cms_portable",  # tracks the md5 oracle tax
+    "events_users_hll_portable",
 ]
 
 

@@ -498,3 +498,60 @@ def test_cms_cells_merge_by_counter_addition(spark):
     for k, v in c2.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == cw
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The HLL mergeability contract: max-combining two shards'
+    registers equals the whole-input registers — per-shard sketches
+    roll up without rescans, the same property the CMS test above pins
+    for counter addition."""
+    from b2b_data_pipeline_indiamart_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    rows = [("g", i % 211) for i in range(400)] + [("h", i) for i in range(90)]
+    half1 = spark.createDataFrame(rows[:245], "g string, k long")
+    half2 = spark.createDataFrame(rows[245:], "g string, k long")
+    whole = spark.createDataFrame(rows, "g string, k long")
+
+    def regs(df):
+        return {
+            (r["__g"], r["__reg"]): r["__mx"]
+            for r in hll_registers(df, "g", "k").collect()
+        }
+
+    r1, r2, rw = regs(half1), regs(half2), regs(whole)
+    merged: dict[tuple, int] = dict(r1)
+    for k, v in r2.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == rw
+
+
+def test_hll_portable_estimate_tracks_cardinality(spark):
+    """The 4dp estimate is deterministic and orders with true
+    cardinality across well-separated group sizes (no small-range
+    correction by design, so only ORDER is asserted, not error)."""
+    from b2b_data_pipeline_indiamart_spark.operators.sketches import (
+        hll_cardinality_portable,
+    )
+
+    rows = (
+        [("small", i) for i in range(40)]
+        + [("mid", 1000 + i) for i in range(400)]
+        + [("big", 10000 + i) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = {
+        r["event_type"]: r
+        for r in hll_cardinality_portable(df, "event_type", "user_id").collect()
+    }
+    assert out["small"]["n_users_exact"] == 40
+    assert out["big"]["n_users_exact"] == 4000
+    assert (
+        out["small"]["hll_est"] < out["mid"]["hll_est"] < out["big"]["hll_est"]
+    )
+    again = {
+        r["event_type"]: r["hll_est"]
+        for r in hll_cardinality_portable(df, "event_type", "user_id").collect()
+    }
+    assert again == {k: v["hll_est"] for k, v in out.items()}
