@@ -961,6 +961,62 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def blocked_jaccard_pairs(
+    docs: DataFrame,
+    shingle_n: int = 5,
+    target_block: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact character-n-gram Jaccard for a DETERMINISTIC pair sample:
+    docs sharing an auto-sized md5(doc_id) hex prefix pair up, and each
+    pair gets its exact shingle-set Jaccard — no LSH, no xxhash64, so a
+    SQL oracle can rebuild every shingle set and score string for
+    string. This is the value gate for the Jaccard MATH that
+    :func:`ngram_jaccard_verified` applies to its (Spark-specific) LSH
+    candidates; the id-hash blocks are a similarity-blind SAMPLE, which
+    is exactly what a math gate wants (scores span the full range).
+
+    Scale shape: the prefix auto-sizes from the corpus count
+    (:func:`blocking_prefix_len`, floor 2 — expected block ~
+    ``target_block`` docs), so candidate pairs grow ∝ corpus ·
+    target_block/2, never quadratically; the join shuffles on the
+    block key and per-pair work is one O(|A|+|B|) intersect.
+    Contentless (NULL-normalized) docs are excluded — their pairing
+    semantics belong to the exact-dup stage (:func:`exact_collapse`).
+    """
+    n_docs = docs.count()  # scalar for the prefix length, not a data collect
+    plen = blocking_prefix_len(n_docs, target_block, floor=2)
+    d = (
+        _with_normalized(docs, text_col, id_col)
+        .filter(F.col("__norm").isNotNull())
+        .select(
+            F.col(id_col),
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, plen).alias("__blk"),
+            char_shingles(F.col("__norm"), shingle_n).alias("__g"),
+        )
+    )
+    a = d.select(
+        F.col(id_col).alias("id_a"), F.col("__blk"), F.col("__g").alias("g_a")
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"), F.col("__blk"), F.col("__g").alias("g_b")
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("uni", F.size("g_a") + F.size("g_b") - F.col("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(
+                F.col("inter") / F.when(F.col("uni") > 0, F.col("uni")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
 def exact_dup_by_source(
     docs: DataFrame,
     source_col: str = "source",

