@@ -1438,10 +1438,53 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_stats(emb)
 
 
-@_register("ann_lsh")  # rows-only oracle: plane family is Spark-side
+def _lsh_bucket_sql_expr(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """DuckDB expression for similarity.hyperplane_signature over a
+    DOUBLE[] column ``e``: the SAME seeded-LCG hyperplanes (shared as
+    float literals with the Spark plan) and the SAME left-to-right
+    dot fold, so the sign cut cannot diverge between engines. Shared
+    by the embedding_lsh_buckets_portable gate and the ann_lsh
+    oracle."""
+    planes = similarity._pseudo_random_planes(dim, n_planes, seed)
+    parts = []
+    for p, plane in enumerate(planes):
+        terms = " + ".join(
+            f"e[{i + 1}] * ({w!r})" for i, w in enumerate(plane)
+        )
+        parts.append(f"CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(parts)
+
+
+@_register(
+    "ann_lsh",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, CAST({_lsh_bucket_sql_expr()} AS BIGINT) AS bucket, e
+          FROM v),
+    q AS (SELECT vec_id AS query_id, bucket, e AS qe FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(qe, qe))
+                             * sqrt(list_dot_product(c.e, c.e)) > 0
+                        THEN list_dot_product(qe, c.e)
+                             / (sqrt(list_dot_product(qe, qe))
+                                * sqrt(list_dot_product(c.e, c.e)))
+                   END, 4) AS cos_sim
+      FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH approximate top-10 for vec_id < 5 —
-    equi-join on bucket id, shuffle O(corpus). Rows-only check."""
+    equi-join on bucket id, shuffle O(corpus). Value-oracled since
+    round 9: the 8-plane seeded-LCG family is shared with DuckDB as
+    float literals (the embedding_lsh_buckets_portable construction),
+    so candidate sets AND 4dp scores hash-match."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
@@ -9269,20 +9312,9 @@ def docs_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_portable_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     """DuckDB mirror of similarity.hyperplane_signature for the
-    portable LSH key: the SAME seeded-LCG hyperplanes (generated once
-    here, shared as float literals with the Spark plan) and the SAME
-    left-to-right dot-product fold — ``e[1]*w1 + e[2]*w2 + …`` is the
-    sequential order F.aggregate's fold uses, so both engines add the
-    identical doubles in the identical order and the sign cut cannot
-    diverge."""
-    planes = similarity._pseudo_random_planes(dim, n_planes, seed)
-    parts = []
-    for p, plane in enumerate(planes):
-        terms = " + ".join(
-            f"e[{i + 1}] * ({w!r})" for i, w in enumerate(plane)
-        )
-        parts.append(f"CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END")
-    bucket = " + ".join(parts)
+    portable LSH key — bucket expression shared with the ann_lsh
+    oracle via :func:`_lsh_bucket_sql_expr`."""
+    bucket = _lsh_bucket_sql_expr(dim, n_planes, seed)
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings)
