@@ -158,6 +158,67 @@ def mixture_sample_summary(
     )
 
 
+def weighted_sample_bottomk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+    max_weight: int = 8,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (bottom-k by
+    hash-min replication): each row draws ``w`` md5 keys —
+    ``md5(seed:id:r)`` for r < w, built in-plan as one
+    ``array_min(transform(sequence(...)))`` expression, no explode —
+    and keeps the MINIMUM; the global sample is the ``k`` rows with the
+    smallest keys (TakeOrderedAndProject, never a global window). A
+    row with integer weight ``w`` holds the minimum of ``w`` uniforms
+    (Beta(1, w)), so heavier rows win proportionally more often — the
+    integer-replication analogue of A-ES / Efraimidis–Spirakis
+    exponential keys, chosen over the exact ``u^(1/w)`` form because
+    it needs NO transcendental function: keys are hex strings both
+    engines compare byte for byte, so the draw is bit-reproducible
+    across engines, retries, and partitionings.
+
+    ``max_weight`` caps the replication factor (the expression cost is
+    O(w) md5 calls per row — at 100 TB keep it single digits and fold
+    real-valued weights into buckets first). Weights are clamped to
+    [1, max_weight]; NULL ids are excluded.
+
+    Scale shape: one map pass computes keys, then a single
+    TakeOrderedAndProject picks the global bottom-k — per-partition
+    top-k then a k-row driver merge, no shuffle of the corpus and no
+    single-reducer window.
+    """
+    w = F.least(
+        F.lit(max_weight), F.greatest(F.lit(1), F.col(weight_col).cast("int"))
+    )
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), w - 1),
+            lambda r: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(id_col).cast("string"), r.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     group_col: str,

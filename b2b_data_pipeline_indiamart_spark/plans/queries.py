@@ -1293,6 +1293,48 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_weighted_sample",
+    f"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM d WHERE s IS NOT NULL),
+    w AS (SELECT doc_id,
+                 CAST(least(7, floor(n_tokens / 100.0)) + 1 AS INT) AS weight
+          FROM t WHERE n_tokens >= 1),
+    keyed AS (
+      SELECT doc_id, weight,
+             list_min(list_transform(range(0, weight),
+               r -> substr(md5('ws1:' || CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(r AS VARCHAR)), 1, 8))) AS sample_key
+      FROM w
+    )
+    SELECT doc_id, weight, sample_key FROM keyed
+    ORDER BY sample_key, doc_id LIMIT 100
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample without replacement
+    (operators/sampling.weighted_sample_bottomk): integer weight
+    1 + min(7, n_tokens/100) — longer docs proportionally likelier —
+    then bottom-100 by the hash-min replication key. Keys are md5-hex
+    strings both engines compare byte for byte (no transcendentals),
+    so the drawn set is bit-reproducible; global top-k is
+    TakeOrderedAndProject, never a single-reducer window."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(dedup.word_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    weighted = t.select(
+        "doc_id",
+        (F.least(F.lit(7), F.floor(F.col("n_tokens") / F.lit(100.0))) + 1)
+        .cast("int")
+        .alias("w"),
+    )
+    return sampling.weighted_sample_bottomk(weighted, "doc_id", "w", k=100)
+
+
+@_register(
     "docs_jaccard_portable",
     f"""
     WITH p AS (

@@ -594,3 +594,25 @@ def test_blocked_jaccard_pairs_exact_values(spark):
     assert out[(i0, i1)] in (0.0, 1.0)  # depends on which two ids match
     assert 1.0 in out.values()  # the identical pair scored 1.0
     assert sum(1 for v in out.values() if v == 0.0) == 2  # disjoint pairs
+
+
+def test_weighted_sample_bottomk_favors_heavy_rows(spark):
+    """Weight-8 rows should dominate a bottom-k draw over weight-1 rows
+    (min of 8 uniforms beats min of 1 ~8/9 of the time), the draw is
+    deterministic, and the sample never repeats an id."""
+    from b2b_data_pipeline_indiamart_spark.operators.sampling import (
+        weighted_sample_bottomk,
+    )
+
+    rows = [(i, 8 if i % 2 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    out = weighted_sample_bottomk(df, "id", "w", k=200).collect()
+    assert len(out) == 200
+    ids = [r["id"] for r in out]
+    assert len(set(ids)) == 200
+    heavy = sum(1 for r in out if r["weight"] == 8)
+    # E[heavy] = 200 * 8/9 ≈ 178; assert well above the uniform 100
+    assert heavy > 140
+    again = [(r["id"], r["sample_key"]) for r in
+             weighted_sample_bottomk(df, "id", "w", k=200).collect()]
+    assert sorted(again) == sorted((r["id"], r["sample_key"]) for r in out)
