@@ -508,6 +508,84 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_seeded_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_seeds: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF routing with DETERMINISTIC seed centroids (the ``n_seeds``
+    lowest-id vectors, no Lloyd iterations) — the oracle-bearing twin
+    of :func:`ann_ivf_topk`: assignment, probing, candidate join and
+    re-ranking are the IDENTICAL routing pipeline, but the "codebook"
+    is SQL-expressible, so a DuckDB oracle can replay every step and
+    hash-check cell membership AND final scores. The production key
+    keeps trained k-means centroids (better recall per candidate);
+    this twin value-gates the routing math those centroids feed.
+
+    Pure Catalyst: seeds broadcast, per-vector cell rank is a window
+    partitioned by the vector id (high-cardinality key — no global
+    window), candidates equi-join on the cell id. Assignment
+    similarity rounds to 6dp BEFORE ranking (round-before-compare, cid
+    tie-break) so the cell choice is engine-stable.
+    """
+    v = emb.select(
+        F.col(id_col).alias("__vid"), as_double_array(F.col(vec_col)).alias("__e")
+    )
+    seeds = (
+        v.filter(F.col("__vid") < n_seeds)
+        .select(F.col("__vid").alias("__cid"), F.col("__e").alias("__se"))
+    )
+
+    def cells(side: DataFrame, out_id: str, n: int) -> DataFrame:
+        sims = side.crossJoin(F.broadcast(seeds)).select(
+            F.col("__vid").alias(out_id),
+            F.col("__cid"),
+            round_half_up(cosine(F.col("__e"), F.col("__se")), 6).alias("__sim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__sim").desc(), F.col("__cid").asc()
+        )
+        return (
+            sims.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(out_id, F.col("__cid").alias("cell"))
+        )
+
+    corpus = cells(v, "neighbor_id", 1).join(
+        v.select(F.col("__vid").alias("neighbor_id"), F.col("__e").alias("cv")),
+        "neighbor_id",
+    )
+    probes = (
+        cells(v.join(queries.select(F.col(id_col).alias("__vid")), "__vid"),
+              "query_id", n_probe)
+        .join(
+            v.select(F.col("__vid").alias("query_id"), F.col("__e").alias("qv")),
+            "query_id",
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def _normed_projection(
     df: DataFrame,
     vec_col: str,

@@ -1550,10 +1550,70 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for vec_id < 5: deterministic k-means
     centroids (driver-trained on a bounded sample), distributed cell
     assignment via per-batch gemm, candidates from an equi-join on the
-    cell id. Rows-only check (centroid family is engine-specific)."""
+    cell id. Rows-only check (centroid family is engine-specific); the
+    routing math is value-gated by ann_ivf_portable's seed-centroid
+    twin below."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_ivf_topk(emb, queries, dim=64, k=10, n_cells=16, n_probe=4)
+
+
+@_register(
+    "ann_ivf_portable",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, e AS se FROM v WHERE vec_id < 16),
+    sims AS (
+      SELECT v.vec_id, s.cid,
+             round(CASE WHEN sqrt(list_dot_product(v.e, v.e))
+                             * sqrt(list_dot_product(se, se)) > 0
+                        THEN list_dot_product(v.e, se)
+                             / (sqrt(list_dot_product(v.e, v.e))
+                                * sqrt(list_dot_product(se, se)))
+                   END, 6) AS sim
+      FROM v CROSS JOIN seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid ASC) AS rn
+      FROM sims
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+               WHERE rn <= 4 AND vec_id < 5),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(q.e, q.e))
+                             * sqrt(list_dot_product(n.e, n.e)) > 0
+                        THEN list_dot_product(q.e, n.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(n.e, n.e)))
+                   END, 4) AS cos_sim
+      FROM cells c
+      JOIN probes p USING (cell)
+      JOIN v n ON n.vec_id = c.vec_id
+      JOIN v q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing IVF routing twin (similarity.ann_ivf_seeded_topk):
+    centroids are the 16 lowest-id vectors (no Lloyd training), so the
+    whole assign → probe-4 → candidate-join → re-rank pipeline restates
+    in SQL and cell membership AND 4dp scores hash-match — value-gating
+    the routing math whose trained-centroid production form (ann_ivf)
+    stays rows-only. Assignment similarity rounds to 6dp before ranking
+    with cid tie-break (round-before-compare)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_ivf_seeded_topk(emb, queries, n_seeds=16, n_probe=4, k=10)
 
 
 _LANG_SQL_SCORES = ",\n      ".join(
