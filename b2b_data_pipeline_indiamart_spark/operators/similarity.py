@@ -1154,6 +1154,98 @@ def ann_topk_pq(
     )
 
 
+def ann_pq_seeded_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    m: int = 16,
+    n_seeds: int = 16,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encode + ADC search with DETERMINISTIC seed codebooks — the
+    oracle-bearing twin of :func:`ann_topk_pq`: per subspace, the
+    ``n_seeds`` codewords are the ``n_seeds`` lowest-id vectors' unit
+    subvectors (no Lloyd), so encode (per-subspace L2 argmin), the code
+    table, and the ADC score all restate in SQL. Both engines compute
+    the subspace distance as the SAME ordered fold (diff array → dot
+    with itself) and the ADC score as ONE ordered 64-dim fold over the
+    flattened reconstruction (Σ_s dot(q_s, cw_s) = dot(q, concat(cw))
+    exactly), so scores hash-match at 4dp; distances round to 9dp
+    before the argmin rank with codeword-id tie-break
+    (round-before-compare). Production PQ keys keep trained codebooks
+    and the LUT fast path; this twin value-gates the encode/ADC math.
+
+    Pure Catalyst long form: vectors explode to ``m`` subvector rows,
+    codewords broadcast (m · n_seeds rows), the argmin is a window
+    over the (vector, subspace) grain — high-cardinality keys, no
+    global window, shuffle ∝ corpus · m.
+    """
+    dsub = dim // m
+    u = _unit_projection(emb, vec_col, id_col, "vid")
+    subs = u.select(
+        "vid",
+        "__unit",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+    ).select(
+        "vid",
+        "s",
+        F.slice(F.col("__unit"), F.col("s") * dsub + 1, dsub).alias("sub"),
+    )
+    seeds = subs.filter(F.col("vid") < n_seeds).select(
+        F.col("s"), F.col("vid").alias("cid"), F.col("sub").alias("cw")
+    )
+    diff = F.zip_with(F.col("sub"), F.col("cw"), lambda a, b: a - b)
+    dists = subs.join(F.broadcast(seeds), "s").select(
+        "vid",
+        "s",
+        "cid",
+        round_half_up(dot(diff, diff), 9).alias("__d2"),
+    )
+    w_enc = Window.partitionBy("vid", "s").orderBy(
+        F.col("__d2").asc(), F.col("cid").asc()
+    )
+    codes = (
+        dists.withColumn("__rn", F.row_number().over(w_enc))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "s", "cid")
+    )
+    recon = (
+        codes.join(F.broadcast(seeds), ["s", "cid"])
+        .groupBy("vid")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("s", "cw"))),
+                    lambda p: p["cw"],
+                )
+            ).alias("recon")
+        )
+    )
+    q = _unit_projection(queries, vec_col, id_col, "query_id")
+    scored = (
+        recon.withColumnRenamed("vid", "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(dot(F.col("__unit"), F.col("recon")), 4).alias(
+                "pq_score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "pq_score", "rnk")
+    )
+
+
 def ivfpq_residual_codebooks(
     emb: DataFrame,
     centroids: "list[list[float]]",

@@ -3255,11 +3255,72 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 64 floats. Training is a bounded-sample driver problem;
     encode and search are map-only JVM expressions over codebook
     literals (no Python per row). Rows-only: determinism and
-    recall-vs-exact are pytest-pinned (tests/test_round6_ops.py)."""
+    recall-vs-exact are pytest-pinned (tests/test_round6_ops.py); the
+    encode/ADC math is value-gated by ann_pq_portable's seed-codebook
+    twin below."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_topk_pq(emb, queries, k=10, m=16, n_centroids=16).orderBy(
         "query_id", "rnk"
+    )
+
+
+@_register(
+    "ann_pq_portable",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    u AS (SELECT vec_id AS vid,
+                 CASE WHEN sqrt(list_dot_product(e, e)) > 0
+                      THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                      ELSE e END AS uu
+          FROM v),
+    subs AS (SELECT vid, sp.s AS s,
+                    list_slice(uu, sp.s * 4 + 1, sp.s * 4 + 4) AS sub
+             FROM u CROSS JOIN (SELECT unnest(range(0, 16)) AS s) sp),
+    seeds AS (SELECT s, vid AS cid, sub AS cw FROM subs WHERE vid < 16),
+    dists AS (
+      SELECT b.vid, b.s, sd.cid,
+             round(list_dot_product(
+               list_transform(range(1, 5), i -> b.sub[i] - sd.cw[i]),
+               list_transform(range(1, 5), i -> b.sub[i] - sd.cw[i])), 9) AS d2
+      FROM subs b JOIN seeds sd USING (s)
+    ),
+    codes AS (SELECT vid, s, cid FROM (
+      SELECT *, row_number() OVER (PARTITION BY vid, s
+                                   ORDER BY d2 ASC, cid ASC) AS rn
+      FROM dists) WHERE rn = 1),
+    recon AS (
+      SELECT c.vid, flatten(list(sd.cw ORDER BY c.s)) AS recon
+      FROM codes c JOIN seeds sd ON sd.s = c.s AND sd.cid = c.cid
+      GROUP BY c.vid
+    ),
+    q AS (SELECT vid AS query_id, uu AS qu FROM u WHERE vid < 5),
+    scored AS (
+      SELECT q.query_id, r.vid AS neighbor_id,
+             round(list_dot_product(qu, recon), 4) AS pq_score
+      FROM recon r CROSS JOIN q WHERE r.vid <> q.query_id
+    )
+    SELECT query_id, neighbor_id, pq_score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY pq_score DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing PQ twin (similarity.ann_pq_seeded_topk, m=16 ×
+    4-dim subspaces): codewords are the 16 lowest-id vectors' unit
+    subvectors (no Lloyd), so encode (per-subspace L2 argmin, 9dp
+    round-before-rank, cid tie-break), the code table, and the ADC
+    score — ONE ordered 64-dim fold over the flattened reconstruction,
+    algebraically identical to the per-subspace LUT sum — all restate
+    in DuckDB SQL and hash-match at 4dp. Value-gates the encode/ADC
+    math behind the trained-codebook production keys (ann_pq,
+    ann_ivf_pq)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_pq_seeded_topk(
+        emb, queries, dim=64, m=16, n_seeds=16, k=10
     )
 
 
