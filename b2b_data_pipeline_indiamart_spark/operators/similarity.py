@@ -1246,6 +1246,66 @@ def ann_pq_seeded_topk(
     )
 
 
+def embedding_cov_quantized(
+    emb: DataFrame,
+    dim: int = 64,
+    scale: float = 1.0e6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact covariance of the 1e-6-QUANTIZED embeddings, upper
+    triangle in long form (i, j, cov_q 6dp) — the oracle-bearing gate
+    for the covariance assembly feeding the PCA/OOD family.
+
+    Trick: each coordinate quantizes to an integer
+    ``floor(x·1e6 + 0.5)`` FIRST, so every sum the covariance needs
+    (Σx_i, Σx_i·x_j) is a BIGINT sum — exact in any addition order,
+    which removes the float-summation-order divergence that keeps
+    float covariance engine-specific (Spark's partial aggregation and
+    DuckDB's sequential scan add in different orders; integers don't
+    care). The float math that remains — two divisions, one multiply,
+    one subtract per cell, from the SAME exact integers — is
+    bit-deterministic. Products fit comfortably: |x| ≲ 10 →
+    |xq| ≲ 1e7 → |xq·yq| ≲ 1e14, × corpus rows ≪ 2⁶³ up to ~10¹⁸/10¹⁴
+    rows per cell.
+
+    Scale shape: one posexplode (corpus × dim rows), a self-join on
+    the vector id (co-partitioned explode output — one shuffle), and
+    a map-side-combining sum into dim·(dim+1)/2 cells. The production
+    float path (:func:`_mean_cov`'s numpy partials) stays the fast
+    form; this gate pins the assembly math it implements.
+    """
+    xq = F.floor(F.col("__x") * F.lit(scale) + F.lit(0.5)).cast("long")
+    x = emb.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("__d", "__x"),
+    ).select("__vid", F.col("__d"), xq.alias("__xq"))
+    n = emb.count()
+    s1 = x.groupBy("__d").agg(F.sum("__xq").alias("sx"))
+    a = x.select(
+        F.col("__vid"), F.col("__d").alias("i"), F.col("__xq").alias("xa")
+    )
+    b = x.select(
+        F.col("__vid"), F.col("__d").alias("j"), F.col("__xq").alias("xb")
+    )
+    s2 = (
+        a.join(b, "__vid")
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sxy"))
+    )
+    nn = F.lit(float(n))
+    cov = (
+        F.col("sxy").cast("double") / nn
+        - (F.col("si").cast("double") / nn) * (F.col("sj").cast("double") / nn)
+    ) / F.lit(scale * scale)
+    return (
+        s2.join(F.broadcast(s1.select(F.col("__d").alias("i"), F.col("sx").alias("si"))), "i")
+        .join(F.broadcast(s1.select(F.col("__d").alias("j"), F.col("sx").alias("sj"))), "j")
+        .select("i", "j", round_half_up(cov, 6).alias("cov_q"))
+    )
+
+
 def ivfpq_residual_codebooks(
     emb: DataFrame,
     centroids: "list[list[float]]",

@@ -4564,6 +4564,46 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_cov_portable",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    x AS (SELECT vec_id, dd.d AS d,
+                 CAST(floor(e[dd.d + 1] * 1000000.0 + 0.5) AS BIGINT) AS xq
+          FROM v CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    s1 AS (SELECT d, sum(xq) AS sx FROM x GROUP BY d),
+    s2 AS (SELECT a.d AS i, b.d AS j, sum(a.xq * b.xq) AS sxy
+           FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.d >= a.d
+           GROUP BY 1, 2)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round((CAST(sxy AS DOUBLE) / n.n
+                  - (CAST(si.sx AS DOUBLE) / n.n)
+                    * (CAST(sj.sx AS DOUBLE) / n.n))
+                 / 1000000000000.0, 6) AS cov_q
+    FROM s2 CROSS JOIN n
+    JOIN s1 si ON si.d = s2.i
+    JOIN s1 sj ON sj.d = s2.j
+    """,
+)
+def embedding_cov_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing covariance gate for the PCA/OOD family
+    (similarity.embedding_cov_quantized): coordinates quantize to
+    integers FIRST (floor(x·1e6 + 0.5)), so every covariance sum is an
+    exact bigint — immune to float summation order, the one thing that
+    keeps float covariance engine-specific — and the few remaining
+    float ops run on identical integers in both engines. Upper
+    triangle in long form, 2080 hash-checked cells; the eigensolve
+    consumers (embedding_pca_variance/project, embedding_ood_scores)
+    stay rows-only with numpy-parity pins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_cov_quantized(emb, dim=64).select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "cov_q",
+    )
+
+
+@_register(
     "q15_top_supplier",
     """
     WITH rev AS (SELECT l_suppkey AS suppkey,

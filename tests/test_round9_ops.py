@@ -616,3 +616,29 @@ def test_weighted_sample_bottomk_favors_heavy_rows(spark):
     again = [(r["id"], r["sample_key"]) for r in
              weighted_sample_bottomk(df, "id", "w", k=200).collect()]
     assert sorted(again) == sorted((r["id"], r["sample_key"]) for r in out)
+
+
+def test_embedding_cov_quantized_matches_numpy(spark):
+    """The integer-sum covariance equals numpy's population covariance
+    of the quantized values (exact arithmetic, then one float
+    assembly)."""
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.similarity import (
+        embedding_cov_quantized,
+    )
+
+    rng = [[(i * 7 + d * 3) % 11 / 7.0 - 0.6 for d in range(4)] for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        (r["i"], r["j"]): r["cov_q"]
+        for r in embedding_cov_quantized(df, dim=4).collect()
+    }
+    q = np.floor(np.array(rng) * 1e6 + 0.5)
+    cov = np.cov(q, rowvar=False, bias=True) / 1e12
+    for (i, j), v in out.items():
+        ref = np.floor(cov[i][j] * 1e6 + 0.5) / 1e6
+        assert abs(v - ref) <= 1e-6, (i, j, v, ref)
+    assert len(out) == 4 * 5 // 2
