@@ -132,6 +132,8 @@ EXTENDED_KEYS = [
     "events_hourly_topk",
     "events_heavy_hitters_cms_portable",  # tracks the md5 oracle tax
     "events_users_hll_portable",
+    "ann_pq_portable",  # window-heavy seeded-codebook twin
+    "embedding_cov_portable",  # corpus x dim self-join
 ]
 
 
