@@ -1616,6 +1616,82 @@ def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_seeded_topk(emb, queries, n_seeds=16, n_probe=4, k=10)
 
 
+@_register(
+    "ann_recall_report",
+    # composition oracle: exact / LSH / seeded-IVF top-10 are ALREADY
+    # registered oracles — embed them as CTEs (the dedup_prune_clusters
+    # precedent) and count overlaps. Recall assembles from INTEGER hit
+    # counts (one float division at the end), so no float-sum order.
+    None,  # assigned right below (needs the three ORACLE entries)
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-QA rollup: recall@10 of the approximate ANN paths (LSH
+    buckets, seeded-IVF routing) against the exact brute-force top-10
+    over the same 5 queries — the acceptance check every vector-index
+    rollout runs before swapping the exact scan out. Hits total as
+    integers; recall is ONE division, so the 4dp value is
+    engine-stable. Composes three registered operators; each keeps its
+    own distributed shape (broadcast queries, bucket equi-joins,
+    bounded windows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "lsh": similarity.ann_lsh_topk(
+            emb, queries, dim=64, k=10, n_planes=8
+        ).select("query_id", "neighbor_id"),
+        "ivf": similarity.ann_ivf_seeded_topk(
+            emb, queries, n_seeds=16, n_probe=4, k=10
+        ).select("query_id", "neighbor_id"),
+    }
+    nq = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    parts = []
+    for name, m in methods.items():
+        hits = exact.join(m, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("total_hits")
+        )
+        parts.append(
+            hits.crossJoin(F.broadcast(nq)).select(
+                F.lit(name).alias("method"),
+                "n_queries",
+                "total_hits",
+                round_half_up(
+                    F.col("total_hits").cast("double")
+                    / (F.lit(10) * F.col("n_queries")),
+                    4,
+                ).alias("recall_at_10"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+ORACLE["ann_recall_report"] = floorize_round_sql(f"""
+    WITH exact AS ({ORACLE["ann_topk"]}),
+    lsh AS ({ORACLE["ann_lsh"]}),
+    ivf AS ({ORACLE["ann_ivf_portable"]}),
+    h AS (
+      SELECT 'lsh' AS method, count(*) AS total_hits
+      FROM exact e JOIN lsh m USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'ivf' AS method, count(*) AS total_hits
+      FROM exact e JOIN ivf m USING (query_id, neighbor_id)
+    ),
+    nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM exact)
+    SELECT method, CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(total_hits AS BIGINT) AS total_hits,
+           round(CAST(total_hits AS DOUBLE) / (10 * n_queries), 4)
+             AS recall_at_10
+    FROM h CROSS JOIN nq
+""")
+
+
 _LANG_SQL_SCORES = ",\n      ".join(
     f"len(list_filter(tk, x -> list_contains({_sql_list(textstats.LANG_STOPWORDS[lang])}, x)))"
     f" AS s_{lang}"
