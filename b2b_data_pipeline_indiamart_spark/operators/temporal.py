@@ -250,6 +250,47 @@ def range_join_agg(
     )
 
 
+def dedup_within_window(
+    events: DataFrame,
+    window_sec: int = 300,
+    keys: "tuple[str, ...]" = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch analogue of Structured Streaming's
+    ``dropDuplicatesWithinWatermark``: within each ``window_sec``
+    tumbling window, keep the FIRST event per key tuple (earliest
+    (ts, id) — deterministic tie-break) and report how many the
+    window collapsed. The backfill/replay counterpart of the
+    streaming dedup job (streaming/jobs.dedup_stream): identical
+    semantics when the stream's watermark covers the window, so a
+    batch re-run reconciles against what the stream emitted.
+
+    One map-side-combining aggregate — the first-row pick is
+    ``min(struct(ts, id))`` (no per-key window, no second shuffle);
+    the window id is integer millisecond arithmetic
+    (floor(unix_millis / window_ms), exact in double), so bucket
+    edges cannot drift between engines.
+
+    Output: (window_start_epoch sec, *keys, kept_event_id, n_events).
+    """
+    wid = F.floor(
+        F.unix_millis(F.col(ts_col)) / F.lit(float(window_sec * 1000))
+    ).cast("long")
+    first = F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__first")
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy((wid * window_sec).alias("window_start_epoch"), *keys)
+        .agg(first, F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "window_start_epoch",
+            *keys,
+            F.col(f"__first.{id_col}").alias("kept_event_id"),
+            "n_events",
+        )
+    )
+
+
 def parse_props(events: DataFrame, json_col: str = "props", key: str = "k") -> DataFrame:
     """JSON props extraction + per-type aggregate (get_json_object is a
     JVM intrinsic — no Python in the path)."""

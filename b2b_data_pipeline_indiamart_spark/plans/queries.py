@@ -960,6 +960,40 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_dedup_window",
+    """
+    WITH keyed AS (
+      SELECT CAST(floor(epoch_ms(ts) / 300000.0) AS BIGINT) * 300
+               AS window_start_epoch,
+             user_id, event_type, event_id, ts
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start_epoch, user_id, event_type
+               ORDER BY ts ASC, event_id ASC) AS rn,
+             count(*) OVER (
+               PARTITION BY window_start_epoch, user_id, event_type)
+               AS n_events
+      FROM keyed
+    )
+    SELECT window_start_epoch, user_id, event_type,
+           event_id AS kept_event_id, CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event deduplication (operators/temporal.
+    dedup_within_window, 5-min tumbling): first event per (user,
+    type) per window plus the collapsed count — the batch/replay
+    twin of the streaming dedup job. ONE map-side-combining
+    aggregate (first pick = min(struct(ts, id)), no per-key window);
+    the oracle states the same result with row_number for clarity."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.dedup_within_window(events, window_sec=300)
+
+
+@_register(
     "events_sessionize",
     """
     WITH flagged AS (
