@@ -616,6 +616,10 @@ def test_weighted_sample_bottomk_favors_heavy_rows(spark):
     again = [(r["id"], r["sample_key"]) for r in
              weighted_sample_bottomk(df, "id", "w", k=200).collect()]
     assert sorted(again) == sorted((r["id"], r["sample_key"]) for r in out)
+    # partitioning-invariance: the drawn set is a pure function of ids
+    shuffled = [(r["id"], r["sample_key"]) for r in
+                weighted_sample_bottomk(df.repartition(7), "id", "w", k=200).collect()]
+    assert sorted(shuffled) == sorted(again)
 
 
 def test_embedding_cov_quantized_matches_numpy(spark):
