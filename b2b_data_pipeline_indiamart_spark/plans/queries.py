@@ -8948,6 +8948,50 @@ def table_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "table_page_keyset",
+    """
+    WITH f AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    cur AS (SELECT max(o_orderkey) AS k
+            FROM (SELECT o_orderkey FROM f ORDER BY o_orderkey LIMIT 60))
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM f CROSS JOIN cur WHERE o_orderkey > cur.k
+    ORDER BY o_orderkey LIMIT 20
+    """,
+)
+def table_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the 100 TB path table_page's
+    docstring promises: the app hands back the last key it rendered
+    and the next page is ``WHERE key > cursor ORDER BY key LIMIT n``,
+    cost O(page) at ANY depth where LIMIT/OFFSET degrades linearly
+    with the offset. The cursor here is derived once (max key of the
+    first 60 rows — a bounded TakeOrdered + one-scalar collect,
+    standing in for the app-supplied value) and applied as a LITERAL,
+    so both the priority filter AND the key predicate push down to
+    the parquet scan; the page itself is TakeOrderedAndProject.
+    Returns the same logical rows as table_page's page 4 would."""
+    f = analytics.apply_filters(
+        _t(spark, sf_dir, "orders"), {"o_orderpriority": "1-URGENT"}
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    cursor = (
+        f.orderBy("o_orderkey")
+        .limit(60)
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    return (
+        f.filter(F.col("o_orderkey") > F.lit(cursor))
+        .orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            round_half_up("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+@_register(
     "filtered_top_states",
     """
     SELECT r_name AS group_value, COUNT(*) AS cnt
