@@ -497,3 +497,19 @@ def test_bm25_topk_is_take_ordered_then_bounded_window(spark, sf_small):
     df = QUERIES["docs_bm25_topk"](spark, sf_small)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in phys or "GlobalLimit" in phys
+
+
+def test_table_page_keyset_cursor_pushes_to_scan(spark, sf_small):
+    # keyset pagination's whole point: the literal cursor predicate AND
+    # the priority filter both reach the parquet scan, and the page is
+    # a TakeOrderedAndProject (never a global sort or offset walk)
+    from b2b_data_pipeline_indiamart_spark.plans.queries import QUERIES
+
+    df = QUERIES["table_page_keyset"](spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "GreaterThan(o_orderkey," in plan
+    assert "TakeOrderedAndProject" in plan
