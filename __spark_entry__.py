@@ -4,10 +4,11 @@
 summary) on sf0.001. ``queries()`` / ``oracle_sql()`` expose the
 SURVEY.md §2 registry from
 ``b2b_data_pipeline_indiamart_spark.plans.queries`` — every SQL-
-expressible operator carries a DuckDB oracle; the rows-only entries
-(MinHash/SimHash/LSH/IVF/clustering families and the multimodal
-plumbing) have engine-specific hash/centroid/payload construction with
-no DuckDB equivalent and are determinism-tested instead.
+expressible operator carries a DuckDB oracle; the remaining rows-only
+entries (trained-codebook ANN, eigensolve/k-means embedding QA,
+engine-internal sketches, multimodal payloads) are determinism-tested
+AND each carries an oracle-bearing portable twin that hash-verifies
+the shared math (SURVEY §5.8).
 """
 
 from __future__ import annotations
@@ -81,7 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     ev = _driver_evidence()
     reg = {k: i for i, k in enumerate(QUERIES)}
-    slow = {"ann_lsh": 1, "multimodal_features": 2}
+    slow = {"multimodal_features": 2}  # ann_lsh graduated to an oracle key (r9)
 
     def rank(k: str):
         if k in ORACLE:
