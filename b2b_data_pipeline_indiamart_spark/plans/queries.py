@@ -1651,6 +1651,65 @@ def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_bucket_purity",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    b AS (SELECT vec_id, label, CAST({_lsh_bucket_sql_expr()} AS BIGINT) AS bucket
+          FROM v),
+    cl AS (SELECT bucket, label, count(*) AS cnt FROM b GROUP BY 1, 2),
+    tot AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_vecs FROM cl GROUP BY 1),
+    top AS (SELECT bucket, label AS top_label, cnt AS top_n FROM (
+      SELECT *, row_number() OVER (PARTITION BY bucket
+                                   ORDER BY cnt DESC, label ASC) AS rn
+      FROM cl) WHERE rn = 1)
+    SELECT t.bucket, n_vecs, CAST(top_label AS INT) AS top_label,
+           CAST(top_n AS BIGINT) AS top_n,
+           round(CAST(top_n AS DOUBLE) / n_vecs, 4) AS purity
+    FROM top t JOIN tot USING (bucket)
+    """,
+)
+def embedding_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-balance QA: per hyperplane bucket, the occupancy and
+    the majority-label share (purity) — the diagnostic that tells you
+    whether the 8-plane family separates the label structure or
+    collapses it into hot buckets (hot buckets = candidate blowup in
+    ann_lsh; purity ≈ 1/n_labels = planes orthogonal to the label
+    geometry). Pure integer counts + one final division, bucket ids
+    from the shared seeded-LCG plane literals — fully engine-portable.
+    Map-side combine into ≤ 256 bucket×label cells, one bounded
+    per-bucket window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        F.col("label"),
+        similarity.hyperplane_signature(
+            F.col("embedding"), 64, n_planes=8, seed=42
+        ).alias("bucket"),
+    )
+    cl = b.groupBy("bucket", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cl.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("n_vecs"))
+    w = Window.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    top = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            F.col("label").cast("int").alias("top_label"),
+            F.col("cnt").cast("long").alias("top_n"),
+        )
+    )
+    return top.join(tot, "bucket").select(
+        "bucket",
+        "n_vecs",
+        "top_label",
+        "top_n",
+        round_half_up(F.col("top_n").cast("double") / F.col("n_vecs"), 4).alias(
+            "purity"
+        ),
+    )
+
+
+@_register(
     "ann_recall_report",
     # composition oracle: exact / LSH / seeded-IVF top-10 are ALREADY
     # registered oracles — embed them as CTEs (the dedup_prune_clusters
