@@ -149,3 +149,27 @@ def test_bigram_and_concurrency_on_empty(spark, empty_docs):
     out = temporal.max_concurrency(empty_events).collect()
     caching.release_cached()
     assert out == [] or out[0]["max_concurrent"] is None
+
+
+def test_round9_additions_on_empty(spark, empty_docs, empty_emb):
+    from b2b_data_pipeline_indiamart_spark.operators import sampling, sketches, temporal
+
+    empty_w = spark.createDataFrame([], "id long, w int")
+    assert sampling.weighted_sample_bottomk(empty_w, "id", "w", k=10).count() == 0
+    assert dedup.blocked_jaccard_pairs(empty_docs).count() == 0
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert temporal.dedup_within_window(empty_events).count() == 0
+    assert (
+        sketches.hll_cardinality_portable(empty_events, "event_type", "user_id").count()
+        == 0
+    )
+    assert similarity.embedding_cov_quantized(empty_emb, dim=64).count() == 0
+    # seeded ANN twins: empty corpus means empty seed set and empty result
+    assert (
+        similarity.ann_ivf_seeded_topk(empty_emb, empty_emb, n_seeds=16).count() == 0
+    )
+    assert (
+        similarity.ann_pq_seeded_topk(empty_emb, empty_emb, dim=64, m=16).count() == 0
+    )
