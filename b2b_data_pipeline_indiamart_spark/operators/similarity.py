@@ -1439,6 +1439,152 @@ def ann_topk_ivfpq(
     )
 
 
+def ann_ivfpq_seeded_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    m: int = 16,
+    n_seeds: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ with DETERMINISTIC seed state — the oracle-bearing twin
+    of :func:`ann_topk_ivfpq`, completing the ANN twin matrix (LSH /
+    IVF / SQ8 / PQ / IVF-PQ all value-gated): coarse cells are the
+    ``n_seeds`` lowest-id unit vectors, and the RESIDUAL codewords per
+    subspace are the residuals of the NEXT ``n_seeds`` vectors
+    (ids n_seeds..2·n_seeds−1 — the seeds' own residuals are zero by
+    construction, so they can't serve as a codebook). Everything —
+    cell assignment (6dp round-before-rank), residual computation,
+    per-subspace L2-argmin encode (9dp), and the two-term ADC score
+    dot(q, centroid) + dot(q, concat(residual codewords)) — restates
+    in SQL with the same ordered folds, so scores hash-match at 4dp.
+    Production ann_ivf_pq keeps trained residual codebooks + the LUT
+    fast path; this twin value-gates the residual-quantization math.
+    """
+    dsub = dim // m
+    u = _unit_projection(emb, vec_col, id_col, "vid")
+    seeds = u.filter(F.col("vid") < n_seeds).select(
+        F.col("vid").alias("cid"), F.col("__unit").alias("su")
+    )
+
+    def cells(side: DataFrame, out_id: str, n: int) -> DataFrame:
+        sims = side.crossJoin(F.broadcast(seeds)).select(
+            F.col("vid").alias(out_id),
+            "cid",
+            round_half_up(dot(F.col("__unit"), F.col("su")), 6).alias("__sim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__sim").desc(), F.col("cid").asc()
+        )
+        return (
+            sims.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(out_id, F.col("cid").alias("cell"))
+        )
+
+    # residual of every vector to its own cell centroid
+    resid = (
+        cells(u, "vid", 1)
+        .join(u, "vid")
+        .join(F.broadcast(seeds.withColumnRenamed("cid", "cell")), "cell")
+        .select(
+            "vid",
+            "cell",
+            F.zip_with(F.col("__unit"), F.col("su"), lambda a, b: a - b).alias(
+                "res"
+            ),
+        )
+    )
+    # residual codewords: subvectors of vec_ids n_seeds..2n_seeds-1
+    cw = (
+        resid.filter(
+            (F.col("vid") >= n_seeds) & (F.col("vid") < 2 * n_seeds)
+        )
+        .select(
+            (F.col("vid") - n_seeds).cast("int").alias("ccode"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col("res"),
+        )
+        .select(
+            "ccode",
+            "s",
+            F.slice(F.col("res"), F.col("s") * dsub + 1, dsub).alias("cw"),
+        )
+    )
+    rsubs = resid.select(
+        "vid",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.col("res"),
+    ).select(
+        "vid",
+        "cell",
+        "s",
+        F.slice(F.col("res"), F.col("s") * dsub + 1, dsub).alias("rsub"),
+    )
+    diff = F.zip_with(F.col("rsub"), F.col("cw"), lambda a, b: a - b)
+    w_enc = Window.partitionBy("vid", "s").orderBy(
+        F.col("__d2").asc(), F.col("ccode").asc()
+    )
+    codes = (
+        rsubs.join(F.broadcast(cw), "s")
+        .select(
+            "vid",
+            "cell",
+            "s",
+            "ccode",
+            round_half_up(dot(diff, diff), 9).alias("__d2"),
+        )
+        .withColumn("__rn", F.row_number().over(w_enc))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "cell", "s", "ccode")
+    )
+    recon = (
+        codes.join(F.broadcast(cw), ["s", "ccode"])
+        .groupBy("vid", "cell")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("s", "cw"))),
+                    lambda p: p["cw"],
+                )
+            ).alias("rrecon")
+        )
+    )
+    q = _unit_projection(queries, vec_col, id_col, "query_id")
+    probes = cells(
+        u.join(queries.select(F.col(id_col).alias("vid")), "vid"),
+        "query_id",
+        n_probe,
+    ).join(q, "query_id")
+    scored = (
+        recon.withColumnRenamed("vid", "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(seeds.withColumnRenamed("cid", "cell")), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(
+                dot(F.col("__unit"), F.col("su"))
+                + dot(F.col("__unit"), F.col("rrecon")),
+                4,
+            ).alias("ivfpq_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ivfpq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "ivfpq_score", "rnk")
+    )
+
+
 def _mean_cov(
     emb: DataFrame, dim: int, vec_col: str, caller: str
 ) -> "tuple[int, 'np.ndarray', 'np.ndarray']":

@@ -3494,6 +3494,82 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_ivf_pq_portable",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    u AS (SELECT vec_id AS vid,
+                 CASE WHEN sqrt(list_dot_product(e, e)) > 0
+                      THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                      ELSE e END AS uu
+          FROM v),
+    seeds AS (SELECT vid AS cid, uu AS su FROM u WHERE vid < 16),
+    sims AS (SELECT u.vid, s.cid, u.uu,
+                    round(list_dot_product(uu, su), 6) AS sim
+             FROM u CROSS JOIN seeds s),
+    ranked AS (SELECT vid, cid, row_number() OVER (
+                 PARTITION BY vid ORDER BY sim DESC, cid ASC) AS rn
+               FROM sims),
+    cells AS (SELECT vid, cid AS cell FROM ranked WHERE rn = 1),
+    resid AS (SELECT c.vid, c.cell,
+                     list_transform(range(1, 65), i -> u.uu[i] - sd.su[i]) AS res
+              FROM cells c
+              JOIN u ON u.vid = c.vid
+              JOIN seeds sd ON sd.cid = c.cell),
+    sp AS (SELECT unnest(range(0, 16)) AS s),
+    cw AS (SELECT CAST(vid - 16 AS INT) AS ccode, sp.s AS s,
+                  list_slice(res, sp.s * 4 + 1, sp.s * 4 + 4) AS cw
+           FROM resid CROSS JOIN sp WHERE vid >= 16 AND vid < 32),
+    rsubs AS (SELECT vid, cell, sp.s AS s,
+                     list_slice(res, sp.s * 4 + 1, sp.s * 4 + 4) AS rsub
+              FROM resid CROSS JOIN sp),
+    dists AS (SELECT r.vid, r.cell, r.s, c.ccode,
+                     round(list_dot_product(
+                       list_transform(range(1, 5), i -> r.rsub[i] - c.cw[i]),
+                       list_transform(range(1, 5), i -> r.rsub[i] - c.cw[i])),
+                       9) AS d2
+              FROM rsubs r JOIN cw c USING (s)),
+    codes AS (SELECT vid, cell, s, ccode FROM (
+      SELECT *, row_number() OVER (PARTITION BY vid, s
+                                   ORDER BY d2 ASC, ccode ASC) AS rn
+      FROM dists) WHERE rn = 1),
+    recon AS (SELECT k.vid, k.cell, flatten(list(c.cw ORDER BY k.s)) AS rrecon
+              FROM codes k JOIN cw c ON c.s = k.s AND c.ccode = k.ccode
+              GROUP BY k.vid, k.cell),
+    q AS (SELECT vid AS query_id, uu AS qu FROM u WHERE vid < 5),
+    probes AS (SELECT vid AS query_id, cid AS cell FROM ranked
+               WHERE rn <= 4 AND vid < 5),
+    scored AS (SELECT p.query_id, r.vid AS neighbor_id,
+                      round(list_dot_product(qu, sd.su)
+                            + list_dot_product(qu, r.rrecon), 4) AS ivfpq_score
+               FROM recon r
+               JOIN probes p ON p.cell = r.cell
+               JOIN seeds sd ON sd.cid = r.cell
+               JOIN q ON q.query_id = p.query_id
+               WHERE r.vid <> p.query_id)
+    SELECT query_id, neighbor_id, ivfpq_score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ivfpq_score DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing IVF-PQ twin (similarity.ann_ivfpq_seeded_topk):
+    seed cells (16 lowest-id unit vectors) + residual codewords from
+    the residuals of ids 16..31 (the seeds' own residuals are zero),
+    so coarse routing, residual computation, per-subspace encode, and
+    the two-term ADC score dot(q, centroid) + dot(q, concat(residual
+    codewords)) all restate in SQL and hash-match at 4dp — completing
+    the ANN twin matrix (LSH/IVF/SQ8/PQ/IVF-PQ). Production
+    ann_ivf_pq keeps trained residual codebooks + the LUT path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_ivfpq_seeded_topk(
+        emb, queries, dim=64, m=16, n_seeds=16, n_probe=4, k=10
+    )
+
+
+@_register(
     "events_heavy_hitters_cms_portable",
     """
     WITH cells AS (
@@ -4095,7 +4171,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-list candidate cut AND per-vector byte cut in one index,
     with cell assignment, residual encode, and ADC scoring all pure
     Catalyst expressions over centroid/codebook literals. Rows-only;
-    determinism and recall-vs-exact pytest-pinned."""
+    determinism and recall-vs-exact pytest-pinned; the routing +
+    residual-quantization math is value-gated by ann_ivf_pq_portable's
+    seed-state twin."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_topk_ivfpq(emb, queries, dim=64, k=10, n_probe=4).orderBy(
