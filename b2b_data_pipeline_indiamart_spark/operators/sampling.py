@@ -219,6 +219,60 @@ def weighted_sample_bottomk(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k_per_group: int = 20,
+    max_weight: int = 8,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: the same
+    hash-min replication key as :func:`weighted_sample_bottomk`, ranked
+    WITHIN each group — bottom-``k_per_group`` per group instead of a
+    global bottom-k. The per-group rank plans as WindowGroupLimit
+    (per-partition heap of k rows per group key before the shuffle),
+    so the shuffle carries ≤ groups · k · partitions rows, never the
+    corpus — the stratified counterpart every mixture pipeline needs
+    next to the global draw.
+
+    Output: (group, id, weight, sample_key, rnk ≤ k_per_group).
+    """
+    w = F.least(
+        F.lit(max_weight), F.greatest(F.lit(1), F.col(weight_col).cast("int"))
+    )
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), w - 1),
+            lambda r: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(id_col).cast("string"), r.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+    )
+    keyed = df.filter(
+        F.col(id_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        F.col(id_col),
+        w.alias("weight"),
+        key.alias("sample_key"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rnk") <= k_per_group)
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     group_col: str,

@@ -1369,6 +1369,57 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_weighted_sample_by_source",
+    f"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, {_NORM} AS s
+               FROM documents),
+    t AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM d WHERE s IS NOT NULL),
+    w AS (SELECT doc_id, source,
+                 CAST(least(7, floor(n_tokens / 100.0)) + 1 AS INT) AS weight
+          FROM t WHERE n_tokens >= 1),
+    keyed AS (
+      SELECT doc_id, source, weight,
+             list_min(list_transform(range(0, weight),
+               r -> substr(md5('ws1:' || CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(r AS VARCHAR)), 1, 8))) AS sample_key
+      FROM w
+    )
+    SELECT source, doc_id, weight, sample_key, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY sample_key ASC, doc_id ASC) AS INT) AS rnk
+      FROM keyed
+    ) WHERE rnk <= 20
+    """,
+)
+def docs_weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling without replacement
+    (operators/sampling.weighted_sample_per_group): the same hash-min
+    replication draw as docs_weighted_sample, ranked WITHIN each
+    source — bottom-20 per source. Per-group rank plans as
+    WindowGroupLimit (per-partition k-row heap per source before the
+    shuffle), the stratified counterpart a mixture pipeline runs next
+    to the global draw; keys stay md5-hex strings, bit-reproducible
+    across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.size(dedup.word_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    weighted = t.select(
+        "doc_id",
+        "source",
+        (F.least(F.lit(7), F.floor(F.col("n_tokens") / F.lit(100.0))) + 1)
+        .cast("int")
+        .alias("w"),
+    )
+    return sampling.weighted_sample_per_group(
+        weighted, "source", "doc_id", "w", k_per_group=20
+    )
+
+
+@_register(
     "docs_jaccard_portable",
     f"""
     WITH p AS (
