@@ -646,3 +646,39 @@ def test_embedding_cov_quantized_matches_numpy(spark):
         ref = np.floor(cov[i][j] * 1e6 + 0.5) / 1e6
         assert abs(v - ref) <= 1e-6, (i, j, v, ref)
     assert len(out) == 4 * 5 // 2
+
+
+def test_dedup_within_window_invariants(spark):
+    """Every kept row is the true (ts, id)-minimum of its group, group
+    sizes sum back to the input count, and no (window, keys) group
+    appears twice."""
+    from datetime import datetime, timedelta
+
+    from b2b_data_pipeline_indiamart_spark.operators.temporal import (
+        dedup_within_window,
+    )
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for k in range(40):
+            rows.append((eid, base + timedelta(seconds=7 * k), u, "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = dedup_within_window(df, window_sec=60).collect()
+    groups = [(r["window_start_epoch"], r["user_id"], r["event_type"]) for r in out]
+    assert len(groups) == len(set(groups))
+    assert sum(r["n_events"] for r in out) == len(rows)
+    # recompute expected minima in plain python
+    expect = {}
+    for e, ts, u, t in rows:
+        w = int(ts.timestamp() // 60) * 60
+        key = (w, u, t)
+        if key not in expect or (ts, e) < expect[key]:
+            expect[key] = (ts, e)
+    for r in out:
+        key = (r["window_start_epoch"], r["user_id"], r["event_type"])
+        assert r["kept_event_id"] == expect[key][1], key
