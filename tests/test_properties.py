@@ -429,3 +429,29 @@ def test_scd2_apply_reconstructs_change_history(spark, batches):
             assert a["valid_to"] == b["valid_from"]
             assert not a["is_current"]
         assert krows[-1]["is_current"]
+
+
+@SLOW
+@given(
+    users=st.lists(st.integers(0, 10_000), min_size=1, max_size=60),
+    dup=st.integers(1, 4),
+)
+def test_hll_portable_invariant_under_duplication(spark, users, dup):
+    """The defining cardinality-sketch property: duplicating every row
+    k times changes NOTHING — registers are maxima and the estimate is
+    a pure function of the distinct key set."""
+    from b2b_data_pipeline_indiamart_spark.operators.sketches import (
+        hll_cardinality_portable,
+    )
+
+    once = spark.createDataFrame(
+        [("g", u) for u in users], "event_type string, user_id long"
+    )
+    many = spark.createDataFrame(
+        [("g", u) for u in users for _ in range(dup)],
+        "event_type string, user_id long",
+    )
+    a = hll_cardinality_portable(once, "event_type", "user_id").collect()
+    b = hll_cardinality_portable(many, "event_type", "user_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["n_users_exact"] == len(set(users))
