@@ -158,6 +158,26 @@ def mixture_sample_summary(
     )
 
 
+def _hash_min_key(id_col: str, w: Column, seed: str) -> Column:
+    """min over r < w of the 8-hex md5(seed:id:r) prefix — the shared
+    replication key of both weighted samplers; built in-plan as one
+    array_min(transform(sequence)) expression, no explode."""
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), w - 1),
+            lambda r: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(id_col).cast("string"), r.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+    )
+
+
 def weighted_sample_bottomk(
     df: DataFrame,
     id_col: str,
@@ -193,20 +213,7 @@ def weighted_sample_bottomk(
     w = F.least(
         F.lit(max_weight), F.greatest(F.lit(1), F.col(weight_col).cast("int"))
     )
-    key = F.array_min(
-        F.transform(
-            F.sequence(F.lit(0), w - 1),
-            lambda r: F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.lit(seed), F.col(id_col).cast("string"), r.cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-        )
-    )
+    key = _hash_min_key(id_col, w, seed)
     return (
         df.filter(F.col(id_col).isNotNull())
         .select(
@@ -242,20 +249,7 @@ def weighted_sample_per_group(
     w = F.least(
         F.lit(max_weight), F.greatest(F.lit(1), F.col(weight_col).cast("int"))
     )
-    key = F.array_min(
-        F.transform(
-            F.sequence(F.lit(0), w - 1),
-            lambda r: F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.lit(seed), F.col(id_col).cast("string"), r.cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-        )
-    )
+    key = _hash_min_key(id_col, w, seed)
     keyed = df.filter(
         F.col(id_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(

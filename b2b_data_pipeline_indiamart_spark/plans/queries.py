@@ -9148,8 +9148,9 @@ def table_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def table_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyset (cursor) pagination — the 100 TB path table_page's
-    docstring promises: the app hands back the last key it rendered
+    """Keyset (cursor) pagination (reference/dashboard/webapp/views.py:249
+    api_mini_rows — the 100 TB path table_page's docstring promises):
+    the app hands back the last key it rendered
     and the next page is ``WHERE key > cursor ORDER BY key LIMIT n``,
     cost O(page) at ANY depth where LIMIT/OFFSET degrades linearly
     with the offset. The cursor here is derived once (max key of the
