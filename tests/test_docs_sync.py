@@ -28,3 +28,27 @@ def test_bench_keys_exist_in_registry():
         if k not in QUERIES
     ]
     assert not unknown, f"bench keys not in registry: {unknown}"
+
+
+def test_survey_status_cells_match_oracle_membership():
+    """A §2 row's status cell must not contradict the registry: a key
+    with a DuckDB oracle can't be labeled rows-only, and vice versa."""
+    import re
+
+    from b2b_data_pipeline_indiamart_spark.plans import ORACLE, QUERIES
+
+    stale = []
+    for line in (REPO / "SURVEY.md").read_text().splitlines():
+        m = re.match(r"\| `([a-z0-9_]+)` \|", line)
+        if not m or m.group(1) not in QUERIES:
+            continue
+        key = m.group(1)
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        status = cells[-1].lower()
+        says_sql = status.startswith("sql") or "value oracle" in status
+        says_rows = status.startswith("rows")
+        if key in ORACLE and says_rows:
+            stale.append((key, "labeled rows-only but has an oracle"))
+        if key not in ORACLE and says_sql:
+            stale.append((key, "labeled SQL but has no oracle"))
+    assert not stale, stale
