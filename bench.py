@@ -134,6 +134,9 @@ EXTENDED_KEYS = [
     "events_users_hll_portable",
     "ann_pq_portable",  # window-heavy seeded-codebook twin
     "embedding_cov_portable",  # corpus x dim self-join
+    "ann_ivf_pq_portable",  # heaviest twin: residual encode windows
+    "ann_recall_report",  # composes exact + LSH + seeded-IVF
+    "events_dedup_window",
 ]
 
 
