@@ -513,3 +513,15 @@ def test_table_page_keyset_cursor_pushes_to_scan(spark, sf_small):
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan
     assert "GreaterThan(o_orderkey," in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_plans(spark, sf_small):
+    # global draw: one TakeOrderedAndProject, no exchange before it and
+    # no global window; stratified draw: per-group rank applies a
+    # partial WindowGroupLimit before the shuffle
+    from b2b_data_pipeline_indiamart_spark.plans.queries import QUERIES
+
+    plan_global = _plan(spark, sf_small, "docs_weighted_sample")
+    assert "TakeOrderedAndProject" in plan_global
+    plan_strat = _plan(spark, sf_small, "docs_weighted_sample_by_source")
+    assert "WindowGroupLimit" in plan_strat
