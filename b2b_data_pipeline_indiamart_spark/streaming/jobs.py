@@ -687,12 +687,17 @@ def start_scd2_dimension_sink(
     per-batch contract), stamp the version at the epoch grain
     ('epoch-<id>' as valid_from would break timestamp typing, so the
     batch timestamp is derived from the epoch id deterministically),
-    apply, and atomically swap the snapshot directory (write to
-    ``_next``, Hadoop-FS rename — the compact_parquet swap pattern,
-    non-atomicity on object stores documented there). Replays of a
-    crashed epoch re-apply the identical batch; scd2_apply is
-    idempotent on identical input (pytest-pinned), so the snapshot
-    converges rather than double-versioning.
+    apply, and swap the snapshot directory with the compact_parquet
+    park-aside sequence (recover at batch start, write to ``__next``,
+    rename current→``__aside``, rename next→current, delete aside) so
+    a COMPLETE snapshot copy is reachable at every step — a crash
+    between renames can no longer leave no snapshot and trick the
+    replayed epoch into the scd2_init branch (which would silently
+    drop all history). Non-atomicity on object stores is documented
+    at compact_parquet. Replays of a crashed epoch re-apply the
+    identical batch; scd2_apply is idempotent on identical input
+    (pytest-pinned), so the snapshot converges rather than
+    double-versioning.
 
     Scale notes: each epoch is one open-slice equi-join (broadcast
     when the batch is small — the common case) plus a full snapshot
@@ -728,6 +733,22 @@ def start_scd2_dimension_sink(
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         cur_path = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
         fs = cur_path.getFileSystem(hconf)
+        nxt = snapshot_dir.rstrip("/") + "__next"
+        nxt_path = jvm.org.apache.hadoop.fs.Path(nxt)
+        aside = snapshot_dir.rstrip("/") + "__aside"
+        aside_path = jvm.org.apache.hadoop.fs.Path(aside)
+        # crash recovery FIRST (compact_parquet contract): if a prior
+        # epoch died mid-swap the snapshot dir may be missing while a
+        # complete copy sits at __next (fully written before any
+        # rename — it already INCLUDES that epoch's apply) or __aside
+        # (the pre-apply snapshot). Restore it before deciding between
+        # the init and apply branches, otherwise the replayed epoch
+        # rebuilds the dimension from one batch and loses all history.
+        if not fs.exists(cur_path):
+            if fs.exists(nxt_path):
+                fs.rename(nxt_path, cur_path)
+            elif fs.exists(aside_path):
+                fs.rename(aside_path, cur_path)
         if fs.exists(cur_path):
             current = spark.read.parquet(snapshot_dir)
             snap = scd2_apply(
@@ -735,11 +756,25 @@ def start_scd2_dimension_sink(
             )
         else:
             snap = scd2_init(latest, key_cols, tracked_cols, batch_ts)
-        nxt = snapshot_dir.rstrip("/") + "__next"
+        # overwrite replaces any stale partial __next from a crash
+        # that happened mid-write (before the copy was complete)
         snap.write.mode("overwrite").parquet(nxt)
-        nxt_path = jvm.org.apache.hadoop.fs.Path(nxt)
-        fs.delete(cur_path, True)
-        fs.rename(nxt_path, cur_path)
+        # park-aside swap: a complete copy is reachable at every step
+        if fs.exists(aside_path):  # superseded copy from a prior run
+            fs.delete(aside_path, True)
+        if fs.exists(cur_path):
+            if not fs.rename(cur_path, aside_path):
+                raise IOError(
+                    f"scd2 sink: could not park {snapshot_dir} aside"
+                )
+        if not fs.rename(nxt_path, cur_path):
+            if fs.exists(aside_path):
+                fs.rename(aside_path, cur_path)
+            raise IOError(
+                f"scd2 sink: rename {nxt} -> {snapshot_dir} failed; "
+                "prior snapshot restored"
+            )
+        fs.delete(aside_path, True)
 
     return (
         update_stream.writeStream.foreachBatch(apply_epoch)

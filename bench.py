@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the compact headline JSON as the LAST stdout line (the driver
+parses the tail):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>}
+The extended (non-anchor) timings are printed as their own JSON line
+BEFORE the headline so the headline stays well under the driver's
+tail-capture window.
 
 Each query is executed to completion (count() materializes every
 partition) after a JVM/session warm-up pass, so the numbers measure
@@ -185,12 +189,21 @@ def main() -> None:
     timings = time_keys(keys)
     extended = time_keys(EXTENDED_KEYS) if not keys_env else {}
 
+    # The driver captures only the TAIL of stdout and parses the LAST
+    # JSON line. The extended dict (70+ entries) once lived inside the
+    # headline object and pushed "value"/"queries" past that capture
+    # window (BENCH_r09.json parsed: null). Emit extended as its OWN
+    # line FIRST, and the frozen compact headline object LAST so the
+    # driver always sees a parseable record well under 2000 chars.
+    if extended:
+        print(json.dumps({"metric": "extended_queries_runtime",
+                          "unit": "sec", "extended": extended,
+                          "sf": sf_from_dir(sf_dir)}))
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "extended": extended,
         "sf": sf_from_dir(sf_dir),
     }
     print(json.dumps(out))

@@ -786,3 +786,72 @@ def test_streaming_scd2_dimension_sink(spark, tmp_path):
     assert rows[(3, True)]["country"] == "BR"
     # closed version's valid_to == its successor's valid_from
     assert rows[(1, False)]["valid_to"] == rows[(1, True)]["valid_from"]
+
+
+def test_streaming_scd2_sink_recovers_after_crashed_swap(spark, tmp_path):
+    """Regression for the delete-then-rename hazard: a crash between
+    the snapshot-swap renames used to leave NO snapshot dir, so the
+    replayed epoch took the scd2_init branch and silently rebuilt the
+    dimension from one batch, losing all history. The park-aside swap
+    recovers at batch start: with the snapshot missing but a complete
+    copy at ``__next``, the next epoch restores it and folds on top —
+    history intact."""
+    import os
+    import time
+
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        start_scd2_dimension_sink,
+    )
+
+    src = str(tmp_path / "updates")
+    snap_dir = str(tmp_path / "snap")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "IN"), (2, "US")], "id long, country string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+
+    def run_until(n_rows, ckpt):
+        stream = (
+            spark.readStream.schema("id long, country string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = start_scd2_dimension_sink(
+            stream, snap_dir, ckpt, ["id"], ["country"],
+            "id long, country string",
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                try:
+                    if spark.read.parquet(snap_dir).count() >= n_rows:
+                        return
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run_until(2, str(tmp_path / "ckpt0"))
+    # simulate the crash window: the epoch's result was fully written
+    # to __next, the old snapshot was already removed, the process
+    # died before rename(__next -> snap)
+    os.rename(snap_dir, snap_dir + "__next")
+    assert not os.path.exists(snap_dir)
+    # next epoch (fresh checkpoint so b0+b1 both replay is NOT needed;
+    # only b1 is new work — recovery must restore b0's snapshot first)
+    spark.createDataFrame(
+        [(1, "SG")], "id long, country string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    run_until(3, str(tmp_path / "ckpt0"))
+    rows = {
+        (r["id"], r["is_current"]): r
+        for r in spark.read.parquet(snap_dir).collect()
+    }
+    # id=1's IN version survived the crash and is properly closed
+    assert rows[(1, False)]["country"] == "IN"
+    assert rows[(1, True)]["country"] == "SG"
+    assert rows[(2, True)]["country"] == "US"
+    assert not os.path.exists(snap_dir + "__next")
+    assert not os.path.exists(snap_dir + "__aside")
