@@ -241,3 +241,242 @@ def hll_cardinality_portable(
         )
         .orderBy(group_col)
     )
+
+
+# --------------------------------------------------------------------------
+# t-digest-LITE: portable fixed-codepoint centroid digest
+# --------------------------------------------------------------------------
+
+#: Fixed cumulative-probability codepoints (per-mille) bounding each
+#: centroid — the "scale function evaluated once" of a merging t-digest
+#: (Dunning & Ertl 2019), frozen as rational literals so BOTH engines
+#: assign values to centroids with exact integer arithmetic. The
+#: spacing mimics the asin/K1 profile: fine at the tails (1%, 1.5%,
+#: 2.5% buckets) and coarse in the middle (15%) — tail quantiles keep
+#: small-weight centroids, the t-digest accuracy property.
+TDIGEST_CODEPOINTS = (
+    0, 10, 25, 50, 100, 200, 350, 500, 650, 800, 900, 950, 975, 990,
+)
+
+
+def tdigest_lite_bands(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    quantiles: "tuple[int, ...]" = (25, 50, 75, 95),
+) -> DataFrame:
+    """Percentile bands from an explicit t-digest-LITE: per group,
+    build the fixed-codepoint centroid set (weight + mean per
+    codepoint bucket) and answer quantiles by the t-digest midpoint
+    interpolation rule — every step engine-portable so a DuckDB
+    oracle rebuilds the IDENTICAL centroids and estimates
+    (``price_bands_tdigest_portable``), value-gating the centroid /
+    interpolation math under the engine-internal production sketch
+    (``price_bands_sketch``, approx_percentile's t-digest).
+
+    Deterministic-merge pin: the digest is built from the globally
+    sorted value order (rank by (cents, id)), the one merge order both
+    engines can agree on; centroid k owns ranks with
+    ``codepoint[k] <= (rank-1)·1000/n < codepoint[k+1]``, checked as
+    the exact bigint comparison ``(rank-1)·1000 >= codepoint·n``.
+    Values are quantized to cents FIRST so centroid sums are exact
+    bigints in any order (the embedding_cov_portable trick) and the
+    mean divides identical integers in both engines.
+
+    Quantile rule (Dunning's interpolation): centroid k sits at
+    mid-cumulative-weight ``m_k = C_{k-1} + w_k/2``; a query at rank
+    ``t = q·n`` interpolates linearly between the two centroids whose
+    midpoints bracket t, clamping to the first/last centroid mean at
+    the edges. All comparisons are scaled to integers
+    (``k·n`` vs ``50·M2`` with ``M2 = 2·C - w``) — no float
+    boundaries to disagree on.
+
+    Scale: this TWIN sorts each group once (rank window) and exists
+    FOR the oracle; the 100 TB production path is approx_percentile,
+    whose t-digest builds bottom-up as a mergeable partial aggregate
+    with no global sort. The centroid table itself (≤14 rows/group)
+    and midpoint interpolation are exactly what that sketch maintains
+    internally.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.rounding import round_half_up
+
+    spark = df.sparkSession
+    cents = F.floor(
+        F.col(value_col) * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    vals = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        cents.alias("__cents"),
+    )
+    wg = Window.partitionBy("__g")
+    wr = Window.partitionBy("__g").orderBy("__cents", "__id")
+    ranked = vals.select(
+        "__g",
+        "__cents",
+        F.row_number().over(wr).cast("bigint").alias("__rn"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+    )
+    pos = (F.col("__rn") - F.lit(1)) * F.lit(1000)
+    cid = None
+    for i in range(len(TDIGEST_CODEPOINTS) - 1, 0, -1):
+        cond = pos >= F.lit(TDIGEST_CODEPOINTS[i]) * F.col("__n")
+        cid = F.when(cond, i) if cid is None else cid.when(cond, i)
+    cid = cid.otherwise(0)
+    cent = (
+        ranked.withColumn("__cid", cid)
+        .groupBy("__g", "__cid")
+        .agg(
+            F.max("__n").alias("__n"),
+            F.count(F.lit(1)).alias("__w"),
+            F.sum("__cents").alias("__sum_cents"),
+        )
+    )
+    wc = Window.partitionBy("__g").orderBy("__cid")
+    cum = cent.select(
+        "__g",
+        "__n",
+        "__cid",
+        "__w",
+        (F.lit(2) * F.sum("__w").over(wc) - F.col("__w")).alias("__m2"),
+        (F.col("__sum_cents") / (F.col("__w") * F.lit(100.0))).alias(
+            "__mean"
+        ),
+        F.row_number().over(wc).alias("__crow"),
+        F.count(F.lit(1)).over(wg).alias("__n_centroids"),
+    )
+    led = cum.select(
+        "*",
+        F.lead("__m2").over(wc).alias("__m2n"),
+        F.lead("__mean").over(wc).alias("__meann"),
+    )
+    qdf = spark.createDataFrame([(int(k),) for k in quantiles], "__k int")
+    kn = F.col("__k").cast("bigint") * F.col("__n")
+    pair = F.when(
+        (kn >= F.lit(50) * F.col("__m2"))
+        & F.col("__m2n").isNotNull()
+        & (kn < F.lit(50) * F.col("__m2n")),
+        F.col("__mean")
+        + (
+            (kn - F.lit(50) * F.col("__m2")).cast("double")
+            / (
+                F.lit(50) * F.col("__m2n") - F.lit(50) * F.col("__m2")
+            ).cast("double")
+        )
+        * (F.col("__meann") - F.col("__mean")),
+    )
+    lo = F.when(
+        (F.col("__crow") == 1) & (kn < F.lit(50) * F.col("__m2")),
+        F.col("__mean"),
+    )
+    hi = F.when(
+        F.col("__m2n").isNull() & (kn >= F.lit(50) * F.col("__m2")),
+        F.col("__mean"),
+    )
+    est = (
+        led.crossJoin(F.broadcast(qdf))
+        .groupBy("__g", "__k")
+        .agg(
+            F.max("__n").alias("__n"),
+            F.max("__n_centroids").alias("__n_centroids"),
+            F.coalesce(F.max(pair), F.max(lo), F.max(hi)).alias("__est"),
+        )
+    )
+    band = [
+        round_half_up(
+            F.max(F.when(F.col("__k") == k, F.col("__est"))), 4
+        ).alias(f"p{k}")
+        for k in quantiles
+    ]
+    return (
+        est.groupBy("__g")
+        .agg(
+            F.max("__n").cast("long").alias("n_parts"),
+            F.max("__n_centroids").cast("int").alias("n_centroids"),
+            *band,
+        )
+        .withColumnRenamed("__g", group_col)
+        .orderBy(group_col)
+    )
+
+
+def tdigest_lite_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    quantiles: "tuple[int, ...]" = (25, 50, 75, 95),
+) -> str:
+    """DuckDB restatement of :func:`tdigest_lite_bands`, generated
+    from the SAME ``TDIGEST_CODEPOINTS`` literals so the two engines
+    cannot drift on centroid boundaries."""
+    cases = " ".join(
+        f"WHEN (rn - 1) * 1000 >= {b} * n THEN {i}"
+        for i, b in sorted(
+            enumerate(TDIGEST_CODEPOINTS), key=lambda t: -t[0]
+        )
+        if i > 0
+    )
+    qvals = ", ".join(f"({k})" for k in quantiles)
+    bands = ",\n           ".join(
+        f"round(max(CASE WHEN k = {k} THEN est END), 4) AS p{k}"
+        for k in quantiles
+    )
+    return f"""
+    WITH vals AS (
+      SELECT {group_col} AS g, {id_col} AS id,
+             CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT g, cents,
+             row_number() OVER (PARTITION BY g ORDER BY cents, id) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM vals
+    ),
+    binned AS (
+      SELECT g, n, cents, CASE {cases} ELSE 0 END AS cid
+      FROM ranked
+    ),
+    cent AS (
+      SELECT g, cid, max(n) AS n, count(*) AS w,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM binned GROUP BY g, cid
+    ),
+    cum AS (
+      SELECT g, n, cid, w,
+             2 * sum(w) OVER (PARTITION BY g ORDER BY cid) - w AS m2,
+             sum_cents / (w * 100.0) AS mean,
+             row_number() OVER (PARTITION BY g ORDER BY cid) AS crow,
+             count(*) OVER (PARTITION BY g) AS n_centroids
+      FROM cent
+    ),
+    led AS (
+      SELECT *,
+             lead(m2) OVER (PARTITION BY g ORDER BY cid) AS m2n,
+             lead(mean) OVER (PARTITION BY g ORDER BY cid) AS meann
+      FROM cum
+    ),
+    est AS (
+      SELECT g, k, max(n) AS n, max(n_centroids) AS n_centroids,
+             coalesce(
+               max(CASE WHEN k * n >= 50 * m2 AND m2n IS NOT NULL
+                         AND k * n < 50 * m2n
+                        THEN mean + (CAST(k * n - 50 * m2 AS DOUBLE)
+                                     / CAST(50 * m2n - 50 * m2 AS DOUBLE))
+                             * (meann - mean) END),
+               max(CASE WHEN crow = 1 AND k * n < 50 * m2 THEN mean END),
+               max(CASE WHEN m2n IS NULL AND k * n >= 50 * m2 THEN mean END)
+             ) AS est
+      FROM led, (VALUES {qvals}) AS q(k)
+      GROUP BY g, k
+    )
+    SELECT g AS {group_col}, CAST(max(n) AS BIGINT) AS n_parts,
+           CAST(max(n_centroids) AS INT) AS n_centroids,
+           {bands}
+    FROM est GROUP BY g
+    ORDER BY {group_col}
+    """

@@ -141,6 +141,7 @@ EXTENDED_KEYS = [
     "ann_ivf_pq_portable",  # heaviest twin: residual encode windows
     "ann_recall_report",  # composes exact + LSH + seeded-IVF
     "events_dedup_window",
+    "price_bands_tdigest_portable",  # r10: explicit digest twin
 ]
 
 

