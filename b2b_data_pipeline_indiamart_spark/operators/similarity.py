@@ -508,6 +508,17 @@ def ann_ivf_topk(
     )
 
 
+def _lowest_ids(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """The ``n`` lowest ids in ``df`` (one column, named ``id_col``) —
+    a bounded TakeOrderedAndProject, broadcast by every caller. The
+    seeded twins derive their deterministic seed state from this
+    ("the n lowest-id vectors") instead of ``id < n`` so a corpus
+    whose ids are not dense/0-based still yields exactly ``n`` seeds
+    rather than silently degenerating (ADVICE r9). On dense 0-based
+    ids the two formulations select identical rows."""
+    return df.select(id_col).orderBy(F.col(id_col).asc()).limit(n)
+
+
 def ann_ivf_seeded_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -536,7 +547,7 @@ def ann_ivf_seeded_topk(
         F.col(id_col).alias("__vid"), as_double_array(F.col(vec_col)).alias("__e")
     )
     seeds = (
-        v.filter(F.col("__vid") < n_seeds)
+        v.join(F.broadcast(_lowest_ids(v, "__vid", n_seeds)), "__vid")
         .select(F.col("__vid").alias("__cid"), F.col("__e").alias("__se"))
     )
 
@@ -1193,7 +1204,7 @@ def ann_pq_seeded_topk(
         "s",
         F.slice(F.col("__unit"), F.col("s") * dsub + 1, dsub).alias("sub"),
     )
-    seeds = subs.filter(F.col("vid") < n_seeds).select(
+    seeds = subs.join(F.broadcast(_lowest_ids(u, "vid", n_seeds)), "vid").select(
         F.col("s"), F.col("vid").alias("cid"), F.col("sub").alias("cw")
     )
     diff = F.zip_with(F.col("sub"), F.col("cw"), lambda a, b: a - b)
@@ -1454,9 +1465,9 @@ def ann_ivfpq_seeded_topk(
     of :func:`ann_topk_ivfpq`, completing the ANN twin matrix (LSH /
     IVF / SQ8 / PQ / IVF-PQ all value-gated): coarse cells are the
     ``n_seeds`` lowest-id unit vectors, and the RESIDUAL codewords per
-    subspace are the residuals of the NEXT ``n_seeds`` vectors
-    (ids n_seeds..2·n_seeds−1 — the seeds' own residuals are zero by
-    construction, so they can't serve as a codebook). Everything —
+    subspace are the residuals of the NEXT ``n_seeds`` lowest-id
+    vectors (the seeds' own residuals are zero by construction, so
+    they can't serve as a codebook). Everything —
     cell assignment (6dp round-before-rank), residual computation,
     per-subspace L2-argmin encode (9dp), and the two-term ADC score
     dot(q, centroid) + dot(q, concat(residual codewords)) — restates
@@ -1466,7 +1477,8 @@ def ann_ivfpq_seeded_topk(
     """
     dsub = dim // m
     u = _unit_projection(emb, vec_col, id_col, "vid")
-    seeds = u.filter(F.col("vid") < n_seeds).select(
+    seed_ids = _lowest_ids(u, "vid", n_seeds)
+    seeds = u.join(F.broadcast(seed_ids), "vid").select(
         F.col("vid").alias("cid"), F.col("__unit").alias("su")
     )
 
@@ -1498,13 +1510,16 @@ def ann_ivfpq_seeded_topk(
             ),
         )
     )
-    # residual codewords: subvectors of vec_ids n_seeds..2n_seeds-1
+    # residual codewords: subvectors of the NEXT n_seeds lowest-id
+    # vectors (lowest 2n minus the seed set; raw id as the codeword
+    # id — never exposed in the output, only argmin tie-break + join)
+    cw_ids = _lowest_ids(u, "vid", 2 * n_seeds).join(
+        F.broadcast(seed_ids), "vid", "left_anti"
+    )
     cw = (
-        resid.filter(
-            (F.col("vid") >= n_seeds) & (F.col("vid") < 2 * n_seeds)
-        )
+        resid.join(F.broadcast(cw_ids), "vid")
         .select(
-            (F.col("vid") - n_seeds).cast("int").alias("ccode"),
+            F.col("vid").cast("int").alias("ccode"),
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
             F.col("res"),
         )

@@ -148,13 +148,22 @@ def key_skew_report(
     g = df.groupBy(F.col(key_col).alias("__k")).agg(
         F.count(F.lit(1)).alias("sz")
     )
+    # empty-frame contract matches k_anonymity/l_diversity_report:
+    # counts and size stats coalesce to 0, ratios guarded NULL-free
+    # (0.0) so a downstream gate comparing reports never sees NULLs
     return g.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum("sz").cast("long").alias("n_rows"),
-        round_half_up(F.avg("sz"), 4).alias("mean_sz"),
-        round_half_up(F.expr("percentile(sz, 0.5)"), 2).alias("p50_sz"),
-        round_half_up(F.expr("percentile(sz, 0.99)"), 2).alias("p99_sz"),
-        F.max("sz").cast("long").alias("max_sz"),
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_rows"),
+        round_half_up(F.coalesce(F.avg("sz"), F.lit(0.0)), 4).alias(
+            "mean_sz"
+        ),
+        round_half_up(
+            F.coalesce(F.expr("percentile(sz, 0.5)"), F.lit(0.0)), 2
+        ).alias("p50_sz"),
+        round_half_up(
+            F.coalesce(F.expr("percentile(sz, 0.99)"), F.lit(0.0)), 2
+        ).alias("p99_sz"),
+        F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("max_sz"),
     ).select(
         "n_keys",
         "n_rows",
@@ -162,10 +171,16 @@ def key_skew_report(
         "p50_sz",
         "p99_sz",
         "max_sz",
-        round_half_up(F.col("max_sz") / F.col("mean_sz"), 2).alias(
-            "skew_ratio"
-        ),
-        round_half_up(F.col("max_sz") / F.col("n_rows"), 6).alias(
-            "max_share"
-        ),
+        round_half_up(
+            F.when(
+                F.col("mean_sz") > 0, F.col("max_sz") / F.col("mean_sz")
+            ).otherwise(F.lit(0.0)),
+            2,
+        ).alias("skew_ratio"),
+        round_half_up(
+            F.when(
+                F.col("n_rows") > 0, F.col("max_sz") / F.col("n_rows")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("max_share"),
     )

@@ -1647,7 +1647,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_portable",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    seeds AS (SELECT vec_id AS cid, e AS se FROM v WHERE vec_id < 16),
+    seeds AS (SELECT vec_id AS cid, e AS se FROM v
+              WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
     sims AS (
       SELECT v.vec_id, s.cid,
              round(CASE WHEN sqrt(list_dot_product(v.e, v.e))
@@ -3527,7 +3528,8 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs AS (SELECT vid, sp.s AS s,
                     list_slice(uu, sp.s * 4 + 1, sp.s * 4 + 4) AS sub
              FROM u CROSS JOIN (SELECT unnest(range(0, 16)) AS s) sp),
-    seeds AS (SELECT s, vid AS cid, sub AS cw FROM subs WHERE vid < 16),
+    seeds AS (SELECT s, vid AS cid, sub AS cw FROM subs
+              WHERE vid IN (SELECT vid FROM u ORDER BY vid LIMIT 16)),
     dists AS (
       SELECT b.vid, b.s, sd.cid,
              round(list_dot_product(
@@ -3583,7 +3585,8 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
                       ELSE e END AS uu
           FROM v),
-    seeds AS (SELECT vid AS cid, uu AS su FROM u WHERE vid < 16),
+    seeds AS (SELECT vid AS cid, uu AS su FROM u
+              WHERE vid IN (SELECT vid FROM u ORDER BY vid LIMIT 16)),
     sims AS (SELECT u.vid, s.cid, u.uu,
                     round(list_dot_product(uu, su), 6) AS sim
              FROM u CROSS JOIN seeds s),
@@ -3597,9 +3600,11 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN u ON u.vid = c.vid
               JOIN seeds sd ON sd.cid = c.cell),
     sp AS (SELECT unnest(range(0, 16)) AS s),
-    cw AS (SELECT CAST(vid - 16 AS INT) AS ccode, sp.s AS s,
+    cw AS (SELECT CAST(vid AS INT) AS ccode, sp.s AS s,
                   list_slice(res, sp.s * 4 + 1, sp.s * 4 + 4) AS cw
-           FROM resid CROSS JOIN sp WHERE vid >= 16 AND vid < 32),
+           FROM resid CROSS JOIN sp
+           WHERE vid IN (SELECT vid FROM u ORDER BY vid LIMIT 32)
+             AND vid NOT IN (SELECT vid FROM u ORDER BY vid LIMIT 16)),
     rsubs AS (SELECT vid, cell, sp.s AS s,
                      list_slice(res, sp.s * 4 + 1, sp.s * 4 + 4) AS rsub
               FROM resid CROSS JOIN sp),
@@ -3637,7 +3642,8 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-bearing IVF-PQ twin (similarity.ann_ivfpq_seeded_topk):
     seed cells (16 lowest-id unit vectors) + residual codewords from
-    the residuals of ids 16..31 (the seeds' own residuals are zero),
+    the residuals of the NEXT 16 lowest-id vectors (the seeds' own
+    residuals are zero),
     so coarse routing, residual computation, per-subspace encode, and
     the two-term ADC score dot(q, centroid) + dot(q, concat(residual
     codewords)) all restate in SQL and hash-match at 4dp — completing

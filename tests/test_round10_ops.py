@@ -75,3 +75,73 @@ def test_tdigest_lite_centroid_weights_follow_codepoints(spark, sf_small):
         one, "p_brand", "p_retailprice", "p_partkey"
     ).collect()[0]
     assert row["n_centroids"] >= 10
+
+
+# ------------------------------------------- round-9 advice regressions
+
+
+def test_key_skew_report_empty_frame_null_free(spark):
+    """Empty-frame contract (ADVICE r9): counts coalesce to 0 and the
+    ratios are 0.0, never NULL — matching k_anonymity/l_diversity's
+    empty-frame behavior so report-comparing gates don't see NULLs."""
+    from b2b_data_pipeline_indiamart_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    empty = spark.createDataFrame([], "k string, x int")
+    [r] = key_skew_report(empty, "k").collect()
+    assert r["n_keys"] == 0 and r["n_rows"] == 0
+    assert r["mean_sz"] == 0.0 and r["p50_sz"] == 0.0
+    assert r["p99_sz"] == 0.0 and r["max_sz"] == 0
+    assert r["skew_ratio"] == 0.0 and r["max_share"] == 0.0
+    assert all(v is not None for v in r.asDict().values())
+
+
+def test_seeded_ann_twins_survive_sparse_ids(spark):
+    """Seed selection is 'the n lowest-id vectors' via a bounded
+    TakeOrdered, not ``id < n`` (ADVICE r9): a corpus whose ids are
+    neither dense nor 0-based must still get a full seed set and
+    non-degenerate results."""
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    rows = [(1000 + 7 * i, [float((i * j) % 13) - 6.0 for j in range(64)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.orderBy("vec_id").limit(3)
+
+    ivf = similarity.ann_ivf_seeded_topk(
+        emb, queries, n_seeds=16, n_probe=4, k=5
+    ).collect()
+    assert len(ivf) > 0 and {r["query_id"] for r in ivf} == {1000, 1007, 1014}
+
+    pq = similarity.ann_pq_seeded_topk(
+        emb, queries, dim=64, m=16, n_seeds=16, k=5
+    ).collect()
+    assert len(pq) == 15  # 3 queries x top-5
+
+    ivfpq = similarity.ann_ivfpq_seeded_topk(
+        emb, queries, dim=64, m=16, n_seeds=16, n_probe=4, k=5
+    ).collect()
+    assert len(ivfpq) > 0
+
+
+def test_plan_audit_window_spec_paren_depth():
+    """_empty_window_specs must not truncate at a ')' inside a nested
+    partition-key expression (ADVICE r9): a window partitioned by
+    date_trunc(hour, ts) is NOT a global window."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.plan_audit import _empty_window_specs
+
+    partitioned = (
+        "windowspecdefinition(date_trunc(hour, ts#1), n#2 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    assert _empty_window_specs(partitioned) == 0
+    global_w = (
+        "windowspecdefinition(round(x#3, 2) ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    assert _empty_window_specs(global_w) == 1

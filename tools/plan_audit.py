@@ -48,10 +48,31 @@ BOUNDED_WINDOW_KEYS = {
 ARROW_DECLARED = {"docs_bpe_tokenize"}
 
 
+def _first_spec_element(plan: str, start: int) -> str:
+    """The first top-level element of a windowspecdefinition(...) body,
+    extracted with a paren-depth scan — ``[^)]*`` truncated at the
+    first ')' inside nested expressions (e.g. a partition key like
+    date_trunc(hour, ts)), miscounting partitioned windows as global
+    (ADVICE r9). ``start`` points just past the opening paren."""
+    depth, i = 0, start
+    while i < len(plan):
+        c = plan[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            break
+        i += 1
+    return plan[start:i].strip()
+
+
 def _empty_window_specs(plan: str) -> int:
     n = 0
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        first = spec.split(",")[0].strip()
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        first = _first_spec_element(plan, m.end())
         if first.endswith(("ASC NULLS FIRST", "DESC NULLS LAST")) or re.match(
             r"^\S+ (ASC|DESC)\b", first
         ):
