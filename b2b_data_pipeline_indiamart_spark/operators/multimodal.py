@@ -12,11 +12,18 @@ Decoding is two-tier:
   GIF logical-screen descriptor, BMP info header, JPEG SOF scan, WAV
   RIFF/fmt/data chunks. These run inside the ``mapInPandas`` batch
   loop and return real width/height (images) and duration (WAV audio).
-- **Stub fallback** (``_decode_stub``): payloads the header parsers
-  don't recognize (and video — a real frame decode needs ffmpeg, which
-  this container lacks; ``decode_real`` documents the intended call)
-  get deterministic fake properties derived from the payload hash. The
-  ``decoder`` output column says which path produced each row.
+- **Real pixel decode** (``decode_png_pixels`` / ``decode_gif_pixels``
+  / ``decode_bmp_pixels`` / ``decode_pnm_pixels`` /
+  ``decode_jpeg_pixels``): stdlib+numpy codecs producing genuine
+  sample statistics — PNG (zlib + unfilter), GIF (hand-rolled LZW),
+  BMP/PNM (slice-and-reshape), baseline JPEG (hand-rolled Huffman +
+  dequant + IDCT + YCbCr).
+- **Stub fallback** (``_decode_stub``): payloads the pixel/header
+  parsers don't recognize (progressive JPEG, and video — a real frame
+  decode needs ffmpeg, which this container lacks; ``decode_real``
+  documents the intended call) get deterministic fake properties
+  derived from the payload hash. The ``decoder`` output column says
+  which path produced each row.
 
 Everything Spark-side — schemas, ``mapInPandas`` signatures, Arrow
 batch iteration, one-in/many-out frame explosion — is real and tested;
@@ -81,7 +88,7 @@ def _hex_byte(col) -> F.Column:
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the ``documents`` testdata. Kind
     round-robins by doc_id; IMAGE payloads carry a REAL container
-    header (PNG / GIF / BMP rotating by doc_id) with deterministic
+    header (PNG / GIF / BMP / JPEG-SOF0 rotating by doc_id) with deterministic
     doc_id-derived dimensions, followed by the UTF-8 text bytes as
     body, so the header-decode path is exercised end-to-end on real
     bytes. Audio/video payloads stay raw text (stub-decoded — see
@@ -105,10 +112,17 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("424d"), F.lit("00" * 16),
         _hex_byte(w), F.lit("000000"), _hex_byte(h), F.lit("000000"),
     )
+    jpeg_hex = F.concat(
+        # SOI ‖ SOF0 marker ‖ length(17) ‖ precision 8 ‖ height BE16 ‖
+        # width BE16 ‖ 3 components (id, sampling, quant-table id)
+        F.lit("ffd8ffc0001108"),
+        F.lit("00"), _hex_byte(h), F.lit("00"), _hex_byte(w),
+        F.lit("03011100021101031101"),
+    )
     img_header = F.to_binary(
         F.element_at(
-            F.array(png_hex, gif_hex, bmp_hex),
-            (F.floor(F.col("doc_id") / 3) % 3 + 1).cast("int"),
+            F.array(png_hex, gif_hex, bmp_hex, jpeg_hex),
+            (F.floor(F.col("doc_id") / 3) % 4 + 1).cast("int"),
         ),
         F.lit("hex"),
     )
@@ -643,6 +657,447 @@ def encode_pnm(arr) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
+# --------------------------------------------------------------- JPEG
+#
+# Baseline sequential JPEG, pure stdlib + numpy — the same two-function
+# encode/decode pair pattern as PNG/GIF/BMP/PNM above. The decoder
+# covers the common baseline profile (SOF0/SOF1, 8-bit, Huffman,
+# interleaved MCUs, 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart
+# markers); progressive (SOF2) and arithmetic coding return None and
+# fall back to the header tier. Like the PNG Paeth path, the Huffman
+# loop is per-bit Python — fine for thumbnails/test assets; a
+# production path would swap in a codec library. The POINT is that
+# JPEG pixel statistics are genuinely computed from genuinely decoded
+# samples with zero non-stdlib dependencies.
+
+
+def _jpeg_zigzag() -> "list[int]":
+    """Natural (row-major) index of each zigzag position, generated
+    rather than transcribed (diagonal d: odd d walks rows down, even d
+    walks rows up — pinned against the standard table in tests)."""
+    out = []
+    for d in range(15):
+        rows = range(max(0, d - 7), min(d, 7) + 1)
+        for r in (rows if d % 2 == 1 else reversed(rows)):
+            out.append(r * 8 + (d - r))
+    return out
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _dct_basis():
+    """Orthonormal 8-point DCT-II basis C[u, x]; coefficients =
+    C @ block @ C.T, block = C.T @ coefficients @ C."""
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * np.sqrt(0.25)
+    c[0] = np.sqrt(0.125)
+    return c
+
+
+class _JpegError(Exception):
+    pass
+
+
+def _huff_table(bits: bytes, values: bytes) -> dict:
+    """Canonical Huffman (JPEG B.2.4.2): {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(bits_arr, pos: int, table: dict) -> "tuple[int, int]":
+    code = 0
+    n = len(bits_arr)
+    for ln in range(1, 17):
+        if pos >= n:
+            raise _JpegError("bitstream exhausted")
+        code = (code << 1) | int(bits_arr[pos])
+        pos += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym, pos
+    raise _JpegError("invalid Huffman code")
+
+
+def _receive_extend(bits_arr, pos: int, s: int) -> "tuple[int, int]":
+    if s == 0:
+        return 0, pos
+    if pos + s > len(bits_arr):
+        raise _JpegError("bitstream exhausted")
+    v = 0
+    for i in range(s):
+        v = (v << 1) | int(bits_arr[pos + i])
+    if v < (1 << (s - 1)):  # negative branch (F.12 EXTEND)
+        v -= (1 << s) - 1
+    return v, pos + s
+
+
+def decode_jpeg_pixels(payload: bytes | None):
+    """REAL baseline JPEG pixel decode using only the stdlib + numpy:
+    segment walk (DQT/SOF/DHT/DRI/SOS) → entropy-coded segment split at
+    restart markers with 0xFF00 unstuffing → per-MCU Huffman decode
+    (DC predictor + AC run-length, F.12 EXTEND) → dequantize → IDCT
+    (orthonormal basis gemm) → chroma upsample → YCbCr→RGB →
+    (H, W, C) uint8. Returns None for non-JPEG bytes or unsupported
+    variants (progressive SOF2, arithmetic coding, 12-bit precision,
+    fractional sampling ratios) — callers fall back to header-only
+    decode, exactly like the PNG/GIF unsupported tiers.
+    """
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode_jpeg(np, b)
+    except (_JpegError, IndexError, ValueError, struct.error):
+        return None
+
+
+def _decode_jpeg(np, b: bytes):
+    qtabs: dict[int, "list[int]"] = {}
+    htabs: dict[tuple, dict] = {}
+    sof = None
+    restart = 0
+    i = 2
+    scan_at = None
+    scomp = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise _JpegError("marker sync lost")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        data = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more 65/129-byte tables
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 15
+                if pq != 0:  # 16-bit quant values: 12-bit profile
+                    return None
+                qtabs[tq] = list(data[p + 1 : p + 65])
+                p += 65
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
+            if prec != 8 or nc not in (1, 3):
+                return None
+            if w == 0 or h == 0 or w * h > (1 << 26):
+                return None  # declared-dims bomb guard: a tiny payload
+                # claiming 65535x65535 would allocate 34 GB of planes
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # progressive / lossless / arithmetic
+        elif marker == 0xC4:  # DHT: one or more tables
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                bits = data[p + 1 : p + 17]
+                nv = sum(bits)
+                htabs[(tc, th)] = _huff_table(bits, data[p + 17 : p + 17 + nv])
+                p += 17 + nv
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scomp = {}
+            for ci in range(ns):
+                cid, tabs = data[1 + 2 * ci], data[2 + 2 * ci]
+                scomp[cid] = (tabs >> 4, tabs & 15)
+            scan_at = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if sof is None or scan_at is None:
+        return None
+    w, h, comps = sof
+    if len(scomp) != len(comps):
+        return None
+    if len(comps) == 1:
+        comps[0]["h"] = comps[0]["v"] = 1  # single-component scan: 1 MCU = 1 block
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]
+           for c in comps):
+        return None
+    # entropy-coded data: unstuff 0xFF00, split at RSTn
+    segs, cur, j = [], bytearray(), scan_at
+    while j < len(b):
+        c = b[j]
+        if c == 0xFF:
+            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break
+        cur.append(c)
+        j += 1
+    segs.append(bytes(cur))
+
+    basis = _dct_basis()
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    for c in comps:
+        if c["tq"] not in qtabs or c["id"] not in scomp:
+            return None
+        dc_t, ac_t = scomp[c["id"]]
+        if (0, dc_t) not in htabs or (1, ac_t) not in htabs:
+            return None
+    preds = [0] * len(comps)
+    seg_idx = 0
+    bits_arr = np.unpackbits(np.frombuffer(segs[0], dtype=np.uint8))
+    pos = 0
+    coef = np.zeros(64, dtype=np.float64)
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise _JpegError("missing restart segment")
+            bits_arr = np.unpackbits(np.frombuffer(segs[seg_idx], dtype=np.uint8))
+            pos = 0
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            dc_tab = htabs[(0, scomp[c["id"]][0])]
+            ac_tab = htabs[(1, scomp[c["id"]][1])]
+            q = qtabs[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef[:] = 0.0
+                    s, pos = _huff_read(bits_arr, pos, dc_tab)
+                    diff, pos = _receive_extend(bits_arr, pos, s)
+                    preds[ci] += diff
+                    coef[0] = preds[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs, pos = _huff_read(bits_arr, pos, ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise _JpegError("AC index out of range")
+                        v, pos = _receive_extend(bits_arr, pos, s)
+                        coef[_JPEG_ZZ[k]] = v * q[k]
+                        k += 1
+                    block = basis.T @ coef.reshape(8, 8) @ basis + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["v"] != vmax or c["h"] != hmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:  # pad the final byte with 1-bits (F.1.2.3)
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _jpeg_enc_tables() -> "tuple[dict, dict, bytes, bytes]":
+    """Deterministic single-length Huffman tables for the encoder —
+    valid canonical tables (DHT carries them; nothing requires the
+    Annex K defaults): 12 DC categories at 4 bits, the 162 possible
+    AC symbols at 8 bits; the all-ones code stays unused in both.
+    Returns ({sym: (code, len)} for DC and AC, DHT payloads)."""
+    dc_vals = bytes(range(12))
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    ac_syms = [r << 4 | s for r in range(16) for s in range(1, 11)]
+    ac_syms += [0x00, 0xF0]
+    ac_vals = bytes(sorted(ac_syms))
+    ac_bits = bytes([0] * 7 + [len(ac_vals)] + [0] * 8)
+    dc = {v: (i, 4) for i, v in enumerate(dc_vals)}
+    ac = {v: (i, 8) for i, v in enumerate(ac_vals)}
+    return dc, ac, dc_bits + dc_vals, ac_bits + ac_vals
+
+
+def encode_jpeg(
+    arr,
+    quality: int = 95,
+    subsampling: "tuple[int, int]" = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal valid baseline JPEG writer (stdlib + numpy) — the
+    demo/test producer for :func:`decode_jpeg_pixels`. 2-D input →
+    grayscale, (H, W, 3) → YCbCr with luma sampling ``subsampling``
+    ((1, 1) = 4:4:4, (2, 2) = 4:2:0, (2, 1) = 4:2:2; chroma is
+    averaged over the sampling box). A uniform quantization table is
+    scaled by ``quality`` (IJG formula; quality=100 → all-ones, so the
+    round trip is exact up to DCT float rounding). Optional restart
+    markers every ``restart_interval`` MCUs exercise the decoder's
+    resync path."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    sh, sv = subsampling[0], subsampling[1]
+    if gray:
+        planes = [a]
+        samp = [(1, 1)]
+    else:
+        r, g, bl = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+        planes = [y, cb, cr]
+        samp = [(sh, sv), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # quality → uniform quant table (IJG scaling of a flat base 16)
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qval = max(1, min(255, (16 * scale + 50) // 100))
+    qtab = np.full((8, 8), float(qval))
+
+    basis = _dct_basis()
+    dc_codes, ac_codes, dht_dc, dht_ac = _jpeg_enc_tables()
+
+    padded = []
+    for pl, (ch, cv) in zip(planes, samp):
+        ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+        p = np.pad(pl, ((0, ph - h), (0, pw - w)), mode="edge")
+        if (ch, cv) != (hmax, vmax):  # box-average downsample
+            fy, fx = vmax // cv, hmax // ch
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        padded.append(p)
+
+    def category(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    bw = _JpegBitWriter()
+    body = bytearray()
+    preds = [0] * len(planes)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            body += bw.out
+            body += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            bw = _JpegBitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (pl, (ch, cv)) in enumerate(zip(padded, samp)):
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    blk = pl[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coefs = np.round((basis @ blk @ basis.T) / qtab).astype(int)
+                    diff = int(coefs[0, 0]) - preds[ci]
+                    preds[ci] = int(coefs[0, 0])
+                    s = category(diff)
+                    code, ln = dc_codes[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    zz = [int(coefs.flat[_JPEG_ZZ[k]]) for k in range(1, 64)]
+                    run = 0
+                    for v in zz:
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        s = category(v)
+                        code, ln = ac_codes[run << 4 | s]
+                        bw.write(code, ln)
+                        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = ac_codes[0x00]
+                        bw.write(code, ln)
+    bw.flush()
+    body += bw.out
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    zig_q = bytes(int(qtab.flat[_JPEG_ZZ[k]]) for k in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + zig_q)
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (ch, cv) in enumerate(samp):
+        sof += bytes([ci + 1, ch << 4 | cv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + dht_dc)
+    out += seg(0xC4, b"\x10" + dht_ac)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     """Full decode for the formats still beyond the stdlib.
 
@@ -650,19 +1105,21 @@ def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     stdlib zlib — samples, channel count, pixel statistics), GIF
     first-frame pixels (:func:`decode_gif_pixels`, hand-rolled LZW),
     BMP pixels (:func:`decode_bmp_pixels`, plain slice-and-reshape),
-    netpbm PGM/PPM pixels (:func:`decode_pnm_pixels`),
-    image container dimensions (:func:`parse_image_header`), WAV
-    duration (:func:`parse_wav_header`). This stub marks the
-    remainder: JPEG pixel data, audio samples, and video frames need
+    netpbm PGM/PPM pixels (:func:`decode_pnm_pixels`), baseline
+    sequential JPEG pixels (:func:`decode_jpeg_pixels`, hand-rolled
+    Huffman + dequant + IDCT + YCbCr), image container dimensions
+    (:func:`parse_image_header`), WAV duration
+    (:func:`parse_wav_header`). This stub marks the remainder:
+    progressive-JPEG pixel data, audio samples, and video frames need
     PIL / soundfile / ffmpeg, none of which ship in this environment.
     """
     raise NotImplementedError(
-        "JPEG pixel decode, audio samples and video frames require "
-        "PIL/soundfile/ffmpeg, none of which ship in this environment; "
-        "PNG/GIF/BMP pixels decode for real via decode_png_pixels/"
-        "decode_gif_pixels/decode_bmp_pixels, headers via "
-        "parse_image_header/parse_wav_header, and unrecognized "
-        "payloads fall back to the deterministic _decode_stub"
+        "progressive-JPEG pixel decode, audio samples and video frames "
+        "require PIL/soundfile/ffmpeg, none of which ship in this "
+        "environment; PNG/GIF/BMP/PNM and baseline-JPEG pixels decode "
+        "for real via decode_*_pixels, headers via parse_image_header/"
+        "parse_wav_header, and unrecognized payloads fall back to the "
+        "deterministic _decode_stub"
     )
 
 
@@ -696,12 +1153,14 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def decode_one(payload, kind: str) -> dict:
         if kind == "image":
             # full pixel decode first (PNG via stdlib zlib, GIF via
-            # hand-rolled LZW, BMP via plain slicing) — real sample
-            # statistics; header-only decode as the fallback tier
+            # hand-rolled LZW, BMP via plain slicing, baseline JPEG via
+            # hand-rolled Huffman + IDCT) — real sample statistics;
+            # header-only decode as the fallback tier
             for px, name in ((decode_png_pixels(payload), "pixels:png"),
                              (decode_gif_pixels(payload), "pixels:gif"),
                              (decode_bmp_pixels(payload), "pixels:bmp"),
-                             (decode_pnm_pixels(payload), "pixels:pnm")):
+                             (decode_pnm_pixels(payload), "pixels:pnm"),
+                             (decode_jpeg_pixels(payload), "pixels:jpeg")):
                 if px is not None:
                     return {
                         "width": int(px.shape[1]), "height": int(px.shape[0]),

@@ -124,7 +124,7 @@ def test_image_rows_decode_real_headers(media):
         seen.add(r["decoder"])
         assert r["width"] == 64 + r["media_id"] % 192
         assert r["height"] == 64 + (r["media_id"] * 7) % 192
-    assert seen == {"header:png", "header:gif", "header:bmp"}
+    assert seen == {"header:png", "header:gif", "header:bmp", "header:jpeg"}
 
 
 def test_non_image_rows_fall_back_to_stub(media):
@@ -464,3 +464,118 @@ def test_extract_features_pnm_pixel_tier(spark):
     assert row["decoder"] == "pixels:pnm"
     assert (row["width"], row["height"], row["channels"]) == (5, 3, 3)
     assert row["px_mean"] == 200.0 and row["px_std"] == 0.0
+
+
+def test_jpeg_zigzag_matches_standard_table():
+    # the generated order must equal the standard JPEG zigzag (pinned
+    # so a shared-constant bug can't cancel between encoder and decoder)
+    assert mm._JPEG_ZZ[:16] == [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    ]
+    assert mm._JPEG_ZZ[-8:] == [53, 60, 61, 54, 47, 55, 62, 63]
+    assert sorted(mm._JPEG_ZZ) == list(range(64))
+
+
+def test_jpeg_solid_gray_exact_at_q100():
+    import numpy as np
+
+    img = np.full((16, 24), 128, dtype=np.uint8)
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg(img, quality=100))
+    assert px.shape == (16, 24, 1)
+    assert int(np.abs(px[:, :, 0].astype(int) - 128).max()) == 0
+
+
+def test_jpeg_gray_roundtrip_q100_within_1lsb():
+    import numpy as np
+
+    g = (np.arange(32 * 48).reshape(32, 48) * 7 % 251).astype(np.uint8)
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg(g, quality=100))
+    assert px.shape == (32, 48, 1)
+    assert int(np.abs(px[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
+
+
+def test_jpeg_rgb_444_roundtrip():
+    import numpy as np
+
+    rgb = np.zeros((24, 40, 3), dtype=np.uint8)
+    rgb[..., 0] = (np.arange(40)[None, :] * 6) % 256
+    rgb[..., 1] = (np.arange(24)[:, None] * 10) % 256
+    rgb[..., 2] = 77
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg(rgb, quality=100))
+    assert px.shape == (24, 40, 3)
+    # YCbCr forward+inverse rounding + unit quant: a couple of LSB
+    assert int(np.abs(px.astype(int) - rgb.astype(int)).max()) <= 3
+
+
+def test_jpeg_420_subsampling_constant_color_exact():
+    import numpy as np
+
+    c = np.zeros((30, 34, 3), dtype=np.uint8)
+    c[..., 0], c[..., 1], c[..., 2] = 200, 60, 110
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg(c, quality=100, subsampling=(2, 2)))
+    assert px.shape == (30, 34, 3)  # odd dims crop back from the MCU grid
+    assert int(np.abs(px.astype(int) - c.astype(int)).max()) <= 1
+
+
+def test_jpeg_restart_markers_resync():
+    import numpy as np
+
+    g = (np.arange(32 * 48).reshape(32, 48) * 7 % 251).astype(np.uint8)
+    plain = mm.encode_jpeg(g, quality=100)
+    rst = mm.encode_jpeg(g, quality=100, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+    a = mm.decode_jpeg_pixels(plain)
+    b = mm.decode_jpeg_pixels(rst)
+    assert (a == b).all()
+
+
+def test_jpeg_lossy_quality_still_tracks_smooth_image():
+    import numpy as np
+
+    smooth = np.clip(
+        np.add.outer(np.arange(32) * 3, np.arange(32) * 2), 0, 255
+    ).astype(np.uint8)
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg(smooth, quality=75))
+    assert int(np.abs(px[:, :, 0].astype(int) - smooth.astype(int)).max()) <= 8
+
+
+def test_jpeg_rejects_progressive_truncated_and_garbage():
+    import numpy as np
+
+    jb = mm.encode_jpeg(np.full((8, 8), 10, dtype=np.uint8), quality=100)
+    assert mm.decode_jpeg_pixels(None) is None
+    assert mm.decode_jpeg_pixels(b"not a jpeg") is None
+    assert mm.decode_jpeg_pixels(jb[:20]) is None  # truncated mid-header
+    # flip SOF0 to SOF2 (progressive) — decoder must decline, header
+    # tier still reads dimensions
+    prog = jb.replace(b"\xff\xc0", b"\xff\xc2")
+    assert mm.decode_jpeg_pixels(prog) is None
+    assert mm.parse_image_header(prog) == ("jpeg", 8, 8)
+
+
+def test_jpeg_header_parse_of_own_bytes():
+    import numpy as np
+
+    jb = mm.encode_jpeg(np.full((6, 9), 50, dtype=np.uint8), quality=90)
+    assert mm.parse_image_header(jb) == ("jpeg", 9, 6)
+
+
+def test_extract_features_jpeg_pixel_tier(spark):
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators.multimodal import (
+        encode_jpeg,
+        extract_media_features,
+    )
+
+    arr = np.full((16, 8, 3), 90, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_jpeg(arr, quality=100)),
+          {"source": "t", "lang": "en"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    [row] = extract_media_features(media).collect()
+    assert row["decoder"] == "pixels:jpeg"
+    assert (row["width"], row["height"], row["channels"]) == (8, 16, 3)
+    assert abs(row["px_mean"] - 90.0) <= 1.0
+    assert row["px_std"] <= 1.0
