@@ -855,3 +855,108 @@ def test_streaming_scd2_sink_recovers_after_crashed_swap(spark, tmp_path):
     assert rows[(2, True)]["country"] == "US"
     assert not os.path.exists(snap_dir + "__next")
     assert not os.path.exists(snap_dir + "__aside")
+
+
+def test_streaming_batch_dedup_reconcile_on_replayed_window(spark, tmp_path):
+    """Streaming↔batch dedup reconciliation (VERDICT r9 task 4): replay
+    one tumbling window's worth of REAL events through the
+    dropDuplicatesWithinWatermark stream and pin its kept-row set equal
+    to the batch twin (temporal.dedup_within_window) on the same slice.
+
+    The two agree exactly when (a) the replay covers one window, (b)
+    the watermark delay exceeds the window span (no state eviction
+    mid-replay), and (c) arrival order is event-time order per key —
+    the backfill contract both docstrings state. The replay feeds two
+    micro-batches: every key's FIRST (ts, event_id) row in batch 1
+    (all keys distinct — no intra-batch arrival ambiguity), every
+    collapsed duplicate in batch 2, so the stream's kept row is
+    deterministic regardless of partition arrival order."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+
+    window_sec = 86400
+    events = catalog.load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    wid = F.floor(
+        F.unix_millis(F.col("ts")) / F.lit(float(window_sec * 1000))
+    ).cast("long")
+    # the day with the most collapsed duplicates
+    top = (
+        events.groupBy(wid.alias("w"))
+        .agg(
+            (F.count(F.lit(1))
+             - F.countDistinct("user_id", "event_type")).alias("dups")
+        )
+        .orderBy(F.col("dups").desc(), F.col("w").asc())
+        .first()
+    )
+    assert top["dups"] >= 3, "fixture day must actually collapse keys"
+    rows = (
+        events.filter(wid == top["w"])
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+
+    # batch truth on the same slice
+    slice_df = spark.createDataFrame(rows, events.schema)
+    batch = temporal.dedup_within_window(slice_df, window_sec=window_sec)
+    batch_rows = batch.collect()
+    assert len(batch_rows) == len(rows) - top["dups"]
+    batch_kept = {
+        (r["user_id"], r["event_type"], r["kept_event_id"])
+        for r in batch_rows
+    }
+
+    # replay: first occurrence per key in micro-batch 1, dups in 2
+    seen, firsts, dups = set(), [], []
+    for r in rows:  # rows already in (ts, event_id) order
+        k = (r["user_id"], r["event_type"])
+        (dups if k in seen else firsts).append(r)
+        seen.add(k)
+    src = tmp_path / "replay"
+    src.mkdir()
+
+    def write_batch(name, batch_rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in batch_rows:
+                f.write(json.dumps({
+                    "event_id": r["event_id"],
+                    "ts": r["ts"].strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                    "user_id": r["user_id"],
+                    "event_type": r["event_type"],
+                    "value": r["value"],
+                }) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    write_batch("b1.json", firsts, 1_000_000_000)
+    write_batch("b2.json", dups, 1_000_000_100)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    sdf = dedup_stream(
+        read_event_stream(
+            spark, str(src), schema=schema, max_files_per_trigger=1
+        ),
+        watermark="48 hours",  # > window span: no eviction mid-replay
+    )
+    q = start_memory_sink(sdf, "dedup_reconcile", output_mode="append")
+    _drain(q)
+    stream_kept = {
+        (r["user_id"], r["event_type"], r["event_id"])
+        for r in spark.sql(
+            "SELECT user_id, event_type, event_id FROM dedup_reconcile"
+        ).collect()
+    }
+    assert stream_kept == batch_kept
