@@ -167,15 +167,17 @@ def main() -> None:
     # number a warm cluster would sustain.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
 
-    def time_keys(key_list: list[str]) -> dict[str, float]:
+    def time_keys(
+        key_list: list[str], at_dir: str = sf_dir, n_iters: int = iters
+    ) -> dict[str, float]:
         from b2b_data_pipeline_indiamart_spark.operators import caching
 
         timings: dict[str, float] = {}
         for key in key_list:
             best = float("inf")
-            for _ in range(iters):
+            for _ in range(n_iters):
                 t0 = time.perf_counter()
-                QUERIES[key](spark, sf_dir).count()
+                QUERIES[key](spark, at_dir).count()
                 best = min(best, time.perf_counter() - t0)
             # dedup-family queries persist intermediates; release
             # BETWEEN keys so later queries aren't timed under another
@@ -200,6 +202,26 @@ def main() -> None:
         print(json.dumps({"metric": "extended_queries_runtime",
                           "unit": "sec", "extended": extended,
                           "sf": sf_from_dir(sf_dir)}))
+
+    # Optional second scale point (VERDICT r9 item 8): if the tiled
+    # bench-only sf1 tables exist (tools/scale_up.py), time the frozen
+    # headline set there once (best-of-1 bounds added wall time) and
+    # report it as its OWN line — never the LAST line, so the driver's
+    # parsed record stays the frozen sf0.1 headline.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "spark-warehouse", "sf1"),
+    )
+    if not keys_env and os.path.isdir(sf1_dir):
+        sf1 = time_keys(keys, sf1_dir, 1)
+        print(json.dumps({
+            "metric": "headline_queries_total_runtime_sf1",
+            "value": round(sum(sf1.values()), 3),
+            "unit": "sec",
+            "queries": sf1,
+            "sf": sf_from_dir(sf1_dir),
+        }))
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
