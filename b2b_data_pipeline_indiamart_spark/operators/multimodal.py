@@ -12,18 +12,20 @@ Decoding is two-tier:
   GIF logical-screen descriptor, BMP info header, JPEG SOF scan, WAV
   RIFF/fmt/data chunks. These run inside the ``mapInPandas`` batch
   loop and return real width/height (images) and duration (WAV audio).
-- **Real pixel decode** (``decode_png_pixels`` / ``decode_gif_pixels``
-  / ``decode_bmp_pixels`` / ``decode_pnm_pixels`` /
-  ``decode_jpeg_pixels``): stdlib+numpy codecs producing genuine
-  sample statistics — PNG (zlib + unfilter), GIF (hand-rolled LZW),
-  BMP/PNM (slice-and-reshape), baseline JPEG (hand-rolled Huffman +
-  dequant + IDCT + YCbCr).
+- **Real pixel/sample/frame decode** (``decode_png_pixels`` /
+  ``decode_gif_pixels`` / ``decode_bmp_pixels`` /
+  ``decode_pnm_pixels`` / ``decode_jpeg_pixels`` /
+  ``decode_wav_samples`` / ``decode_gif_frames``): stdlib+numpy
+  codecs producing genuine statistics — PNG (zlib + unfilter), GIF
+  (hand-rolled LZW; multi-frame canvases for animations), BMP/PNM
+  (slice-and-reshape), baseline JPEG (hand-rolled Huffman + dequant +
+  IDCT + YCbCr), WAV PCM/float32 (frombuffer + scale).
 - **Stub fallback** (``_decode_stub``): payloads the pixel/header
-  parsers don't recognize (progressive JPEG, and video — a real frame
-  decode needs ffmpeg, which this container lacks; ``decode_real``
-  documents the intended call) get deterministic fake properties
-  derived from the payload hash. The ``decoder`` output column says
-  which path produced each row.
+  parsers don't recognize (progressive JPEG, compressed audio,
+  ffmpeg-class video codecs; ``decode_real`` documents the intended
+  call) get deterministic fake properties derived from the payload
+  hash. The ``decoder`` output column says which path produced each
+  row.
 
 Everything Spark-side — schemas, ``mapInPandas`` signatures, Arrow
 batch iteration, one-in/many-out frame explosion — is real and tested;
@@ -85,14 +87,29 @@ def _hex_byte(col) -> F.Column:
     return F.lower(F.lpad(F.hex(col.cast("long")), 2, "0"))
 
 
+def _hex_le32(col) -> F.Column:
+    """Dynamic int → 8-hex-digit little-endian string, JVM-side (the
+    RIFF/WAV size fields)."""
+    c = col.cast("long")
+    return F.concat(
+        _hex_byte(c % 256),
+        _hex_byte(F.floor(c / 256) % 256),
+        _hex_byte(F.floor(c / 65536) % 256),
+        _hex_byte(F.floor(c / 16777216) % 256),
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the ``documents`` testdata. Kind
     round-robins by doc_id; IMAGE payloads carry a REAL container
     header (PNG / GIF / BMP / JPEG-SOF0 rotating by doc_id) with deterministic
     doc_id-derived dimensions, followed by the UTF-8 text bytes as
     body, so the header-decode path is exercised end-to-end on real
-    bytes. Audio/video payloads stay raw text (stub-decoded — see
-    module docstring). Header synthesis is pure Catalyst (hex-string
+    bytes. AUDIO payloads get a real 8-bit-PCM WAV container whose
+    data chunk is the text bytes — the sample-decode tier
+    (:func:`decode_wav_samples`) runs for real on every audio row.
+    Video payloads stay raw text (stub-decoded — see module
+    docstring). Header synthesis is pure Catalyst (hex-string
     concat → ``to_binary``): no Python between the scan and the
     decode stage.
     """
@@ -127,11 +144,27 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("hex"),
     )
     body = F.encode("text", "UTF-8")
+    body_len = F.octet_length(body)
+    wav_header = F.to_binary(
+        F.concat(
+            # "RIFF" ‖ 36+data LE32 ‖ "WAVE" ‖ "fmt " ‖ 16 LE32 ‖
+            # PCM=1, mono, 8 kHz sample+byte rate, align 1, 8-bit ‖
+            # "data" ‖ data size LE32 — the text bytes ARE the samples,
+            # so audio rows exercise the real decode_wav_samples tier
+            F.lit("52494646"), _hex_le32(body_len + 36), F.lit("57415645"),
+            F.lit("666d742010000000"),
+            F.lit("01000100401f0000401f000001000800"),
+            F.lit("64617461"), _hex_le32(body_len),
+        ),
+        F.lit("hex"),
+    )
     kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.when(kind == "image", F.concat(img_header, body)).otherwise(body).alias("payload"),
+        F.when(kind == "image", F.concat(img_header, body))
+        .when(kind == "audio", F.concat(wav_header, body))
+        .otherwise(body).alias("payload"),
         F.create_map(F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")).alias("meta"),
     )
 
@@ -193,6 +226,96 @@ def parse_wav_header(payload: bytes | None) -> float | None:
     if byte_rate and data_size is not None:
         return data_size / byte_rate
     return None
+
+
+def _wav_chunks(b: bytes) -> "tuple[bytes | None, bytes | None]":
+    """(fmt chunk bytes, data chunk bytes) from a RIFF/WAVE container,
+    or (None, None) — the chunk walk shared by header and sample
+    decode (word-aligned chunk sizes)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid, size = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    return fmt, data
+
+
+def decode_wav_samples(payload: bytes | None):
+    """REAL WAV sample decode (stdlib + numpy): RIFF chunk walk →
+    (n_frames, channels) float64 in [-1, 1] for PCM 8-bit unsigned /
+    16-bit signed / IEEE float32 — the formats whose samples are plain
+    little-endian bytes, so like BMP/PNM there is no entropy stage and
+    the body is a frombuffer+reshape+scale. Returns None for non-WAV
+    bytes or other encodings (ADPCM, µ-law, 24-bit) — callers fall
+    back to the header tier, exactly like the image decoders.
+    """
+    import numpy as np
+
+    if not payload:
+        return None
+    fmt, data = _wav_chunks(bytes(payload))
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, nch, _rate, _brate, _balign, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if nch < 1:
+        return None
+    if audio_fmt == 1 and bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 16:
+        raw = np.frombuffer(data[: len(data) - (len(data) % 2)],
+                            dtype="<i2")
+        samples = raw.astype(np.float64) / 32768.0
+    elif audio_fmt == 3 and bits == 32:
+        raw = np.frombuffer(data[: len(data) - (len(data) % 4)],
+                            dtype="<f4")
+        samples = raw.astype(np.float64)
+    else:
+        return None
+    n = (len(samples) // nch) * nch
+    if n == 0:
+        return None
+    return samples[:n].reshape(-1, nch)
+
+
+def encode_wav(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
+    """Minimal valid PCM WAV writer (stdlib + numpy) — the demo/test
+    producer for :func:`decode_wav_samples` and
+    :func:`parse_wav_header`. Input: (n,) or (n, channels) float in
+    [-1, 1]; ``bits`` 8 (unsigned) or 16 (signed LE)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    nch = a.shape[1]
+    clipped = np.clip(a, -1.0, 1.0)
+    if bits == 8:
+        body = (np.round(clipped * 127.0) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        body = np.round(clipped * 32767.0).astype("<i2").tobytes()
+    else:
+        raise ValueError(f"encode_wav supports 8 or 16 bits, got {bits}")
+    block_align = nch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -438,6 +561,100 @@ def decode_gif_pixels(payload: bytes | None):
     return None
 
 
+def decode_gif_frames(payload: bytes | None, max_frames: int = 64):
+    """REAL multi-frame GIF decode (stdlib + numpy): every image
+    descriptor LZW-decodes and composes onto the logical-screen canvas
+    at its (left, top) offset — so an ANIMATED GIF yields its actual
+    frame sequence, the one "video" container whose frames need no
+    codec library. Returns (frames, duration_s) where frames is a
+    list of (H, W, 3) uint8 canvases (draw-over disposal; bounded by
+    ``max_frames``) and duration sums the graphic-control delays, or
+    None for non-GIF bytes / unsupported variants (interlace, missing
+    palette) — callers fall back to the stub tier.
+
+    :func:`decode_gif_pixels` (the single-IMAGE tier) stays separate
+    on purpose: it returns the FIRST descriptor at its own size, the
+    thumbnail-statistics contract; this walker returns composed
+    logical-screen canvases, the frame-sampling contract.
+    """
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    lsw, lsh = struct.unpack("<HH", b[6:10])
+    packed, bg = b[10], b[11]
+    if lsw == 0 or lsh == 0:
+        return None
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        if pos + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((lsh, lsw, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    frames: list = []
+    total_cs = delay_cs = 0
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension
+            label = b[pos + 1] if pos + 1 < len(b) else 0
+            pos += 2
+            if label == 0xF9 and pos + 4 < len(b) and b[pos] == 4:
+                delay_cs = struct.unpack("<H", b[pos + 2 : pos + 4])[0]
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            left, top, w, h = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+            ipacked = b[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                if pos + 3 * n > len(b):
+                    return None
+                ct = np.frombuffer(
+                    b[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ipacked & 0x40 or ct is None or w == 0 or h == 0:
+                return None
+            if top + h > lsh or left + w > lsw:
+                return None
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # consume the sub-block terminator
+            idx_bytes = _gif_lzw_decode(bytes(data), mcs, w * h)
+            if idx_bytes is None or len(idx_bytes) < w * h:
+                return None
+            idx = np.frombuffer(idx_bytes[: w * h], dtype=np.uint8).reshape(h, w)
+            if int(idx.max()) >= len(ct):
+                return None
+            canvas[top : top + h, left : left + w] = ct[idx.astype(np.int32)]
+            frames.append(canvas.copy())
+            total_cs += delay_cs
+            if len(frames) >= max_frames:
+                break
+        elif blk == 0x3B:
+            break
+        else:
+            return None
+    if not frames:
+        return None
+    return frames, round(total_cs / 100.0, 3)
+
+
 def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     """GIF-variant LZW encode of color-index bytes (the test/demo
     producer for :func:`_gif_lzw_decode`): real dictionary growth with
@@ -522,6 +739,48 @@ def encode_gif(arr) -> bytes:
         + bytes(blocks)
         + b"\x3b"
     )
+
+
+def encode_gif_animation(frames, delay_cs: int = 10) -> bytes:
+    """Minimal valid ANIMATED GIF89a writer (same-size frames, shared
+    ≤256-color global palette, real LZW, draw-over disposal) — the
+    demo/test producer for :func:`decode_gif_frames` and the
+    frame-sampling path."""
+    import numpy as np
+
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    arrs = [np.stack([a, a, a], axis=-1) if a.ndim == 2 else a for a in arrs]
+    if not arrs:
+        raise ValueError("encode_gif_animation needs at least one frame")
+    h, w, _ = arrs[0].shape
+    if any(a.shape != (h, w, 3) for a in arrs):
+        raise ValueError("all frames must share one (H, W, 3) shape")
+    allpx = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    palette, inv = np.unique(allpx, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif_animation supports at most 256 colors")
+    bits = max(2, (len(palette) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    off = 0
+    for a in arrs:
+        n = h * w
+        idx = inv[off : off + n].astype(np.uint8)
+        off += n
+        # graphic control: draw-over disposal, delay, no transparency
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        data = _gif_lzw_encode(idx.tobytes(), bits)
+        out += bytes([bits])
+        for i in range(0, len(data), 255):
+            part = data[i : i + 255]
+            out += bytes([len(part)]) + part
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def decode_bmp_pixels(payload: bytes | None):
@@ -1107,19 +1366,24 @@ def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     BMP pixels (:func:`decode_bmp_pixels`, plain slice-and-reshape),
     netpbm PGM/PPM pixels (:func:`decode_pnm_pixels`), baseline
     sequential JPEG pixels (:func:`decode_jpeg_pixels`, hand-rolled
-    Huffman + dequant + IDCT + YCbCr), image container dimensions
-    (:func:`parse_image_header`), WAV duration
+    Huffman + dequant + IDCT + YCbCr), WAV PCM/float32 samples
+    (:func:`decode_wav_samples`), animated-GIF frame sequences
+    (:func:`decode_gif_frames` — real video-frame sampling), image
+    container dimensions (:func:`parse_image_header`), WAV duration
     (:func:`parse_wav_header`). This stub marks the remainder:
-    progressive-JPEG pixel data, audio samples, and video frames need
-    PIL / soundfile / ffmpeg, none of which ship in this environment.
+    progressive-JPEG pixel data, compressed audio (ADPCM/µ-law/MP3),
+    and ffmpeg-class video codecs, none of which this environment's
+    libraries cover.
     """
     raise NotImplementedError(
-        "progressive-JPEG pixel decode, audio samples and video frames "
-        "require PIL/soundfile/ffmpeg, none of which ship in this "
-        "environment; PNG/GIF/BMP/PNM and baseline-JPEG pixels decode "
-        "for real via decode_*_pixels, headers via parse_image_header/"
-        "parse_wav_header, and unrecognized payloads fall back to the "
-        "deterministic _decode_stub"
+        "progressive-JPEG pixels, compressed audio, and ffmpeg-class "
+        "video codecs require PIL/soundfile/ffmpeg, none of which ship "
+        "in this environment; PNG/GIF/BMP/PNM/baseline-JPEG pixels, "
+        "WAV PCM samples, and animated-GIF frames decode for real via "
+        "decode_*_pixels / decode_wav_samples / decode_gif_frames, "
+        "headers via parse_image_header/parse_wav_header, and "
+        "unrecognized payloads fall back to the deterministic "
+        "_decode_stub"
     )
 
 
@@ -1178,11 +1442,47 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "n_frames": 1, **no_px, "decoder": f"header:{fmt}",
                 }
         elif kind == "audio":
+            # real sample decode first (plain PCM/float bytes) — the
+            # stat columns carry sample mean/std in [-1, 1] and
+            # n_frames the PCM frame count; header-only as fallback
+            smp = decode_wav_samples(payload)
+            if smp is not None:
+                dur = parse_wav_header(payload)
+                return {
+                    "width": 0, "height": 0,
+                    "duration_s": round(dur, 3) if dur is not None else 0.0,
+                    "n_frames": int(smp.shape[0]),
+                    "channels": int(smp.shape[1]),
+                    "px_mean": round(float(smp.mean()), 4),
+                    "px_std": round(float(smp.std()), 4),
+                    "decoder": "samples:wav",
+                }
             dur = parse_wav_header(payload)
             if dur is not None:
                 return {
                     "width": 0, "height": 0, "duration_s": round(dur, 3),
                     "n_frames": 0, **no_px, "decoder": "header:wav",
+                }
+        elif kind == "video":
+            # animated GIF is the one video container with a
+            # stdlib-decodable frame sequence — real frame count,
+            # duration (graphic-control delays), and pixel statistics
+            # over the composed canvases; ffmpeg formats stay stubbed
+            dec = decode_gif_frames(payload)
+            if dec is not None:
+                import numpy as np
+
+                fr, dur = dec
+                stack = np.stack(fr)
+                return {
+                    "width": int(fr[0].shape[1]),
+                    "height": int(fr[0].shape[0]),
+                    "duration_s": dur,
+                    "n_frames": len(fr),
+                    "channels": 3,
+                    "px_mean": round(float(stack.mean()), 4),
+                    "px_std": round(float(stack.std()), 4),
+                    "decoder": "frames:gif",
                 }
         return {**_decode_stub(payload, kind), **no_px, "decoder": "stub"}
 
@@ -1252,15 +1552,26 @@ def sample_frames(media: DataFrame, every_n: int = 16) -> DataFrame:
     """Sample every ``every_n``-th frame of each video: one input row →
     many output rows, the explode-shaped ``mapInPandas`` pattern.
 
-    Frame bytes are the stub (sha256(payload ‖ frame_idx)); frame count
-    comes from the stubbed decode. Output fan-out is bounded by the
-    decode's n_frames, and the non-video filter stays JVM-side.
+    Animated-GIF payloads decode for REAL (:func:`decode_gif_frames`):
+    the sampled frames come back as genuine PNG bytes of the composed
+    canvases (:func:`encode_png`). Everything else falls to the stub
+    (sha256(payload ‖ frame_idx), frame count from the stubbed
+    decode). Output fan-out is bounded either way, and the non-video
+    filter stays JVM-side.
     """
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, blobs = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_gif_frames(payload)
+                if dec is not None:
+                    fr, _dur = dec
+                    for i in range(0, len(fr), every_n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        blobs.append(encode_png(fr[i]))
+                    continue
                 n = _decode_stub(payload, "video")["n_frames"]
                 for i in range(0, n, every_n):
                     ids.append(mid)

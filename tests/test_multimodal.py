@@ -127,9 +127,25 @@ def test_image_rows_decode_real_headers(media):
     assert seen == {"header:png", "header:gif", "header:bmp", "header:jpeg"}
 
 
-def test_non_image_rows_fall_back_to_stub(media):
+def test_non_image_rows_decode_audio_stub_video(media):
+    """Audio rows carry a real 8-bit-PCM WAV container (text bytes as
+    samples) and must hit the samples:wav tier; raw-text video rows
+    stay on the deterministic stub."""
     feats = mm.extract_media_features(media.filter("kind != 'image'")).collect()
-    assert feats and all(r["decoder"] == "stub" for r in feats)
+    assert feats
+    for r in feats:
+        if r["kind"] == "audio":
+            assert r["decoder"] == "samples:wav", r
+            # 8 kHz mono 8-bit: duration tracks byte count exactly
+            data_bytes = r["n_bytes"] - 44
+            assert r["n_frames"] == data_bytes and r["channels"] == 1
+            assert abs(r["duration_s"] - round(data_bytes / 8000, 3)) < 1e-9
+            # ASCII text bytes are all >= 32 -> samples skew negative?
+            # no: (byte-128)/128 with printable ASCII 32..126 spans
+            # [-0.75, -0.02] -- mean must land in that band
+            assert -0.76 <= r["px_mean"] <= 0.0
+        else:
+            assert r["decoder"] == "stub", r
 
 
 # ---------------------------------------------------------------------------
@@ -579,3 +595,91 @@ def test_extract_features_jpeg_pixel_tier(spark):
     assert (row["width"], row["height"], row["channels"]) == (8, 16, 3)
     assert abs(row["px_mean"] - 90.0) <= 1.0
     assert row["px_std"] <= 1.0
+
+
+def test_wav_sample_roundtrip_8_and_16_bit():
+    import numpy as np
+
+    t = np.linspace(0.0, 1.0, 800)
+    s = np.stack([np.sin(2 * np.pi * 5 * t), np.cos(2 * np.pi * 3 * t)],
+                 axis=1) * 0.5
+    out16 = mm.decode_wav_samples(mm.encode_wav(s, 800, bits=16))
+    assert out16.shape == (800, 2)
+    assert float(np.abs(out16 - s).max()) < 1.0 / 32000
+    out8 = mm.decode_wav_samples(mm.encode_wav(s[:, 0], 800, bits=8))
+    assert out8.shape == (800, 1)
+    assert float(np.abs(out8[:, 0] - s[:, 0]).max()) < 1.0 / 120
+    assert mm.parse_wav_header(mm.encode_wav(s, 800, bits=16)) == 1.0
+
+
+def test_wav_sample_rejects_non_pcm_and_garbage():
+    import struct
+
+    import numpy as np
+
+    assert mm.decode_wav_samples(None) is None
+    assert mm.decode_wav_samples(b"not riff") is None
+    # ADPCM (fmt 2) must fall back to the header tier
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)
+    adpcm = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    assert mm.decode_wav_samples(adpcm) is None
+    assert mm.parse_wav_header(adpcm) is not None
+    # float32 path decodes
+    f = np.array([0.25, -0.5, 0.125], dtype="<f4")
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 12) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+           + b"data" + struct.pack("<I", 12) + f.tobytes())
+    out = mm.decode_wav_samples(wav)
+    assert out.shape == (3, 1) and float(abs(out[:, 0] - f).max()) == 0.0
+
+
+def test_gif_animation_roundtrip_and_first_frame_tier():
+    import numpy as np
+
+    frames = [np.full((12, 9, 3), i * 30, dtype=np.uint8) for i in range(5)]
+    frames[2][3:6, 2:5] = [200, 10, 99]
+    gif = mm.encode_gif_animation(frames, delay_cs=25)
+    fr, dur = mm.decode_gif_frames(gif)
+    assert len(fr) == 5 and dur == 1.25
+    assert all((a == b).all() for a, b in zip(fr, frames))
+    # the single-IMAGE tier still reads the first descriptor
+    assert (mm.decode_gif_pixels(gif) == frames[0]).all()
+    assert mm.decode_gif_frames(b"nope") is None
+    assert mm.decode_gif_frames(None) is None
+
+
+def test_sample_frames_real_for_animated_gif(spark):
+    import numpy as np
+
+    frames = [np.full((8, 8, 3), i * 16, dtype=np.uint8) for i in range(9)]
+    gif = mm.encode_gif_animation(frames, delay_cs=10)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(gif), {"source": "t", "lang": "en"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = {r["frame_idx"]: bytes(r["frame"])
+            for r in mm.sample_frames(media, every_n=4).collect()}
+    assert sorted(rows) == [0, 4, 8]
+    # sampled frames are genuine PNG bytes of the composed canvases
+    for i, blob in rows.items():
+        px = mm.decode_png_pixels(blob)
+        assert (px == frames[i]).all()
+
+
+def test_extract_features_video_frames_tier(spark):
+    import numpy as np
+
+    frames = [np.full((6, 10, 3), 40 + i, dtype=np.uint8) for i in range(4)]
+    gif = mm.encode_gif_animation(frames, delay_cs=50)
+    media = spark.createDataFrame(
+        [(3, "video", bytearray(gif), {"source": "t", "lang": "en"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    [row] = mm.extract_media_features(media).collect()
+    assert row["decoder"] == "frames:gif"
+    assert (row["width"], row["height"], row["n_frames"]) == (10, 6, 4)
+    assert row["duration_s"] == 2.0 and row["channels"] == 3
+    assert row["px_mean"] == 41.5  # mean of 40..43
