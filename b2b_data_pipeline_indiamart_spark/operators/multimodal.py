@@ -1513,35 +1513,70 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """'Resize' every image payload to ``width``×``height``.
+def decode_image_pixels(payload: bytes | None):
+    """First pixel tier that recognizes ``payload`` (PNG → GIF → BMP →
+    PNM → baseline JPEG, the same order the feature extractor probes),
+    or None — the shared entry point for any caller that just wants
+    samples."""
+    for fn in (decode_png_pixels, decode_gif_pixels, decode_bmp_pixels,
+               decode_pnm_pixels, decode_jpeg_pixels):
+        px = fn(payload)
+        if px is not None:
+            return px
+    return None
 
-    The pixel transform is the stub (output bytes = sha256 of input ‖
-    target dims, so it's deterministic and size-bounded); the plumbing
-    is the real shape: filter non-images *before* the Python boundary
-    so Catalyst prunes them at the scan, then map payload batches.
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image payload to ``width``×``height``.
+
+    Decodable payloads (any :func:`decode_image_pixels` tier) resize
+    for REAL — nearest-neighbor index resample (pure numpy fancy
+    indexing, no interpolation library) re-encoded as PNG; the
+    ``decoder`` column says ``resize:nn``. Unrecognized payloads keep
+    the deterministic stub bytes (sha256 of input ‖ target dims,
+    ``decoder`` = ``stub``). The plumbing is the production shape
+    either way: filter non-images *before* the Python boundary so
+    Catalyst prunes them at the scan, then map payload batches.
     """
+    import numpy as np
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
             T.StructField("payload", T.BinaryType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
+            T.StructField("decoder", T.StringType()),
         ]
     )
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f"{width}x{height}".encode()
         for pdf in batches:
+            blobs, decoders = [], []
+            for p in pdf["payload"]:
+                px = decode_image_pixels(p)
+                if px is not None:
+                    yi = np.minimum(
+                        (np.arange(height) * px.shape[0]) // height,
+                        px.shape[0] - 1,
+                    )
+                    xi = np.minimum(
+                        (np.arange(width) * px.shape[1]) // width,
+                        px.shape[1] - 1,
+                    )
+                    blobs.append(encode_png(px[yi][:, xi]))
+                    decoders.append("resize:nn")
+                else:
+                    blobs.append(hashlib.sha256((p or b"") + tag).digest())
+                    decoders.append("stub")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": [
-                        hashlib.sha256((p or b"") + tag).digest()
-                        for p in pdf["payload"]
-                    ],
+                    "payload": blobs,
                     "width": width,
                     "height": height,
+                    "decoder": decoders,
                 }
             )
 

@@ -683,3 +683,25 @@ def test_extract_features_video_frames_tier(spark):
     assert (row["width"], row["height"], row["n_frames"]) == (10, 6, 4)
     assert row["duration_s"] == 2.0 and row["channels"] == 3
     assert row["px_mean"] == 41.5  # mean of 40..43
+
+
+def test_resize_images_real_for_decodable_payloads(spark):
+    import numpy as np
+
+    # 4x6 gradient -> 8x8: nearest-neighbor indices are exact to compute
+    src = (np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3) * 3) % 256
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_png(src)), {"source": "t", "lang": "en"}),
+         (2, "image", bytearray(b"undecodable junk"), {"source": "t", "lang": "en"})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in mm.resize_images(media, 8, 8).collect()}
+    real = rows[1]
+    assert real["decoder"] == "resize:nn"
+    out = mm.decode_png_pixels(bytes(real["payload"]))
+    assert out.shape == (8, 8, 3)
+    yi = np.minimum((np.arange(8) * 4) // 8, 3)
+    xi = np.minimum((np.arange(8) * 6) // 8, 5)
+    assert (out == src[yi][:, xi]).all()
+    stub = rows[2]
+    assert stub["decoder"] == "stub" and len(stub["payload"]) == 32
