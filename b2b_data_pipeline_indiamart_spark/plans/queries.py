@@ -1630,6 +1630,83 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_features(media).orderBy("media_id")
 
 
+@_register(
+    "media_inventory",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CASE WHEN doc_id % 3 = 0 THEN
+                    CASE CAST(floor(doc_id / 3) AS BIGINT) % 4
+                         WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                         WHEN 2 THEN 'bmp' ELSE 'jpeg' END
+                  WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS fmt,
+             strlen(text) AS body_bytes
+      FROM documents
+    ),
+    sized AS (
+      SELECT kind, fmt,
+             body_bytes + CASE fmt WHEN 'png' THEN 29 WHEN 'gif' THEN 10
+                                   WHEN 'bmp' THEN 26 WHEN 'jpeg' THEN 21
+                                   WHEN 'wav' THEN 44 ELSE 0 END
+               AS payload_bytes
+      FROM m
+    )
+    SELECT kind, fmt, COUNT(*) AS n_media,
+           CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(payload_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(payload_bytes) AS BIGINT) AS max_bytes,
+           round(avg(payload_bytes), 4) AS avg_bytes
+    FROM sized GROUP BY kind, fmt
+    """,
+)
+def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(kind, container-format) inventory of the Catalyst-built
+    media table: row counts and payload byte statistics — the
+    oracle-bearing gate for the multimodal family's JVM layer
+    (multimodal.media_from_documents): kind rotation, container
+    choice, and the synthesized header lengths (PNG 29 / GIF 10 /
+    BMP 26 / JPEG-SOF0 21 / WAV 44 bytes before the UTF-8 body) all
+    hash-check against a DuckDB restatement from the raw documents
+    table. The Python decode tiers stay pytest-pinned
+    (test_multimodal); this key value-gates everything BEFORE the
+    Python boundary — at 100 TB that layer is the scan-side cost.
+
+    One map-side-combining aggregate on a 6-value composite key; the
+    payload column never leaves the JVM (F.length on binary is
+    Catalyst-native)."""
+    from ..functions.rounding import round_half_up
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    fmt = (
+        F.when(
+            F.col("kind") == "image",
+            F.element_at(
+                F.array(F.lit("png"), F.lit("gif"), F.lit("bmp"), F.lit("jpeg")),
+                (F.floor(F.col("media_id") / 3) % 4 + 1).cast("int"),
+            ),
+        )
+        .when(F.col("kind") == "audio", F.lit("wav"))
+        .otherwise(F.lit("raw"))
+    )
+    return (
+        media.select(
+            "kind", fmt.alias("fmt"), F.length("payload").alias("payload_bytes")
+        )
+        .groupBy("kind", "fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("payload_bytes").cast("long").alias("total_bytes"),
+            F.min("payload_bytes").cast("long").alias("min_bytes"),
+            F.max("payload_bytes").cast("long").alias("max_bytes"),
+            round_half_up(F.avg("payload_bytes"), 4).alias("avg_bytes"),
+        )
+    )
+
+
 @_register("ann_ivf")  # rows-only oracle: centroid family is Spark-side
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for vec_id < 5: deterministic k-means
