@@ -527,17 +527,35 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     Adds ONE tiny aggregation (cardinality = distinct session sizes)
     on top of sessionize's single user-keyed shuffle.
 
+    Both means reduce EXACT BIGINTS (millisecond durations; 2dp session
+    values recovered to integer cents) and divide once at the end — a
+    float ``avg`` here is order-sensitive at the ULP level, and a
+    partitioning change (e.g. another key's cached fragment swapping
+    into the plan) once flipped a 4dp rounding boundary in the full
+    parity run (round-10 flake). Exact sums make the result
+    partitioning- and cache-state-independent, the embedding_cov
+    pattern.
+
     Output: (n_events, n_sessions, avg_session_min 4dp, avg_value 4dp).
     """
     s = sessionize(events, gap_minutes=gap_minutes)
+    cents = F.round(F.col("sum_value") * 100).cast("long")
     return (
         s.groupBy(F.col("n_events").cast("long").alias("n_events"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            round_half_up(F.avg(F.col("session_ms") / 60000.0), 4).alias(
-                "avg_session_min"
-            ),
-            round_half_up(F.avg("sum_value"), 4).alias("avg_value"),
+            F.sum("session_ms").alias("__ms"),
+            F.sum(cents).alias("__cents"),
+        )
+        .select(
+            "n_events",
+            "n_sessions",
+            round_half_up(
+                F.col("__ms") / (F.col("n_sessions") * 60000.0), 4
+            ).alias("avg_session_min"),
+            round_half_up(
+                F.col("__cents") / (F.col("n_sessions") * 100.0), 4
+            ).alias("avg_value"),
         )
     )
 

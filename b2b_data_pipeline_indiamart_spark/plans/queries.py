@@ -4050,8 +4050,9 @@ def part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n_events AS BIGINT) AS n_events,
            CAST(count(*) AS BIGINT) AS n_sessions,
-           round(avg(session_ms / 60000.0), 4) AS avg_session_min,
-           round(avg(sum_value), 4) AS avg_value
+           round(sum(session_ms) / (count(*) * 60000.0), 4) AS avg_session_min,
+           round(sum(CAST(round(sum_value * 100) AS BIGINT))
+                 / (count(*) * 100.0), 4) AS avg_value
     FROM sess GROUP BY 1
     """,
 )

@@ -253,3 +253,26 @@ def test_bpe_apply_matches_training_replay_synthetic_vocab(spark):
 
     for w in sorted(set(vocab)):
         assert bpe_segment(w, ranks) == train_replay(w), w
+
+
+def test_session_stats_partitioning_invariant(spark, sf_medium):
+    """r10 flake regression: events_session_stats once hash-missed in
+    the full parity run because its float avg was summation-order
+    sensitive at a 4dp rounding boundary. The means now reduce exact
+    bigints (ms durations, integer cents) — the output must be
+    bit-identical under any input partitioning."""
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import temporal
+
+    events = catalog.load(spark, sf_medium, "events")
+    a = sorted(map(tuple, temporal.session_stats(events).collect()))
+    for n in (3, 17, 64):
+        b = sorted(
+            map(
+                tuple,
+                temporal.session_stats(
+                    events.repartition(n, "user_id")
+                ).collect(),
+            )
+        )
+        assert a == b, n
