@@ -30,6 +30,36 @@ def round_half_up(col: Column | str, scale: int = 0) -> Column:
     return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
 
 
+def exact_avg(col: Column | str, scale: int = 2, out_scale: int | None = None) -> Column:
+    """Order-independent mean of DECIMAL-QUANTIZED doubles — the
+    aggregate to use instead of ``round_half_up(F.avg(x), k)`` whenever
+    ``x`` is a money/probability column that is exact at ``scale``
+    decimal digits (2dp prices, 4dp probabilities, 2dp-rounded sums).
+
+    Why: ``avg`` over such values is a float reduction whose ±1-ulp
+    result depends on summation order (partitioning, cache state,
+    engine), and the TRUE mean of small-denominator rationals lands
+    EXACTLY on rounding boundaries often (mean of 1 and 2 cents =
+    0.015), so the final round can flip between runs or engines — the
+    round-10 ``events_session_stats`` parity flake. Fix: recover the
+    integers (``floor(x·10^scale + 0.5)``), sum as BIGINT (exact in
+    any order), divide once, round once. NULL-safe like ``avg``
+    (nulls drop from both sum and count).
+
+    SQL twin (floorize rewrites the inner round to the same floor
+    form):  ``round(sum(CAST(round(x * 10^s) AS BIGINT))
+    / (count(x) * 10^s.0), k)``.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    p = float(10**scale)
+    ints = F.floor(col * F.lit(p) + F.lit(0.5)).cast("long")
+    return round_half_up(
+        F.sum(ints) / (F.count(col) * F.lit(p)),
+        scale if out_scale is None else out_scale,
+    )
+
+
 def floorize_round_sql(sql: str) -> str:
     """Rewrite every ``round(EXPR, n)`` in a SQL string to the
     floor-based form above. Balanced-paren aware; applied to oracle SQL

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_half_up
+from ..functions.rounding import exact_avg, round_half_up
 
 
 def apply_filters(
@@ -58,11 +58,15 @@ def top_groups(df: DataFrame, group_col: str, n: int = 10) -> DataFrame:
 
 
 def avg_by_group(df: DataFrame, group_col: str, value_col: str, n: int = 10) -> DataFrame:
-    """Mean-by-group, top-N by mean desc (analysis.py:252-275 line chart)."""
+    """Mean-by-group, top-N by mean desc (analysis.py:252-275 line
+    chart). The mean is :func:`exact_avg` over integer cents — money
+    columns are 2dp-exact, and a float ``avg`` there is summation-
+    order sensitive exactly at the rounding boundaries small groups
+    hit (the r10 session_stats flake class)."""
     return (
         df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
         .groupBy(F.col(group_col).alias("group_value"))
-        .agg(round_half_up(F.avg(value_col), 2).alias("avg_value"))
+        .agg(exact_avg(value_col, 2).alias("avg_value"))
         .orderBy(F.col("avg_value").desc(), F.col("group_value").asc())
         .limit(n)
     )
@@ -145,7 +149,7 @@ def count_avg_combo(df: DataFrame, group_col: str, value_col: str, n: int = 8) -
         df.groupBy(F.col(group_col).alias("group_value"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            round_half_up(F.avg(value_col), 2).alias("avg_value"),
+            exact_avg(value_col, 2).alias("avg_value"),
         )
         .orderBy(F.col("cnt").desc(), F.col("group_value").asc())
         .limit(n)
@@ -206,7 +210,7 @@ def kpi_summary(
         aggs.append(uq(F.col(c)).alias(alias))
     aggs += [
         round_half_up(median, 2).alias("median_value"),
-        round_half_up(F.avg(value_col), 2).alias("avg_value"),
+        exact_avg(value_col, 2).alias("avg_value"),
         round_half_up(F.min(value_col), 2).alias("min_value"),
         round_half_up(F.max(value_col), 2).alias("max_value"),
         round_half_up(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_half_up
+from ..functions.rounding import exact_avg, round_half_up
 
 
 def tumbling_agg(events: DataFrame, bucket: str = "hour") -> DataFrame:
@@ -339,7 +339,7 @@ def gap_fill_hourly(events: DataFrame, group_col: str = "event_type") -> DataFra
         )
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            round_half_up(F.avg("value"), 2).alias("avg_value"),
+            exact_avg("value", 2).alias("avg_value"),
         )
     )
     # broadcast the observed rollup (bounded by spine cardinality —
@@ -718,13 +718,18 @@ def conversion_lag_histogram(events: DataFrame) -> DataFrame:
         j.select(
             bucket.alias("lag_bucket"),
             F.col("value"),
-            F.when(in_window, lag_min).alias("__lag"),
+            F.when(
+                in_window,
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts")),
+            ).alias("__lag"),
         )
         .groupBy("lag_bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_conversions"),
-            round_half_up(F.avg("value"), 2).alias("avg_value"),
-            round_half_up(F.avg("__lag"), 2).alias("avg_lag_min"),
+            exact_avg("value", 2).alias("avg_value"),
+            round_half_up(
+                F.sum("__lag") / (F.count("__lag") * 60_000_000.0), 2
+            ).alias("avg_lag_min"),
         )
     )
 

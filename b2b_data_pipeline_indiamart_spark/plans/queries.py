@@ -35,7 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import floorize_round_sql, round_half_up
+from ..functions.rounding import exact_avg, floorize_round_sql, round_half_up
 
 from .. import catalog
 from ..functions.hashing import DEFAULT_SALT, digits_only, salted_sha256
@@ -234,7 +234,7 @@ def price_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "region_rollup",
     """
-    SELECT r_name, COUNT(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+    SELECT r_name, COUNT(*) AS n_customers, round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (count(c_acctbal) * 100.0), 2) AS avg_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -254,7 +254,7 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            round_half_up(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            exact_avg("c_acctbal", 2).alias("avg_acctbal"),
         )
     )
 
@@ -427,9 +427,15 @@ def profile_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey
     ), deduped AS (
+      -- tie-break continues into the payload columns: the synthetic
+      -- lineitem table contains duplicate (orderkey, linenumber)
+      -- pairs, and Spark's keep-first is min(struct(order, payload)),
+      -- so an ORDER BY on the order columns alone leaves DuckDB's
+      -- pick nondeterministic on those ties (latent r10 flake)
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY product_name, supplier_name
-                                     ORDER BY l_orderkey, l_linenumber) AS rn
+                                     ORDER BY l_orderkey, l_linenumber,
+                                              region_name, price) AS rn
         FROM listing
       ) WHERE rn = 1
     )
@@ -438,7 +444,8 @@ def profile_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN price < 10000 THEN 'Low (<10k)'
                 WHEN price < 50000 THEN 'Mid (10k-50k)'
                 ELSE 'High (50k+)' END AS price_bucket,
-           COUNT(*) AS cnt, round(avg(price), 2) AS avg_price
+           COUNT(*) AS cnt,
+           round(sum(CAST(round(price * 100) AS BIGINT)) / (count(price) * 100.0), 2) AS avg_price
     FROM deduped
     GROUP BY 1, 2
     """,
@@ -475,7 +482,7 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deduped.groupBy(
         "region_name", price_bucket(F.col("price")).alias("price_bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"), round_half_up(F.avg("price"), 2).alias("avg_price"))
+    ).agg(F.count(F.lit(1)).alias("cnt"), exact_avg("price", 2).alias("avg_price"))
 
 
 # ==========================================================================
@@ -490,7 +497,7 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(DISTINCT o_orderpriority) AS n_priorities,
            round(quantile_cont(o_totalprice, 0.5), 2) AS median_value,
-           round(avg(o_totalprice), 2) AS avg_value,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (count(o_totalprice) * 100.0), 2) AS avg_value,
            round(min(o_totalprice), 2) AS min_value,
            round(max(o_totalprice), 2) AS max_value,
            round(avg(CASE WHEN o_totalprice IS NULL THEN 1.0 ELSE 0.0 END) * 100.0, 2)
@@ -512,7 +519,8 @@ def kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "avg_price_by_group",
     """
-    SELECT p_brand AS group_value, round(avg(p_retailprice), 2) AS avg_value
+    SELECT p_brand AS group_value,
+           round(sum(CAST(round(p_retailprice * 100) AS BIGINT)) / (count(p_retailprice) * 100.0), 2) AS avg_value
     FROM part WHERE p_retailprice IS NOT NULL AND p_brand IS NOT NULL
     GROUP BY p_brand
     ORDER BY avg_value DESC, group_value ASC LIMIT 10
@@ -582,7 +590,8 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "count_avg_combo",
     """
-    SELECT n_name AS group_value, COUNT(*) AS cnt, round(avg(c_acctbal), 2) AS avg_value
+    SELECT n_name AS group_value, COUNT(*) AS cnt,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (count(c_acctbal) * 100.0), 2) AS avg_value
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name ORDER BY cnt DESC, group_value ASC LIMIT 8
     """,
@@ -777,8 +786,8 @@ def price_rating_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (count(l_extendedprice) * 100.0), 2) AS avg_price,
+           round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (count(l_discount) * 100.0), 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -804,8 +813,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
             round_half_up(F.sum(charge), 2).alias("sum_charge"),
             round_half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
-            round_half_up(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_avg("l_extendedprice", 2).alias("avg_price"),
+            exact_avg("l_discount", 2, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -2588,7 +2597,7 @@ def docs_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT c_name) AS unique_suppliers,
            COUNT(DISTINCT c_mktsegment) AS unique_segments,
            round(quantile_cont(c_acctbal, 0.5), 2) AS median_value,
-           round(avg(c_acctbal), 2) AS avg_value,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (count(c_acctbal) * 100.0), 2) AS avg_value,
            round(min(c_acctbal), 2) AS min_value,
            round(max(c_acctbal), 2) AS max_value,
            round(avg(CASE WHEN c_acctbal IS NULL THEN 1.0 ELSE 0.0 END) * 100.0, 2)
@@ -2722,7 +2731,8 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM b),
     grps AS (SELECT DISTINCT event_type AS grp FROM events),
     obs AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type AS grp,
-                   count(*) AS cnt, round(avg(value), 2) AS avg_value
+                   count(*) AS cnt,
+                   round(sum(CAST(round(value * 100) AS BIGINT)) / (count(value) * 100.0), 2) AS avg_value
             FROM events GROUP BY 1, 2),
     j AS (SELECT g.grp, s.hour_ts, o.cnt, o.avg_value
           FROM spine s CROSS JOIN grps g
@@ -4097,7 +4107,8 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dow_hour_heatmap",
     """
     SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hour_of_day,
-           CAST(count(*) AS BIGINT) AS n_events, round(avg(value), 2) AS avg_value
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / (count(value) * 100.0), 2) AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -4113,7 +4124,7 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hour_of_day"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        round_half_up(F.avg("value"), 2).alias("avg_value"),
+        exact_avg("value", 2).alias("avg_value"),
     )
 
 
@@ -4133,7 +4144,7 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(coalesce(p.n, 0)) AS BIGINT) AS n_orders,
            round(sum(coalesce(p.spend, 0.0)), 2) AS revenue,
-           round(avg(coalesce(p.spend, 0.0)), 4) AS avg_ltv
+           round(sum(CAST(round(coalesce(p.spend, 0.0) * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_ltv
     FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.ck
     GROUP BY 1
     """,
@@ -4160,7 +4171,7 @@ def customer_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.sum(F.coalesce(F.col("spend"), F.lit(0.0))), 2).alias(
                 "revenue"
             ),
-            round_half_up(F.avg(F.coalesce(F.col("spend"), F.lit(0.0))), 4).alias(
+            exact_avg(F.coalesce(F.col("spend"), F.lit(0.0)), 2, 4).alias(
                 "avg_ltv"
             ),
         )
@@ -4706,7 +4717,8 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q22_idle_customers",
     """
-    WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer
+    WITH avg_bal AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                       / (count(c_acctbal) * 100.0) AS a FROM customer
                      WHERE c_acctbal > 0.0)
     SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS numcust,
            round(sum(c_acctbal), 2) AS totacctbal
@@ -4734,7 +4746,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles key on custkey; the final rollup is ≤25 nation rows."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__a")
+        (
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long"))
+            / (F.count("c_acctbal") * F.lit(100.0))
+        ).alias("__a")
     )
     ordered_keys = (
         _t(spark, sf_dir, "orders")
@@ -5159,7 +5174,7 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi,
-           round(avg(o_totalprice), 2) AS mean_price
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (count(o_totalprice) * 100.0), 2) AS mean_price
     FROM d GROUP BY decile
     """,
 )
@@ -5189,7 +5204,7 @@ def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         round_half_up(F.min("o_totalprice"), 2).alias("lo"),
         round_half_up(F.max("o_totalprice"), 2).alias("hi"),
-        round_half_up(F.avg("o_totalprice"), 2).alias("mean_price"),
+        exact_avg("o_totalprice", 2).alias("mean_price"),
     )
 
 
@@ -5724,7 +5739,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(attributed) * 1.0 / count(*), 4) AS attribution_rate,
            round(sum(CASE WHEN attributed = 1 THEN value ELSE 0 END), 2)
              AS attributed_value,
-           round(avg(alag) / 60000000.0, 2) AS avg_lag_min
+           round(sum(alag) / (count(alag) * 60000000.0), 2) AS avg_lag_min
     FROM f GROUP BY day
     """,
 )
@@ -5771,7 +5786,9 @@ def events_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("__attr") == 1, F.col("value")).otherwise(0.0)),
                 2,
             ).alias("attributed_value"),
-            round_half_up(F.avg("__alag") / 60_000_000.0, 2).alias("avg_lag_min"),
+            round_half_up(
+                F.sum("__alag") / (F.count("__alag") * 60_000_000.0), 2
+            ).alias("avg_lag_min"),
         )
     )
 
@@ -6222,7 +6239,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE event_type = 'purchase'),
     v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
     j AS (SELECT p.value, v.ts AS matched_ts,
-                 (epoch_us(p.ts) - epoch_us(v.ts)) / 60000000.0 AS lag_min
+                 (epoch_us(p.ts) - epoch_us(v.ts)) / 60000000.0 AS lag_min,
+                 epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
           FROM p ASOF LEFT JOIN v
             ON p.user_id = v.user_id AND p.ts > v.ts),
     b AS (SELECT value,
@@ -6235,12 +6253,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHEN matched_ts IS NOT NULL AND lag_min >= 120 AND lag_min < 1440
                    THEN '02h-24h'
                  ELSE 'organic' END AS lag_bucket,
-            CASE WHEN matched_ts IS NOT NULL AND lag_min < 1440 THEN lag_min END
+            CASE WHEN matched_ts IS NOT NULL AND lag_min < 1440 THEN lag_us END
               AS alag
           FROM j)
     SELECT lag_bucket, CAST(count(*) AS BIGINT) AS n_conversions,
-           round(avg(value), 2) AS avg_value,
-           round(avg(alag), 2) AS avg_lag_min
+           round(sum(CAST(round(value * 100) AS BIGINT)) / (count(value) * 100.0), 2) AS avg_value,
+           round(sum(alag) / (count(alag) * 60000000.0), 2) AS avg_lag_min
     FROM b GROUP BY 1
     """,
 )
@@ -6553,7 +6571,7 @@ def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM z)
     SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(avg(quality_prob), 4) AS avg_quality
+           round(sum(CAST(round(quality_prob * 10000) AS BIGINT)) / (count(quality_prob) * 10000.0), 4) AS avg_quality
     FROM ph GROUP BY phase
     """,
 )
@@ -6583,7 +6601,7 @@ def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("phase").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        round_half_up(F.avg("quality_prob"), 4).alias("avg_quality"),
+        exact_avg("quality_prob", 4).alias("avg_quality"),
     )
 
 
@@ -6945,7 +6963,7 @@ def embedding_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(attributed) * 1.0 / count(*), 4) AS attribution_rate,
            round(sum(CASE WHEN attributed = 1 THEN value ELSE 0 END), 2)
              AS attributed_value,
-           round(avg(alag) / 60000000.0, 2) AS avg_lag_min
+           round(sum(alag) / (count(alag) * 60000000.0), 2) AS avg_lag_min
     FROM p GROUP BY day
     """,
 )
@@ -6994,7 +7012,9 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
                 F.sum(F.when(F.col("__attr") == 1, F.col("value")).otherwise(0.0)),
                 2,
             ).alias("attributed_value"),
-            round_half_up(F.avg("__alag") / 60_000_000.0, 2).alias("avg_lag_min"),
+            round_half_up(
+                F.sum("__alag") / (F.count("__alag") * 60_000_000.0), 2
+            ).alias("avg_lag_min"),
         )
     )
 
@@ -9752,7 +9772,7 @@ def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(cos_sim * 20) AS INT) AS sim_bin,
            round(CAST(floor(cos_sim * 20) AS INT) * 0.05, 2) AS bin_low,
            CAST(count(*) AS BIGINT) AS cnt,
-           round(avg(cos_sim), 4) AS avg_sim
+           round(sum(CAST(round(cos_sim * 10000) AS BIGINT)) / (count(cos_sim) * 10000.0), 4) AS avg_sim
     FROM p WHERE cos_sim IS NOT NULL
     GROUP BY 1
     """,
@@ -9794,7 +9814,7 @@ def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(sim_bin.alias("sim_bin"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            round_half_up(F.avg("cos_sim"), 4).alias("avg_sim"),
+            exact_avg("cos_sim", 4).alias("avg_sim"),
         )
         .select(
             "sim_bin",
