@@ -18,14 +18,16 @@ Decoding is two-tier:
   ``decode_wav_samples`` / ``decode_gif_frames``): stdlib+numpy
   codecs producing genuine statistics — PNG (zlib + unfilter), GIF
   (hand-rolled LZW; multi-frame canvases for animations), BMP/PNM
-  (slice-and-reshape), baseline JPEG (hand-rolled Huffman + dequant +
-  IDCT + YCbCr), WAV PCM/float32 (frombuffer + scale).
+  (slice-and-reshape), JPEG both baseline AND progressive
+  (hand-rolled Huffman + spectral selection / successive
+  approximation + dequant + IDCT + YCbCr), WAV PCM/float32
+  (frombuffer + scale).
 - **Stub fallback** (``_decode_stub``): payloads the pixel/header
-  parsers don't recognize (progressive JPEG, compressed audio,
-  ffmpeg-class video codecs; ``decode_real`` documents the intended
-  call) get deterministic fake properties derived from the payload
-  hash. The ``decoder`` output column says which path produced each
-  row.
+  parsers don't recognize (arithmetic/12-bit/lossless JPEG,
+  compressed audio, ffmpeg-class video codecs; ``decode_real``
+  documents the intended call) get deterministic fake properties
+  derived from the payload hash. The ``decoder`` output column says
+  which path produced each row.
 
 Everything Spark-side — schemas, ``mapInPandas`` signatures, Arrow
 batch iteration, one-in/many-out frame explosion — is real and tested;
@@ -1000,15 +1002,19 @@ def _receive_extend(bits_arr, pos: int, s: int) -> "tuple[int, int]":
 
 
 def decode_jpeg_pixels(payload: bytes | None):
-    """REAL baseline JPEG pixel decode using only the stdlib + numpy:
-    segment walk (DQT/SOF/DHT/DRI/SOS) → entropy-coded segment split at
-    restart markers with 0xFF00 unstuffing → per-MCU Huffman decode
-    (DC predictor + AC run-length, F.12 EXTEND) → dequantize → IDCT
-    (orthonormal basis gemm) → chroma upsample → YCbCr→RGB →
-    (H, W, C) uint8. Returns None for non-JPEG bytes or unsupported
-    variants (progressive SOF2, arithmetic coding, 12-bit precision,
-    fractional sampling ratios) — callers fall back to header-only
-    decode, exactly like the PNG/GIF unsupported tiers.
+    """REAL JPEG pixel decode using only the stdlib + numpy — BOTH
+    baseline sequential (SOF0/SOF1) and progressive (SOF2, spectral
+    selection + successive approximation per T.81 G.2): segment walk
+    (DQT/SOF/DHT/DRI/SOS) → entropy-coded segment split at restart
+    markers with 0xFF00 unstuffing → Huffman decode (baseline: per-MCU
+    DC predictor + AC run-length, F.12 EXTEND; progressive: per-scan
+    coefficient accumulation with EOB runs and refinement correction
+    bits) → dequantize → IDCT (orthonormal basis gemm) → chroma
+    upsample → YCbCr→RGB → (H, W, C) uint8. Returns None for non-JPEG
+    bytes or unsupported variants (arithmetic coding, lossless/
+    hierarchical, 12-bit precision, fractional sampling ratios) —
+    callers fall back to header-only decode, exactly like the PNG/GIF
+    unsupported tiers.
     """
     import numpy as np
 
@@ -1021,6 +1027,31 @@ def decode_jpeg_pixels(payload: bytes | None):
         return None
 
 
+def _jpeg_scan_bounds(b: bytes, start: int) -> "tuple[list[bytes], int]":
+    """Entropy-coded data from ``start``: 0xFF00-unstuffed byte runs
+    split at RSTn markers, plus the index of the terminating marker's
+    0xFF — shared by the baseline and progressive scan loops."""
+    segs, cur, j = [], bytearray(), start
+    while j < len(b):
+        c = b[j]
+        if c == 0xFF:
+            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break
+        cur.append(c)
+        j += 1
+    segs.append(bytes(cur))
+    return segs, j
+
+
 def _decode_jpeg(np, b: bytes):
     qtabs: dict[int, "list[int]"] = {}
     htabs: dict[tuple, dict] = {}
@@ -1029,6 +1060,8 @@ def _decode_jpeg(np, b: bytes):
     i = 2
     scan_at = None
     scomp = None
+    progressive = False
+    sos_params = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise _JpegError("marker sync lost")
@@ -1048,7 +1081,7 @@ def _decode_jpeg(np, b: bytes):
                     return None
                 qtabs[tq] = list(data[p + 1 : p + 65])
                 p += 65
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, h, w, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -1060,9 +1093,10 @@ def _decode_jpeg(np, b: bytes):
                 cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             sof = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic
+            return None  # lossless / hierarchical / arithmetic
         elif marker == 0xC4:  # DHT: one or more tables
             p = 0
             while p < len(data):
@@ -1076,17 +1110,19 @@ def _decode_jpeg(np, b: bytes):
         elif marker == 0xDA:  # SOS
             ns = data[0]
             scomp = {}
+            scan_order = []
             for ci in range(ns):
                 cid, tabs = data[1 + 2 * ci], data[2 + 2 * ci]
                 scomp[cid] = (tabs >> 4, tabs & 15)
+                scan_order.append(cid)
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            sos_params = (scan_order, ss, se, ahal >> 4, ahal & 15)
             scan_at = i + 2 + seg_len
             break
         i += 2 + seg_len
     if sof is None or scan_at is None:
         return None
     w, h, comps = sof
-    if len(scomp) != len(comps):
-        return None
     if len(comps) == 1:
         comps[0]["h"] = comps[0]["v"] = 1  # single-component scan: 1 MCU = 1 block
     hmax = max(c["h"] for c in comps)
@@ -1094,25 +1130,15 @@ def _decode_jpeg(np, b: bytes):
     if any(c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]
            for c in comps):
         return None
+    if progressive:
+        return _decode_jpeg_progressive(
+            np, b, w, h, comps, hmax, vmax, qtabs, htabs, restart,
+            scomp, sos_params, scan_at,
+        )
+    if len(scomp) != len(comps):
+        return None
     # entropy-coded data: unstuff 0xFF00, split at RSTn
-    segs, cur, j = [], bytearray(), scan_at
-    while j < len(b):
-        c = b[j]
-        if c == 0xFF:
-            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segs.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            break
-        cur.append(c)
-        j += 1
-    segs.append(bytes(cur))
+    segs, _ = _jpeg_scan_bounds(b, scan_at)
 
     basis = _dct_basis()
     mcux = -(-w // (8 * hmax))
@@ -1171,6 +1197,12 @@ def _decode_jpeg(np, b: bytes):
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _jpeg_planes_to_pixels(np, planes, comps, hmax, vmax, w, h)
+
+
+def _jpeg_planes_to_pixels(np, planes, comps, hmax, vmax, w, h):
+    """Chroma upsample + crop + YCbCr→RGB — the reconstruction tail
+    shared by the baseline and progressive decode paths."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -1187,6 +1219,280 @@ def _decode_jpeg(np, b: bytes):
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_progressive(
+    np, b, w, h, comps, hmax, vmax, qtabs, htabs, restart,
+    scomp0, sos0, scan_at0,
+):
+    """Progressive JPEG (SOF2) decode per T.81 G.2: every scan
+    deposits coefficient bits into per-component zigzag-order buffers
+    (DC first/refinement; AC spectral-selection bands with EOB runs;
+    AC successive-approximation refinement with correction bits), and
+    the assembled coefficients dequantize + IDCT once at the end.
+    DHT/DQT/DRI segments may appear between scans and update state.
+    """
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # zigzag-order int coefficient buffer per component, MCU-grid sized
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    # non-interleaved grids: the component's OWN ceil(size/8) dims
+    # (MCU-pad blocks are coded only by interleaved scans)
+    nb = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        nb.append((-(-ch // 8), -(-cw // 8)))
+
+    scomp, sos, scan_at = scomp0, sos0, scan_at0
+    i = None
+    while True:
+        _prog_decode_scan(
+            np, b, scan_at, comps, by_id, nb, coefs, htabs, restart,
+            scomp, sos, mcux, mcuy,
+        )
+        _, i = _jpeg_scan_bounds(b, scan_at)
+        # parse inter-scan segments until the next SOS or EOI
+        scomp = sos = scan_at = None
+        while i + 2 <= len(b):
+            if b[i] != 0xFF:
+                raise _JpegError("marker sync lost between scans")
+            marker = b[i + 1]
+            if marker == 0xD9:
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(b):
+                raise _JpegError("truncated between scans")
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            data = b[i + 4 : i + 2 + seg_len]
+            if marker == 0xC4:
+                p = 0
+                while p < len(data):
+                    tc, th = data[p] >> 4, data[p] & 15
+                    bits = data[p + 1 : p + 17]
+                    nv = sum(bits)
+                    htabs[(tc, th)] = _huff_table(
+                        bits, data[p + 17 : p + 17 + nv]
+                    )
+                    p += 17 + nv
+            elif marker == 0xDB:
+                p = 0
+                while p < len(data):
+                    if data[p] >> 4 != 0:
+                        raise _JpegError("16-bit quant table")
+                    qtabs[data[p] & 15] = list(data[p + 1 : p + 65])
+                    p += 65
+            elif marker == 0xDD:
+                restart = struct.unpack(">H", data[:2])[0]
+            elif marker == 0xDA:
+                ns = data[0]
+                scomp = {}
+                order = []
+                for ci in range(ns):
+                    cid, tabs = data[1 + 2 * ci], data[2 + 2 * ci]
+                    scomp[cid] = (tabs >> 4, tabs & 15)
+                    order.append(cid)
+                ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+                sos = (order, ss, se, ahal >> 4, ahal & 15)
+                scan_at = i + 2 + seg_len
+                break
+            i += 2 + seg_len
+        if scan_at is None:
+            break
+
+    # dequantize + IDCT every block
+    basis = _dct_basis()
+    zz = np.array(_JPEG_ZZ, dtype=np.int64)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtabs:
+            raise _JpegError("missing quant table")
+        q = np.array(qtabs[c["tq"]], dtype=np.float64)
+        nby, nbx = coefs[ci].shape[:2]
+        for byy in range(nby):
+            for bxx in range(nbx):
+                nat = np.zeros(64, dtype=np.float64)
+                nat[zz] = coefs[ci][byy, bxx] * q
+                block = basis.T @ nat.reshape(8, 8) @ basis + 128.0
+                planes[ci][byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = block
+    return _jpeg_planes_to_pixels(np, planes, comps, hmax, vmax, w, h)
+
+
+def _prog_decode_scan(
+    np, b, scan_at, comps, by_id, nb, coefs, htabs, restart,
+    scomp, sos, mcux, mcuy,
+):
+    """Decode ONE progressive scan into the coefficient buffers."""
+    order, ss, se, ah, al = sos
+    segs, _ = _jpeg_scan_bounds(b, scan_at)
+    state = {
+        "bits": np.unpackbits(np.frombuffer(segs[0], dtype=np.uint8)),
+        "pos": 0,
+        "seg": 0,
+        "eobrun": 0,
+        "preds": {cid: 0 for cid in order},
+    }
+
+    def next_segment():
+        state["seg"] += 1
+        if state["seg"] >= len(segs):
+            raise _JpegError("missing restart segment")
+        state["bits"] = np.unpackbits(
+            np.frombuffer(segs[state["seg"]], dtype=np.uint8)
+        )
+        state["pos"] = 0
+        state["eobrun"] = 0
+        state["preds"] = {cid: 0 for cid in order}
+
+    def huff(tab):
+        sym, state["pos"] = _huff_read(state["bits"], state["pos"], tab)
+        return sym
+
+    def receive(n):
+        bits, pos = state["bits"], state["pos"]
+        if n == 0:
+            return 0
+        if pos + n > len(bits):
+            raise _JpegError("bitstream exhausted")
+        v = 0
+        for k in range(n):
+            v = (v << 1) | int(bits[pos + k])
+        state["pos"] = pos + n
+        return v
+
+    def extend(v, s):
+        if s and v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    p1 = 1 << al
+
+    def dc_block(cid, blk):
+        if ah == 0:
+            dc_t = htabs.get((0, scomp[cid][0]))
+            if dc_t is None:
+                raise _JpegError("missing DC table")
+            s = huff(dc_t)
+            diff = extend(receive(s), s)
+            state["preds"][cid] += diff
+            blk[0] = state["preds"][cid] << al
+        else:  # DC refinement: one raw bit per block
+            if receive(1):
+                blk[0] |= p1
+
+    def ac_first(ac_t, blk):
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += receive(r)
+                return
+            k += r
+            if k > se:
+                raise _JpegError("AC index out of band")
+            blk[k] = extend(receive(s), s) << al
+            k += 1
+
+    def refine_nonzero(blk, k):
+        c = int(blk[k])
+        if receive(1) and (abs(c) & p1) == 0:
+            blk[k] = c + (p1 if c > 0 else -p1)
+
+    def ac_refine(ac_t, blk):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = huff(ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += receive(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise _JpegError("invalid refinement symbol")
+                    val = p1 if receive(1) else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    refine_nonzero(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    interleaved = len(order) > 1
+    if ss == 0 and se == 0:  # DC scan
+        if interleaved:
+            units = mcux * mcuy
+            for m in range(units):
+                if restart and m and m % restart == 0:
+                    next_segment()
+                my, mx = divmod(m, mcux)
+                for cid in order:
+                    ci = by_id[cid]
+                    c = comps[ci]
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            dc_block(
+                                cid,
+                                coefs[ci][my * c["v"] + byy,
+                                          mx * c["h"] + bxx],
+                            )
+        else:
+            cid = order[0]
+            ci = by_id[cid]
+            nby, nbx = nb[ci]
+            for m in range(nby * nbx):
+                if restart and m and m % restart == 0:
+                    next_segment()
+                byy, bxx = divmod(m, nbx)
+                dc_block(cid, coefs[ci][byy, bxx])
+    else:  # AC scan: single component only (T.81 B.2.3)
+        if interleaved or ss == 0:
+            raise _JpegError("invalid progressive AC scan")
+        cid = order[0]
+        ci = by_id[cid]
+        ac_t = htabs.get((1, scomp[cid][1]))
+        if ac_t is None:  # both first and refinement scans read codes
+            raise _JpegError("missing AC table")
+        nby, nbx = nb[ci]
+        body = ac_first if ah == 0 else ac_refine
+        for m in range(nby * nbx):
+            if restart and m and m % restart == 0:
+                next_segment()
+            byy, bxx = divmod(m, nbx)
+            body(ac_t, coefs[ci][byy, bxx])
 
 
 class _JpegBitWriter:
@@ -1357,6 +1663,188 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    arr,
+    quality: int = 95,
+    bands: "tuple[tuple[int, int], ...]" = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+) -> bytes:
+    """Minimal valid PROGRESSIVE JPEG writer (SOF2; grayscale or
+    4:4:4 color) — the test/demo producer for the progressive half of
+    :func:`decode_jpeg_pixels`. Scan script: one interleaved DC first
+    scan at ``Al=dc_al``, ``dc_al`` DC refinement scans, then per
+    component per spectral band an AC first scan at Al=1 and its
+    Ah=1→Al=0 refinement — together exercising every decoder path
+    (EOB runs, ZRL, newly-nonzero insertion, correction bits).
+    Compression ratio is a non-goal (single-length Huffman tables,
+    per-block EOBs, no restart markers)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a]
+    else:
+        r, g, bl = a[..., 0], a[..., 1], a[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * bl,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl,
+        ]
+    ncomp = len(planes)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qval = max(1, min(255, (16 * scale + 50) // 100))
+    qtab = np.full((8, 8), float(qval))
+    basis = _dct_basis()
+    zz = np.array(_JPEG_ZZ, dtype=np.int64)
+
+    # quantized coefficients in ZIGZAG order, per comp per block
+    coefz = []
+    for pl in planes:
+        p = np.pad(pl, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge")
+        cz = np.zeros((mcuy, mcux, 64), dtype=np.int64)
+        for byy in range(mcuy):
+            for bxx in range(mcux):
+                blk = p[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] - 128.0
+                nat = np.round((basis @ blk @ basis.T) / qtab).astype(np.int64)
+                cz[byy, bxx] = nat.reshape(64)[zz]
+        coefz.append(cz)
+
+    dc_codes, ac_codes, dht_dc, dht_ac = _jpeg_enc_tables()
+
+    def category(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    def write_mag(bw, v: int, s: int) -> None:
+        if s:
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC table 0, AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return (bytes([0xFF, 0xDA])
+                + struct.pack(">H", len(body) + 2) + body)
+
+    scans: "list[bytes]" = []
+
+    # --- DC first scan (interleaved over all comps), Al = dc_al
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            v = int(coefz[ci][my, mx, 0]) >> dc_al  # arithmetic shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = category(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            write_mag(bw, diff, s)
+    bw.flush()
+    scans.append(
+        sos_header(list(range(1, ncomp + 1)), 0, 0, 0, dc_al) + bytes(bw.out)
+    )
+
+    # --- DC refinement scans: Ah=al+1 → Al=al, one raw bit per block
+    for al in range(dc_al - 1, -1, -1):
+        bw = _JpegBitWriter()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                bw.write((int(coefz[ci][my, mx, 0]) >> al) & 1, 1)
+        bw.flush()
+        scans.append(
+            sos_header(list(range(1, ncomp + 1)), 0, 0, al + 1, al)
+            + bytes(bw.out)
+        )
+
+    # --- per comp, per band: AC first (Al=1) then refinement (Ah=1)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            bw = _JpegBitWriter()
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                blk = coefz[ci][my, mx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    v = (abs(v) >> 1) * (1 if v > 0 else -1)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = category(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.write(code, ln)
+                    write_mag(bw, v, s)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[0x00]  # EOB (run of 1 block)
+                    bw.write(code, ln)
+            bw.flush()
+            scans.append(sos_header([ci + 1], ss, se, 0, 1) + bytes(bw.out))
+
+            bw = _JpegBitWriter()
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                blk = coefz[ci][my, mx]
+                run = 0
+                pending: "list[int]" = []
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    if (abs(v) >> 1) != 0:  # history-nonzero: correction bit
+                        pending.append(abs(v) & 1)
+                    elif v != 0:  # newly nonzero (|v| == 1)
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            bw.write(code, ln)
+                            for bit in pending:
+                                bw.write(bit, 1)
+                            pending = []
+                            run -= 16
+                        code, ln = ac_codes[(run << 4) | 1]
+                        bw.write(code, ln)
+                        bw.write(1 if v > 0 else 0, 1)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run = 0
+                    else:
+                        run += 1
+                if run > 0 or pending:
+                    code, ln = ac_codes[0x00]
+                    bw.write(code, ln)
+                    for bit in pending:
+                        bw.write(bit, 1)
+            bw.flush()
+            scans.append(sos_header([ci + 1], ss, se, 1, 0) + bytes(bw.out))
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    zig_q = bytes(int(qtab.flat[_JPEG_ZZ[k]]) for k in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + zig_q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, quant table 0
+    out += seg(0xC2, sof)
+    out += seg(0xC4, b"\x00" + dht_dc)
+    out += seg(0xC4, b"\x10" + dht_ac)
+    for sc in scans:
+        out += sc
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     """Full decode for the formats still beyond the stdlib.
 
@@ -1364,26 +1852,28 @@ def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     stdlib zlib — samples, channel count, pixel statistics), GIF
     first-frame pixels (:func:`decode_gif_pixels`, hand-rolled LZW),
     BMP pixels (:func:`decode_bmp_pixels`, plain slice-and-reshape),
-    netpbm PGM/PPM pixels (:func:`decode_pnm_pixels`), baseline
-    sequential JPEG pixels (:func:`decode_jpeg_pixels`, hand-rolled
-    Huffman + dequant + IDCT + YCbCr), WAV PCM/float32 samples
-    (:func:`decode_wav_samples`), animated-GIF frame sequences
-    (:func:`decode_gif_frames` — real video-frame sampling), image
-    container dimensions (:func:`parse_image_header`), WAV duration
+    netpbm PGM/PPM pixels (:func:`decode_pnm_pixels`), JPEG pixels —
+    BOTH baseline sequential and progressive
+    (:func:`decode_jpeg_pixels`, hand-rolled Huffman + spectral
+    selection / successive approximation + dequant + IDCT + YCbCr),
+    WAV PCM/float32 samples (:func:`decode_wav_samples`), animated-GIF
+    frame sequences (:func:`decode_gif_frames` — real video-frame
+    sampling), image container dimensions
+    (:func:`parse_image_header`), WAV duration
     (:func:`parse_wav_header`). This stub marks the remainder:
-    progressive-JPEG pixel data, compressed audio (ADPCM/µ-law/MP3),
-    and ffmpeg-class video codecs, none of which this environment's
-    libraries cover.
+    arithmetic-coded/12-bit/lossless JPEG variants, compressed audio
+    (ADPCM/µ-law/MP3), and ffmpeg-class video codecs, none of which
+    this environment's libraries cover.
     """
     raise NotImplementedError(
-        "progressive-JPEG pixels, compressed audio, and ffmpeg-class "
-        "video codecs require PIL/soundfile/ffmpeg, none of which ship "
-        "in this environment; PNG/GIF/BMP/PNM/baseline-JPEG pixels, "
-        "WAV PCM samples, and animated-GIF frames decode for real via "
-        "decode_*_pixels / decode_wav_samples / decode_gif_frames, "
-        "headers via parse_image_header/parse_wav_header, and "
-        "unrecognized payloads fall back to the deterministic "
-        "_decode_stub"
+        "arithmetic-coded/12-bit/lossless JPEG, compressed audio, and "
+        "ffmpeg-class video codecs require PIL/soundfile/ffmpeg, none "
+        "of which ship in this environment; PNG/GIF/BMP/PNM pixels, "
+        "baseline AND progressive JPEG pixels, WAV PCM samples, and "
+        "animated-GIF frames decode for real via decode_*_pixels / "
+        "decode_wav_samples / decode_gif_frames, headers via "
+        "parse_image_header/parse_wav_header, and unrecognized "
+        "payloads fall back to the deterministic _decode_stub"
     )
 
 

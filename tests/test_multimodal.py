@@ -562,8 +562,9 @@ def test_jpeg_rejects_progressive_truncated_and_garbage():
     assert mm.decode_jpeg_pixels(None) is None
     assert mm.decode_jpeg_pixels(b"not a jpeg") is None
     assert mm.decode_jpeg_pixels(jb[:20]) is None  # truncated mid-header
-    # flip SOF0 to SOF2 (progressive) — decoder must decline, header
-    # tier still reads dimensions
+    # flip SOF0 to SOF2: the scan body is then a MALFORMED progressive
+    # stream (a baseline Ss=0..63 scan is illegal under SOF2) — the
+    # decoder must decline it cleanly; header tier still reads dims
     prog = jb.replace(b"\xff\xc0", b"\xff\xc2")
     assert mm.decode_jpeg_pixels(prog) is None
     assert mm.parse_image_header(prog) == ("jpeg", 8, 8)
@@ -705,3 +706,51 @@ def test_resize_images_real_for_decodable_payloads(spark):
     assert (out == src[yi][:, xi]).all()
     stub = rows[2]
     assert stub["decoder"] == "stub" and len(stub["payload"]) == 32
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive decode correctness pin: for the same image and
+    quality, the SOF2 scan script (DC first + refinement, spectral
+    bands, AC successive approximation) must reconstruct EXACTLY the
+    coefficients the baseline stream carries — so the decoded pixels
+    are bit-identical between the two paths."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 256, (32, 48)).astype(np.uint8), 100,
+         ((1, 5), (6, 63)), 1),
+        (rng.integers(0, 256, (17, 9, 3)).astype(np.uint8), 75,
+         ((1, 2), (3, 10), (11, 40), (41, 63)), 2),
+        ((np.add.outer(np.arange(40) * 3, np.arange(25) * 2) % 256
+          ).astype(np.uint8), 30, ((1, 63),), 1),
+    ]
+    for img, q, bands, dc_al in cases:
+        base = mm.decode_jpeg_pixels(mm.encode_jpeg(img, quality=q))
+        prog = mm.decode_jpeg_pixels(
+            mm.encode_jpeg_progressive(img, quality=q, bands=bands,
+                                       dc_al=dc_al))
+        assert prog is not None
+        assert (prog == base).all(), (img.shape, q, bands, dc_al)
+
+
+def test_jpeg_progressive_sparse_eob_and_zrl_paths():
+    """A nearly-empty image quantizes to long zero runs: the AC first
+    scans hit EOB + ZRL and the refinement scans hit newly-nonzero
+    insertion across >16-position zero-history gaps."""
+    import numpy as np
+
+    sp = np.zeros((40, 40), dtype=np.uint8)
+    sp[7, 11], sp[23, 5], sp[0, 0] = 255, 130, 9
+    base = mm.decode_jpeg_pixels(mm.encode_jpeg(sp, quality=80))
+    prog = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(sp, quality=80))
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_roundtrip_quality100():
+    import numpy as np
+
+    g = (np.arange(32 * 48).reshape(32, 48) * 7 % 251).astype(np.uint8)
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(g, quality=100))
+    assert px.shape == (32, 48, 1)
+    assert int(np.abs(px[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
