@@ -20,11 +20,12 @@ Decoding is two-tier:
   (hand-rolled LZW; multi-frame canvases for animations), BMP/PNM
   (slice-and-reshape), JPEG both baseline AND progressive
   (hand-rolled Huffman + spectral selection / successive
-  approximation + dequant + IDCT + YCbCr), WAV PCM/float32
-  (frombuffer + scale).
+  approximation + dequant + IDCT + YCbCr), WAV samples across PCM,
+  IEEE float32, G.711 µ-law/A-law (segment-formula expand tables) and
+  IMA ADPCM (block-structured 4-bit differential).
 - **Stub fallback** (``_decode_stub``): payloads the pixel/header
   parsers don't recognize (arithmetic/12-bit/lossless JPEG,
-  compressed audio, ffmpeg-class video codecs; ``decode_real``
+  MP3/AAC-class audio, ffmpeg-class video codecs; ``decode_real``
   documents the intended call) get deterministic fake properties
   derived from the payload hash. The ``decoder`` output column says
   which path produced each row.
@@ -249,14 +250,107 @@ def _wav_chunks(b: bytes) -> "tuple[bytes | None, bytes | None]":
     return fmt, data
 
 
+def _g711_mulaw_table(np):
+    """µ-law byte → 16-bit-range linear sample (G.711 expand)."""
+    out = np.zeros(256, dtype=np.int32)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 0x0F
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        out[byte] = -x if sign else x
+    return out
+
+
+def _g711_alaw_table(np):
+    """A-law byte → 16-bit-range linear sample (G.711 expand)."""
+    out = np.zeros(256, dtype=np.int32)
+    for byte in range(256):
+        a = byte ^ 0x55
+        exp, mant = (a >> 4) & 7, a & 0x0F
+        if exp == 0:
+            x = (mant << 4) + 8
+        else:
+            x = ((mant << 4) + 0x108) << (exp - 1)
+        out[byte] = x if a & 0x80 else -x
+    return out
+
+
+#: IMA ADPCM step-size table (89 entries) and index adjustments —
+#: the public tables from the IMA Digital Audio Pack specification
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, code: int) -> "tuple[int, int]":
+    """One IMA ADPCM decode step: (new predictor, new step index)."""
+    step = _IMA_STEPS[index]
+    delta = step >> 3
+    if code & 1:
+        delta += step >> 2
+    if code & 2:
+        delta += step >> 1
+    if code & 4:
+        delta += step
+    pred = pred - delta if code & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[code & 7]))
+    return pred, index
+
+
+def _decode_ima_adpcm(np, data: bytes, nch: int, block_align: int):
+    """IMA ADPCM WAV data → (frames, nch) int samples. Blocks carry a
+    4-byte per-channel header (predictor i16, step index, reserved)
+    then channel-interleaved 4-byte nibble groups."""
+    if block_align < 4 * nch or block_align % 4:
+        return None
+    chans: "list[list[int]]" = [[] for _ in range(nch)]
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        preds, idxs = [], []
+        for c in range(nch):
+            p, ix = struct.unpack_from("<hB", data, b0 + 4 * c)
+            if ix > 88:
+                return None
+            preds.append(p)
+            idxs.append(ix)
+            chans[c].append(p)  # header predictor IS the first sample
+        body = data[b0 + 4 * nch : b0 + block_align]
+        # nibble payload: per channel 4 bytes (8 samples) round-robin
+        for g0 in range(0, len(body) - 4 * nch + 1, 4 * nch):
+            for c in range(nch):
+                for byte in body[g0 + 4 * c : g0 + 4 * c + 4]:
+                    for code in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(
+                            preds[c], idxs[c], code
+                        )
+                        chans[c].append(preds[c])
+    n = min(len(ch) for ch in chans)
+    if n == 0:
+        return None
+    return np.stack(
+        [np.array(ch[:n], dtype=np.int32) for ch in chans], axis=1
+    )
+
+
 def decode_wav_samples(payload: bytes | None):
     """REAL WAV sample decode (stdlib + numpy): RIFF chunk walk →
-    (n_frames, channels) float64 in [-1, 1] for PCM 8-bit unsigned /
-    16-bit signed / IEEE float32 — the formats whose samples are plain
-    little-endian bytes, so like BMP/PNM there is no entropy stage and
-    the body is a frombuffer+reshape+scale. Returns None for non-WAV
-    bytes or other encodings (ADPCM, µ-law, 24-bit) — callers fall
-    back to the header tier, exactly like the image decoders.
+    (n_frames, channels) float64 in [-1, 1]. Covers the byte-plain
+    encodings (PCM 8-bit unsigned / 16-bit signed, IEEE float32 — a
+    frombuffer+reshape+scale, no entropy stage) AND the classic
+    compressed telephony/consumer encodings: G.711 µ-law and A-law
+    (256-entry expand tables built from the segment formulas) and IMA
+    ADPCM (block-structured 4-bit differential, the public step/index
+    tables). Returns None for anything else (MP3/AAC-class codecs) —
+    callers fall back to the header tier, exactly like the image
+    decoders.
     """
     import numpy as np
 
@@ -265,7 +359,7 @@ def decode_wav_samples(payload: bytes | None):
     fmt, data = _wav_chunks(bytes(payload))
     if fmt is None or data is None or len(fmt) < 16:
         return None
-    audio_fmt, nch, _rate, _brate, _balign, bits = struct.unpack(
+    audio_fmt, nch, _rate, _brate, balign, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
     if nch < 1:
@@ -281,6 +375,17 @@ def decode_wav_samples(payload: bytes | None):
         raw = np.frombuffer(data[: len(data) - (len(data) % 4)],
                             dtype="<f4")
         samples = raw.astype(np.float64)
+    elif audio_fmt == 7 and bits == 8:  # G.711 µ-law
+        table = _g711_mulaw_table(np)
+        samples = table[np.frombuffer(data, dtype=np.uint8)] / 32768.0
+    elif audio_fmt == 6 and bits == 8:  # G.711 A-law
+        table = _g711_alaw_table(np)
+        samples = table[np.frombuffer(data, dtype=np.uint8)] / 32768.0
+    elif audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
+        frames = _decode_ima_adpcm(np, data, nch, balign)
+        if frames is None:
+            return None
+        return frames.astype(np.float64) / 32768.0
     else:
         return None
     n = (len(samples) // nch) * nch
@@ -289,11 +394,54 @@ def decode_wav_samples(payload: bytes | None):
     return samples[:n].reshape(-1, nch)
 
 
-def encode_wav(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
-    """Minimal valid PCM WAV writer (stdlib + numpy) — the demo/test
+def _g711_mulaw_encode(x: int) -> int:
+    """16-bit linear → µ-law byte (G.711 compress)."""
+    sign = 0
+    if x < 0:
+        x, sign = -x, 0x80
+    x = min(x, 32635) + 0x84
+    exp = x.bit_length() - 8
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def _g711_alaw_encode(x: int) -> int:
+    """16-bit linear → A-law byte (G.711 compress)."""
+    sign = 0x80 if x >= 0 else 0
+    x = min(abs(x), 32767)
+    if x >= 256:
+        exp = x.bit_length() - 9
+        mant = (x >> (exp + 4)) & 0x0F
+        aval = ((exp + 1) << 4) | mant
+    else:
+        aval = x >> 4
+    return (sign | aval) ^ 0x55
+
+
+def _ima_quantize(diff: int, step: int) -> int:
+    code = 0
+    if diff < 0:
+        code, diff = 8, -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    return code
+
+
+def encode_wav(
+    samples, sample_rate: int = 8000, bits: int = 16, codec: str = "pcm"
+) -> bytes:
+    """Minimal valid WAV writer (stdlib + numpy) — the demo/test
     producer for :func:`decode_wav_samples` and
     :func:`parse_wav_header`. Input: (n,) or (n, channels) float in
-    [-1, 1]; ``bits`` 8 (unsigned) or 16 (signed LE)."""
+    [-1, 1]. ``codec``: ``pcm`` (``bits`` 8 unsigned / 16 signed LE),
+    ``mulaw`` / ``alaw`` (G.711 segment compress, 8-bit), or ``ima``
+    (IMA ADPCM 4-bit, 65-samples-per-channel blocks)."""
     import numpy as np
 
     a = np.asarray(samples, dtype=np.float64)
@@ -301,17 +449,79 @@ def encode_wav(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
         a = a[:, None]
     nch = a.shape[1]
     clipped = np.clip(a, -1.0, 1.0)
-    if bits == 8:
-        body = (np.round(clipped * 127.0) + 128).astype(np.uint8).tobytes()
-    elif bits == 16:
-        body = np.round(clipped * 32767.0).astype("<i2").tobytes()
+    ints = np.round(clipped * 32767.0).astype(np.int64)
+    if codec == "pcm":
+        if bits == 8:
+            body = (np.round(clipped * 127.0) + 128).astype(np.uint8).tobytes()
+        elif bits == 16:
+            body = ints.astype("<i2").tobytes()
+        else:
+            raise ValueError(f"encode_wav pcm supports 8 or 16 bits, got {bits}")
+        audio_fmt, bits_out = 1, bits
+        block_align = nch * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", audio_fmt, nch, sample_rate,
+            sample_rate * block_align, block_align, bits_out,
+        )
+    elif codec in ("mulaw", "alaw"):
+        enc = _g711_mulaw_encode if codec == "mulaw" else _g711_alaw_encode
+        body = bytes(enc(int(v)) for v in ints.reshape(-1))
+        audio_fmt = 7 if codec == "mulaw" else 6
+        fmt = struct.pack(
+            "<HHIIHH", audio_fmt, nch, sample_rate, sample_rate * nch,
+            nch, 8,
+        )
+    elif codec == "ima":
+        groups = 8  # 4-byte nibble groups per channel per block
+        spb = 1 + 8 * groups  # samples per channel per block
+        block_align = 4 * nch * (1 + groups)
+        n = a.shape[0]
+        nblocks = -(-n // spb)
+        pad = nblocks * spb - n
+        chan = np.concatenate(
+            [ints, np.repeat(ints[-1:], pad, axis=0)], axis=0
+        ) if pad else ints
+        out = bytearray()
+        # initial step index per channel: smallest step covering the
+        # first-sample delta, so the decoder doesn't spend the first
+        # ~8 samples ramping the step table up (the index travels in
+        # the block headers, so any start value is valid)
+        idxs = []
+        for c in range(nch):
+            d0 = int(abs(chan[1, c] - chan[0, c])) if len(chan) > 1 else 0
+            ix0 = next(
+                (i for i, st in enumerate(_IMA_STEPS) if st >= d0), 88
+            )
+            idxs.append(ix0)
+        for blk in range(nblocks):
+            seg = chan[blk * spb : (blk + 1) * spb]
+            codes_per_ch = []
+            for c in range(nch):
+                pred = int(seg[0, c])
+                out_hdr = struct.pack("<hBB", pred, idxs[c], 0)
+                out += out_hdr
+                codes = []
+                ix = idxs[c]
+                for s in seg[1:, c]:
+                    step = _IMA_STEPS[ix]
+                    code = _ima_quantize(int(s) - pred, step)
+                    pred, ix = _ima_step(pred, ix, code)
+                    codes.append(code)
+                idxs[c] = ix
+                codes_per_ch.append(codes)
+            for g in range(groups):
+                for c in range(nch):
+                    for k in range(0, 8, 2):
+                        lo = codes_per_ch[c][g * 8 + k]
+                        hi = codes_per_ch[c][g * 8 + k + 1]
+                        out.append(lo | (hi << 4))
+        body = bytes(out)
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, nch, sample_rate,
+            sample_rate * block_align // spb, block_align, 4, 2, spb,
+        )
     else:
-        raise ValueError(f"encode_wav supports 8 or 16 bits, got {bits}")
-    block_align = nch * bits // 8
-    fmt = struct.pack(
-        "<HHIIHH", 1, nch, sample_rate, sample_rate * block_align,
-        block_align, bits,
-    )
+        raise ValueError(f"unknown codec {codec!r}")
     return (
         b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -1861,16 +2071,16 @@ def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     sampling), image container dimensions
     (:func:`parse_image_header`), WAV duration
     (:func:`parse_wav_header`). This stub marks the remainder:
-    arithmetic-coded/12-bit/lossless JPEG variants, compressed audio
-    (ADPCM/µ-law/MP3), and ffmpeg-class video codecs, none of which
-    this environment's libraries cover.
+    arithmetic-coded/12-bit/lossless JPEG variants, perceptual audio
+    codecs (MP3/AAC-class), and ffmpeg-class video codecs, none of
+    which this environment's libraries cover.
     """
     raise NotImplementedError(
-        "arithmetic-coded/12-bit/lossless JPEG, compressed audio, and "
+        "arithmetic-coded/12-bit/lossless JPEG, MP3/AAC-class audio, and "
         "ffmpeg-class video codecs require PIL/soundfile/ffmpeg, none "
         "of which ship in this environment; PNG/GIF/BMP/PNM pixels, "
-        "baseline AND progressive JPEG pixels, WAV PCM samples, and "
-        "animated-GIF frames decode for real via decode_*_pixels / "
+        "baseline AND progressive JPEG pixels, WAV PCM/float32/G.711/"
+        "IMA-ADPCM samples, and animated-GIF frames decode for real via decode_*_pixels / "
         "decode_wav_samples / decode_gif_frames, headers via "
         "parse_image_header/parse_wav_header, and unrecognized "
         "payloads fall back to the deterministic _decode_stub"

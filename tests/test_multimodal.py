@@ -754,3 +754,48 @@ def test_jpeg_progressive_roundtrip_quality100():
     px = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(g, quality=100))
     assert px.shape == (32, 48, 1)
     assert int(np.abs(px[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
+
+
+def test_g711_mulaw_alaw_byte_roundtrip():
+    """Canonical G.711 property: expanding any code byte and
+    re-compressing reproduces the byte (µ-law's 0x7F is the negative
+    zero that canonically maps to 0xFF)."""
+    import numpy as np
+
+    mu = mm._g711_mulaw_table(np)
+    al = mm._g711_alaw_table(np)
+    for b in range(256):
+        if b != 0x7F:
+            assert mm._g711_mulaw_encode(int(mu[b])) == b
+        assert mm._g711_alaw_encode(int(al[b])) == b
+    assert mu[0x7F] == 0 and mm._g711_mulaw_encode(0) == 0xFF
+    assert (abs(mu).max(), abs(al).max()) == (32124, 32256)
+
+
+def test_wav_compressed_codecs_roundtrip():
+    import numpy as np
+
+    t = np.linspace(0.0, 1.0, 2000)
+    s = 0.6 * np.sin(2 * np.pi * 7 * t) + 0.2 * np.sin(2 * np.pi * 31 * t)
+    for codec, tol in [("mulaw", 0.02), ("alaw", 0.02), ("ima", 0.01)]:
+        out = mm.decode_wav_samples(mm.encode_wav(s, 2000, codec=codec))
+        assert out is not None
+        err = float(np.abs(out[: len(s), 0] - s).max())
+        assert err < tol, (codec, err)
+    # stereo IMA: channels decode independently
+    st = np.stack([s, -0.5 * s], axis=1)
+    out = mm.decode_wav_samples(mm.encode_wav(st, 2000, codec="ima"))
+    assert out.shape[1] == 2
+    assert float(np.abs(out[: len(s)] - st).max()) < 0.01
+
+
+def test_wav_decode_rejects_unknown_compression():
+    import struct
+
+    # MPEG-in-WAV (fmt 0x55) must fall back to the header tier
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 2000, 1, 0)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    assert mm.decode_wav_samples(wav) is None
+    assert mm.parse_wav_header(wav) is not None
