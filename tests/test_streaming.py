@@ -960,3 +960,56 @@ def test_streaming_batch_dedup_reconcile_on_replayed_window(spark, tmp_path):
         ).collect()
     }
     assert stream_kept == batch_kept
+
+
+def test_dedup_stream_readmits_after_watermark_eviction(spark, tmp_path):
+    """The bounded-state half of dropDuplicatesWithinWatermark's
+    contract: once the watermark passes a key's event time by more
+    than the delay, its state is evicted and a LATER re-send of the
+    same key is admitted again (a plain streaming dropDuplicates would
+    suppress it forever — and grow state forever). Three micro-batches:
+    (1) the key, (2) an unrelated event far in the future that drags
+    the watermark past the key's horizon, (3) the key re-sent at a new
+    event time — which must come through."""
+    import os
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        _write_events(src / name, rows)
+        os.utime(src / name, (mtime, mtime))
+
+    write("b1.json", [("2026-01-01T10:00:00", 1, "view", 1.0)], 1_000_000_000)
+    # computes watermark 19:30 (takes effect NEXT batch), far past
+    # 10:00 + 30min
+    write("b2.json", [("2026-01-01T20:00:00", 9, "other", 0.0)], 1_000_000_100)
+    # processed under watermark 19:30 -> (1, view)@10:00 state evicted
+    write("b3.json", [("2026-01-01T20:30:00", 9, "other2", 0.0)], 1_000_000_200)
+    write("b4.json", [("2026-01-01T21:00:00", 1, "view", 2.0)], 1_000_000_300)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    sdf = dedup_stream(
+        read_event_stream(spark, str(src), schema=schema,
+                          max_files_per_trigger=1),
+        watermark="30 minutes",
+    )
+    q = start_memory_sink(sdf, "dedup_evict", output_mode="append")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT user_id, event_type, value FROM dedup_evict"
+    ).collect()
+    got = sorted((r["user_id"], r["event_type"], r["value"]) for r in rows)
+    # both (1, view) emissions survive: the second arrived after
+    # eviction; the duplicate-within-horizon case is covered by
+    # test_dedup_stream_suppresses_resends
+    assert got == [(1, "view", 1.0), (1, "view", 2.0),
+                   (9, "other", 0.0), (9, "other2", 0.0)]
