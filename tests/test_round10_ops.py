@@ -276,3 +276,31 @@ def test_session_stats_partitioning_invariant(spark, sf_medium):
             )
         )
         assert a == b, n
+
+
+def test_exact_avg_null_handling_and_boundary_determinism(spark):
+    """rounding.exact_avg contract: NULLs drop from sum AND count
+    (like F.avg); a mean landing EXACTLY on a rounding boundary
+    resolves identically under any partitioning (the r10 flake class
+    it exists to kill: mean of 1 and 2 cents = 0.015 -> 0.02 under
+    floor-based half-up, every time)."""
+    from b2b_data_pipeline_indiamart_spark.functions.rounding import (
+        exact_avg,
+    )
+
+    rows = [("a", 0.01), ("a", 0.02), ("a", None),
+            ("b", 1.25), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    for n in (1, 3, 7):
+        got = {
+            r["g"]: r["m"]
+            for r in df.repartition(n)
+            .groupBy("g")
+            .agg(exact_avg("x", 2).alias("m"))
+            .collect()
+        }
+        assert got == {"a": 0.02, "b": 1.25}, (n, got)
+    # out_scale above the quantization scale (the q1 avg_disc shape)
+    [r] = (df.filter("g = 'a'")
+           .agg(exact_avg("x", 2, 4).alias("m")).collect())
+    assert r["m"] == 0.015
