@@ -174,6 +174,29 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def band_table(
+    signatures: DataFrame, id_col: str = "doc_id", k: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band_id, band_hash) — the LSH bucketing of MinHash
+    signatures, shared by :func:`lsh_candidate_pairs` (self-join pair
+    generation) and the streaming near-dup sink's cross-batch probe
+    (new batch bands ⋈ admitted-state bands)."""
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(id_col, "bb.band_id", "bb.band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id", k: int = 64, bands: int = 16
 ) -> DataFrame:
@@ -190,19 +213,8 @@ def lsh_candidate_pairs(
     signature cost at sf0.01). At cluster scale the same role is
     played by writing signatures to a parquet stage table.
     """
-    r = k // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
     banded = caching.persist_tracked(
-        signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
-        .select(id_col, "bb.band_id", "bb.band_hash")
+        band_table(signatures, id_col=id_col, k=k, bands=bands)
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -230,7 +242,11 @@ def minhash_lsh_pairs(
 
 
 def minhash_estimate(
-    pairs: DataFrame, signatures: DataFrame, id_col: str = "doc_id", k: int = 64
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 64,
+    signatures_b: DataFrame | None = None,
 ) -> DataFrame:
     """Attach ``est_jaccard`` (fraction of agreeing MinHash minima) to
     candidate (id_a, id_b) pairs.
@@ -242,6 +258,11 @@ def minhash_estimate(
     verification only on pairs whose estimated Jaccard clears a slack
     threshold. E[est] = true Jaccard; with k=64 the sampling std is
     ≤ sqrt(0.25/64) ≈ 0.0625.
+
+    ``signatures_b`` (optional) resolves the ``id_b`` side from a
+    DIFFERENT table — the streaming sink's cross-batch shape (batch
+    signatures vs the admitted-state store); default is the self-join
+    shape.
     """
     agree = sum(
         (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k)
@@ -249,7 +270,7 @@ def minhash_estimate(
     sig_a = signatures.select(
         F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
     )
-    sig_b = signatures.select(
+    sig_b = (signatures_b if signatures_b is not None else signatures).select(
         F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
     )
     return (

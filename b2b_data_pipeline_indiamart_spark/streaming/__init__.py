@@ -9,6 +9,7 @@ from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
     running_user_totals,
     start_memory_sink,
     start_incremental_rollup,
+    start_neardup_suppress_sink,
     start_parquet_ingest,
     stateful_sessionize,
     streaming_decontaminate,
@@ -28,5 +29,6 @@ __all__ = [
     "view_click_attribution",
     "start_memory_sink",
     "start_incremental_rollup",
+    "start_neardup_suppress_sink",
     "start_parquet_ingest",
 ]

@@ -489,6 +489,144 @@ def start_idempotent_batch_sink(
     )
 
 
+def start_neardup_suppress_sink(
+    docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    ledger_dir: str,
+    *,
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming NEAR-dup suppression — the ingest-side MinHash/LSH
+    dedup a training-data pipeline runs continuously: every micro-batch
+    is checked against the corpus admitted SO FAR, not just itself.
+
+    Per epoch (foreachBatch):
+
+    1. MinHash signatures for the batch (operators/dedup — the SAME
+       signature/banding math as the batch keys, so a batch backfill
+       reconciles with what the stream admitted);
+    2. within-batch suppression: LSH self-join candidates, signature-
+       agreement estimate ≥ ``threshold`` suppresses the HIGHER id of
+       each pair (greedy keep-lowest-id — the deterministic streaming
+       analogue of the batch keep-first);
+    3. cross-batch suppression: batch bands equi-join the PERSISTENT
+       admitted-signature store (parquet under ``state_dir``), the
+       two-sided :func:`~...dedup.minhash_estimate` scores candidates,
+       matches ≥ ``threshold`` suppress the batch doc;
+    4. admitted docs append to ``output_dir/epoch=<id>`` and their
+       signatures to ``state_dir/epoch=<id>``; an epoch-ledger marker
+       makes replays idempotent (the start_idempotent_batch_sink
+       pattern — retried epochs overwrite their own directories, and
+       the state read excludes the in-flight epoch so a replay can't
+       suppress a doc against its own half-written signatures).
+
+    Scale shape: state grows one signature row (k longs) per ADMITTED
+    doc — the minimum any cross-batch exact-memory dedup needs; the
+    per-epoch probe is a band equi-join (shuffle ∝ batch·bands +
+    state-scan), never all-pairs. At 100 TB the state store would be
+    bucketed by band hash so the probe prunes to matching buckets
+    (today's parquet-dir store documents the layout seam); an
+    approximate-memory variant would swap the store for a Bloom/CMS
+    of band hashes at the cost of false-positive suppression.
+    """
+    from ..operators import caching, dedup
+
+    def _fs_and_path(spark, path_str: str):
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        return path.getFileSystem(hconf), path
+
+    sig_cols = [f"mh_{i}" for i in range(k)]
+
+    def suppress_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, marker = _fs_and_path(spark, f"{ledger_dir}/epoch-{epoch_id}")
+        if fs.exists(marker):  # replay of a committed epoch
+            return
+        pos = caching.mark()
+        batch = batch_df.persist()
+        try:
+            if not batch.take(1):
+                fs.mkdirs(marker.getParent())
+                fs.createNewFile(marker)
+                return
+            sigs = caching.persist_tracked(
+                dedup.minhash_signatures(batch, text_col, id_col, k=k)
+            )
+            # (2) within-batch greedy suppression
+            pairs = dedup.lsh_candidate_pairs(
+                sigs, id_col=id_col, k=k, bands=bands
+            )
+            sup = (
+                dedup.minhash_estimate(pairs, sigs, id_col=id_col, k=k)
+                .filter(F.col("est_jaccard") >= threshold)
+                .select(F.col("id_b").alias(id_col))
+            )
+            # (3) cross-batch suppression vs the admitted store
+            state_fs, state_path = _fs_and_path(spark, state_dir)
+            if state_fs.exists(state_path):
+                state_sigs = (
+                    spark.read.parquet(state_dir)
+                    .filter(F.col("epoch") != epoch_id)  # in-flight replay
+                    .select(id_col, *sig_cols)
+                )
+                cand = (
+                    dedup.band_table(sigs, id_col=id_col, k=k, bands=bands)
+                    .join(
+                        dedup.band_table(
+                            state_sigs, id_col=id_col, k=k, bands=bands
+                        ).withColumnRenamed(id_col, "__state_id"),
+                        ["band_id", "band_hash"],
+                    )
+                    .select(
+                        F.col(id_col).alias("id_a"),
+                        F.col("__state_id").alias("id_b"),
+                    )
+                    .distinct()
+                )
+                sup_state = (
+                    dedup.minhash_estimate(
+                        cand, sigs, id_col=id_col, k=k,
+                        signatures_b=state_sigs,
+                    )
+                    .filter(F.col("est_jaccard") >= threshold)
+                    .select(F.col("id_a").alias(id_col))
+                )
+                sup = sup.unionByName(sup_state)
+            admitted = batch.join(sup.distinct(), id_col, "left_anti")
+            admitted.write.mode("overwrite").parquet(
+                f"{output_dir}/epoch={epoch_id}"
+            )
+            # signatures of the admitted docs extend the store; read
+            # back the WRITTEN output so the two writes can't diverge
+            # under a lazy recomputation
+            admitted_ids = spark.read.parquet(
+                f"{output_dir}/epoch={epoch_id}"
+            ).select(id_col)
+            sigs.join(admitted_ids, id_col).write.mode("overwrite").parquet(
+                f"{state_dir}/epoch={epoch_id}"
+            )
+            fs.mkdirs(marker.getParent())
+            fs.createNewFile(marker)
+        finally:
+            caching.release_from(pos)
+            batch.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(suppress_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def streaming_quality_gate(doc_stream: DataFrame) -> DataFrame:
     """Streaming face of the model-based quality filter: the SAME
     operator function (operators/textstats.quality_logit) applied to

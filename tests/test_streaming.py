@@ -1013,3 +1013,82 @@ def test_dedup_stream_readmits_after_watermark_eviction(spark, tmp_path):
     # test_dedup_stream_suppresses_resends
     assert got == [(1, "view", 1.0), (1, "view", 2.0),
                    (9, "other", 0.0), (9, "other2", 0.0)]
+
+
+def test_streaming_neardup_suppression_across_batches(spark, tmp_path):
+    """Streaming MinHash/LSH near-dup suppression: within-batch greedy
+    keep-lowest-id, cross-batch suppression against the persistent
+    admitted-signature store, exactly-once epoch layout."""
+    import json as _json
+
+    import os
+
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        start_neardup_suppress_sink,
+    )
+    from pyspark.sql import types as T
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "seventeen engineers benchmark a distributed minhash "
+            "pipeline across many parquet partitions every night")
+    mut1 = base.replace("night", "morning")
+    mut2 = base.replace("seventeen", "nineteen")
+    uniq1 = ("completely different content about volcanic geology and "
+             "the slow crystallization of basalt columns under an "
+             "ancient icelandic lava field during the long winter")
+    uniq2 = ("yet another unrelated passage describing the harmonic "
+             "structure of a baroque fugue and the voice leading rules "
+             "its countersubject obeys through every modulation")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    # b1: 1 and 2 are near-dups of each other (greedy keeps 1); 3 unique
+    write("b1.json", [(1, base), (2, mut1), (3, uniq1)], 1_000_000_000)
+    # b2: 10 near-dups the ADMITTED doc 1 (cross-batch suppress);
+    #     11 unique -> admitted
+    write("b2.json", [(10, mut2), (11, uniq2)], 1_000_000_100)
+    # b3: 20 near-dups doc 11 (state grew in epoch 2) -> suppressed
+    write("b3.json", [(20, uniq2.replace("baroque", "gothic"))],
+          1_000_000_200)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = read_event_stream(
+        spark, str(src), schema=schema, max_files_per_trigger=1
+    )
+    out = str(tmp_path / "out")
+    q = start_neardup_suppress_sink(
+        sdf,
+        out,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ledger"),
+        threshold=0.75,
+    )
+    _drain(q)
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert admitted == [1, 3, 11]
+    # the state store holds exactly the admitted signatures
+    state_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    )
+    assert state_ids == [1, 3, 11]
+    # epoch-grain layout + ledger markers exist for every epoch
+    import glob
+
+    assert sorted(os.path.basename(d) for d in glob.glob(f"{out}/epoch=*")) \
+        == ["epoch=0", "epoch=1", "epoch=2"]
+    assert len(glob.glob(str(tmp_path / "ledger" / "epoch-*"))) == 3
