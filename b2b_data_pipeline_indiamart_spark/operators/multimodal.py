@@ -1878,23 +1878,29 @@ def encode_jpeg_progressive(
     quality: int = 95,
     bands: "tuple[tuple[int, int], ...]" = ((1, 5), (6, 63)),
     dc_al: int = 1,
+    subsampling: "tuple[int, int]" = (1, 1),
 ) -> bytes:
     """Minimal valid PROGRESSIVE JPEG writer (SOF2; grayscale or
-    4:4:4 color) — the test/demo producer for the progressive half of
+    color at 4:4:4 / 4:2:2 / 4:2:0 via ``subsampling``) — the
+    test/demo producer for the progressive half of
     :func:`decode_jpeg_pixels`. Scan script: one interleaved DC first
     scan at ``Al=dc_al``, ``dc_al`` DC refinement scans, then per
     component per spectral band an AC first scan at Al=1 and its
     Ah=1→Al=0 refinement — together exercising every decoder path
-    (EOB runs, ZRL, newly-nonzero insertion, correction bits).
-    Compression ratio is a non-goal (single-length Huffman tables,
-    per-block EOBs, no restart markers)."""
+    (EOB runs, ZRL, newly-nonzero insertion, correction bits, and —
+    when subsampled — the non-interleaved per-component ceil(size/8)
+    grids whose MCU-pad blocks stay DC-only). Compression ratio is a
+    non-goal (single-length Huffman tables, per-block EOBs, no
+    restart markers)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.float64)
     gray = a.ndim == 2
     h, w = a.shape[:2]
+    sh, sv = subsampling
     if gray:
         planes = [a]
+        samp = [(1, 1)]
     else:
         r, g, bl = a[..., 0], a[..., 1], a[..., 2]
         planes = [
@@ -1902,8 +1908,12 @@ def encode_jpeg_progressive(
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl,
         ]
+        samp = [(sh, sv), (1, 1), (1, 1)]
     ncomp = len(planes)
-    mcux, mcuy = -(-w // 8), -(-h // 8)
+    hmax = max(s_[0] for s_ in samp)
+    vmax = max(s_[1] for s_ in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     q = max(1, min(100, int(quality)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
     qval = max(1, min(255, (16 * scale + 50) // 100))
@@ -1911,17 +1921,27 @@ def encode_jpeg_progressive(
     basis = _dct_basis()
     zz = np.array(_JPEG_ZZ, dtype=np.int64)
 
-    # quantized coefficients in ZIGZAG order, per comp per block
-    coefz = []
-    for pl in planes:
-        p = np.pad(pl, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge")
-        cz = np.zeros((mcuy, mcux, 64), dtype=np.int64)
-        for byy in range(mcuy):
-            for bxx in range(mcux):
+    # quantized coefficients in ZIGZAG order, per comp on its OWN
+    # (possibly downsampled) MCU-grid-padded plane; nb = the
+    # non-interleaved ceil(size/8) sub-grid AC scans cover
+    coefz, nb = [], []
+    for pl, (ch, cv) in zip(planes, samp):
+        ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+        p = np.pad(pl, ((0, ph - h), (0, pw - w)), mode="edge")
+        if (ch, cv) != (hmax, vmax):
+            fy, fx = vmax // cv, hmax // ch
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        gby, gbx = mcuy * cv, mcux * ch
+        cz = np.zeros((gby, gbx, 64), dtype=np.int64)
+        for byy in range(gby):
+            for bxx in range(gbx):
                 blk = p[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] - 128.0
                 nat = np.round((basis @ blk @ basis.T) / qtab).astype(np.int64)
                 cz[byy, bxx] = nat.reshape(64)[zz]
         coefz.append(cz)
+        comp_h = -(-h * cv // vmax)
+        comp_w = -(-w * ch // hmax)
+        nb.append((-(-comp_h // 8), -(-comp_w // 8)))
 
     dc_codes, ac_codes, dht_dc, dht_ac = _jpeg_enc_tables()
 
@@ -1940,21 +1960,28 @@ def encode_jpeg_progressive(
         return (bytes([0xFF, 0xDA])
                 + struct.pack(">H", len(body) + 2) + body)
 
+    def mcu_blocks():
+        """(ci, by, bx) in interleaved MCU traversal order."""
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (ch, cv) in enumerate(samp):
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        yield ci, my * cv + byy, mx * ch + bxx
+
     scans: "list[bytes]" = []
 
     # --- DC first scan (interleaved over all comps), Al = dc_al
     bw = _JpegBitWriter()
     preds = [0] * ncomp
-    for m in range(mcux * mcuy):
-        my, mx = divmod(m, mcux)
-        for ci in range(ncomp):
-            v = int(coefz[ci][my, mx, 0]) >> dc_al  # arithmetic shift
-            diff = v - preds[ci]
-            preds[ci] = v
-            s = category(diff)
-            code, ln = dc_codes[s]
-            bw.write(code, ln)
-            write_mag(bw, diff, s)
+    for ci, byy, bxx in mcu_blocks():
+        v = int(coefz[ci][byy, bxx, 0]) >> dc_al  # arithmetic shift
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = category(diff)
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        write_mag(bw, diff, s)
     bw.flush()
     scans.append(
         sos_header(list(range(1, ncomp + 1)), 0, 0, 0, dc_al) + bytes(bw.out)
@@ -1963,22 +1990,22 @@ def encode_jpeg_progressive(
     # --- DC refinement scans: Ah=al+1 → Al=al, one raw bit per block
     for al in range(dc_al - 1, -1, -1):
         bw = _JpegBitWriter()
-        for m in range(mcux * mcuy):
-            my, mx = divmod(m, mcux)
-            for ci in range(ncomp):
-                bw.write((int(coefz[ci][my, mx, 0]) >> al) & 1, 1)
+        for ci, byy, bxx in mcu_blocks():
+            bw.write((int(coefz[ci][byy, bxx, 0]) >> al) & 1, 1)
         bw.flush()
         scans.append(
             sos_header(list(range(1, ncomp + 1)), 0, 0, al + 1, al)
             + bytes(bw.out)
         )
 
-    # --- per comp, per band: AC first (Al=1) then refinement (Ah=1)
+    # --- per comp, per band: AC first (Al=1) then refinement (Ah=1),
+    # over the comp's ceil(size/8) grid (MCU-pad blocks stay DC-only)
     for ci in range(ncomp):
+        nby, nbx = nb[ci]
         for ss, se in bands:
             bw = _JpegBitWriter()
-            for m in range(mcux * mcuy):
-                my, mx = divmod(m, mcux)
+            for m in range(nby * nbx):
+                my, mx = divmod(m, nbx)
                 blk = coefz[ci][my, mx]
                 run = 0
                 for k in range(ss, se + 1):
@@ -2003,8 +2030,8 @@ def encode_jpeg_progressive(
             scans.append(sos_header([ci + 1], ss, se, 0, 1) + bytes(bw.out))
 
             bw = _JpegBitWriter()
-            for m in range(mcux * mcuy):
-                my, mx = divmod(m, mcux)
+            for m in range(nby * nbx):
+                my, mx = divmod(m, nbx)
                 blk = coefz[ci][my, mx]
                 run = 0
                 pending: "list[int]" = []
@@ -2044,8 +2071,8 @@ def encode_jpeg_progressive(
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, b"\x00" + zig_q)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, quant table 0
+    for ci, (ch, cv) in enumerate(samp):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])  # sampling, quant table 0
     out += seg(0xC2, sof)
     out += seg(0xC4, b"\x00" + dht_dc)
     out += seg(0xC4, b"\x10" + dht_ac)

@@ -799,3 +799,21 @@ def test_wav_decode_rejects_unknown_compression():
            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     assert mm.decode_wav_samples(wav) is None
     assert mm.parse_wav_header(wav) is not None
+
+
+def test_jpeg_progressive_subsampled_equals_baseline_decode():
+    """4:2:0 / 4:2:2 progressive coverage: the non-interleaved AC
+    scans run over each component's OWN ceil(size/8) grid while the
+    interleaved DC scan covers the full MCU grid (pad blocks stay
+    DC-only) — decoded pixels must still be bit-identical to the
+    baseline path on the same coefficients."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for sub in [(2, 2), (2, 1), (1, 2)]:
+        img = rng.integers(0, 256, (21, 35, 3)).astype(np.uint8)
+        base = mm.decode_jpeg_pixels(
+            mm.encode_jpeg(img, quality=90, subsampling=sub))
+        prog = mm.decode_jpeg_pixels(
+            mm.encode_jpeg_progressive(img, quality=90, subsampling=sub))
+        assert prog is not None and (prog == base).all(), sub
