@@ -24,7 +24,7 @@ Decoding is two-tier:
   IEEE float32, G.711 µ-law/A-law (segment-formula expand tables) and
   IMA ADPCM (block-structured 4-bit differential).
 - **Stub fallback** (``_decode_stub``): payloads the pixel/header
-  parsers don't recognize (arithmetic/12-bit/lossless JPEG,
+  parsers don't recognize (arithmetic-coded/lossless JPEG,
   MP3/AAC-class audio, ffmpeg-class video codecs; ``decode_real``
   documents the intended call) get deterministic fake properties
   derived from the payload hash. The ``decoder`` output column says
@@ -1213,7 +1213,8 @@ def _receive_extend(bits_arr, pos: int, s: int) -> "tuple[int, int]":
 
 def decode_jpeg_pixels(payload: bytes | None):
     """REAL JPEG pixel decode using only the stdlib + numpy — BOTH
-    baseline sequential (SOF0/SOF1) and progressive (SOF2, spectral
+    baseline/extended sequential at 8- AND 12-bit precision
+    (SOF0/SOF1, 8- or 16-bit quant tables) and progressive (SOF2, spectral
     selection + successive approximation per T.81 G.2): segment walk
     (DQT/SOF/DHT/DRI/SOS) → entropy-coded segment split at restart
     markers with 0xFF00 unstuffing → Huffman decode (baseline: per-MCU
@@ -1287,13 +1288,17 @@ def _decode_jpeg(np, b: bytes):
             p = 0
             while p < len(data):
                 pq, tq = data[p] >> 4, data[p] & 15
-                if pq != 0:  # 16-bit quant values: 12-bit profile
-                    return None
-                qtabs[tq] = list(data[p + 1 : p + 65])
-                p += 65
+                if pq == 0:  # 8-bit values
+                    qtabs[tq] = list(data[p + 1 : p + 65])
+                    p += 65
+                else:  # 16-bit big-endian values (12-bit profile)
+                    qtabs[tq] = list(
+                        struct.unpack(">64H", data[p + 1 : p + 129])
+                    )
+                    p += 129
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, h, w, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
-            if prec != 8 or nc not in (1, 3):
+            if prec not in (8, 12) or nc not in (1, 3):
                 return None
             if w == 0 or h == 0 or w * h > (1 << 26):
                 return None  # declared-dims bomb guard: a tiny payload
@@ -1302,7 +1307,7 @@ def _decode_jpeg(np, b: bytes):
             for ci in range(nc):
                 cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            sof = (w, h, comps)
+            sof = (w, h, comps, prec)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -1332,7 +1337,10 @@ def _decode_jpeg(np, b: bytes):
         i += 2 + seg_len
     if sof is None or scan_at is None:
         return None
-    w, h, comps = sof
+    w, h, comps, prec = sof
+    # 12-bit samples level-shift by 2048 and scale down to the uint8
+    # output contract; 8-bit is shift 128, scale 1
+    shift, down = (2048.0, 16.0) if prec == 12 else (128.0, 1.0)
     if len(comps) == 1:
         comps[0]["h"] = comps[0]["v"] = 1  # single-component scan: 1 MCU = 1 block
     hmax = max(c["h"] for c in comps)
@@ -1343,7 +1351,7 @@ def _decode_jpeg(np, b: bytes):
     if progressive:
         return _decode_jpeg_progressive(
             np, b, w, h, comps, hmax, vmax, qtabs, htabs, restart,
-            scomp, sos_params, scan_at,
+            scomp, sos_params, scan_at, shift, down,
         )
     if len(scomp) != len(comps):
         return None
@@ -1403,7 +1411,9 @@ def _decode_jpeg(np, b: bytes):
                         v, pos = _receive_extend(bits_arr, pos, s)
                         coef[_JPEG_ZZ[k]] = v * q[k]
                         k += 1
-                    block = basis.T @ coef.reshape(8, 8) @ basis + 128.0
+                    block = (
+                        basis.T @ coef.reshape(8, 8) @ basis + shift
+                    ) / down
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
@@ -1433,7 +1443,7 @@ def _jpeg_planes_to_pixels(np, planes, comps, hmax, vmax, w, h):
 
 def _decode_jpeg_progressive(
     np, b, w, h, comps, hmax, vmax, qtabs, htabs, restart,
-    scomp0, sos0, scan_at0,
+    scomp0, sos0, scan_at0, shift=128.0, down=1.0,
 ):
     """Progressive JPEG (SOF2) decode per T.81 G.2: every scan
     deposits coefficient bits into per-component zigzag-order buffers
@@ -1494,10 +1504,14 @@ def _decode_jpeg_progressive(
             elif marker == 0xDB:
                 p = 0
                 while p < len(data):
-                    if data[p] >> 4 != 0:
-                        raise _JpegError("16-bit quant table")
-                    qtabs[data[p] & 15] = list(data[p + 1 : p + 65])
-                    p += 65
+                    if data[p] >> 4 == 0:
+                        qtabs[data[p] & 15] = list(data[p + 1 : p + 65])
+                        p += 65
+                    else:
+                        qtabs[data[p] & 15] = list(
+                            struct.unpack(">64H", data[p + 1 : p + 129])
+                        )
+                        p += 129
             elif marker == 0xDD:
                 restart = struct.unpack(">H", data[:2])[0]
             elif marker == 0xDA:
@@ -1532,7 +1546,7 @@ def _decode_jpeg_progressive(
             for bxx in range(nbx):
                 nat = np.zeros(64, dtype=np.float64)
                 nat[zz] = coefs[ci][byy, bxx] * q
-                block = basis.T @ nat.reshape(8, 8) @ basis + 128.0
+                block = (basis.T @ nat.reshape(8, 8) @ basis + shift) / down
                 planes[ci][byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = block
     return _jpeg_planes_to_pixels(np, planes, comps, hmax, vmax, w, h)
 
@@ -1729,21 +1743,27 @@ class _JpegBitWriter:
             self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
 
 
-def _jpeg_enc_tables() -> "tuple[dict, dict, bytes, bytes]":
+def _jpeg_enc_tables(precision: int = 8) -> "tuple[dict, dict, bytes, bytes]":
     """Deterministic single-length Huffman tables for the encoder —
     valid canonical tables (DHT carries them; nothing requires the
-    Annex K defaults): 12 DC categories at 4 bits, the 162 possible
-    AC symbols at 8 bits; the all-ones code stays unused in both.
-    Returns ({sym: (code, len)} for DC and AC, DHT payloads)."""
-    dc_vals = bytes(range(12))
-    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
-    ac_syms = [r << 4 | s for r in range(16) for s in range(1, 11)]
+    Annex K defaults). 8-bit: 12 DC categories at 4 bits, the 162
+    possible AC symbols at 8 bits. 12-bit: 16 DC categories at 5
+    bits, AC sizes reach 14 → 226 symbols at 8 bits. The all-ones
+    code stays unused in every table. Returns ({sym: (code, len)}
+    for DC and AC, DHT payloads)."""
+    n_dc = 12 if precision == 8 else 16
+    dc_len = 4 if precision == 8 else 5
+    max_s = 10 if precision == 8 else 14
+    dc_vals = bytes(range(n_dc))
+    dc_bits = bytearray(16)
+    dc_bits[dc_len - 1] = n_dc
+    ac_syms = [r << 4 | s for r in range(16) for s in range(1, max_s + 1)]
     ac_syms += [0x00, 0xF0]
     ac_vals = bytes(sorted(ac_syms))
     ac_bits = bytes([0] * 7 + [len(ac_vals)] + [0] * 8)
-    dc = {v: (i, 4) for i, v in enumerate(dc_vals)}
+    dc = {v: (i, dc_len) for i, v in enumerate(dc_vals)}
     ac = {v: (i, 8) for i, v in enumerate(ac_vals)}
-    return dc, ac, dc_bits + dc_vals, ac_bits + ac_vals
+    return dc, ac, bytes(dc_bits) + dc_vals, ac_bits + ac_vals
 
 
 def encode_jpeg(
@@ -1751,6 +1771,7 @@ def encode_jpeg(
     quality: int = 95,
     subsampling: "tuple[int, int]" = (1, 1),
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Minimal valid baseline JPEG writer (stdlib + numpy) — the
     demo/test producer for :func:`decode_jpeg_pixels`. 2-D input →
@@ -1760,10 +1781,16 @@ def encode_jpeg(
     scaled by ``quality`` (IJG formula; quality=100 → all-ones, so the
     round trip is exact up to DCT float rounding). Optional restart
     markers every ``restart_interval`` MCUs exercise the decoder's
-    resync path."""
+    resync path. ``precision=12`` emits the extended sequential
+    profile (SOF1, samples = input << 4, level shift 2048, 16-bit
+    DQT) — the decoder maps 12-bit samples back to the uint8
+    contract."""
     import numpy as np
 
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     a = np.asarray(arr, dtype=np.float64)
+    shift = 128.0 if precision == 8 else 2048.0
     gray = a.ndim == 2
     h, w = a.shape[:2]
     sh, sv = subsampling[0], subsampling[1]
@@ -1777,6 +1804,10 @@ def encode_jpeg(
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
         planes = [y, cb, cr]
         samp = [(sh, sv), (1, 1), (1, 1)]
+    if precision == 12:
+        # uint8 input -> 12-bit sample domain AFTER the color
+        # transform so the chroma center scales to 2048 with it
+        planes = [p * 16.0 for p in planes]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
@@ -1788,7 +1819,7 @@ def encode_jpeg(
     qtab = np.full((8, 8), float(qval))
 
     basis = _dct_basis()
-    dc_codes, ac_codes, dht_dc, dht_ac = _jpeg_enc_tables()
+    dc_codes, ac_codes, dht_dc, dht_ac = _jpeg_enc_tables(precision)
 
     padded = []
     for pl, (ch, cv) in zip(planes, samp):
@@ -1818,7 +1849,7 @@ def encode_jpeg(
                 for bx in range(ch):
                     y0 = (my * cv + by) * 8
                     x0 = (mx * ch + bx) * 8
-                    blk = pl[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    blk = pl[y0 : y0 + 8, x0 : x0 + 8] - shift
                     coefs = np.round((basis @ blk @ basis.T) / qtab).astype(int)
                     diff = int(coefs[0, 0]) - preds[ci]
                     preds[ci] = int(coefs[0, 0])
@@ -1851,14 +1882,20 @@ def encode_jpeg(
     def seg(marker: int, data: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
 
-    zig_q = bytes(int(qtab.flat[_JPEG_ZZ[k]]) for k in range(64))
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, b"\x00" + zig_q)
+    if precision == 8:
+        zig_q = bytes(int(qtab.flat[_JPEG_ZZ[k]]) for k in range(64))
+        out += seg(0xDB, b"\x00" + zig_q)
+    else:  # 16-bit big-endian table (pq=1), SOF1 extended sequential
+        zig_q = b"".join(
+            struct.pack(">H", int(qtab.flat[_JPEG_ZZ[k]])) for k in range(64)
+        )
+        out += seg(0xDB, b"\x10" + zig_q)
     ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci, (ch, cv) in enumerate(samp):
         sof += bytes([ci + 1, ch << 4 | cv, 0])
-    out += seg(0xC0, sof)
+    out += seg(0xC0 if precision == 8 else 0xC1, sof)
     out += seg(0xC4, b"\x00" + dht_dc)
     out += seg(0xC4, b"\x10" + dht_ac)
     if restart_interval:
@@ -2098,12 +2135,12 @@ def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     sampling), image container dimensions
     (:func:`parse_image_header`), WAV duration
     (:func:`parse_wav_header`). This stub marks the remainder:
-    arithmetic-coded/12-bit/lossless JPEG variants, perceptual audio
-    codecs (MP3/AAC-class), and ffmpeg-class video codecs, none of
-    which this environment's libraries cover.
+    arithmetic-coded and lossless/hierarchical JPEG variants,
+    perceptual audio codecs (MP3/AAC-class), and ffmpeg-class video
+    codecs, none of which this environment's libraries cover.
     """
     raise NotImplementedError(
-        "arithmetic-coded/12-bit/lossless JPEG, MP3/AAC-class audio, and "
+        "arithmetic-coded and lossless/hierarchical JPEG, MP3/AAC-class audio, and "
         "ffmpeg-class video codecs require PIL/soundfile/ffmpeg, none "
         "of which ship in this environment; PNG/GIF/BMP/PNM pixels, "
         "baseline AND progressive JPEG pixels, WAV PCM/float32/G.711/"

@@ -817,3 +817,32 @@ def test_jpeg_progressive_subsampled_equals_baseline_decode():
         prog = mm.decode_jpeg_pixels(
             mm.encode_jpeg_progressive(img, quality=90, subsampling=sub))
         assert prog is not None and (prog == base).all(), sub
+
+
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """precision=12 (SOF1, 16-bit DQT, level shift 2048): the finer
+    quantization headroom makes the q=100 round trip EXACT for gray,
+    RGB and 4:2:0 constant-chroma inputs; the decoder maps 12-bit
+    samples back to the uint8 contract."""
+    import numpy as np
+
+    g = (np.arange(24 * 40).reshape(24, 40) * 7 % 251).astype(np.uint8)
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg(g, quality=100, precision=12))
+    assert px.shape == (24, 40, 1)
+    assert int(np.abs(px[:, :, 0].astype(int) - g.astype(int)).max()) == 0
+
+    rgb = np.zeros((17, 21, 3), dtype=np.uint8)
+    rgb[..., 0] = (np.arange(21)[None, :] * 11) % 256
+    rgb[..., 1] = 200
+    rgb[..., 2] = (np.arange(17)[:, None] * 9) % 256
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg(rgb, quality=100, precision=12))
+    assert int(np.abs(px.astype(int) - rgb.astype(int)).max()) == 0
+
+    c = np.zeros((14, 18, 3), dtype=np.uint8)
+    c[..., 0], c[..., 1], c[..., 2] = 180, 70, 90
+    px = mm.decode_jpeg_pixels(
+        mm.encode_jpeg(c, quality=100, precision=12, subsampling=(2, 2)))
+    assert int(np.abs(px.astype(int) - c.astype(int)).max()) == 0
+    # the 16-bit-DQT/SOF1 markers are really in the stream
+    jb = mm.encode_jpeg(g, quality=100, precision=12)
+    assert b"\xff\xc1" in jb and jb[jb.find(b"\xff\xdb") + 4] == 0x10
