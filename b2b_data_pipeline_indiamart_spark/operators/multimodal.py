@@ -24,7 +24,7 @@ Decoding is two-tier:
   IEEE float32, G.711 µ-law/A-law (segment-formula expand tables) and
   IMA ADPCM (block-structured 4-bit differential).
 - **Stub fallback** (``_decode_stub``): payloads the pixel/header
-  parsers don't recognize (arithmetic-coded/lossless JPEG,
+  parsers don't recognize (arithmetic-coded/hierarchical JPEG,
   MP3/AAC-class audio, ffmpeg-class video codecs; ``decode_real``
   documents the intended call) get deterministic fake properties
   derived from the payload hash. The ``decoder`` output column says
@@ -1214,8 +1214,9 @@ def _receive_extend(bits_arr, pos: int, s: int) -> "tuple[int, int]":
 def decode_jpeg_pixels(payload: bytes | None):
     """REAL JPEG pixel decode using only the stdlib + numpy — BOTH
     baseline/extended sequential at 8- AND 12-bit precision
-    (SOF0/SOF1, 8- or 16-bit quant tables) and progressive (SOF2, spectral
-    selection + successive approximation per T.81 G.2): segment walk
+    (SOF0/SOF1, 8- or 16-bit quant tables), progressive (SOF2, spectral
+    selection + successive approximation per T.81 G.2) and LOSSLESS
+    (SOF3, Annex H predictors — bit-exact): segment walk
     (DQT/SOF/DHT/DRI/SOS) → entropy-coded segment split at restart
     markers with 0xFF00 unstuffing → Huffman decode (baseline: per-MCU
     DC predictor + AC run-length, F.12 EXTEND; progressive: per-scan
@@ -1272,6 +1273,7 @@ def _decode_jpeg(np, b: bytes):
     scan_at = None
     scomp = None
     progressive = False
+    lossless = False
     sos_params = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -1296,9 +1298,12 @@ def _decode_jpeg(np, b: bytes):
                         struct.unpack(">64H", data[p + 1 : p + 129])
                     )
                     p += 129
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # seq / prog / lossless
             prec, h, w, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
-            if prec not in (8, 12) or nc not in (1, 3):
+            lossless = marker == 0xC3
+            if nc not in (1, 3):
+                return None
+            if (prec not in (8, 12)) if not lossless else not (2 <= prec <= 16):
                 return None
             if w == 0 or h == 0 or w * h > (1 << 26):
                 return None  # declared-dims bomb guard: a tiny payload
@@ -1309,9 +1314,9 @@ def _decode_jpeg(np, b: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             sof = (w, h, comps, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # lossless / hierarchical / arithmetic
+            return None  # hierarchical / arithmetic
         elif marker == 0xC4:  # DHT: one or more tables
             p = 0
             while p < len(data):
@@ -1341,6 +1346,11 @@ def _decode_jpeg(np, b: bytes):
     # 12-bit samples level-shift by 2048 and scale down to the uint8
     # output contract; 8-bit is shift 128, scale 1
     shift, down = (2048.0, 16.0) if prec == 12 else (128.0, 1.0)
+    if lossless:
+        return _decode_jpeg_lossless(
+            np, b, w, h, comps, qtabs, htabs, restart,
+            scomp, sos_params, scan_at, prec,
+        )
     if len(comps) == 1:
         comps[0]["h"] = comps[0]["v"] = 1  # single-component scan: 1 MCU = 1 block
     hmax = max(c["h"] for c in comps)
@@ -1717,6 +1727,149 @@ def _prog_decode_scan(
                 next_segment()
             byy, bxx = divmod(m, nbx)
             body(ac_t, coefs[ci][byy, bxx])
+
+
+def _decode_jpeg_lossless(np, b, w, h, comps, qtabs, htabs, restart,
+                          scomp, sos, scan_at, prec):
+    """Lossless JPEG (SOF3) decode per T.81 Annex H: no DCT — each
+    sample is a Huffman-coded difference from one of the seven spatial
+    predictors (SOS.Ss selects; Al is the point transform). 1×1
+    sampling only; 3-component images are stored as-is (this codec
+    pair uses direct RGB — the standard defines no color transform
+    for lossless, which is what makes the round trip EXACT). Restart
+    markers are not supported in this profile (None → header tier)."""
+    order, predictor, _se, _ah, pt = sos
+    if restart or not (1 <= predictor <= 7):
+        return None
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        return None
+    if len(order) != len(comps):
+        return None
+    tabs = []
+    for c in comps:
+        t = htabs.get((0, scomp[c["id"]][0]))
+        if t is None:
+            return None
+        tabs.append(t)
+    segs, _ = _jpeg_scan_bounds(b, scan_at)
+    bits_arr = np.unpackbits(np.frombuffer(segs[0], dtype=np.uint8))
+    pos = 0
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    default = 1 << (prec - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci, pl in enumerate(planes):
+                s, pos = _huff_read(bits_arr, pos, tabs[ci])
+                if s == 16:
+                    diff = 32768
+                else:
+                    diff, pos = _receive_extend(bits_arr, pos, s)
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(pl[y, x - 1])
+                elif x == 0:
+                    pred = int(pl[y - 1, x])
+                else:
+                    ra = int(pl[y, x - 1])
+                    rb = int(pl[y - 1, x])
+                    rc = int(pl[y - 1, x - 1])
+                    pred = (
+                        ra if predictor == 1 else
+                        rb if predictor == 2 else
+                        rc if predictor == 3 else
+                        ra + rb - rc if predictor == 4 else
+                        ra + ((rb - rc) >> 1) if predictor == 5 else
+                        rb + ((ra - rc) >> 1) if predictor == 6 else
+                        (ra + rb) >> 1
+                    )
+                pl[y, x] = (pred + diff) & 0xFFFF
+    out = []
+    for pl in planes:
+        v = pl << pt
+        if prec > 8:
+            v = v >> (prec - 8)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    return np.stack(out, axis=-1)
+
+
+def encode_jpeg_lossless(
+    arr, predictor: int = 4, point_transform: int = 0
+) -> bytes:
+    """Minimal valid LOSSLESS JPEG writer (SOF3, 8-bit, direct RGB or
+    grayscale) — the test/demo producer for the lossless half of
+    :func:`decode_jpeg_pixels`. With ``point_transform=0`` the round
+    trip is bit-exact by construction (prediction residuals are coded
+    losslessly; no DCT, no quantization, no color transform)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ncomp = a.shape
+    if ncomp not in (1, 3):
+        raise ValueError("lossless writer supports 1 or 3 components")
+    if not (1 <= predictor <= 7):
+        raise ValueError("predictor must be 1..7")
+    pt = point_transform
+    planes = [a[:, :, c] >> pt for c in range(ncomp)]
+
+    # DC-style table with the lossless category range 0..16 at 5 bits
+    dc_vals = bytes(range(17))
+    dc_bits = bytearray(16)
+    dc_bits[4] = 17
+    dc_codes = {v: (i, 5) for i, v in enumerate(dc_vals)}
+
+    bw = _JpegBitWriter()
+    default = 1 << (8 - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for pl in planes:
+                val = int(pl[y, x])
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(pl[y, x - 1])
+                elif x == 0:
+                    pred = int(pl[y - 1, x])
+                else:
+                    ra = int(pl[y, x - 1])
+                    rb = int(pl[y - 1, x])
+                    rc = int(pl[y - 1, x - 1])
+                    pred = (
+                        ra if predictor == 1 else
+                        rb if predictor == 2 else
+                        rc if predictor == 3 else
+                        ra + rb - rc if predictor == 4 else
+                        ra + ((rb - rc) >> 1) if predictor == 5 else
+                        rb + ((ra - rc) >> 1) if predictor == 6 else
+                        (ra + rb) >> 1
+                    )
+                diff = val - pred
+                s = int(abs(diff)).bit_length()
+                code, ln = dc_codes[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    out += seg(0xC4, b"\x00" + bytes(dc_bits) + dc_vals)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah<<4|Al
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 class _JpegBitWriter:
@@ -2135,12 +2288,12 @@ def decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
     sampling), image container dimensions
     (:func:`parse_image_header`), WAV duration
     (:func:`parse_wav_header`). This stub marks the remainder:
-    arithmetic-coded and lossless/hierarchical JPEG variants,
-    perceptual audio codecs (MP3/AAC-class), and ffmpeg-class video
-    codecs, none of which this environment's libraries cover.
+    arithmetic-coded and hierarchical JPEG variants, perceptual audio
+    codecs (MP3/AAC-class), and ffmpeg-class video codecs, none of
+    which this environment's libraries cover.
     """
     raise NotImplementedError(
-        "arithmetic-coded and lossless/hierarchical JPEG, MP3/AAC-class audio, and "
+        "arithmetic-coded and hierarchical JPEG, MP3/AAC-class audio, and "
         "ffmpeg-class video codecs require PIL/soundfile/ffmpeg, none "
         "of which ship in this environment; PNG/GIF/BMP/PNM pixels, "
         "baseline AND progressive JPEG pixels, WAV PCM/float32/G.711/"

@@ -846,3 +846,31 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
     # the 16-bit-DQT/SOF1 markers are really in the stream
     jb = mm.encode_jpeg(g, quality=100, precision=12)
     assert b"\xff\xc1" in jb and jb[jb.find(b"\xff\xdb") + 4] == 0x10
+
+
+def test_jpeg_lossless_bit_exact_all_predictors():
+    """SOF3 lossless: prediction residuals code losslessly (no DCT, no
+    quantization, direct RGB) — the round trip is BIT-exact for every
+    one of the seven spatial predictors, gray and color."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for shape in [(13, 21), (9, 7, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        want = img if img.ndim == 3 else img[:, :, None]
+        for pred in range(1, 8):
+            px = mm.decode_jpeg_pixels(
+                mm.encode_jpeg_lossless(img, predictor=pred))
+            assert px is not None and (px == want).all(), (shape, pred)
+    assert mm.parse_image_header(
+        mm.encode_jpeg_lossless(np.zeros((5, 6), np.uint8))
+    ) == ("jpeg", 6, 5)
+
+
+def test_jpeg_lossless_point_transform_bounded_loss():
+    import numpy as np
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 % 256
+    px = mm.decode_jpeg_pixels(mm.encode_jpeg_lossless(img, point_transform=2))
+    # pt=2 drops the two low bits: error strictly < 4
+    assert int(np.abs(px[:, :, 0].astype(int) - img.astype(int)).max()) <= 3
