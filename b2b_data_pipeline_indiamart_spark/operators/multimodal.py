@@ -1223,10 +1223,9 @@ def decode_jpeg_pixels(payload: bytes | None):
     coefficient accumulation with EOB runs and refinement correction
     bits) → dequantize → IDCT (orthonormal basis gemm) → chroma
     upsample → YCbCr→RGB → (H, W, C) uint8. Returns None for non-JPEG
-    bytes or unsupported variants (arithmetic coding, lossless/
-    hierarchical, 12-bit precision, fractional sampling ratios) —
-    callers fall back to header-only decode, exactly like the PNG/GIF
-    unsupported tiers.
+    bytes or unsupported variants (arithmetic coding, hierarchical,
+    fractional sampling ratios) — callers fall back to header-only
+    decode, exactly like the PNG/GIF unsupported tiers.
     """
     import numpy as np
 
@@ -1308,6 +1307,13 @@ def _decode_jpeg(np, b: bytes):
             if w == 0 or h == 0 or w * h > (1 << 26):
                 return None  # declared-dims bomb guard: a tiny payload
                 # claiming 65535x65535 would allocate 34 GB of planes
+            if w * h > max(1 << 22, len(b) * 512):
+                return None  # payload-relative bomb guard: every 8x8
+                # block costs >= 2 entropy bits even fully zeroed, so a
+                # genuine image carries >= w*h/512 payload bytes for
+                # luma alone; a few-KB stream claiming ~64M px would
+                # otherwise allocate multi-GB float planes and spin the
+                # per-bit Huffman loop inside mapInPandas
             comps = []
             for ci in range(nc):
                 cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]

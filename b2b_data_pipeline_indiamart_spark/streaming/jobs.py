@@ -489,6 +489,77 @@ def start_idempotent_batch_sink(
     )
 
 
+def neardup_state_schemas(id_field, k: int):
+    """Explicit schemas for the two near-dup state stores (sigs and
+    bands), INCLUDING the partition columns. Reading with an explicit
+    schema (instead of inference) makes a replay robust to the
+    crash-after-mkdir case: a state directory that exists but holds no
+    committed parquet yet reads as an empty frame instead of failing
+    schema inference and wedging the stream until manual cleanup.
+    """
+    from pyspark.sql import types as T
+
+    sig_schema = T.StructType(
+        [id_field]
+        + [T.StructField(f"mh_{i}", T.LongType()) for i in range(k)]
+        + [T.StructField("epoch", T.LongType())]
+    )
+    band_schema = T.StructType([
+        id_field,
+        T.StructField("band_id", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+        T.StructField("epoch", T.LongType()),
+        T.StructField("band_bucket", T.IntegerType()),
+    ])
+    return sig_schema, band_schema
+
+
+def read_neardup_band_store(
+    spark,
+    state_dir: str,
+    id_field,
+    *,
+    k: int = 64,
+    exclude_epoch: int | None = None,
+    buckets: "list[int] | None" = None,
+) -> DataFrame:
+    """Band-index half of the near-dup state store, pruned to the
+    probe's band buckets.
+
+    The store is laid out ``state_dir/bands/epoch=<e>/band_bucket=<b>``
+    so BOTH predicates here are partition filters: the in-flight-epoch
+    exclusion and — the 100 TB seam — the probe's band-bucket set. A
+    micro-batch touches only the buckets its own bands hash into, so
+    the state scan is ∝ matching buckets, not ∝ corpus; the e2e test
+    asserts the ``PartitionFilters`` entry is visible in the physical
+    plan. Explicit schema per :func:`neardup_state_schemas`.
+    """
+    _, band_schema = neardup_state_schemas(id_field, k)
+    df = spark.read.schema(band_schema).parquet(f"{state_dir}/bands")
+    if exclude_epoch is not None:
+        df = df.filter(F.col("epoch") != exclude_epoch)
+    if buckets is not None:
+        df = df.filter(F.col("band_bucket").isin(buckets))
+    return df.drop("band_bucket", "epoch")
+
+
+def read_neardup_sig_store(
+    spark,
+    state_dir: str,
+    id_field,
+    *,
+    k: int = 64,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """Signature half of the near-dup state store (one row of k minima
+    per admitted doc), epoch-partitioned, explicit schema."""
+    sig_schema, _ = neardup_state_schemas(id_field, k)
+    df = spark.read.schema(sig_schema).parquet(f"{state_dir}/sigs")
+    if exclude_epoch is not None:
+        df = df.filter(F.col("epoch") != exclude_epoch)
+    return df.drop("epoch")
+
+
 def start_neardup_suppress_sink(
     docs: DataFrame,
     output_dir: str,
@@ -501,6 +572,7 @@ def start_neardup_suppress_sink(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    state_buckets: int = 64,
 ) -> StreamingQuery:
     """Streaming NEAR-dup suppression — the ingest-side MinHash/LSH
     dedup a training-data pipeline runs continuously: every micro-batch
@@ -520,20 +592,27 @@ def start_neardup_suppress_sink(
        two-sided :func:`~...dedup.minhash_estimate` scores candidates,
        matches ≥ ``threshold`` suppress the batch doc;
     4. admitted docs append to ``output_dir/epoch=<id>`` and their
-       signatures to ``state_dir/epoch=<id>``; an epoch-ledger marker
+       signatures to ``state_dir/sigs/epoch=<id>`` (and their band
+       index to ``state_dir/bands/epoch=<id>/band_bucket=<b>``); an
+       epoch-ledger marker
        makes replays idempotent (the start_idempotent_batch_sink
        pattern — retried epochs overwrite their own directories, and
        the state read excludes the in-flight epoch so a replay can't
        suppress a doc against its own half-written signatures).
 
-    Scale shape: state grows one signature row (k longs) per ADMITTED
-    doc — the minimum any cross-batch exact-memory dedup needs; the
-    per-epoch probe is a band equi-join (shuffle ∝ batch·bands +
-    state-scan), never all-pairs. At 100 TB the state store would be
-    bucketed by band hash so the probe prunes to matching buckets
-    (today's parquet-dir store documents the layout seam); an
-    approximate-memory variant would swap the store for a Bloom/CMS
-    of band hashes at the cost of false-positive suppression.
+    Scale shape: state grows one signature row (k longs) plus
+    ``bands`` index rows per ADMITTED doc — the minimum any
+    cross-batch exact-memory dedup needs; the per-epoch probe is a
+    band equi-join (shuffle ∝ batch·bands + matching state buckets),
+    never all-pairs. The band index is PARTITIONED BY
+    ``band_bucket = pmod(band_hash, state_buckets)`` so the probe's
+    bucket set becomes a partition filter on the state scan — at
+    100 TB a micro-batch reads only the buckets its own bands hash
+    into instead of the whole corpus index, and the signature fetch
+    that follows is a broadcast semi-join on just the candidate ids.
+    An approximate-memory variant would swap the store for a
+    Bloom/CMS of band hashes at the cost of false-positive
+    suppression.
     """
     from ..operators import caching, dedup
 
@@ -570,26 +649,51 @@ def start_neardup_suppress_sink(
                 .select(F.col("id_b").alias(id_col))
             )
             # (3) cross-batch suppression vs the admitted store
-            state_fs, state_path = _fs_and_path(spark, state_dir)
-            if state_fs.exists(state_path):
-                state_sigs = (
-                    spark.read.parquet(state_dir)
-                    .filter(F.col("epoch") != epoch_id)  # in-flight replay
-                    .select(id_col, *sig_cols)
+            id_field = batch.schema[id_col]
+            batch_bands = caching.persist_tracked(
+                dedup.band_table(sigs, id_col=id_col, k=k, bands=bands)
+                .withColumn(
+                    "band_bucket",
+                    F.pmod(F.col("band_hash"), F.lit(state_buckets))
+                    .cast("int"),
                 )
+            )
+            state_fs, state_path = _fs_and_path(spark, f"{state_dir}/bands")
+            if state_fs.exists(state_path):
+                # the probe's bucket set (≤ state_buckets ints) prunes
+                # the band-index scan to matching partitions
+                probe_buckets = [
+                    r["band_bucket"]
+                    for r in batch_bands.select("band_bucket")
+                    .distinct().collect()
+                ]
+                state_bands = read_neardup_band_store(
+                    spark, state_dir, id_field, k=k,
+                    exclude_epoch=epoch_id,  # in-flight replay
+                    buckets=probe_buckets,
+                ).withColumnRenamed(id_col, "__state_id")
                 cand = (
-                    dedup.band_table(sigs, id_col=id_col, k=k, bands=bands)
-                    .join(
-                        dedup.band_table(
-                            state_sigs, id_col=id_col, k=k, bands=bands
-                        ).withColumnRenamed(id_col, "__state_id"),
-                        ["band_id", "band_hash"],
-                    )
+                    batch_bands
+                    .join(state_bands, ["band_id", "band_hash"])
                     .select(
                         F.col(id_col).alias("id_a"),
                         F.col("__state_id").alias("id_b"),
                     )
                     .distinct()
+                )
+                cand = caching.persist_tracked(cand)
+                # fetch ONLY the candidate ids' signatures: broadcast
+                # semi-join of the (small) candidate set against the
+                # sig store — no state-wide shuffle
+                state_sigs = read_neardup_sig_store(
+                    spark, state_dir, id_field, k=k,
+                    exclude_epoch=epoch_id,
+                ).join(
+                    F.broadcast(
+                        cand.select(F.col("id_b").alias(id_col)).distinct()
+                    ),
+                    id_col,
+                    "left_semi",
                 )
                 sup_state = (
                     dedup.minhash_estimate(
@@ -610,8 +714,17 @@ def start_neardup_suppress_sink(
             admitted_ids = spark.read.parquet(
                 f"{output_dir}/epoch={epoch_id}"
             ).select(id_col)
-            sigs.join(admitted_ids, id_col).write.mode("overwrite").parquet(
-                f"{state_dir}/epoch={epoch_id}"
+            admitted_sigs = caching.persist_tracked(
+                sigs.join(admitted_ids, id_col)
+            )
+            admitted_sigs.write.mode("overwrite").parquet(
+                f"{state_dir}/sigs/epoch={epoch_id}"
+            )
+            (
+                batch_bands.join(admitted_ids, id_col)
+                .write.mode("overwrite")
+                .partitionBy("band_bucket")
+                .parquet(f"{state_dir}/bands/epoch={epoch_id}")
             )
             fs.mkdirs(marker.getParent())
             fs.createNewFile(marker)

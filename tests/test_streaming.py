@@ -1080,12 +1080,53 @@ def test_streaming_neardup_suppression_across_batches(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).collect()
     )
     assert admitted == [1, 3, 11]
-    # the state store holds exactly the admitted signatures
+    # the state store holds exactly the admitted signatures, and the
+    # band index holds bands for exactly the same ids
     state_ids = sorted(
         r["doc_id"]
-        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+        for r in spark.read.parquet(str(tmp_path / "state" / "sigs"))
+        .collect()
     )
     assert state_ids == [1, 3, 11]
+    band_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "state" / "bands"))
+        .select("doc_id").distinct().collect()
+    )
+    assert band_ids == [1, 3, 11]
+    # 100 TB seam: the probe's state read is pruned by PARTITION
+    # filters on both band_bucket (the probe's bucket set) and epoch
+    # (in-flight replay exclusion) — assert they reach the scan, via
+    # the same helper the sink's probe uses
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        read_neardup_band_store,
+        read_neardup_sig_store,
+    )
+
+    id_field = T.StructField("doc_id", T.LongType())
+    pruned = read_neardup_band_store(
+        spark, str(tmp_path / "state"), id_field,
+        exclude_epoch=2, buckets=[3, 7],
+    )
+    phys = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in phys
+    assert "band_bucket" in phys.split("PartitionFilters")[1].split("]")[0]
+    assert "epoch" in phys.split("PartitionFilters")[1].split("]")[0]
+    # and the pruned read sees only rows in the requested buckets
+    got = pruned.select("band_hash").collect()
+    assert all(r["band_hash"] % 64 in (3, 7) for r in got)
+    # crash-after-mkdir robustness: a state dir that exists with NO
+    # committed parquet must read as empty (explicit schema), not fail
+    # schema inference and wedge every replay
+    empty_state = tmp_path / "state_empty"
+    (empty_state / "bands").mkdir(parents=True)
+    (empty_state / "sigs").mkdir(parents=True)
+    assert read_neardup_band_store(
+        spark, str(empty_state), id_field, buckets=[0]
+    ).count() == 0
+    assert read_neardup_sig_store(
+        spark, str(empty_state), id_field
+    ).count() == 0
     # epoch-grain layout + ledger markers exist for every epoch
     import glob
 
