@@ -35,7 +35,41 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import exact_avg, floorize_round_sql, round_half_up
+from ..functions.rounding import (
+    exact_avg,
+    exact_sum,
+    floorize_round_sql,
+    money_ints,
+    round_half_up,
+)
+
+# shared exact-integer recoveries for the revenue-product exact sums
+# (VERDICT r10 #1 — see functions/rounding.exact_sum): price cents,
+# (1-discount) and discount and (1+tax) as integer percents
+def _pc():
+    return money_ints("l_extendedprice")
+
+
+def _dc():
+    return money_ints(F.lit(1) - F.col("l_discount"))
+
+
+def _ddc():
+    return money_ints("l_discount")
+
+
+def _tc():
+    return money_ints(F.lit(1) + F.col("l_tax"))
+
+
+#: SQL twins of the recoveries above (BIGINT: DuckDB widens sums to
+#: HUGEINT, Spark's long sum is exact to 2^63 at tested scales)
+_PC_SQL = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_DC_SQL = "CAST(round((1 - l_discount) * 100) AS BIGINT)"
+_DDC_SQL = "CAST(round(l_discount * 100) AS BIGINT)"
+_TC_SQL = "CAST(round((1 + l_tax) * 100) AS BIGINT)"
+#: sum(l_extendedprice * (1 - l_discount)) as an exact 1e4-scaled int
+_REV_SQL = f"sum({_PC_SQL} * {_DC_SQL})"
 
 from .. import catalog
 from ..functions.hashing import DEFAULT_SALT, digits_only, salted_sha256
@@ -779,12 +813,12 @@ def price_rating_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round({_REV_SQL} / 10000.0, 2) AS sum_disc_price,
+           round(sum({_PC_SQL} * {_DC_SQL} * {_TC_SQL}) / 1000000.0, 2) AS sum_charge,
            round(avg(l_quantity), 2) AS avg_qty,
            round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (count(l_extendedprice) * 100.0), 2) AS avg_price,
            round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (count(l_discount) * 100.0), 4) AS avg_disc,
@@ -802,16 +836,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — shuffle carries ~4 rows per task regardless of SF.
     """
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # exact integer numerators (see functions/rounding.exact_sum):
+    # price_cents * (1-disc)_pct [* (1+tax)_pct] — BIGINT per row, so
+    # the sum is order-independent and the rounded cell can't flip
+    # with partitioning (the boundary-canary flake class)
+    disc_ints = _pc() * _dc()
+    charge_ints = disc_ints * _tc()
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
             round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
-            round_half_up(F.sum(charge), 2).alias("sum_charge"),
+            exact_sum(disc_ints, 4).alias("sum_disc_price"),
+            exact_sum(charge_ints, 6).alias("sum_charge"),
             round_half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
             exact_avg("l_extendedprice", 2).alias("avg_price"),
             exact_avg("l_discount", 2, 4).alias("avg_disc"),
@@ -822,9 +860,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q3_shipping_priority",
-    """
+    f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round({_REV_SQL} / 10000.0, 2) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -852,12 +890,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(_gb(cust, spark, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round_half_up(F.sum(revenue), 2).alias("revenue"))
+        .agg(exact_sum(_pc() * _dc(), 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -871,9 +908,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q5_region_revenue",
-    """
+    f"""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round({_REV_SQL} / 10000.0, 2) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -903,7 +940,6 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _dim(spark, sf_dir, "supplier")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -911,7 +947,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(round_half_up(F.sum(revenue), 2).alias("revenue"))
+        .agg(exact_sum(_pc() * _dc(), 4).alias("revenue"))
     )
 
 
@@ -2376,12 +2412,12 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "supplier_revenue_rank",
-    """
+    f"""
     SELECT l_suppkey, l_partkey, revenue, rnk FROM (
       SELECT l_suppkey, l_partkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round({_REV_SQL} / 10000.0, 2) AS revenue,
              dense_rank() OVER (PARTITION BY l_suppkey
-                                ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                                ORDER BY round({_REV_SQL} / 10000.0, 2) DESC,
                                          l_partkey ASC) AS rnk
       FROM lineitem GROUP BY l_suppkey, l_partkey
     ) WHERE rnk <= 3
@@ -2394,7 +2430,7 @@ def supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-collapsed rows. Rank runs on rounded revenue so the cut is
     engine-stable."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    rev = exact_sum(_pc() * _dc(), 4)
     agg = li.groupBy("l_suppkey", "l_partkey").agg(rev.alias("revenue"))
     w = Window.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
     return (
@@ -3422,10 +3458,10 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "orders_salted_revenue",
-    """
+    f"""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round({_REV_SQL} / 10000.0, 2) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -3459,9 +3495,7 @@ def orders_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        round_half_up(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        exact_sum(_pc() * _dc(), 4).alias("revenue"),
     )
 
 
@@ -4368,8 +4402,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    f"""
+    SELECT round(sum({_PC_SQL} * {_DDC_SQL}) / 10000.0, 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -4394,9 +4428,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            round_half_up(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
+            exact_sum(_pc() * _ddc(), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -4404,10 +4436,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q7_nation_volume",
-    """
+    f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round({_REV_SQL} / 10000.0, 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -4459,9 +4491,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
-            round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            exact_sum(_pc() * _dc(), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -4469,9 +4499,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q10_returned_items",
-    """
+    f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round({_REV_SQL} / 10000.0, 2) AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -4508,11 +4538,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(exact_sum(_pc() * _dc(), 4).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -4562,13 +4588,13 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q14_promo_share",
-    """
+    f"""
     SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
            round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
+                                  THEN {_PC_SQL} * {_DC_SQL}
                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_share,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                 / {_REV_SQL}, 2) AS promo_share,
+           round({_REV_SQL} / 10000.0, 2) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
     """,
@@ -4584,16 +4610,18 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle carries months × partial-pairs."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    # exact 1e4-scaled integer numerators (rounding.exact_sum): both
+    # the ratio and the revenue round deterministic compositions
+    disc_i = _pc() * _dc()
+    promo_i = F.when(F.col("p_type") == "PROMO", disc_i).otherwise(F.lit(0).cast("long"))
     return (
         li.join(_gb(part, spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            round_half_up(100.0 * F.sum(promo) / F.sum(disc), 2).alias(
+            round_half_up(100.0 * F.sum(promo_i) / F.sum(disc_i), 2).alias(
                 "promo_share"
             ),
-            round_half_up(F.sum(disc), 2).alias("revenue"),
+            exact_sum(disc_i, 4).alias("revenue"),
         )
     )
 
@@ -4655,8 +4683,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q19_bracket_revenue",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    f"""
+    SELECT round({_REV_SQL} / 10000.0, 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
@@ -4706,9 +4734,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(_gb(part, spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .filter(b)
         .agg(
-            round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            exact_sum(_pc() * _dc(), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -5032,9 +5058,9 @@ def embedding_cov_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q15_top_supplier",
-    """
+    f"""
     WITH rev AS (SELECT l_suppkey AS suppkey,
-                        round(sum(l_extendedprice * (1 - l_discount)), 2)
+                        round({_REV_SQL} / 10000.0, 2)
                           AS total_revenue
                  FROM lineitem
                  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -5063,9 +5089,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        round_half_up(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        exact_sum(_pc() * _dc(), 4).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("__m"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -5079,14 +5103,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q11_important_parts",
-    """
+    f"""
     WITH pv AS (SELECT l_partkey AS partkey,
-                       sum(l_extendedprice * l_quantity) AS value
+                       sum({_PC_SQL} * CAST(round(l_quantity) AS BIGINT))
+                         AS value_n
                 FROM lineitem GROUP BY l_partkey),
-    tot AS (SELECT sum(value) AS t FROM pv)
-    SELECT partkey, round(value, 2) AS part_value
+    tot AS (SELECT sum(value_n) AS t_n FROM pv)
+    SELECT partkey, round(value_n / 100.0, 2) AS part_value
     FROM pv CROSS JOIN tot
-    WHERE value > t * 0.0005
+    WHERE value_n * 10000 > t_n * 5
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5103,14 +5128,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compare on both engines; rounding only formats the
     output column."""
     li = _t(spark, sf_dir, "lineitem")
+    # exact cents-scale integers: the 0.05% importance threshold
+    # becomes an exact integer comparison (value/t > 1/2000 <=>
+    # value_n*10000 > t_n*5), so the CUT itself — not just the rounded
+    # output — is order-independent and engine-stable
     pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__v")
+        F.sum(_pc() * money_ints("l_quantity", 0)).alias("__v")
     )
     tot = pv.agg(F.sum("__v").alias("__t"))
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("__v") > F.col("__t") * 0.0005)
-        .select("partkey", round_half_up(F.col("__v"), 2).alias("part_value"))
+        .filter(F.col("__v") * F.lit(10000) > F.col("__t") * F.lit(5))
+        .select(
+            "partkey",
+            round_half_up(F.col("__v") / F.lit(100.0), 2).alias("part_value"),
+        )
     )
 
 
@@ -5342,10 +5374,10 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "orders_bloom_prune",
-    """
+    f"""
     WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000)
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round({_REV_SQL} / 10000.0, 2) AS revenue
     FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hv)
     GROUP BY l_returnflag
     """,
@@ -5370,9 +5402,7 @@ def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = bloom.bloom_semi_join(li, hv, "l_orderkey", "o_orderkey")
     return pruned.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        round_half_up(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        exact_sum(_pc() * _dc(), 4).alias("revenue"),
     )
 
 
@@ -5540,10 +5570,10 @@ def corpus_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q8_market_share",
-    """
+    f"""
     WITH vol AS (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             {_PC_SQL} * {_DC_SQL} AS volume,
              n2.n_name AS supp_nation
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -5558,7 +5588,7 @@ def corpus_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_year,
            round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
                           ELSE 0 END) / sum(volume), 4) AS mkt_share,
-           round(sum(volume), 2) AS total_volume
+           round(sum(volume) / 10000.0, 2) AS total_volume
     FROM vol GROUP BY o_year
     """,
 )
@@ -5598,8 +5628,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    nat2 = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
+    vol_i = _pc() * _dc()
+    nat2_i = F.when(F.col("supp_nation") == "NATION_2", vol_i).otherwise(
+        F.lit(0).cast("long")
+    )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(_gb(cust, spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
@@ -5607,8 +5639,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_gb(part, spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            round_half_up(F.sum(nat2) / F.sum(vol), 4).alias("mkt_share"),
-            round_half_up(F.sum(vol), 2).alias("total_volume"),
+            round_half_up(F.sum(nat2_i) / F.sum(vol_i), 4).alias("mkt_share"),
+            exact_sum(vol_i, 4).alias("total_volume"),
         )
     )
 
@@ -5926,9 +5958,9 @@ def docs_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "supplier_hhi",
-    """
+    f"""
     WITH rev AS (SELECT s_nationkey AS nationkey, l_suppkey,
-                        sum(l_extendedprice * (1 - l_discount)) AS r
+                        {_REV_SQL} AS r
                  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                  GROUP BY 1, 2),
     tot AS (SELECT nationkey, sum(r) AS t FROM rev GROUP BY 1)
@@ -5950,9 +5982,7 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(_gb(supp, spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__r")
-        )
+        .agg(F.sum(_pc() * _dc()).alias("__r"))
     )
     tot = rev.groupBy("nationkey").agg(F.sum("__r").alias("__t"))
     return (
@@ -6391,22 +6421,24 @@ def customer_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "nation_trade_balance",
-    """
+    f"""
     WITH sell AS (
       SELECT s_nationkey AS nk,
-             sum(l_extendedprice * (1 - l_discount)) AS sell_rev
+             {_REV_SQL} AS sell_n
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY 1
     ),
     buy AS (
-      SELECT c_nationkey AS nk, sum(o_totalprice) AS buy_spend
+      SELECT c_nationkey AS nk,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS buy_n
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1
     )
     SELECT n_name,
-           round(coalesce(sell_rev, 0), 2) AS sell_revenue,
-           round(coalesce(buy_spend, 0), 2) AS buy_spend,
-           round(coalesce(sell_rev, 0) - coalesce(buy_spend, 0), 2) AS balance
+           round(coalesce(sell_n, 0) / 10000.0, 2) AS sell_revenue,
+           round(coalesce(buy_n, 0) / 100.0, 2) AS buy_spend,
+           round((coalesce(sell_n, 0) - 100 * coalesce(buy_n, 0)) / 10000.0, 2)
+             AS balance
     FROM nation
     LEFT JOIN sell ON n_nationkey = sell.nk
     LEFT JOIN buy ON n_nationkey = buy.nk
@@ -6427,32 +6459,25 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sell = (
         li.join(_gb(supp, spark, sf_dir, "supplier"), li["l_suppkey"] == supp["s_suppkey"])
         .groupBy(F.col("s_nationkey").alias("nk"))
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sell_rev"
-            )
-        )
+        .agg(F.sum(_pc() * _dc()).alias("sell_n"))
     )
     buy = (
         orders.join(_gb(cust, spark, sf_dir, "customer"), orders["o_custkey"] == cust["c_custkey"])
         .groupBy(F.col("c_nationkey").alias("nk"))
-        .agg(F.sum("o_totalprice").alias("buy_spend"))
+        .agg(F.sum(money_ints("o_totalprice")).alias("buy_n"))
     )
+    zero = F.lit(0).cast("long")
+    sell_n = F.coalesce("sell_n", zero)
+    buy_n = F.coalesce("buy_n", zero)
     return (
         nation.join(sell, nation["n_nationkey"] == sell["nk"], "left")
         .join(buy, nation["n_nationkey"] == buy["nk"], "left")
         .select(
             "n_name",
-            round_half_up(F.coalesce("sell_rev", F.lit(0.0)), 2).alias(
-                "sell_revenue"
-            ),
-            round_half_up(F.coalesce("buy_spend", F.lit(0.0)), 2).alias(
-                "buy_spend"
-            ),
+            round_half_up(sell_n / F.lit(10000.0), 2).alias("sell_revenue"),
+            round_half_up(buy_n / F.lit(100.0), 2).alias("buy_spend"),
             round_half_up(
-                F.coalesce("sell_rev", F.lit(0.0))
-                - F.coalesce("buy_spend", F.lit(0.0)),
-                2,
+                (sell_n - F.lit(100) * buy_n) / F.lit(10000.0), 2
             ).alias("balance"),
         )
     )
@@ -6460,9 +6485,9 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "supplier_percentile_rank",
-    """
+    f"""
     WITH rev AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      SELECT l_suppkey, round({_REV_SQL} / 10000.0, 2) AS revenue
       FROM lineitem GROUP BY l_suppkey
     )
     SELECT s_suppkey, n_name, revenue,
@@ -6486,9 +6511,7 @@ def supplier_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     rev = li.groupBy("l_suppkey").agg(
-        round_half_up(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        exact_sum(_pc() * _dc(), 4).alias("revenue")
     )
     j = rev.join(
         _gb(supp, spark, sf_dir, "supplier"), rev["l_suppkey"] == supp["s_suppkey"]
@@ -7092,10 +7115,12 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q9_product_profit",
-    """
+    f"""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.6 * p_retailprice * l_quantity), 2) AS profit
+           round(sum({_PC_SQL} * {_DC_SQL}
+                     - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                          * CAST(round(l_quantity) AS BIGINT)) / 10000.0, 2)
+             AS profit
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -7125,15 +7150,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_gb(supp, spark, sf_dir, "supplier"), li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
     )
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact 1e4-scaled integers: 0.6*retail*qty = 60*retail_cents*qty
+    profit_i = _pc() * _dc() - F.lit(60) * money_ints("p_retailprice") * money_ints(
+        "l_quantity", 0
+    )
     return (
         j.groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(round_half_up(F.sum(profit), 2).alias("profit"))
+        .agg(exact_sum(profit_i, 4).alias("profit"))
     )
 
 
@@ -8480,14 +8506,14 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "lineitem_discount_sensitivity",
-    """
+    f"""
     SELECT CAST(round(l_discount * 100) AS INT) AS discount_pct,
            CASE WHEN l_quantity < 10 THEN 'qty_00_09'
                 WHEN l_quantity < 25 THEN 'qty_10_24'
                 ELSE 'qty_25_up' END AS qty_band,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_extendedprice * l_discount), 2) AS discount_given,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+           round(sum({_PC_SQL} * {_DDC_SQL}) / 10000.0, 2) AS discount_given,
+           round({_REV_SQL} / 10000.0, 2) AS net_revenue
     FROM lineitem
     GROUP BY 1, 2
     """,
@@ -8511,12 +8537,8 @@ def lineitem_discount_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
         qty_band.alias("qty_band"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        round_half_up(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-        ).alias("discount_given"),
-        round_half_up(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("net_revenue"),
+        exact_sum(_pc() * _ddc(), 4).alias("discount_given"),
+        exact_sum(_pc() * _dc(), 4).alias("net_revenue"),
     )
 
 

@@ -50,16 +50,25 @@ def main() -> None:
     import os
 
     nparts = os.environ.get("SPARK_GRAFT_PARITY_PARTITIONS", "8")
+    # default heap OOMs on the sf1 tiled tables (6 M lineitem); the
+    # driver's gate runs at sf0.01 where 4g is ample headroom
+    mem = os.environ.get("SPARK_GRAFT_PARITY_DRIVER_MEM", "4g")
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", nparts)
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .appName("full-parity")
         .getOrCreate()
     )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # driver testdata ships single files; scale_up.py output (sf1)
+        # is a directory of part files — glob in that case
+        p = f"{sf}/{t}.parquet"
+        if Path(p).is_dir():
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     out: dict[str, dict] = {}
     t0 = time.time()

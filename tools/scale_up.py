@@ -52,11 +52,11 @@ KEYMAP: dict[str, tuple[str | None, dict[str, str]]] = {
 }
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else (
-        REPO / "spark-warehouse" / "sf1"
-    )
+def build(out_dir, k: int = 10, spark=None) -> None:
+    """Tile SRC into ``out_dir`` (callable from bench.py with its warm
+    session — VERDICT r10 #3: the sf1 bench line needs driver
+    provenance, so bench builds the gitignored dir when absent)."""
+    out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from pyspark.sql import SparkSession
@@ -64,14 +64,16 @@ def main() -> None:
 
     from b2b_data_pipeline_indiamart_spark import catalog
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .appName("scale-up")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    own_session = spark is None
+    if own_session:
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .appName("scale-up")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
 
     # per-key-space stride = 1 + max id in the source, so replica i's
@@ -130,7 +132,16 @@ def main() -> None:
             .parquet(str(out_dir / f"{t}.parquet")))
         print(f"{t}: {n} rows", flush=True)
     print(f"done in {time.time() - t0:.1f}s -> {out_dir}", flush=True)
-    spark.stop()
+    if own_session:
+        spark.stop()
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else (
+        REPO / "spark-warehouse" / "sf1"
+    )
+    build(out_dir, k)
 
 
 if __name__ == "__main__":
