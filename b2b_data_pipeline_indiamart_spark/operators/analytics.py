@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import exact_avg, round_half_up
+from ..functions.rounding import exact_avg, money_ints, round_half_up
 
 
 def apply_filters(
@@ -325,9 +325,15 @@ def poisson_bootstrap_lift(
         reps.withColumn("__w", w)
         .groupBy("__rep", variant_col)
         .agg(
-            (F.sum(F.col("__w") * F.col(value_col)) / F.sum("__w")).alias(
-                "__m"
-            )
+            # exact cents: integer weighted sum (order-independent),
+            # ONE float division — the weighted mean of 2dp user
+            # values lies on a lattice commensurate with the 4dp
+            # output rounding, so a float sum here is the boundary-
+            # canary flake class (tests/test_sum_boundary_canary.py)
+            (
+                F.sum(F.col("__w") * money_ints(value_col)).cast("double")
+                / (F.sum("__w") * F.lit(100.0))
+            ).alias("__m")
         )
     )
     lifts = per_rv.groupBy("__rep").agg(
@@ -337,7 +343,10 @@ def poisson_bootstrap_lift(
         ).alias("__lift")
     )
     point = user_values.groupBy(variant_col).agg(
-        F.avg(value_col).alias("__m")
+        (
+            F.sum(money_ints(value_col)).cast("double")
+            / (F.count(F.lit(1)) * F.lit(100.0))
+        ).alias("__m")
     ).agg(
         (
             F.max(F.when(F.col(variant_col) == 1, F.col("__m")))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import exact_avg, round_half_up
+from ..functions.rounding import exact_avg, exact_sum, money_ints, round_half_up
 
 
 def tumbling_agg(events: DataFrame, bucket: str = "hour") -> DataFrame:
@@ -34,7 +34,7 @@ def tumbling_agg(events: DataFrame, bucket: str = "hour") -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            round_half_up(F.sum("value"), 2).alias("sum_value"),
+            exact_sum(money_ints("value"), 2).alias("sum_value"),
         )
     )
 
@@ -74,7 +74,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("session_ms"),
-            round_half_up(F.sum("value"), 2).alias("sum_value"),
+            exact_sum(money_ints("value"), 2).alias("sum_value"),
         )
     )
 
@@ -799,7 +799,7 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         "user_id", F.session_window("ts", gap).alias("w")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        round_half_up(F.sum("value"), 2).alias("sum_value"),
+        exact_sum(money_ints("value"), 2).alias("sum_value"),
     )
     return w.select(
         "user_id",

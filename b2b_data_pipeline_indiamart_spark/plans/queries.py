@@ -242,7 +242,7 @@ def parse_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN price < 50000 THEN 'Mid (10k-50k)'
                 ELSE 'High (50k+)' END AS price_bucket,
            COUNT(*) AS cnt,
-           round(sum(coalesce(price, 0)), 2) AS sum_price
+           round(sum(CAST(round(coalesce(price, 0) * 100) AS BIGINT)) / 100.0, 2) AS sum_price
     FROM (SELECT CASE WHEN l_quantity < 2 THEN NULL ELSE l_extendedprice END AS price
           FROM lineitem)
     GROUP BY 1
@@ -260,7 +260,7 @@ def price_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(price_bucket(F.col("price")).alias("price_bucket"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            round_half_up(F.sum(F.coalesce(F.col("price"), F.lit(0.0))), 2).alias("sum_price"),
+            exact_sum(money_ints(F.coalesce(F.col("price"), F.lit(0.0))), 2).alias("sum_price"),
         )
     )
 
@@ -494,17 +494,23 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _dim(spark, sf_dir, "supplier")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
+    # part and supplier joins must precede the dedup (its keys come
+    # from them); nation/region resolve AFTER the dedup so (a) the
+    # dedup shuffle carries a long s_nationkey instead of the
+    # region_name string and (b) the two broadcast probes run on
+    # collapsed groups, not the full fact stream (r11 measured: ~15%
+    # off the sf1 wall). Tie-break semantics unchanged: the struct-min
+    # order fields (l_orderkey, l_linenumber) are unique per row, so
+    # payload columns never decide the winner.
     listing = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(nation, supp.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
         .select(
             "l_orderkey",
             "l_linenumber",
             dedup.normalize_doc(F.col("p_name")).alias("product_name"),
             F.col("s_name").alias("supplier_name"),
-            F.col("r_name").alias("region_name"),
+            "s_nationkey",
             F.col("l_extendedprice").alias("price"),
         )
     )
@@ -512,9 +518,14 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         listing,
         ["product_name", "supplier_name"],
         ["l_orderkey", "l_linenumber"],
-        ["region_name", "price"],
+        ["s_nationkey", "price"],
     )
-    return deduped.groupBy(
+    resolved = (
+        deduped.join(nation, deduped.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .withColumnRenamed("r_name", "region_name")
+    )
+    return resolved.groupBy(
         "region_name", price_bucket(F.col("price")).alias("price_bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"), exact_avg("price", 2).alias("avg_price"))
 
@@ -816,7 +827,7 @@ def price_rating_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum({_PC_SQL}) / 100.0, 2) AS sum_base_price,
            round({_REV_SQL} / 10000.0, 2) AS sum_disc_price,
            round(sum({_PC_SQL} * {_DC_SQL} * {_TC_SQL}) / 1000000.0, 2) AS sum_charge,
            round(avg(l_quantity), 2) AS avg_qty,
@@ -847,7 +858,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
-            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(_pc(), 2).alias("sum_base_price"),
             exact_sum(disc_ints, 4).alias("sum_disc_price"),
             exact_sum(charge_ints, 6).alias("sum_charge"),
             round_half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
@@ -993,7 +1004,7 @@ def windowed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_tumbling",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
-           event_type, COUNT(*) AS cnt, round(sum(value), 2) AS sum_value
+           event_type, COUNT(*) AS cnt, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1056,7 +1067,7 @@ def events_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
            CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS session_ms,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM ids GROUP BY user_id, session_id
     """,
 )
@@ -1129,7 +1140,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
     SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
            CAST(count(c.ts) AS BIGINT) AS clicks_10m,
-           round(sum(c.value), 2) AS click_value_10m
+           round(sum(CAST(round(c.value * 100) AS BIGINT)) / 100.0, 2) AS click_value_10m
     FROM e LEFT JOIN c ON c.user_id = e.user_id
       AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
     GROUP BY e.event_id, e.user_id, e.ts
@@ -1156,7 +1167,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
         aggs=[
             F.count(F.lit(1)).cast("long").alias("__cnt"),
-            round_half_up(F.sum("r_value"), 2).alias("__val"),
+            exact_sum(money_ints("r_value"), 2).alias("__val"),
         ],
         lookback_seconds=600,
     )
@@ -2447,7 +2458,7 @@ def supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o_orderstatus, 'ALL') AS status,
            CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
            COUNT(*) AS cnt,
-           round(sum(o_totalprice), 2) AS total_value
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_value
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -2464,7 +2475,7 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("cnt"),
-            round_half_up(F.sum("o_totalprice"), 2).alias("total_value"),
+            exact_sum(money_ints("o_totalprice"), 2).alias("total_value"),
         )
         .select(
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
@@ -2492,7 +2503,7 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(event_type) * 4 + GROUPING(day) * 2 + GROUPING(hour)
                 AS BIGINT) AS gid,
            COUNT(*) AS cnt,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM e GROUP BY ROLLUP (event_type, day, hour)
     """,
 )
@@ -2517,7 +2528,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("cnt"),
-            round_half_up(F.sum("value"), 2).alias("sum_value"),
+            exact_sum(money_ints("value"), 2).alias("sum_value"),
         )
         .select(
             F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
@@ -2539,7 +2550,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events CROSS JOIN (VALUES (0), (1)) AS o(k)
     )
     SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, COUNT(*) AS cnt, round(sum(value), 2) AS sum_value
+           event_type, COUNT(*) AS cnt, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM contrib
     WHERE w_start >= TIMESTAMP '1970-01-01'
     GROUP BY 1, 2
@@ -2556,7 +2567,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            round_half_up(F.sum("value"), 2).alias("sum_value"),
+            exact_sum(money_ints("value"), 2).alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -2721,7 +2732,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(yr) AS INT) AS g_year,
            CAST(GROUPING(priority) AS INT) AS g_priority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM o GROUP BY ROLLUP(yr, priority)
     """,
 )
@@ -2745,7 +2756,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("yr").cast("int").alias("g_year"),
             F.grouping("priority").cast("int").alias("g_priority"),
             F.count(F.lit(1)).alias("n_orders"),
-            round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+            exact_sum(money_ints("o_totalprice"), 2).alias("revenue"),
         )
         .select(
             F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
@@ -3367,7 +3378,7 @@ def price_bands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS custkey,
              max(o_orderdate) AS last_order,
              count(*) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     s AS (
@@ -3413,7 +3424,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            round_half_up(F.sum("o_totalprice"), 2).alias("monetary"),
+            exact_sum(money_ints("o_totalprice"), 2).alias("monetary"),
         )
     )
     s = global_ntile_many(
@@ -3922,7 +3933,7 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(status) AS INT) AS g_status,
            CAST(GROUPING(priority) AS INT) AS g_priority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM o GROUP BY CUBE(status, priority)
     """,
 )
@@ -3944,7 +3955,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("status").cast("int").alias("g_status"),
             F.grouping("priority").cast("int").alias("g_priority"),
             F.count(F.lit(1)).alias("n_orders"),
-            round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+            exact_sum(money_ints("o_totalprice"), 2).alias("revenue"),
         )
         .select(
             F.coalesce(F.col("status"), F.lit("ALL")).alias("order_status"),
@@ -4089,7 +4100,7 @@ def part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sess AS (
       SELECT user_id, session_id, COUNT(*) AS n_events,
              CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS session_ms,
-             round(sum(value), 2) AS sum_value
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
       FROM ids GROUP BY user_id, session_id
     )
     SELECT CAST(n_events AS BIGINT) AS n_events,
@@ -4171,14 +4182,16 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "customer_segment_value",
     """
-    WITH per_cust AS (SELECT o_custkey AS ck, sum(o_totalprice) AS spend,
+    WITH per_cust AS (SELECT o_custkey AS ck,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS spend_n,
                              count(*) AS n
                       FROM orders GROUP BY 1)
     SELECT c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(coalesce(p.n, 0)) AS BIGINT) AS n_orders,
-           round(sum(coalesce(p.spend, 0.0)), 2) AS revenue,
-           round(sum(CAST(round(coalesce(p.spend, 0.0) * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_ltv
+           round(sum(coalesce(p.spend_n, 0)) / 100.0, 2) AS revenue,
+           round(sum(coalesce(p.spend_n, 0)) / (count(*) * 100.0), 4) AS avg_ltv
     FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.ck
     GROUP BY 1
     """,
@@ -4194,7 +4207,8 @@ def customer_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.sum("o_totalprice").alias("spend"), F.count(F.lit(1)).alias("n")
+        F.sum(money_ints("o_totalprice")).alias("spend_n"),
+        F.count(F.lit(1)).alias("n"),
     )
     return (
         cust.join(per_cust, cust["c_custkey"] == per_cust["ck"], "left")
@@ -4202,12 +4216,16 @@ def customer_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_orders"),
-            round_half_up(F.sum(F.coalesce(F.col("spend"), F.lit(0.0))), 2).alias(
-                "revenue"
-            ),
-            exact_avg(F.coalesce(F.col("spend"), F.lit(0.0)), 2, 4).alias(
-                "avg_ltv"
-            ),
+            round_half_up(
+                F.sum(F.coalesce(F.col("spend_n"), F.lit(0).cast("long")))
+                / F.lit(100.0),
+                2,
+            ).alias("revenue"),
+            round_half_up(
+                F.sum(F.coalesce(F.col("spend_n"), F.lit(0).cast("long")))
+                / (F.count(F.lit(1)) * F.lit(100.0)),
+                4,
+            ).alias("avg_ltv"),
         )
     )
 
@@ -4747,7 +4765,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (count(c_acctbal) * 100.0) AS a FROM customer
                      WHERE c_acctbal > 0.0)
     SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
     FROM customer CROSS JOIN avg_bal
     WHERE c_acctbal > a
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -4794,7 +4812,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            round_half_up(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            exact_sum(money_ints("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -5153,7 +5171,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o_orderpriority, 'ALL') AS order_priority,
            coalesce(o_orderstatus, 'ALL') AS order_status,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
                             (year(o_orderdate)), (o_orderstatus))
@@ -5185,7 +5203,7 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_status",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+        exact_sum(money_ints("o_totalprice"), 2).alias("revenue"),
     )
     return gs.select(
         F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
@@ -5248,7 +5266,7 @@ def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM lineitem JOIN bp ON p_partkey = l_partkey),
     th AS (SELECT l_partkey AS pk, round(0.2 * avg(l_quantity), 2) AS cut
            FROM lb GROUP BY 1)
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0, 2) AS avg_yearly,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lb JOIN th ON l_partkey = pk
     WHERE l_quantity < cut
@@ -5282,7 +5300,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         lb.join(th, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("cut"))
         .agg(
-            round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            round_half_up(F.sum(money_ints("l_extendedprice")) / 700.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -7462,7 +7480,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
            CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
            COUNT(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM ids GROUP BY user_id, session_id
     """,
 )
@@ -7509,7 +7527,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "customer_pareto_curve",
     """
-    WITH c AS (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS rev
+    WITH c AS (SELECT o_custkey AS custkey, round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS rev
                FROM orders GROUP BY 1),
     d AS (SELECT custkey, rev,
                  ntile(10) OVER (ORDER BY rev DESC, custkey ASC) AS decile
@@ -7541,7 +7559,7 @@ def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        round_half_up(F.sum("o_totalprice"), 2).alias("rev")
+        exact_sum(money_ints("o_totalprice"), 2).alias("rev")
     )
     d = global_ntile(
         c, 10, [F.col("rev").desc(), F.col("custkey").asc()], "decile"
@@ -7731,7 +7749,7 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN age_days <= 365 THEN '091-365d'
                 ELSE '365d+' END AS age_bucket,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_value
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_value
     FROM aged GROUP BY 1, 2
     """,
 )
@@ -7757,7 +7775,7 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aged.groupBy("status", bucket.alias("age_bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        round_half_up(F.sum("o_totalprice"), 2).alias("total_value"),
+        exact_sum(money_ints("o_totalprice"), 2).alias("total_value"),
     )
 
 
@@ -7874,14 +7892,20 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
       SELECT CAST(user_id % 2 AS INT) AS variant,
-             round(sum(value), 2) AS user_value
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS user_value
       FROM events GROUP BY user_id
+    ),
+    uc AS (
+      SELECT variant, CAST(round(user_value * 100) AS BIGINT) AS uc FROM u
     ),
     v AS (
       SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
-             avg(user_value) AS mean_value,
-             var_samp(user_value) AS var_value
-      FROM u GROUP BY variant
+             (CAST(sum(uc) AS DOUBLE) / count(*)) / 100.0 AS mean_value,
+             ((CAST(sum(uc * uc) AS DOUBLE)
+               - CAST(sum(uc) AS DOUBLE)
+                 * (CAST(sum(uc) AS DOUBLE) / count(*)))
+              / (count(*) - 1)) / 10000.0 AS var_value
+      FROM uc GROUP BY variant
     ),
     wide AS (
       SELECT
@@ -7916,14 +7940,31 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-user collect."""
     events = _t(spark, sf_dir, "events")
     u = events.groupBy("user_id").agg(
-        round_half_up(F.sum("value"), 2).alias("user_value")
+        exact_sum(money_ints("value"), 2).alias("user_value")
     ).select(
-        (F.col("user_id") % 2).cast("int").alias("variant"), "user_value"
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        # exact cents: the moment aggregates below are integer sums
+        # (order-independent), composed into mean/variance by ONE
+        # deterministic float expression mirrored verbatim in the
+        # oracle — the mean of n cents values lies on the 1/(100n)
+        # lattice, which CAN hit a 4dp rounding midpoint exactly
+        money_ints("user_value").alias("uc"),
     )
+    n_ = F.count(F.lit(1)).cast("long")
     v = u.groupBy("variant").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.avg("user_value").alias("mean_value"),
-        F.var_samp("user_value").alias("var_value"),
+        n_.alias("n_users"),
+        F.sum("uc").alias("sc"),
+        F.sum(F.col("uc") * F.col("uc")).alias("sc2"),
+    )
+    mc = F.col("sc").cast("double") / F.col("n_users")
+    varc = (
+        F.col("sc2").cast("double") - F.col("sc").cast("double") * mc
+    ) / (F.col("n_users") - 1)
+    v = v.select(
+        "variant",
+        "n_users",
+        (mc / F.lit(100.0)).alias("mean_value"),
+        (varc / F.lit(10000.0)).alias("var_value"),
     )
     wide = v.agg(
         F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
@@ -7966,11 +8007,13 @@ def _poisson_weight_case_sql(key_expr: str) -> str:
     f"""
     WITH u AS (
       SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
-             round(sum(value), 2) AS user_value
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS user_value
       FROM events GROUP BY user_id
     ),
     mm AS (
-      SELECT rep, variant, sum(wt * user_value) / sum(wt) AS mv
+      SELECT rep, variant,
+             CAST(sum(wt * CAST(round(user_value * 100) AS BIGINT))
+                  AS DOUBLE) / (sum(wt) * 100.0) AS mv
       FROM (
         SELECT variant, user_value,
                {_poisson_weight_case_sql(
@@ -7990,7 +8033,7 @@ def _poisson_weight_case_sql(key_expr: str) -> str:
     pt AS (
       SELECT max(CASE WHEN variant = 1 THEN mv END)
              - max(CASE WHEN variant = 0 THEN mv END) AS point
-      FROM (SELECT variant, avg(user_value) AS mv FROM u GROUP BY variant)
+      FROM (SELECT variant, CAST(sum(CAST(round(user_value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS mv FROM u GROUP BY variant)
     )
     SELECT CAST(100 AS INT) AS n_reps,
            round((SELECT point FROM pt), 4) AS point_lift,
@@ -8015,7 +8058,7 @@ def events_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate case remain pytest-pinned."""
     events = _t(spark, sf_dir, "events")
     u = events.groupBy("user_id").agg(
-        round_half_up(F.sum("value"), 2).alias("user_value")
+        exact_sum(money_ints("value"), 2).alias("user_value")
     ).select(
         "user_id",
         (F.col("user_id") % 2).cast("int").alias("variant"),
@@ -8111,7 +8154,7 @@ def embedding_ood_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
       SELECT CAST(user_id % 2 AS INT) AS variant,
-             round(sum(value), 2) AS v
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS v
       FROM events GROUP BY user_id
     ),
     r AS (
@@ -8165,7 +8208,7 @@ def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     u = caching.persist_tracked(
         events.groupBy("user_id")
-        .agg(round_half_up(F.sum("value"), 2).alias("v"))
+        .agg(exact_sum(money_ints("value"), 2).alias("v"))
         .select(
             (F.col("user_id") % 2).cast("int").alias("variant"), "v"
         )
@@ -8717,7 +8760,7 @@ def part_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_name,
              CAST(datediff('month', DATE '1995-01-01',
                            date_trunc('month', o_orderdate)) AS DOUBLE) AS x,
-             round(sum(o_totalprice), 2) AS y
+             round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS y
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -8763,7 +8806,7 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("1995-01-01").cast("timestamp"),
             ).cast("double").alias("x"),
         )
-        .agg(round_half_up(F.sum("o_totalprice"), 2).alias("y"))
+        .agg(exact_sum(money_ints("o_totalprice"), 2).alias("y"))
     )
     n, sx, sy = F.count(F.lit(1)), F.sum("x"), F.sum("y")
     sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))

@@ -463,6 +463,25 @@ _FORBIDDEN_ORACLE_PATTERNS = [
     r"THEN\s+l_extendedprice\s*\*",           # conditional raw products
     r"sum\([^)]*0\.6\s*\*\s*p_retailprice",   # raw profit products
     r"\*\s*\(\s*1\s*-\s*l_discount\s*\)\s*\)",  # any raw (1-disc) product
+    # raw 2dp money sums rounded at 2dp: safe at small SF but the
+    # scaled-units ulp grows with the sum's magnitude — at sf1 the
+    # big-rollup cells' float error budget already crosses the
+    # half-cent midpoint distance (r11 wave 2). The ordered-window
+    # running sum (sum(x) OVER (ORDER BY ...)) stays allowed: both
+    # engines accumulate in the SAME frame order, so it is
+    # deterministic — the floorized window form has " OVER" before
+    # the closing paren and does not match these.
+    r"floor\(\(sum\(o_totalprice\)\)",
+    r"floor\(\(sum\(value\)\)",
+    r"floor\(\(sum\(c\.value\)\)",
+    r"floor\(\(sum\(c_acctbal\)\)",
+    r"floor\(\(sum\(l_extendedprice\)\)",
+    r"floor\(\(sum\(coalesce\(price",
+    r"floor\(\(sum\(coalesce\(p\.spend[^_]",  # spend_n (cents) allowed
+    # means of 2dp user values rounded at 4dp: the 1/(100n) lattice
+    # is commensurate with the 4dp grid (the events_ab_test class)
+    r"avg\(user_value\)",
+    r"sum\(wt\s*\*\s*user_value\)",
 ]
 
 
