@@ -498,9 +498,13 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from them); nation/region resolve AFTER the dedup so (a) the
     # dedup shuffle carries a long s_nationkey instead of the
     # region_name string and (b) the two broadcast probes run on
-    # collapsed groups, not the full fact stream (r11 measured: ~15%
-    # off the sf1 wall). Tie-break semantics unchanged: the struct-min
-    # order fields (l_orderkey, l_linenumber) are unique per row, so
+    # collapsed groups, not the full fact stream. r11 A/B at sf1
+    # (warm, alternating, best-of-3): old 3.43 s vs new 3.40 s —
+    # neutral locally (the O(distinct) dedup shuffle dominates), kept
+    # for the scale shape: at 100 TB the probes move from ~60 B fact
+    # rows to the collapsed group count and the shuffle payload drops
+    # a string. Tie-break semantics unchanged: the struct-min order
+    # fields (l_orderkey, l_linenumber) are unique per row, so
     # payload columns never decide the winner.
     listing = (
         li.join(part, li.l_partkey == part.p_partkey)
