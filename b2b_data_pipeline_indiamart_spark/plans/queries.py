@@ -5791,7 +5791,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(sum(attributed) AS BIGINT) AS n_attributed,
            round(sum(attributed) * 1.0 / count(*), 4) AS attribution_rate,
-           round(sum(CASE WHEN attributed = 1 THEN value ELSE 0 END), 2)
+           round(sum(CASE WHEN attributed = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) / 100.0, 2)
              AS attributed_value,
            round(sum(alag) / (count(alag) * 60000000.0), 2) AS avg_lag_min
     FROM f GROUP BY day
@@ -5837,7 +5837,11 @@ def events_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "attribution_rate"
             ),
             round_half_up(
-                F.sum(F.when(F.col("__attr") == 1, F.col("value")).otherwise(0.0)),
+                F.sum(
+                    F.when(F.col("__attr") == 1, money_ints("value"))
+                    .otherwise(F.lit(0).cast("long"))
+                )
+                / F.lit(100.0),
                 2,
             ).alias("attributed_value"),
             round_half_up(
@@ -7006,7 +7010,7 @@ def embedding_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(sum(attributed) AS BIGINT) AS n_attributed,
            round(sum(attributed) * 1.0 / count(*), 4) AS attribution_rate,
-           round(sum(CASE WHEN attributed = 1 THEN value ELSE 0 END), 2)
+           round(sum(CASE WHEN attributed = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) / 100.0, 2)
              AS attributed_value,
            round(sum(alag) / (count(alag) * 60000000.0), 2) AS avg_lag_min
     FROM p GROUP BY day
@@ -7054,7 +7058,11 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
                 "attribution_rate"
             ),
             round_half_up(
-                F.sum(F.when(F.col("__attr") == 1, F.col("value")).otherwise(0.0)),
+                F.sum(
+                    F.when(F.col("__attr") == 1, money_ints("value"))
+                    .otherwise(F.lit(0).cast("long"))
+                )
+                / F.lit(100.0),
                 2,
             ).alias("attributed_value"),
             round_half_up(
