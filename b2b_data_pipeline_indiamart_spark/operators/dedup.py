@@ -198,7 +198,11 @@ def band_table(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", k: int = 64, bands: int = 16
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded MinHash signatures.
 
@@ -206,6 +210,19 @@ def lsh_candidate_pairs(
     (r=4) the S-curve threshold is ~(1/16)^(1/4) ≈ 0.5 Jaccard.
     Pair generation is a self-equi-join on (band_id, band_hash):
     shuffle ∝ corpus × bands. Returns distinct (id_a, id_b), id_a < id_b.
+
+    ``max_bucket_size`` (default off — the registry keys pin the
+    exact output) is the standard 100 TB guard: a band bucket of m
+    docs emits m·(m−1)/2 pairs, so one mega-cluster (boilerplate,
+    empty strings, licence headers) can dominate the whole job
+    quadratically — the r11 sf1 stage dump measured the tiled corpus
+    emitting 620 pairs/doc through exactly this mechanism. With the
+    cap set, buckets larger than the cap are dropped BEFORE the
+    self-join (one extra count-per-bucket aggregate, shuffle ∝
+    corpus × bands): docs in an oversized bucket still pair through
+    their other, more selective bands, so recall degrades gracefully
+    and only for items whose similarity is carried exclusively by a
+    degenerate band.
 
     The banded table is persisted (memory-and-disk) before the
     self-join: without it Spark recomputes the whole
@@ -216,6 +233,16 @@ def lsh_candidate_pairs(
     banded = caching.persist_tracked(
         band_table(signatures, id_col=id_col, k=k, bands=bands)
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band_id", "band_hash")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        banded = caching.persist_tracked(
+            banded.join(small, ["band_id", "band_hash"], "left_semi")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

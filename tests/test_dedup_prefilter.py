@@ -120,3 +120,34 @@ def test_lsh_banding_matches_theoretical_s_curve(spark):
         # unrelated docs must essentially never collide (64-bit bands)
         strays = len(cand) - hits
         assert strays <= 2, strays
+
+
+def test_lsh_bucket_cap_drops_megacluster_keeps_selective_pairs(spark):
+    """max_bucket_size (the 100 TB quadratic-fanout guard): buckets
+    larger than the cap are dropped before the self-join, so a
+    mega-cluster of identical boilerplate stops emitting m^2/2 pairs,
+    while pairs carried by small (selective) buckets survive. Default
+    (None) is the exact registry behavior."""
+    boiler = "standard licence header " * 20
+    uniq_a = ("a very long and quite specific passage about volcanic "
+              "geology and the crystallization of basalt columns in "
+              "iceland during long winters " * 4)
+    uniq_b = uniq_a.replace("winters", "summers")
+    rows = [(i, boiler) for i in range(10)]  # mega-cluster: 45 pairs
+    rows += [(100, uniq_a), (101, uniq_b)]   # one selective near-pair
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(docs).persist()
+
+    full = _rows(dedup.lsh_candidate_pairs(sigs))
+    assert (100, 101) in full
+    assert sum(1 for a, b in full if a < 100 and b < 100) == 45
+
+    capped = _rows(dedup.lsh_candidate_pairs(sigs, max_bucket_size=5))
+    # the 10-doc buckets exceed the cap -> all boilerplate pairs gone
+    assert all(not (a < 100 and b < 100) for a, b in capped)
+    # the 2-doc buckets are under the cap -> the selective pair stays
+    assert (100, 101) in capped
+
+    # cap above every bucket size == exact output
+    assert _rows(dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)) == full
+    sigs.unpersist()
