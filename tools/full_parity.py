@@ -33,6 +33,32 @@ def _comparable(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+#: rows-only outputs above this size use the distributed fingerprint
+#: instead of a 2x driver collect (dedup_minhash_lsh at sf1 emits 31 M
+#: candidate pairs — collecting that through py4j twice is exactly the
+#: driver-side anti-pattern the engine bans)
+_BIG_ROWS = 2_000_000
+
+
+def _fingerprint(df):
+    """Order-independent determinism fingerprint computed ON the
+    executors: xxhash64 over every column's string form per row,
+    folded with two modular sums + count. Two runs of a deterministic
+    query produce identical fingerprints; no rows reach the driver."""
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    m1, m2 = 2_000_000_011, 1_999_999_973  # ~2e9 primes: sum < 2^63
+    row = df.select(
+        F.pmod(h, F.lit(m1)).alias("h1"), F.pmod(h, F.lit(m2)).alias("h2")
+    ).agg(
+        F.sum("h1").alias("s1"),
+        F.sum("h2").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return (row["s1"], row["s2"], row["n"])
+
+
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "r0"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -77,6 +103,21 @@ def main() -> None:
         try:
             sdf = fn(spark, sf)
             scols = sdf.columns
+            if key not in ORACLE and sdf.count() > _BIG_ROWS:
+                fp1 = _fingerprint(fn(spark, sf))
+                fp2 = _fingerprint(fn(spark, sf))
+                out[key] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": fp1[2],
+                    "oracle_rows": None,
+                    "deterministic": fp1 == fp2,
+                    "err": "no_oracle",
+                    "fingerprinted": True,
+                }
+                print(f"{key}: ok (fingerprint)", flush=True)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             if key in ORACLE:
                 res = con.execute(ORACLE[key])
