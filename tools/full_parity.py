@@ -96,17 +96,54 @@ def main() -> None:
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # Optional per-key wall budget (seconds). At the tiled sf1 point a
+    # few pair-family DuckDB oracles go quadratic (tiling multiplies
+    # every near-dup family by K, so md5-block/LSH pair counts grow
+    # ~K^2 — dedup_clusters_blocked's WITH RECURSIVE ran >20 min); a
+    # budgeted key is recorded as err="key_budget_exceeded" instead of
+    # wedging the whole artifact. Enforced via a watchdog thread that
+    # interrupts DuckDB and cancels Spark jobs.
+    budget = float(os.environ.get("SPARK_GRAFT_PARITY_KEY_TIMEOUT", "0"))
+
+    import threading
+
+    def _with_budget(body):
+        if not budget:
+            return body()
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(budget):
+                try:
+                    con.interrupt()
+                except Exception:  # noqa: BLE001
+                    pass
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:  # noqa: BLE001
+                    pass
+
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
+        try:
+            return body()
+        finally:
+            done.set()
+            t.join(timeout=1)
+
     out: dict[str, dict] = {}
     t0 = time.time()
     for key, fn in QUERIES.items():
         rec: dict = {}
-        try:
+        t_key = time.time()
+
+        def _body():
             sdf = fn(spark, sf)
             scols = sdf.columns
             if key not in ORACLE and sdf.count() > _BIG_ROWS:
                 fp1 = _fingerprint(fn(spark, sf))
                 fp2 = _fingerprint(fn(spark, sf))
-                out[key] = {
+                return {
                     "rows_match": None,
                     "schema_match": None,
                     "hash_match": None,
@@ -116,14 +153,12 @@ def main() -> None:
                     "err": "no_oracle",
                     "fingerprinted": True,
                 }
-                print(f"{key}: ok (fingerprint)", flush=True)
-                continue
             srows = [tuple(r) for r in sdf.collect()]
             if key in ORACLE:
                 res = con.execute(ORACLE[key])
                 dcols = [d[0] for d in res.description]
                 drows = res.fetchall()
-                rec = {
+                return {
                     "rows_match": len(srows) == len(drows),
                     "schema_match": sorted(scols) == sorted(dcols),
                     "hash_match": _comparable(scols, srows) == _comparable(dcols, drows),
@@ -131,28 +166,43 @@ def main() -> None:
                     "oracle_rows": len(drows),
                     "err": None,
                 }
-            else:
-                again = [tuple(r) for r in fn(spark, sf).collect()]
-                rec = {
-                    "rows_match": None,
-                    "schema_match": None,
-                    "hash_match": None,
-                    "spark_rows": len(srows),
-                    "oracle_rows": None,
-                    "deterministic": sorted(map(str, srows)) == sorted(map(str, again)),
-                    "err": "no_oracle",
-                }
+            again = [tuple(r) for r in fn(spark, sf).collect()]
+            return {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "deterministic": sorted(map(str, srows)) == sorted(map(str, again)),
+                "err": "no_oracle",
+            }
+
+        try:
+            rec = _with_budget(_body)
         except Exception as exc:  # noqa: BLE001 — artifact must record failures
+            err = f"{type(exc).__name__}: {exc}"[:500]
+            if budget and time.time() - t_key >= budget:
+                err = (
+                    f"key_budget_exceeded ({budget:.0f}s): "
+                    + err[:300]
+                )
             rec = {
                 "rows_match": False,
                 "schema_match": False,
                 "hash_match": False,
                 "spark_rows": None,
                 "oracle_rows": None,
-                "err": f"{type(exc).__name__}: {exc}"[:500],
+                "err": err,
             }
         out[key] = rec
-        status = "ok" if rec.get("hash_match") or rec.get("err") == "no_oracle" else "FAIL"
+        if rec.get("fingerprinted"):
+            status = "ok (fingerprint)"
+        elif rec.get("hash_match") or rec.get("err") == "no_oracle":
+            status = "ok"
+        elif (rec.get("err") or "").startswith("key_budget_exceeded"):
+            status = "SKIP (budget)"
+        else:
+            status = "FAIL"
         print(f"{key}: {status}", flush=True)
 
     oracle_keys = [k for k in out if k in ORACLE]
@@ -165,6 +215,10 @@ def main() -> None:
         "rows_only": len(out) - len(oracle_keys),
         "rows_only_deterministic": sum(
             1 for k in out if out[k].get("err") == "no_oracle" and out[k].get("deterministic")
+        ),
+        "budget_skipped": sum(
+            1 for k in out
+            if (out[k].get("err") or "").startswith("key_budget_exceeded")
         ),
     }
     path = REPO / f"PARITY_FULL_{tag}.json"
