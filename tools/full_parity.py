@@ -204,6 +204,10 @@ def main() -> None:
         else:
             status = "FAIL"
         print(f"{key}: {status}", flush=True)
+        if len(out) % 20 == 0:  # crash/timeout-safe partial artifact
+            (REPO / f"PARITY_FULL_{tag}.json").write_text(json.dumps(
+                {"summary": {"partial": True, "keys_done": len(out)},
+                 "keys": out}, indent=1))
 
     oracle_keys = [k for k in out if k in ORACLE]
     summary = {
