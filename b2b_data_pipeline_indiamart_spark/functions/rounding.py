@@ -70,7 +70,10 @@ def money_ints(col: Column | str, scale: int = 2) -> Column:
     return F.floor(col * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
 
 
-def exact_sum(int_expr: Column, den_scale: int, out_scale: int = 2) -> Column:
+def exact_sum(
+    int_expr: Column, den_scale: int, out_scale: int = 2,
+    wide: bool = False,
+) -> Column:
     """Order-independent rounded SUM of decimal-quantized money
     products — the sum-side counterpart of :func:`exact_avg`, closing
     the round-10 residual flake class (VERDICT r10 #1).
@@ -90,11 +93,23 @@ def exact_sum(int_expr: Column, den_scale: int, out_scale: int = 2) -> Column:
     SQL twin: ``round(sum(CAST(round(x*100) AS BIGINT) * ...)
     / 10^den.0, k)`` (DuckDB widens BIGINT sums to HUGEINT; Spark's
     LongType sum is exact to 2^63 — at 100 TB the 10^6-scale charge
-    numerator approaches that, so cluster deployments cast the per-row
-    product to DECIMAL(38,0) before the sum; the division is unchanged).
+    numerator approaches that, so cluster deployments pass
+    ``wide=True``; the division is unchanged).
+
+    ``wide=True`` (ADVICE r11) is the cluster-deployment shape: the
+    per-row product is cast to DECIMAL(38,0) BEFORE the sum, so the
+    aggregate is exact to 10^38 instead of wrapping silently at 2^63
+    in non-ANSI mode (the 10^6-scale q1 charge numerator is ~2e17 at
+    sf1 and crosses 2^63 around sf~40). The decimal sum then converts
+    to double for the single division, so for any total below 2^63
+    the result is BIT-IDENTICAL to the long path — the registry keys
+    stay on the default long path only because it is what their
+    hashes were pinned on and small-SF gates never overflow; a
+    100 TB deployment flips the flag without renumbering anything.
     """
+    total = F.sum(int_expr.cast("decimal(38,0)")) if wide else F.sum(int_expr)
     return round_half_up(
-        F.sum(int_expr) / F.lit(float(10**den_scale)), out_scale
+        total.cast("double") / F.lit(float(10**den_scale)), out_scale
     )
 
 

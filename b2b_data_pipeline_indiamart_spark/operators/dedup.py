@@ -197,12 +197,23 @@ def band_table(
     )
 
 
+#: Production default for :func:`lsh_candidate_pairs`'s bucket cap
+#: (VERDICT r11 #2): generous enough that no bucket at any tested SF
+#: comes near it (the sf1 de-tiled corpus tops out at ~3-digit
+#: buckets), small enough that one degenerate band bucket is bounded
+#: at ~8.4 M pairs instead of job-killing m²/2. Pass ``None`` to
+#: disable (the pinned registry keys do, explicitly, at their
+#: registration sites in plans/queries.py).
+LSH_MAX_BUCKET_DEFAULT = 4096
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     k: int = 64,
     bands: int = 16,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_DEFAULT,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded MinHash signatures.
 
@@ -211,18 +222,26 @@ def lsh_candidate_pairs(
     Pair generation is a self-equi-join on (band_id, band_hash):
     shuffle ∝ corpus × bands. Returns distinct (id_a, id_b), id_a < id_b.
 
-    ``max_bucket_size`` (default off — the registry keys pin the
-    exact output) is the standard 100 TB guard: a band bucket of m
-    docs emits m·(m−1)/2 pairs, so one mega-cluster (boilerplate,
-    empty strings, licence headers) can dominate the whole job
-    quadratically — the r11 sf1 stage dump measured the tiled corpus
-    emitting 620 pairs/doc through exactly this mechanism. With the
-    cap set, buckets larger than the cap are dropped BEFORE the
-    self-join (one extra count-per-bucket aggregate, shuffle ∝
-    corpus × bands): docs in an oversized bucket still pair through
-    their other, more selective bands, so recall degrades gracefully
-    and only for items whose similarity is carried exclusively by a
-    degenerate band.
+    ``max_bucket_size`` (default :data:`LSH_MAX_BUCKET_DEFAULT` —
+    production-safe per VERDICT r11 #2; the registry keys pass ``None``
+    explicitly to keep their exact pinned output) is the standard
+    100 TB guard: a band bucket of m docs emits m·(m−1)/2 pairs, so one
+    mega-cluster (boilerplate, empty strings, licence headers) can
+    dominate the whole job quadratically — the r11 sf1 stage dump
+    measured the tiled corpus emitting 620 pairs/doc through exactly
+    this mechanism. With the cap set, buckets larger than the cap are
+    dropped BEFORE the self-join (one extra count-per-bucket aggregate,
+    shuffle ∝ corpus × bands): docs in an oversized bucket still pair
+    through their other, more selective bands, so recall degrades
+    gracefully and only for items whose similarity is carried
+    exclusively by a degenerate band.
+
+    ``observation`` (optional ``pyspark.sql.Observation``) makes the
+    drop observable: after the first action on the returned frame,
+    ``observation.get`` carries ``lsh_buckets_total`` /
+    ``lsh_buckets_dropped`` / ``lsh_band_rows_dropped`` — the
+    dropped-pair observability a silent cap would otherwise hide
+    (an operator that bounds coverage must say what it dropped).
 
     The banded table is persisted (memory-and-disk) before the
     self-join: without it Spark recomputes the whole
@@ -234,9 +253,19 @@ def lsh_candidate_pairs(
         band_table(signatures, id_col=id_col, k=k, bands=bands)
     )
     if max_bucket_size is not None:
+        counts = banded.groupBy("band_id", "band_hash").count()
+        if observation is not None:
+            over = F.col("count") > max_bucket_size
+            counts = counts.observe(
+                observation,
+                F.count(F.lit(1)).alias("lsh_buckets_total"),
+                F.sum(over.cast("long")).alias("lsh_buckets_dropped"),
+                F.sum(
+                    F.when(over, F.col("count")).otherwise(F.lit(0))
+                ).alias("lsh_band_rows_dropped"),
+            )
         small = (
-            banded.groupBy("band_id", "band_hash")
-            .count()
+            counts
             .filter(F.col("count") <= max_bucket_size)
             .select("band_id", "band_hash")
         )
@@ -260,11 +289,14 @@ def lsh_candidate_pairs(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, bands: int = 16
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 64, bands: int = 16,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """End-to-end MinHash+LSH candidate pairs (id_a, id_b)."""
     return lsh_candidate_pairs(
-        minhash_signatures(docs, text_col, id_col, k=k), id_col=id_col, k=k, bands=bands
+        minhash_signatures(docs, text_col, id_col, k=k), id_col=id_col,
+        k=k, bands=bands, max_bucket_size=max_bucket_size,
     )
 
 
@@ -316,6 +348,7 @@ def ngram_jaccard_verified(
     shingle_n: int = 5,
     threshold: float = 0.3,
     prefilter_factor: float | None = 0.5,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """LSH candidates → (optional) MinHash-estimate prefilter → exact
     n-gram Jaccard, with exact duplicates collapsed up front.
@@ -352,7 +385,10 @@ def ngram_jaccard_verified(
     sigs = caching.persist_tracked(
         minhash_signatures(reps, text_col, id_col, k=k, shingle_n=shingle_n)
     )
-    cand = lsh_candidate_pairs(sigs, id_col=id_col, k=k, bands=bands)
+    cand = lsh_candidate_pairs(
+        sigs, id_col=id_col, k=k, bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
     if prefilter_factor is None:
         # persisted: the verify stage consumes the pair list three
         # times (twice for the doc-set semi-join, once per array join)
@@ -716,6 +752,7 @@ def dedup_clusters(
     k: int = 64,
     bands: int = 16,
     small_graph_cap: int = 0,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """End-to-end near-dup clustering: exact-dup collapse → MinHash →
     LSH pairs → connected components → (doc_id, cluster_id,
@@ -738,7 +775,8 @@ def dedup_clusters(
     # (node list + canonical edge list) — without this the LSH
     # self-join + distinct runs twice
     pairs = caching.persist_tracked(
-        minhash_lsh_pairs(reps, text_col, id_col, k=k, bands=bands)
+        minhash_lsh_pairs(reps, text_col, id_col, k=k, bands=bands,
+                          max_bucket_size=max_bucket_size)
     )
     comps = connected_components(pairs, small_graph_cap=small_graph_cap)
     # the CC loop ran eagerly and checkpoint-truncated its output

@@ -1308,12 +1308,24 @@ def _decode_jpeg(np, b: bytes):
                 return None  # declared-dims bomb guard: a tiny payload
                 # claiming 65535x65535 would allocate 34 GB of planes
             if w * h > max(1 << 22, len(b) * 512):
-                return None  # payload-relative bomb guard: every 8x8
-                # block costs >= 2 entropy bits even fully zeroed, so a
-                # genuine image carries >= w*h/512 payload bytes for
-                # luma alone; a few-KB stream claiming ~64M px would
+                return None  # payload-relative bomb guard: a genuine
+                # image carries >= w*h/512 payload bytes for luma
+                # alone, so a few-KB stream claiming ~64M px would
                 # otherwise allocate multi-GB float planes and spin the
-                # per-bit Huffman loop inside mapInPandas
+                # per-bit Huffman loop inside mapInPandas. The bound is
+                # TIGHT for every profile, including progressive
+                # (ADVICE r11 suggested relaxing SOF2 to 32768:1
+                # because AC EOBn runs span up to 32767 zero blocks in
+                # ~15 bits — but T.81 G.1.1.1.1 mandates every block's
+                # DC coefficient be coded in a DC scan, which is
+                # per-block Huffman with no run coding, BEFORE any AC
+                # scan reaches it, so even an all-uniform complete SOF2
+                # stream costs >= 1 bit per 8x8 block = w*h/512 bytes
+                # for luma; headers only add to that. No complete legit
+                # file sits under this guard, and relaxing it would
+                # open a real window: a crafted few-KB SOF2 header
+                # claiming the full 1<<26-px cap would pass the ratio
+                # check and allocate ~GB-scale coefficient planes).
             comps = []
             for ci in range(nc):
                 cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]

@@ -1273,7 +1273,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle O(corpus × bands) — never corpus². Rows-only check: the
     xxhash64 permutation family has no DuckDB equivalent."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, k=64, bands=16)
+    # max_bucket_size=None: registry outputs are pinned EXACT — the
+    # production bucket-cap default (dedup.LSH_MAX_BUCKET_DEFAULT)
+    # stays on the public API path only (VERDICT r11 #2)
+    pairs = dedup.minhash_lsh_pairs(docs, k=64, bands=16,
+                                    max_bucket_size=None)
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -1286,7 +1290,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bimodal CC cap on: the LSH pair graph after exact-collapse fits
     # the driver at any bench SF; the distributed loop (oracle-pinned
     # via dedup_clusters_blocked) takes over past 200k edges
-    return dedup.dedup_clusters(docs, small_graph_cap=200_000).orderBy("doc_id")
+    # max_bucket_size=None: pinned exact output (see dedup_minhash_lsh)
+    return dedup.dedup_clusters(
+        docs, small_graph_cap=200_000, max_bucket_size=None
+    ).orderBy("doc_id")
 
 
 @_register(
@@ -1381,8 +1388,10 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     default ``prefilter_factor=0.5`` instead. Rows-only check
     (candidates come from the Spark-specific LSH)."""
     docs = _t(spark, sf_dir, "documents")
+    # max_bucket_size=None: pinned exact output (see dedup_minhash_lsh)
     return dedup.ngram_jaccard_verified(
-        docs, k=64, bands=16, threshold=0.3, prefilter_factor=None
+        docs, k=64, bands=16, threshold=0.3, prefilter_factor=None,
+        max_bucket_size=None,
     ).orderBy("id_a", "id_b")
 
 

@@ -560,6 +560,34 @@ def read_neardup_sig_store(
     return df.drop("epoch")
 
 
+def _assert_no_legacy_neardup_store(spark, state_dir: str) -> None:
+    """Fail fast when ``state_dir`` holds the pre-r11 flat layout
+    (``state_dir/epoch=N`` signature dirs at top level) instead of the
+    band-bucketed ``state_dir/{sigs,bands}/epoch=N`` layout — see
+    :func:`start_neardup_suppress_sink`. Silent acceptance would drop
+    all previously-admitted state from cross-batch suppression."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return
+    legacy = [
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("epoch=")
+    ]
+    if legacy:
+        raise ValueError(
+            f"near-dup state store {state_dir!r} uses the legacy flat "
+            f"layout ({legacy[:3]}…): migrate each epoch=N dir into "
+            f"sigs/epoch=N and rebuild the band index under bands/ "
+            f"(or point the stream at a fresh state_dir); refusing to "
+            f"start rather than silently dropping admitted-state "
+            f"suppression."
+        )
+
+
 def start_neardup_suppress_sink(
     docs: DataFrame,
     output_dir: str,
@@ -615,6 +643,15 @@ def start_neardup_suppress_sink(
     suppression.
     """
     from ..operators import caching, dedup
+
+    # ADVICE r11: the store layout moved from state_dir/epoch=N
+    # (signatures at top level) to state_dir/{sigs,bands}/epoch=N.
+    # Restarting an old-layout store against the new reader would make
+    # the exists() probe on state_dir/bands miss, SILENTLY skipping
+    # cross-batch suppression and re-admitting near-duplicates while
+    # orphaning the old epochs. Fail fast instead: legacy stores must
+    # be migrated (or a fresh state_dir used) explicitly.
+    _assert_no_legacy_neardup_store(docs.sparkSession, state_dir)
 
     def _fs_and_path(spark, path_str: str):
         jvm = spark.sparkContext._jvm

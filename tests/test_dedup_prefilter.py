@@ -126,8 +126,10 @@ def test_lsh_bucket_cap_drops_megacluster_keeps_selective_pairs(spark):
     """max_bucket_size (the 100 TB quadratic-fanout guard): buckets
     larger than the cap are dropped before the self-join, so a
     mega-cluster of identical boilerplate stops emitting m^2/2 pairs,
-    while pairs carried by small (selective) buckets survive. Default
-    (None) is the exact registry behavior."""
+    while pairs carried by small (selective) buckets survive. The
+    default cap (LSH_MAX_BUCKET_DEFAULT=4096, VERDICT r11 #2) is far
+    above every bucket here, so the default equals the exact output;
+    the registry keys pass None explicitly for structural pinning."""
     boiler = "standard licence header " * 20
     uniq_a = ("a very long and quite specific passage about volcanic "
               "geology and the crystallization of basalt columns in "
@@ -151,3 +153,57 @@ def test_lsh_bucket_cap_drops_megacluster_keeps_selective_pairs(spark):
     # cap above every bucket size == exact output
     assert _rows(dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)) == full
     sigs.unpersist()
+
+
+def test_lsh_default_cap_is_on_and_drop_is_observable(spark):
+    """VERDICT r11 #2: the PUBLIC API defaults to a production-safe
+    bucket cap — a degenerate bucket larger than
+    LSH_MAX_BUCKET_DEFAULT is dropped WITHOUT any opt-in — and the
+    drop is observable through the optional Observation (a silent
+    coverage cap would read as 'covered everything')."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    k, bands = 64, 16
+    assert dedup.LSH_MAX_BUCKET_DEFAULT == 4096
+    n_degen = dedup.LSH_MAX_BUCKET_DEFAULT + 4
+    # synthesize signatures directly (signature math is pinned
+    # elsewhere): n_degen docs share one signature -> one bucket of
+    # n_degen in EVERY band; two extra docs share a different
+    # signature -> selective 2-doc buckets
+    sig_cols = ", ".join(f"mh_{j} long" for j in range(k))
+    degen = spark.range(n_degen).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(7).alias(f"mh_{j}") for j in range(k)],
+    )
+    pair = spark.createDataFrame(
+        [(1_000_000, *[11] * k), (1_000_001, *[11] * k)],
+        f"doc_id long, {sig_cols}",
+    )
+    sigs = degen.unionByName(pair)
+
+    obs = Observation("lsh_drops")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, k=k, bands=bands, observation=obs
+        ).collect()
+    }
+    # default cap ON: the degenerate bucket's ~8.4M pairs are gone,
+    # the selective pair survives
+    assert got == {(1_000_000, 1_000_001)}
+    m = obs.get
+    assert m["lsh_buckets_total"] == 2 * bands
+    assert m["lsh_buckets_dropped"] == bands
+    assert m["lsh_band_rows_dropped"] == bands * n_degen
+
+    # explicit None disables the cap (the registry pinning path):
+    # spot-check on a SMALL degenerate set so the pair count is sane
+    small = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(7).alias(f"mh_{j}") for j in range(k)],
+    )
+    uncapped = dedup.lsh_candidate_pairs(
+        small, k=k, bands=bands, max_bucket_size=None
+    )
+    assert uncapped.count() == 15  # 6*5/2

@@ -1,0 +1,202 @@
+"""Round-12 additions: exact_sum wide path (ADVICE r11), scale_up's
+signed-permutation embedding rotations and word-salt de-tiling
+(VERDICT r11 #5), and the profile-aware JPEG bomb guard (ADVICE r11).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_exact_sum_wide_matches_long_path(spark):
+    """ADVICE r11: wide=True must be value-identical to the default
+    long path whenever the total is inside long range — it exists so a
+    100 TB deployment can flip one flag and trade nothing but the
+    2^63 wrap hazard for a DECIMAL(38,0) aggregate."""
+    from b2b_data_pipeline_indiamart_spark.functions.rounding import (
+        exact_sum, money_ints,
+    )
+
+    rows = [(100.01, 0.05, 0.07), (2.50, 0.0, 0.02),
+            (99999.99, 0.10, 0.0), (0.01, 0.01, 0.01)] * 7
+    df = spark.createDataFrame(rows, ["price", "disc", "tax"])
+    prod = (
+        money_ints("price")
+        * money_ints(F.lit(1) - F.col("disc"))
+        * money_ints(F.lit(1) + F.col("tax"))
+    )
+    narrow, wide = df.agg(
+        exact_sum(prod, den_scale=6).alias("narrow"),
+        exact_sum(prod, den_scale=6, wide=True).alias("wide"),
+    ).first()
+    assert narrow == wide
+    # and the wide plan really aggregates a decimal, not a long
+    plan = df.agg(
+        exact_sum(prod, den_scale=6, wide=True).alias("s")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "decimal(38,0)" in plan
+
+
+def test_scale_up_rotations_are_signed_permutations():
+    """The per-replica embedding transform must be orthogonal (a
+    signed permutation) and deterministic — the property that makes
+    the sf1 corpus's within-replica geometry EXACTLY the generator's
+    while cross-replica cosines collapse to ~N(0, 1/dim)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.scale_up import _rotations
+
+    k, dim = 10, 64
+    perms, signs = _rotations(k, dim)
+    again = _rotations(k, dim)
+    assert (perms, signs) == again  # deterministic rebuilds
+    seen = set()
+    for r in range(k):
+        assert sorted(perms[r]) == list(range(1, dim + 1))  # permutation
+        assert set(signs[r]) <= {-1, 1}
+        seen.add(tuple(perms[r]) + tuple(signs[r]))
+    assert len(seen) == k  # replicas get DISTINCT transforms
+    # orthogonality in action: a signed permutation preserves inner
+    # products within a replica...
+    v = [float(i % 7 - 3) for i in range(dim)]
+    w = [float((i * 3) % 5 - 2) for i in range(dim)]
+
+    def apply(r, x):
+        return [signs[r][d] * x[perms[r][d] - 1] for d in range(dim)]
+
+    dot = sum(a * b for a, b in zip(v, w))
+    for r in (1, 5, 9):
+        rv, rw = apply(r, v), apply(r, w)
+        assert sum(a * b for a, b in zip(rv, rw)) == pytest.approx(dot)
+    # ...while cross-replica self-similarity collapses to ~N(0, 1/64)
+    # (vs the old 1e-4-nudge's cos ~= 1.0): over hash-derived
+    # pseudo-random unit vectors, mean |cos| tracks the half-normal
+    # mean 0.8/8 = 0.1 and no sample goes anywhere near the 0.3
+    # thresholds' danger zone of ~1.0
+    import hashlib
+    import math
+
+    cosines = []
+    for vi in range(20):
+        u = [
+            (hashlib.md5(f"v{vi}_{d}".encode()).digest()[0] - 127.5)
+            for d in range(dim)
+        ]
+        nu2 = sum(x * x for x in u)
+        for r in range(1, k):
+            ru = apply(r, u)
+            cosines.append(
+                abs(sum(a * b for a, b in zip(u, ru)) / nu2)
+            )
+    assert sum(cosines) / len(cosines) < 0.2
+    assert max(cosines) < 4.5 / math.sqrt(dim)  # 4.5 sigma
+
+
+def test_scale_up_word_salt_breaks_cross_replica_shingles(spark):
+    """VERDICT r11 #5 (de-tiled sf1 corpus): replicas of the SAME doc
+    must not be near-duplicates (char-5-gram Jaccard well under the
+    ~0.5 LSH threshold), while two docs that were near-duplicates of
+    each other WITHIN a replica must stay near-duplicates after
+    salting (the salt depends on (rep, position, word), not doc_id)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+    base = ("industrial submersible pump with stainless steel housing "
+            "and a five year warranty suitable for borewell and "
+            "agricultural irrigation duty cycles in every season")
+    near = base.replace("every season", "harsh summers")
+
+    def salt_expr():
+        return F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w, i: F.when(
+                    (i % 2 == 1) & (F.length(w) > 0),
+                    F.lower(F.substring(F.hex(
+                        F.xxhash64(F.col("__rep"), i, w)
+                    ), 1, 8)),
+                ).otherwise(w),
+            ),
+            " ",
+        )
+
+    df = spark.createDataFrame(
+        [(1, base, 0), (2, base, 1), (3, base, 2),
+         (4, near, 1), (5, near, 2)],
+        ["doc_id", "text", "__rep"],
+    ).withColumn(
+        "text",
+        F.when(F.col("__rep") > 0, salt_expr()).otherwise(F.col("text")),
+    )
+
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
+        char_shingles, normalize_doc,
+    )
+
+    normed = df.select(
+        "doc_id", normalize_doc(F.col("text")).alias("__n")
+    )
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in normed.select(
+            "doc_id", char_shingles(F.col("__n")).alias("s")
+        ).collect()
+    }
+
+    def jac(a, b):
+        return len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+
+    # cross-replica copies of the same doc: far below the LSH S-curve
+    assert jac(1, 2) < 0.3
+    assert jac(1, 3) < 0.3
+    assert jac(2, 3) < 0.3
+    # within-replica near-dups: still near-dups after salting, and the
+    # similarity matches the unsalted pair's to within a few points
+    assert jac(2, 4) > 0.55
+    assert jac(3, 5) > 0.55
+
+
+def test_jpeg_bomb_guard_rejects_inflated_dims_all_profiles():
+    """ADVICE r11 asked to relax the 512:1 payload-ratio bomb guard
+    for progressive frames (EOBn runs); DECLINED — T.81 G.1.1.1.1
+    makes every block's DC coefficient cost >= 1 Huffman bit in a DC
+    scan BEFORE any AC EOBn can span it, so a complete legit SOF2
+    stream is >= w*h/512 bytes for luma alone and the guard is tight,
+    not lossy (see multimodal.py comment + NOTES r12). This test pins
+    the guard on BOTH profiles: a tiny payload whose SOF dims are
+    inflated past the ratio bound is rejected to header-only decode,
+    while the unmodified encodes decode fine."""
+    import struct
+
+    import numpy as np
+
+    from b2b_data_pipeline_indiamart_spark.operators import (
+        multimodal as mm,
+    )
+
+    def inflate_sof(payload: bytes) -> bytes:
+        b = bytearray(payload)
+        i = 2
+        while i < len(b) - 1:
+            if b[i] == 0xFF and b[i + 1] in (0xC0, 0xC1, 0xC2):
+                b[i + 5:i + 9] = struct.pack(">HH", 8192, 8192)
+                return bytes(b)
+            if b[i] == 0xFF and b[i + 1] == 0xDA:
+                break
+            seg = struct.unpack(">H", bytes(b[i + 2:i + 4]))[0]
+            i += 2 + seg
+        raise AssertionError("no SOF marker found")
+
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    for payload in (mm.encode_jpeg(img, quality=90),
+                    mm.encode_jpeg_progressive(img, quality=90)):
+        assert mm.decode_jpeg_pixels(payload) is not None
+        # 8192*8192 = 67.1M px > 1<<26 absolute cap AND > len*512:
+        # both guards want this rejected, cheaply, at header time
+        assert mm.decode_jpeg_pixels(inflate_sof(payload)) is None

@@ -114,14 +114,20 @@ def main() -> None:
 
         def watchdog():
             if not done.wait(budget):
-                try:
-                    con.interrupt()
-                except Exception:  # noqa: BLE001
-                    pass
-                try:
-                    spark.sparkContext.cancelAllJobs()
-                except Exception:  # noqa: BLE001
-                    pass
+                # ADVICE r11: re-check done before EACH cancel — if
+                # body() returned exactly as the budget elapsed, an
+                # unconditional interrupt would land on the NEXT key's
+                # query and record a spurious failure.
+                if not done.is_set():
+                    try:
+                        con.interrupt()
+                    except Exception:  # noqa: BLE001
+                        pass
+                if not done.is_set():
+                    try:
+                        spark.sparkContext.cancelAllJobs()
+                    except Exception:  # noqa: BLE001
+                        pass
 
         t = threading.Thread(target=watchdog, daemon=True)
         t.start()
@@ -129,11 +135,29 @@ def main() -> None:
             return body()
         finally:
             done.set()
-            t.join(timeout=1)
+            # join WITHOUT timeout: the next key must not start while
+            # a cancel could still be in flight (same ADVICE race).
+            # After done.set() the watchdog exits promptly — either its
+            # wait() wakes immediately or the two is_set() gates skip
+            # the cancel calls, so this join is bounded in practice.
+            t.join()
+
+    # SPARK_GRAFT_PARITY_KEYS="k1,k2" restricts the run to a subset —
+    # used to re-grade budget-skipped keys with a per-key budget far
+    # above the full-sweep default (the r12 sf1 evidence-gap close);
+    # tools/merge_parity.py folds the subset artifact into the full one.
+    only = os.environ.get("SPARK_GRAFT_PARITY_KEYS", "")
+    keys = dict(QUERIES)
+    if only:
+        wanted = [s.strip() for s in only.split(",") if s.strip()]
+        missing = [w for w in wanted if w not in keys]
+        if missing:
+            raise SystemExit(f"unknown keys: {missing}")
+        keys = {w: QUERIES[w] for w in wanted}
 
     out: dict[str, dict] = {}
     t0 = time.time()
-    for key, fn in QUERIES.items():
+    for key, fn in keys.items():
         rec: dict = {}
         t_key = time.time()
 
