@@ -1804,6 +1804,90 @@ def semdedup_kmeans(
     )
 
 
+def _exact_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Stage 2 of every two-stage retriever: exact full-precision
+    cosine over the (query_id, neighbor_id) candidate table, window
+    top-k per query. The candidate table is tiny (|Q| × shortlist) and
+    BROADCAST against the corpus, so only the candidates' full vectors
+    ever leave the scan. Shared by :func:`ann_rerank` (SQ8 stage 1)
+    and :func:`ann_matryoshka` (prefix-dim stage 1)."""
+    corpus = emb.select(
+        F.col(id_col).cast("long").alias("__nid"),
+        as_double_array(F.col(vec_col)).alias("__nv"),
+    )
+    qs = queries.select(
+        F.col(id_col).cast("long").alias("__qid"),
+        as_double_array(F.col(vec_col)).alias("__qv"),
+    )
+    j = (
+        corpus.join(F.broadcast(cand), corpus["__nid"] == cand["neighbor_id"])
+        .join(F.broadcast(qs), F.col("query_id") == F.col("__qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(cosine(F.col("__qv"), F.col("__nv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ann_matryoshka(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 64,
+    prefix_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval over MATRYOSHKA (MRL-style) embeddings:
+    stage 1 scores cosine on only the FIRST ``prefix_dim`` coordinates
+    (for MRL-trained embeddings the prefix is itself a valid coarse
+    embedding), stage 2 re-ranks the ``shortlist`` survivors with
+    exact full-dimension cosine — :func:`_exact_rerank`, the same
+    contract as :func:`ann_rerank`.
+
+    Scale shape: stage 1 is the brute-force scan made dim/prefix_dim
+    (4× at 64→16) cheaper in BOTH flops and shuffled bytes — the
+    prefix slice happens in the scan projection, so only prefix_dim
+    doubles per row cross the exchange; stage 2 touches full vectors
+    for |Q| × shortlist rows only. Unlike SQ8/PQ there is no trained
+    state and no codebook: the "index" is pure column pruning, which
+    makes this the cheapest two-stage path to operate at 100 TB (no
+    train/encode pipeline to keep in sync with the corpus).
+
+    Output: (query_id, neighbor_id, cos_sim 4dp, rnk) — same contract
+    as :func:`brute_force_topk`, so recall pins compare directly.
+    """
+    pe = emb.select(
+        F.col(id_col),
+        F.slice(as_double_array(F.col(vec_col)), 1, prefix_dim).alias("__pv"),
+    )
+    pq = queries.select(
+        F.col(id_col),
+        F.slice(as_double_array(F.col(vec_col)), 1, prefix_dim).alias("__pv"),
+    )
+    cand = brute_force_topk(
+        pe, pq, k=shortlist, vec_col="__pv", id_col=id_col
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(emb, queries, cand, k, vec_col, id_col)
+
+
 def ann_rerank(
     emb: DataFrame,
     queries: DataFrame,
@@ -1835,32 +1919,7 @@ def ann_rerank(
     cand = ann_topk_sq8(
         emb, queries, k=shortlist, vec_col=vec_col, id_col=id_col, levels=levels
     ).select("query_id", "neighbor_id")
-    corpus = emb.select(
-        F.col(id_col).cast("long").alias("__nid"),
-        as_double_array(F.col(vec_col)).alias("__nv"),
-    )
-    qs = queries.select(
-        F.col(id_col).cast("long").alias("__qid"),
-        as_double_array(F.col(vec_col)).alias("__qv"),
-    )
-    j = (
-        corpus.join(F.broadcast(cand), corpus["__nid"] == cand["neighbor_id"])
-        .join(F.broadcast(qs), F.col("query_id") == F.col("__qid"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            round_half_up(cosine(F.col("__qv"), F.col("__nv")), 4).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        j.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return _exact_rerank(emb, queries, cand, k, vec_col, id_col)
 
 
 def hard_negatives(

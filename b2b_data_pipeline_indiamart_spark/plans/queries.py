@@ -7298,6 +7298,68 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_matryoshka",
+    # Stage 1: cosine over the FIRST 16 coordinates only (the MRL
+    # coarse prefix); stage 2: exact full-dim re-rank of the 64
+    # survivors — the trained-state-free two-stage retriever.
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    pv AS (SELECT vec_id, e[1:16] AS pe FROM v),
+    pq AS (SELECT query_id, qe[1:16] AS pqe FROM q),
+    s1 AS (
+      SELECT pq.query_id, pv.vec_id AS neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(pqe, pqe))
+                             * sqrt(list_dot_product(pe, pe)) > 0
+                        THEN list_dot_product(pqe, pe)
+                             / (sqrt(list_dot_product(pqe, pqe))
+                                * sqrt(list_dot_product(pe, pe)))
+                   END, 4) AS pcos
+      FROM pv CROSS JOIN pq WHERE pv.vec_id <> pq.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pcos DESC, neighbor_id ASC) AS srnk
+        FROM s1
+      ) WHERE srnk <= 64
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                             * sqrt(list_dot_product(n.e, n.e)) > 0
+                        THEN list_dot_product(q.qe, n.e)
+                             / (sqrt(list_dot_product(q.qe, q.qe))
+                                * sqrt(list_dot_product(n.e, n.e)))
+                   END, 4) AS cos_sim
+      FROM shortlist s
+      JOIN q ON q.query_id = s.query_id
+      JOIN v n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM exact
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval
+    (operators/similarity.ann_matryoshka): coarse shortlist of 64 by
+    cosine over the FIRST 16 embedding coordinates (the MRL prefix —
+    4× fewer flops AND 4× fewer shuffled bytes than the full-dim
+    scan, with zero trained state to operate), exact full-dim cosine
+    re-rank to top-10. The no-codebook sibling of ann_rerank; recall
+    vs the exact ann_topk stays pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_matryoshka(
+        emb, queries, k=10, shortlist=64, prefix_dim=16
+    ).orderBy("query_id", "rnk")
+
+
+@_register(
     "docs_token_percentiles",
     f"""
     WITH d AS (SELECT doc_id, source, {_NORM} AS s FROM documents),

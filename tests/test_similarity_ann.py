@@ -228,3 +228,58 @@ def _group(rows):
     for r in rows:
         out.setdefault(r["query_id"], []).append(r)
     return out
+
+
+def test_ann_matryoshka_recall_and_exact_order(spark, sf_medium):
+    """Matryoshka two-stage (prefix-16 shortlist -> exact full-dim
+    re-rank): recall@10 vs exact stays high (the 16-dim prefix of a
+    64-dim embedding preserves coarse neighborhoods on this corpus),
+    the final ordering is the exact-cosine order within the
+    shortlist, and widening the shortlist can only raise recall —
+    the monotonicity that makes shortlist size a pure recall/cost
+    knob at 100 TB."""
+    from b2b_data_pipeline_indiamart_spark import catalog
+    from b2b_data_pipeline_indiamart_spark.operators import similarity
+
+    emb = catalog.load(spark, sf_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    truth = {
+        q: {r["neighbor_id"] for r in rows}
+        for q, rows in _group(exact.collect()).items()
+    }
+
+    def recall(got):
+        hits = total = 0
+        for q, t in truth.items():
+            g = {r["neighbor_id"] for r in got.get(q, [])}
+            hits += len(g & t)
+            total += len(t)
+        return hits / total
+
+    mat64 = _group(
+        similarity.ann_matryoshka(
+            emb, queries, k=10, shortlist=64, prefix_dim=16
+        ).collect()
+    )
+    r64 = recall(mat64)
+    assert r64 >= 0.5, r64
+    # exact-cosine order within every query's output
+    for q, rows in mat64.items():
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
+    # shortlist monotonicity: a wider shortlist never loses recall,
+    # and at shortlist = corpus the result IS the exact top-k
+    n = emb.count()
+    r256 = recall(_group(
+        similarity.ann_matryoshka(
+            emb, queries, k=10, shortlist=256, prefix_dim=16
+        ).collect()
+    ))
+    assert r256 >= r64
+    full = _group(
+        similarity.ann_matryoshka(
+            emb, queries, k=10, shortlist=n, prefix_dim=16
+        ).collect()
+    )
+    assert recall(full) == 1.0
