@@ -1296,36 +1296,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@_register(
-    "dedup_clusters_blocked",
-    f"""
-    WITH RECURSIVE p AS (
-      -- same sizing as dedup.blocking_prefix_len: expected block ~16
-      -- docs, prefix floored at the historical 3 hex chars
-      SELECT GREATEST(3, CAST(CEIL(LN(GREATEST(COUNT(*), 17) / 16.0) / LN(16)) AS INT)) AS l
-      FROM documents
-    ),
-    d AS (
-      SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({_NORM}) AS h FROM documents
-    ),
-    edges AS (
-      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
-        ON substr(a.h, 1, (SELECT l FROM p)) = substr(b.h, 1, (SELECT l FROM p))
-        AND a.doc_id <> b.doc_id
-      UNION
-      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
-        ON substr(a.h, (SELECT l FROM p) + 1, (SELECT l FROM p))
-           = substr(b.h, (SELECT l FROM p) + 1, (SELECT l FROM p))
-        AND a.doc_id <> b.doc_id
-    ),
-    reach(a, b) AS (
-      SELECT doc_id, doc_id FROM d
-      UNION
-      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+def _blocked_cc_sql(rounds: int = 24) -> str:
+    """Generate the dedup_clusters_blocked oracle: min-label connected
+    components over the md5-prefix blocking graph as a FIXED-round
+    hook + pointer-jump CTE chain (Shiloach–Vishkin shape).
+
+    The r11 oracle used a WITH RECURSIVE transitive closure — O(Σ
+    |component|²) rows. That is fine while blocks are sparse, but the
+    blocking design keeps the EXPECTED block at ~16 docs at every
+    corpus size (dedup.blocking_prefix_len), so at sf1 (50 k docs,
+    l=3, two blocking passes) the union of block cliques is a random
+    graph of average degree ~24 with a GIANT component — the closure
+    is ~2.5e9 rows and no per-key budget survives it (the r11/r12 sf1
+    budget skips). Min-label propagation reaches the same fixpoint in
+    O(diameter) hook steps, and the interleaved jump (l ← l[l])
+    doubles covered distance per round, so ``rounds``=24 provably
+    converges for any component of ≤ 2^24 nodes while costing only
+    24 × (one 2·|edges| join + one label self-join) — ~1.2 M-row
+    joins at sf1, seconds in DuckDB (DuckDB 1.0 has no USING KEY
+    recursive CTE, hence the generated fixed chain instead of a keyed
+    fixpoint). Spark side unchanged; the hash pins the RESULT, and
+    the result is the identical component-minimum labeling.
+
+    Every chained CTE is ``AS MATERIALIZED``: each round references
+    its predecessor twice (hook reads lab twice, jump self-joins
+    hook), so DuckDB's default CTE INLINING would double the operator
+    tree per round — 2^24 parquet scans, 'too many open files' — the
+    same doubly-referenced-lineage trap the Spark CC loop solves with
+    localCheckpoint (SURVEY §6).
+    """
+    p = (
+        "    WITH p AS (\n"
+        "      -- same sizing as dedup.blocking_prefix_len: expected block ~16\n"
+        "      -- docs, prefix floored at the historical 3 hex chars\n"
+        "      SELECT GREATEST(3, CAST(CEIL(LN(GREATEST(COUNT(*), 17) / 16.0)"
+        " / LN(16)) AS INT)) AS l\n"
+        "      FROM documents\n"
+        "    ),\n"
+        "    d AS (\n"
+        f"      SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({_NORM}) AS h"
+        " FROM documents\n"
+        "    ),\n"
+        "    edges AS MATERIALIZED (\n"
+        "      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b\n"
+        "        ON substr(a.h, 1, (SELECT l FROM p))"
+        " = substr(b.h, 1, (SELECT l FROM p))\n"
+        "        AND a.doc_id <> b.doc_id\n"
+        "      UNION\n"
+        "      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b\n"
+        "        ON substr(a.h, (SELECT l FROM p) + 1, (SELECT l FROM p))\n"
+        "           = substr(b.h, (SELECT l FROM p) + 1, (SELECT l FROM p))\n"
+        "        AND a.doc_id <> b.doc_id\n"
+        "    ),\n"
+        "    lab0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM d)"
     )
-    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id
-    """,
-)
+    chain = [p]
+    for k in range(1, rounds + 1):
+        prev, cur = f"lab{k - 1}", f"lab{k}"
+        chain.append(
+            f",\n    hook{k} AS MATERIALIZED (\n"
+            f"      SELECT v, min(l) AS l FROM (\n"
+            f"        SELECT v, l FROM {prev}\n"
+            f"        UNION ALL\n"
+            f"        SELECT e.v, r.l FROM {prev} r JOIN edges e ON r.v = e.u\n"
+            f"      ) GROUP BY v\n"
+            f"    ),\n"
+            f"    {cur} AS MATERIALIZED (\n"
+            f"      SELECT a.v, LEAST(a.l, b.l) AS l\n"
+            f"      FROM hook{k} a JOIN hook{k} b ON a.l = b.v\n"
+            f"    )"
+        )
+    chain.append(
+        f"\n    SELECT v AS doc_id, l AS cluster_id FROM lab{rounds}"
+        " ORDER BY doc_id"
+    )
+    return "".join(chain)
+
+
+@_register("dedup_clusters_blocked", _blocked_cc_sql())
 def dedup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a deterministic md5-prefix blocking
     graph — the hash-checkable twin of dedup_clusters: same iterative
@@ -2184,7 +2232,12 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id % 8 AS INT) AS pack_bucket
       FROM n
     ),
-    t AS (
+    -- MATERIALIZED: t feeds the RECURSIVE term, which executes once
+    -- per packed row-rank (n/8 iterations); inlined, the norm+tokenize
+    -- chain would re-run over the whole corpus EVERY iteration
+    -- (~312 M regex tokenizations at sf1 — the r11/r12 600 s budget
+    -- breach was this, not the sequential recurrence itself)
+    t AS MATERIALIZED (
       SELECT doc_id, n_tokens, pack_bucket,
              row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn
       FROM src
@@ -6765,7 +6818,12 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id % 8 AS INT) AS pack_bucket
       FROM n
     ),
-    t AS (
+    -- MATERIALIZED: t feeds the RECURSIVE term, which executes once
+    -- per packed row-rank (n/8 iterations); inlined, the norm+tokenize
+    -- chain would re-run over the whole corpus EVERY iteration
+    -- (~312 M regex tokenizations at sf1 — the r11/r12 600 s budget
+    -- breach was this, not the sequential recurrence itself)
+    t AS MATERIALIZED (
       SELECT doc_id, n_tokens, pack_bucket,
              row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn
       FROM src
