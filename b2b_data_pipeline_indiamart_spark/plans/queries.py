@@ -5551,13 +5551,21 @@ def orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AND (n_stopwords >= {textstats.QF_MIN_STOPWORDS}) AS text_ok
           FROM m),
     v AS (SELECT vec_id, label,
-                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                              x -> x * x))) AS nrm
+                 CAST(floor(sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> x * x)))
+                      * 1000000000000.0 + 0.5) AS BIGINT) AS ni
           FROM embeddings),
-    st AS (SELECT label, avg(nrm) AS mu, stddev_pop(nrm) AS sd
-           FROM v GROUP BY label),
-    z AS (SELECT v.vec_id, v.label, round((v.nrm - st.mu) / st.sd, 4) AS z
-          FROM v JOIN st USING (label))
+    vm AS (SELECT label, min(ni) AS m0 FROM v GROUP BY label),
+    dd AS (SELECT vec_id, label, ni - m0 AS di FROM v JOIN vm USING (label)),
+    st AS (SELECT label, CAST(sum(di) AS BIGINT) AS s1,
+                  CAST(sum(di * di) AS BIGINT) AS s2,
+                  count(*) AS n
+           FROM dd GROUP BY label),
+    z AS (SELECT dd.vec_id, dd.label,
+                 round((dd.di - st.s1 / st.n)
+                       / sqrt(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n)),
+                       4) AS z
+          FROM dd JOIN st USING (label))
     SELECT q.doc_id, q.n_words, q.text_ok, z.label, z.z,
            abs(z.z) <= 2.0 AS vec_ok,
            q.text_ok AND abs(z.z) <= 2.0 AS keep
@@ -5574,11 +5582,22 @@ def docs_text_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     its vector must not be degenerate.
 
     Scale shape: the text side is quality_filter's map-only pass; the
-    vector side is two narrow passes (per-label moments broadcast
-    back); the final join keys both corpora on the shared id — at
-    100 TB both sides would be bucketed on that id, making this join
-    exchange-free (sources.write_bucketed is that layout). z rounded
-    4dp before the cut on both engines."""
+    vector side is three narrow passes (per-label min, then per-label
+    integer moments, both broadcast back); the final join keys both
+    corpora on the shared id — at 100 TB both sides would be bucketed
+    on that id, making this join exchange-free (sources.write_bucketed
+    is that layout). z rounded 4dp before the cut on both engines.
+
+    The z-score is computed from EXACT-INTEGER moments (r12, the
+    events_session_stats/exact_sum discipline): norms quantize to
+    1e-12 units (the corpus is unit-normalized, so per-label spread is
+    ~1e-8 — float avg/stddev_pop there are ±1-ulp order-sensitive
+    reductions whose error, divided by the tiny sd, shifts z by ~1e-8
+    and flipped 4dp roundings at sf1), center by the per-label integer
+    MIN (shift-invariant for z; keeps di small so di² sums stay in
+    long range at O(1)-norm scale), then both engines compose the
+    identical (di − s1/n)/sqrt(s2/n − (s1/n)²) from identical
+    integers — deterministic at every partitioning and corpus size."""
     docs = _t(spark, sf_dir, "documents")
     q = textstats.quality_filter(docs).select(
         "doc_id", "n_words", F.col("passes").alias("text_ok")
@@ -5587,19 +5606,27 @@ def docs_text_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.select(
         "vec_id",
         "label",
-        similarity.norm(similarity.as_double_array(F.col("embedding"))).alias(
-            "__nrm"
-        ),
+        F.floor(
+            similarity.norm(similarity.as_double_array(F.col("embedding")))
+            * F.lit(1.0e12)
+            + F.lit(0.5)
+        ).cast("long").alias("__ni"),
     )
-    st = n.groupBy("label").agg(
-        F.avg("__nrm").alias("__mu"), F.stddev_pop("__nrm").alias("__sd")
+    m0 = n.groupBy("label").agg(F.min("__ni").alias("__m0"))
+    d = n.join(F.broadcast(m0), "label").select(
+        "vec_id", "label", (F.col("__ni") - F.col("__m0")).alias("__di")
     )
-    z = n.join(F.broadcast(st), "label").select(
+    st = d.groupBy("label").agg(
+        F.sum("__di").alias("__s1"),
+        F.sum(F.col("__di") * F.col("__di")).alias("__s2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mu = F.col("__s1") / F.col("__n")
+    sd = F.sqrt(F.col("__s2") / F.col("__n") - mu * mu)
+    z = d.join(F.broadcast(st), "label").select(
         "vec_id",
         "label",
-        round_half_up(
-            (F.col("__nrm") - F.col("__mu")) / F.col("__sd"), 4
-        ).alias("z"),
+        round_half_up((F.col("__di") - mu) / sd, 4).alias("z"),
     )
     vec_ok = F.abs(F.col("z")) <= 2.0
     return (
