@@ -7527,22 +7527,32 @@ def _pagerank_unrolled_sql(n_iter: int = 8, damping: float = 0.85) -> str:
     points each round instead of drifting."""
     tele = repr(1.0 - damping)  # Python-exact literal, same IEEE bits
     dp = repr(damping)
+    # every CTE is MATERIALIZED: the iteration chain references e /
+    # deg / nodes / nn once PER ROUND, so DuckDB's default inlining
+    # would rebuild the 2×lineitem DISTINCT self-join (tens of
+    # millions of rows at sf1) n_iter times — the r12 sf1 sweep
+    # measured that as a temp-spill past the disk (same class as the
+    # blocked-CC chain; see _blocked_cc_sql)
     cte = [
-        "WITH li AS (SELECT DISTINCT l_orderkey AS ok,"
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
         " CAST(l_partkey AS BIGINT) AS pk FROM lineitem)",
-        "sz AS (SELECT ok FROM li GROUP BY ok"
+        "sz AS MATERIALIZED (SELECT ok FROM li GROUP BY ok"
         " HAVING count(*) BETWEEN 2 AND 16)",
-        "e AS (SELECT DISTINCT a.pk AS s, b.pk AS d"
+        "e AS MATERIALIZED (SELECT DISTINCT a.pk AS s, b.pk AS d"
         " FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk"
         " JOIN sz ON sz.ok = a.ok)",
-        "deg AS (SELECT s AS node, count(*) AS deg FROM e GROUP BY s)",
-        "nodes AS (SELECT DISTINCT s AS node FROM e)",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+        "deg AS MATERIALIZED (SELECT s AS node, count(*) AS deg"
+        " FROM e GROUP BY s)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n"
+        " FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn)"
+        " AS rank FROM nodes)",
     ]
     for k in range(1, n_iter + 1):
         cte.append(
-            f"r{k} AS (SELECT n.node, round({tele} / (SELECT n FROM nn)"
+            f"r{k} AS MATERIALIZED (SELECT n.node,"
+            f" round({tele} / (SELECT n FROM nn)"
             f" + {dp} * coalesce(i.inflow, 0.0), 10) AS rank"
             " FROM nodes n LEFT JOIN ("
             " SELECT e.d AS node, sum(r.rank / g.deg) AS inflow"
