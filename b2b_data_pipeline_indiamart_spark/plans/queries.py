@@ -7382,16 +7382,18 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "ann_matryoshka",
-    # Stage 1: cosine over the FIRST 16 coordinates only (the MRL
-    # coarse prefix); stage 2: exact full-dim re-rank of the 64
-    # survivors — the trained-state-free two-stage retriever.
-    """
+def _matryoshka_topk_sql(prefix_dim: int, shortlist: int = 64,
+                         k: int = 10) -> str:
+    """Matryoshka two-stage oracle, parameterized by the MRL prefix
+    width: stage 1 cosine over the FIRST ``prefix_dim`` coordinates,
+    stage 2 exact full-dim re-rank of the ``shortlist`` survivors.
+    Shared by the ann_matryoshka key (prefix 16) and the
+    ann_matryoshka_recall dimension sweep (8/16/32)."""
+    return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
-    pv AS (SELECT vec_id, e[1:16] AS pe FROM v),
-    pq AS (SELECT query_id, qe[1:16] AS pqe FROM q),
+    pv AS (SELECT vec_id, e[1:{prefix_dim}] AS pe FROM v),
+    pq AS (SELECT query_id, qe[1:{prefix_dim}] AS pqe FROM q),
     s1 AS (
       SELECT pq.query_id, pv.vec_id AS neighbor_id,
              round(CASE WHEN sqrt(list_dot_product(pqe, pqe))
@@ -7408,7 +7410,7 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY pcos DESC, neighbor_id ASC) AS srnk
         FROM s1
-      ) WHERE srnk <= 64
+      ) WHERE srnk <= {shortlist}
     ),
     exact AS (
       SELECT s.query_id, s.neighbor_id,
@@ -7426,9 +7428,11 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
       FROM exact
-    ) WHERE rnk <= 10
-    """,
-)
+    ) WHERE rnk <= {k}
+    """
+
+
+@_register("ann_matryoshka", _matryoshka_topk_sql(16))
 def ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka two-stage retrieval
     (operators/similarity.ann_matryoshka): coarse shortlist of 64 by
@@ -7442,6 +7446,79 @@ def ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_matryoshka(
         emb, queries, k=10, shortlist=64, prefix_dim=16
     ).orderBy("query_id", "rnk")
+
+
+@_register(
+    "ann_matryoshka_recall",
+    # composition oracle (the ann_recall_report precedent): the
+    # matryoshka top-10 at three prefix widths vs the registered exact
+    # oracle, hits totaled as INTEGERS, one division at the end.
+    None,  # assigned right below (needs ORACLE["ann_topk"])
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRL dimension-sweep QA: recall@10 of the matryoshka two-stage
+    retriever at prefix widths 8/16/32 against the exact brute-force
+    top-10 — the acceptance curve a production MRL rollout reads to
+    pick the cheapest prefix that clears its recall bar (each halving
+    of the prefix halves stage-1 flops AND shuffled bytes). Hits
+    total as integers; recall is one division, so the 4dp value is
+    engine-stable. Composes registered operators only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    nq = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    parts = []
+    for p in (8, 16, 32):
+        m = similarity.ann_matryoshka(
+            emb, queries, k=10, shortlist=64, prefix_dim=p
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(m, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("total_hits")
+        )
+        parts.append(
+            hits.crossJoin(F.broadcast(nq)).select(
+                F.lit(p).cast("long").alias("prefix_dim"),
+                "n_queries",
+                "total_hits",
+                round_half_up(
+                    F.col("total_hits").cast("double")
+                    / (F.lit(10) * F.col("n_queries")),
+                    4,
+                ).alias("recall_at_10"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    return out
+
+
+ORACLE["ann_matryoshka_recall"] = floorize_round_sql(f"""
+    WITH exact AS ({ORACLE["ann_topk"]}),
+    m8 AS ({_matryoshka_topk_sql(8)}),
+    m16 AS ({_matryoshka_topk_sql(16)}),
+    m32 AS ({_matryoshka_topk_sql(32)}),
+    h AS (
+      SELECT CAST(8 AS BIGINT) AS prefix_dim, count(*) AS total_hits
+      FROM exact e JOIN m8 m USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT CAST(16 AS BIGINT), count(*)
+      FROM exact e JOIN m16 m USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT CAST(32 AS BIGINT), count(*)
+      FROM exact e JOIN m32 m USING (query_id, neighbor_id)
+    ),
+    nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM exact)
+    SELECT prefix_dim, CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(total_hits AS BIGINT) AS total_hits,
+           round(CAST(total_hits AS DOUBLE) / (10 * n_queries), 4)
+             AS recall_at_10
+    FROM h CROSS JOIN nq
+""")
 
 
 @_register(
