@@ -1214,6 +1214,94 @@ def span_dup_report(
     )
 
 
+def cdc_chunk_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hex: "tuple[str, ...]" = ("0", "1", "2", "3"),
+    min_words: int = 1,
+) -> DataFrame:
+    """Content-defined-chunking (CDC) cross-document dedup report —
+    the shift-robust complement of :func:`span_dup_report`.
+
+    Fixed-stride spans lose alignment under insertion: one extra word
+    at a document's head shifts EVERY downstream window, so two docs
+    sharing a long run stop sharing spans. CDC (the rsync/LBFS cut
+    rule, the shape production dataset-dedup uses for sub-document
+    granularity) places a chunk boundary AFTER every word whose
+    ``md5`` starts with one of ``boundary_hex`` (P = len/16 per word;
+    default 1/4 → mean 4-word chunks): boundaries are a function of
+    LOCAL content only, so an edit perturbs at most the chunk it
+    lands in and its immediate neighbor — all other chunk identities
+    survive, and shared runs between documents keep colliding
+    (property-pinned in tests/test_round12_ops.py).
+
+    Scale shape: posexplode(words) is map-only; the running boundary
+    count is ONE window PARTITIONED BY doc (frames bounded by document
+    length — never a global window); chunk texts re-assemble with an
+    order-pinned collect_list (array_sort over (pos, word) structs —
+    deterministic under any shuffle), hash to 8-byte xxhash64 keys
+    before the two keyed shuffles (chunk-grain distinct-doc count,
+    doc-grain rollup), exactly the span report's join shape. The chunk
+    table feeds both sides of the shared-count join → persisted.
+
+    Output: (doc_id, n_chunks, n_shared_chunks, shared_rate 4dp).
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = word_tokens(F.col(text_col))
+    words = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= min_words)
+        .select(id_col, F.posexplode("__toks").alias("__pos", "__w"))
+    )
+    is_boundary = (
+        F.when(
+            F.substring(F.md5(F.col("__w")), 1, 1).isin(*boundary_hex), 1
+        ).otherwise(0)
+    )
+    run = (
+        W.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = words.select(id_col, "__pos", "__w", is_boundary.alias("__b"))
+    chunked = flagged.select(
+        id_col,
+        "__pos",
+        "__w",
+        (F.sum("__b").over(run) - F.col("__b")).alias("__cid"),
+    )
+    chunks = caching.persist_tracked(
+        chunked.groupBy(id_col, "__cid").agg(
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                        lambda s: s["__w"],
+                    ),
+                    " ",
+                )
+            ).alias("__ch")
+        )
+    )
+    shared = chunks.groupBy("__ch").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    is_shared = F.when(F.col("__ndocs") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(shared, "__ch")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(is_shared).cast("long").alias("n_shared_chunks"),
+            round_half_up(F.sum(is_shared) / F.count(F.lit(1)), 4).alias(
+                "shared_rate"
+            ),
+        )
+    )
+
+
 def editdist_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",

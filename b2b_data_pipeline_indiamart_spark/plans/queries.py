@@ -4922,6 +4922,51 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_cdc_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+    w AS (SELECT doc_id,
+                 unnest([{{'pos': i, 'word': toks[i]}}
+                         for i in range(1, len(toks) + 1)]) AS pw
+          FROM t WHERE len(toks) >= 1),
+    f AS (SELECT doc_id, pw.pos AS pos, pw.word AS word,
+                 CASE WHEN substr(md5(pw.word), 1, 1)
+                           IN ('0', '1', '2', '3')
+                      THEN 1 ELSE 0 END AS b
+          FROM w),
+    c AS (SELECT doc_id, pos, word,
+                 sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS cid
+          FROM f),
+    ch AS (SELECT doc_id, cid,
+                  string_agg(word, ' ' ORDER BY pos) AS chunk
+           FROM c GROUP BY 1, 2),
+    sh AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs
+           FROM ch GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS shared_rate
+    FROM ch JOIN sh USING (chunk) GROUP BY doc_id
+    """,
+)
+def docs_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report
+    (dedup.cdc_chunk_report): chunk boundaries fall after words whose
+    md5 starts in 0-3 (P=1/4, mean 4-word chunks), so boundaries are
+    a function of LOCAL content — an insertion perturbs at most one
+    chunk and its neighbor instead of shifting every downstream
+    window (the failure mode of fixed-stride docs_span_dedup; the
+    shift-robustness property is pytest-pinned). One doc-partitioned
+    window + two keyed shuffles on 8-byte chunk hashes; the oracle
+    groups raw chunk text (identical counts absent a 64-bit
+    collision)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return dedup.cdc_chunk_report(docs)
+
+
+@_register(
     "docs_token_entropy",
     f"""
     WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),

@@ -200,3 +200,52 @@ def test_jpeg_bomb_guard_rejects_inflated_dims_all_profiles():
         # 8192*8192 = 67.1M px > 1<<26 absolute cap AND > len*512:
         # both guards want this rejected, cheaply, at header time
         assert mm.decode_jpeg_pixels(inflate_sof(payload)) is None
+
+
+def test_cdc_chunking_is_shift_robust_where_spans_are_not(spark):
+    """The property that justifies docs_cdc_dedup next to
+    docs_span_dedup: prepending ONE word to a shared document leaves
+    most CDC chunk identities intact (boundaries are local-content
+    functions), while fixed-stride spans all shift and stop
+    colliding."""
+    from b2b_data_pipeline_indiamart_spark.operators import dedup
+
+    base = ("industrial submersible pump with stainless steel housing "
+            "and five year warranty for borewell and agricultural "
+            "irrigation duty across long seasons of continuous use "
+            "with bronze impeller and thermal overload protection")
+    shifted = "refurbished " + base  # one-word head insertion
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], ["doc_id", "text"]
+    )
+
+    cdc = {
+        r["doc_id"]: r
+        for r in dedup.cdc_chunk_report(docs).collect()
+    }
+    # the two docs share most chunks: everything after the first
+    # boundary downstream of the insertion has identical content and
+    # identical (content-derived) boundaries
+    assert cdc[1]["n_shared_chunks"] >= cdc[1]["n_chunks"] - 2
+    assert cdc[1]["shared_rate"] > 0.5
+
+    spans = {
+        r["doc_id"]: r
+        for r in dedup.span_dup_report(docs, span=3).collect()
+    }
+    # fixed-stride spans: the head insertion shifts every window by
+    # one token, so (with 3-token windows over distinct words) the
+    # docs share almost nothing
+    assert spans[1]["n_shared_spans"] <= 1
+    # and CDC strictly beats spans on this pair
+    assert cdc[1]["n_shared_chunks"] > spans[1]["n_shared_spans"]
+
+    # determinism across partitionings (collect_list is order-pinned
+    # via array_sort): 1-partition equals default
+    one = {
+        r["doc_id"]: (r["n_chunks"], r["n_shared_chunks"])
+        for r in dedup.cdc_chunk_report(docs.repartition(1)).collect()
+    }
+    assert one == {
+        k: (v["n_chunks"], v["n_shared_chunks"]) for k, v in cdc.items()
+    }
