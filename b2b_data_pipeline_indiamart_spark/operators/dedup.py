@@ -249,6 +249,17 @@ def lsh_candidate_pairs(
     signature cost at sf0.01). At cluster scale the same role is
     played by writing signatures to a parquet stage table.
     """
+    if observation is not None and max_bucket_size is None:
+        # ADVICE r12: the observation is only wired into the plan by
+        # the cap's count aggregate; with the cap disabled its metrics
+        # would never populate and the caller's observation.get would
+        # block/err far from the cause. Fail here, at the cause.
+        raise ValueError(
+            "lsh_candidate_pairs: observation requires max_bucket_size "
+            "(the drop metrics are produced by the cap's bucket-count "
+            "aggregate; with max_bucket_size=None nothing is dropped "
+            "and nothing is observed)"
+        )
     banded = caching.persist_tracked(
         band_table(signatures, id_col=id_col, k=k, bands=bands)
     )

@@ -1324,6 +1324,11 @@ def _blocked_cc_sql(rounds: int = 24) -> str:
     tree per round — 2^24 parquet scans, 'too many open files' — the
     same doubly-referenced-lineage trap the Spark CC loop solves with
     localCheckpoint (SURVEY §6).
+
+    The final SELECT carries a fixpoint guard (ADVICE r12): if the
+    last round still changed any label (a component deeper than the
+    fixed chain covers), the oracle errors loudly instead of emitting
+    silently wrong labels that would read as a Spark-side mismatch.
     """
     p = (
         "    WITH p AS (\n"
@@ -1367,8 +1372,23 @@ def _blocked_cc_sql(rounds: int = 24) -> str:
             f"    )"
         )
     chain.append(
-        f"\n    SELECT v AS doc_id, l AS cluster_id FROM lab{rounds}"
-        " ORDER BY doc_id"
+        # ADVICE r12: a component needing more than `rounds` rounds
+        # (>~2^rounds effective nodes) would otherwise yield silently
+        # wrong labels that read as a Spark-side parity failure. Cheap
+        # fixpoint guard: the final round must be a no-op vs its
+        # predecessor, else error() aborts the oracle loudly at the
+        # real cause. (DuckDB evaluates the CASE branch lazily and the
+        # uncorrelated scalar subquery once — verified on 1.0.0.)
+        f"\n    SELECT v AS doc_id,\n"
+        f"           CASE WHEN (SELECT count(*) FROM lab{rounds} a\n"
+        f"                      JOIN lab{rounds - 1} b\n"
+        f"                        ON a.v = b.v AND a.l <> b.l) = 0\n"
+        f"                THEN l\n"
+        f"                ELSE CAST(error('blocked-CC oracle: fixed "
+        f"{rounds}-round hook+jump chain did not converge — raise "
+        f"rounds') AS BIGINT)\n"
+        f"           END AS cluster_id\n"
+        f"    FROM lab{rounds} ORDER BY doc_id"
     )
     return "".join(chain)
 
@@ -5602,8 +5622,8 @@ def orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings),
     vm AS (SELECT label, min(ni) AS m0 FROM v GROUP BY label),
     dd AS (SELECT vec_id, label, ni - m0 AS di FROM v JOIN vm USING (label)),
-    st AS (SELECT label, CAST(sum(di) AS BIGINT) AS s1,
-                  CAST(sum(di * di) AS BIGINT) AS s2,
+    st AS (SELECT label, CAST(sum(CAST(di AS HUGEINT)) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(di AS HUGEINT) * di) AS DOUBLE) AS s2,
                   count(*) AS n
            FROM dd GROUP BY label),
     z AS (SELECT dd.vec_id, dd.label,
@@ -5639,10 +5659,14 @@ def docs_text_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-8 — float avg/stddev_pop there are ±1-ulp order-sensitive
     reductions whose error, divided by the tiny sd, shifts z by ~1e-8
     and flipped 4dp roundings at sf1), center by the per-label integer
-    MIN (shift-invariant for z; keeps di small so di² sums stay in
-    long range at O(1)-norm scale), then both engines compose the
-    identical (di − s1/n)/sqrt(s2/n − (s1/n)²) from identical
-    integers — deterministic at every partitioning and corpus size."""
+    MIN (shift-invariant for z), sum di and di·di in 38-digit exact
+    integers (Spark decimal(38,0), DuckDB HUGEINT — ADVICE r12: a
+    LongType di² sum wraps silently in non-ANSI Spark and errors in
+    DuckDB once per-label norm spread exceeds ~1e-3 at corpus n; 38
+    digits carries any spread the 1e-12 quantization can represent),
+    then both engines cast the exact sums to double at the SAME point
+    and compose the identical (di − s1/n)/sqrt(s2/n − (s1/n)²) —
+    deterministic at every partitioning and corpus size."""
     docs = _t(spark, sf_dir, "documents")
     q = textstats.quality_filter(docs).select(
         "doc_id", "n_words", F.col("passes").alias("text_ok")
@@ -5662,12 +5686,14 @@ def docs_text_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", (F.col("__ni") - F.col("__m0")).alias("__di")
     )
     st = d.groupBy("label").agg(
-        F.sum("__di").alias("__s1"),
-        F.sum(F.col("__di") * F.col("__di")).alias("__s2"),
+        F.sum(F.col("__di").cast("decimal(38,0)")).alias("__s1"),
+        F.sum(
+            F.col("__di").cast("decimal(38,0)") * F.col("__di")
+        ).alias("__s2"),
         F.count(F.lit(1)).alias("__n"),
     )
-    mu = F.col("__s1") / F.col("__n")
-    sd = F.sqrt(F.col("__s2") / F.col("__n") - mu * mu)
+    mu = F.col("__s1").cast("double") / F.col("__n")
+    sd = F.sqrt(F.col("__s2").cast("double") / F.col("__n") - mu * mu)
     z = d.join(F.broadcast(st), "label").select(
         "vec_id",
         "label",

@@ -23,6 +23,8 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.dedup import LSH_MAX_BUCKET_DEFAULT
+
 
 def event_stream_schema() -> T.StructType:
     """Schema of the events stream (mirrors testdata ``events``:
@@ -601,6 +603,7 @@ def start_neardup_suppress_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     state_buckets: int = 64,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_DEFAULT,
 ) -> StreamingQuery:
     """Streaming NEAR-dup suppression — the ingest-side MinHash/LSH
     dedup a training-data pipeline runs continuously: every micro-batch
@@ -608,13 +611,21 @@ def start_neardup_suppress_sink(
 
     Per epoch (foreachBatch):
 
-    1. MinHash signatures for the batch (operators/dedup — the SAME
-       signature/banding math as the batch keys, so a batch backfill
-       reconciles with what the stream admitted);
-    2. within-batch suppression: LSH self-join candidates, signature-
-       agreement estimate ≥ ``threshold`` suppresses the HIGHER id of
-       each pair (greedy keep-lowest-id — the deterministic streaming
-       analogue of the batch keep-first);
+    1. exact-duplicate collapse (:func:`~...dedup.exact_collapse`):
+       copies of the same normalized text suppress to the min id up
+       front — the same outcome the uncapped greedy pass would reach
+       (identical signatures → est 1.0), but it keeps a boilerplate
+       storm of >``max_bucket_size`` identical docs out of the LSH
+       bucket cap's blast radius (ADVICE r12) and shrinks stages 2-3
+       by the duplicate factor;
+    2. MinHash signatures for the batch REPRESENTATIVES
+       (operators/dedup — the SAME signature/banding math as the
+       batch keys, so a batch backfill reconciles with what the
+       stream admitted), then within-batch suppression: LSH self-join
+       candidates (bucket cap explicit via ``max_bucket_size``),
+       signature-agreement estimate ≥ ``threshold`` suppresses the
+       HIGHER id of each pair (greedy keep-lowest-id — the
+       deterministic streaming analogue of the batch keep-first);
     3. cross-batch suppression: batch bands equi-join the PERSISTENT
        admitted-signature store (parquet under ``state_dir``), the
        two-sided :func:`~...dedup.minhash_estimate` scores candidates,
@@ -673,17 +684,44 @@ def start_neardup_suppress_sink(
                 fs.mkdirs(marker.getParent())
                 fs.createNewFile(marker)
                 return
-            sigs = caching.persist_tracked(
-                dedup.minhash_signatures(batch, text_col, id_col, k=k)
+            # (1b) collapse exact duplicates BEFORE signatures (ADVICE
+            # r12; the ngram_jaccard_verified discipline). Without
+            # this, a batch of >max_bucket_size identical/boilerplate
+            # docs lands in ONE oversized bucket in EVERY band; the cap
+            # would drop them all and the "other, more selective bands"
+            # recovery argument does not apply to exact copies — every
+            # copy would be silently admitted. Collapsing first
+            # suppresses the copies exactly as the uncapped greedy pass
+            # would (identical normalized text → identical signatures →
+            # est_jaccard 1.0 → higher ids suppressed) and makes the
+            # bucket cap safe for the near-dup stage, which now only
+            # ever sees distinct normalized texts.
+            members = caching.persist_tracked(
+                dedup.exact_collapse(batch, text_col, id_col)
             )
-            # (2) within-batch greedy suppression
+            exact_sup = members.filter(
+                F.col(id_col) != F.col("rep_id")
+            ).select(id_col)
+            reps = batch.join(
+                members.filter(F.col(id_col) == F.col("rep_id"))
+                .select(id_col),
+                id_col,
+                "left_semi",
+            )
+            sigs = caching.persist_tracked(
+                dedup.minhash_signatures(reps, text_col, id_col, k=k)
+            )
+            # (2) within-batch greedy suppression (representatives
+            # only; the cap is explicit at this call site — sink param)
             pairs = dedup.lsh_candidate_pairs(
-                sigs, id_col=id_col, k=k, bands=bands
+                sigs, id_col=id_col, k=k, bands=bands,
+                max_bucket_size=max_bucket_size,
             )
             sup = (
                 dedup.minhash_estimate(pairs, sigs, id_col=id_col, k=k)
                 .filter(F.col("est_jaccard") >= threshold)
                 .select(F.col("id_b").alias(id_col))
+                .unionByName(exact_sup)
             )
             # (3) cross-batch suppression vs the admitted store
             id_field = batch.schema[id_col]

@@ -207,3 +207,22 @@ def test_lsh_default_cap_is_on_and_drop_is_observable(spark):
         small, k=k, bands=bands, max_bucket_size=None
     )
     assert uncapped.count() == 15  # 6*5/2
+
+
+def test_lsh_observation_without_cap_fails_fast(spark):
+    """ADVICE r12: an Observation is only wired into the plan by the
+    cap's bucket-count aggregate — passing one with the cap disabled
+    must fail at the call, not leave observation.get blocking far
+    from the cause."""
+    import pytest
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    sigs = spark.range(2).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(7).alias(f"mh_{j}") for j in range(64)],
+    )
+    with pytest.raises(ValueError, match="observation requires"):
+        dedup.lsh_candidate_pairs(
+            sigs, max_bucket_size=None, observation=Observation("x")
+        )

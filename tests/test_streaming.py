@@ -1263,3 +1263,92 @@ def test_streaming_neardup_legacy_state_layout_fails_fast(spark, tmp_path):
     )
     _drain(q)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+
+def test_streaming_neardup_exact_dup_storm_survives_bucket_cap(
+    spark, tmp_path
+):
+    """ADVICE r12 (medium): a batch whose EXACT-duplicate count exceeds
+    the LSH bucket cap must still suppress the copies. Pre-fix, the
+    within-batch lsh_candidate_pairs silently inherited
+    LSH_MAX_BUCKET_DEFAULT and an identical-doc storm filled an
+    oversized bucket in EVERY band — zero candidate pairs, every copy
+    admitted and persisted to state. The sink now collapses exact
+    duplicates BEFORE signature generation, so the cap (deliberately
+    tiny here: 2, with an 8-copy storm) never sees the storm, while
+    distinct-text near-dups still pair through the capped LSH stage
+    and cross-batch exact copies are still caught against the store."""
+    import glob
+    import json as _json
+    import os
+
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        start_neardup_suppress_sink,
+    )
+    from pyspark.sql import types as T
+
+    boiler = ("standard licence header repeated verbatim across the "
+              "whole crawl shard " * 6)
+    near_a = ("a very specific passage about volcanic geology and the "
+              "slow crystallization of basalt columns in iceland "
+              "during the long dark winters of the little ice age")
+    near_b = near_a.replace("winters", "summers")
+    uniq = ("an unrelated passage describing the harmonic structure "
+            "of a baroque fugue and the strict voice leading rules "
+            "its countersubject obeys through every modulation")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    # b1: 8 exact copies (> cap=2) + a distinct-text near pair + unique
+    write(
+        "b1.json",
+        [(i, boiler) for i in range(1, 9)]
+        + [(20, near_a), (21, near_b), (30, uniq)],
+        1_000_000_000,
+    )
+    # b2: one more exact copy of the boilerplate -> must be caught
+    # CROSS-batch against the admitted store (rep id 1's signatures)
+    write("b2.json", [(40, boiler)], 1_000_000_100)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = read_event_stream(
+        spark, str(src), schema=schema, max_files_per_trigger=1
+    )
+    out = str(tmp_path / "out")
+    q = start_neardup_suppress_sink(
+        sdf,
+        out,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ledger"),
+        threshold=0.75,
+        max_bucket_size=2,
+    )
+    _drain(q)
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    # storm copies 2..8 suppressed within-batch (exact collapse), 40
+    # suppressed cross-batch, near-dup 21 suppressed by the capped LSH
+    assert admitted == [1, 20, 30]
+    # the state store holds ONLY the admitted representatives
+    state_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "state" / "sigs"))
+        .collect()
+    )
+    assert state_ids == [1, 20, 30]
+    assert sorted(
+        os.path.basename(d) for d in glob.glob(f"{out}/epoch=*")
+    ) == ["epoch=0", "epoch=1"]

@@ -170,25 +170,38 @@ def build(out_dir, k: int = 10, spark=None) -> None:
                         F.col("n_chars")
                     ).cast("long"),
                 )
-            if t == "embeddings":
-                dim = len(df.select("embedding").first()[0])
-                etype = df.schema["embedding"].dataType
-                perms, signs = _rotations(k, dim)
-                rotated = None
-                for r in range(1, k):
-                    arr = F.array(*[
-                        F.element_at("embedding", perms[r][d])
-                        * F.lit(float(signs[r][d]))
-                        for d in range(dim)
-                    ]).cast(etype)
-                    rotated = (
-                        F.when(F.col("__rep") == r, arr)
-                        if rotated is None
-                        else rotated.when(F.col("__rep") == r, arr)
-                    )
-                out = out.withColumn(
-                    "embedding", rotated.otherwise(F.col("embedding"))
+            if t == "embeddings" and k > 1:
+                # ADVICE r12 guards: k=1 has no replicas to rotate (the
+                # range(1, k) loop would leave `rotated` None), and an
+                # empty / NULL-first-row embeddings table has no dim to
+                # read — skip rotation, the tile loop alone is correct.
+                first = (
+                    df.select("embedding")
+                    .filter(F.col("embedding").isNotNull())
+                    .first()
                 )
+                if first is None:
+                    print("embeddings: no non-null rows, rotation "
+                          "skipped", flush=True)
+                else:
+                    dim = len(first[0])
+                    etype = df.schema["embedding"].dataType
+                    perms, signs = _rotations(k, dim)
+                    rotated = None
+                    for r in range(1, k):
+                        arr = F.array(*[
+                            F.element_at("embedding", perms[r][d])
+                            * F.lit(float(signs[r][d]))
+                            for d in range(dim)
+                        ]).cast(etype)
+                        rotated = (
+                            F.when(F.col("__rep") == r, arr)
+                            if rotated is None
+                            else rotated.when(F.col("__rep") == r, arr)
+                        )
+                    out = out.withColumn(
+                        "embedding", rotated.otherwise(F.col("embedding"))
+                    )
             out = out.drop("__rep")
         n = out.count()
         (out.repartition(8)
