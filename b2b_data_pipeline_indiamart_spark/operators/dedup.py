@@ -795,6 +795,19 @@ def dedup_clusters(
     # weight now — release them before returning (members stays: the
     # final join below still reads it lazily)
     caching.release_from(scope)
+    return _expand_members(members, comps, id_col)
+
+
+def _expand_members(
+    members: DataFrame, comps: DataFrame, id_col: str
+) -> DataFrame:
+    """Expand component labels over representatives back to every
+    member of the exact-dup membership map: (doc_id, cluster_id,
+    is_representative). Shared by :func:`dedup_clusters` and its
+    oracle-bearing twin :func:`blocked_dedup_clusters_full`, so the
+    twin's hash gate covers this exact expansion code. ``comps`` is
+    (node, cluster_id) over representatives; reps absent from it
+    (isolated under a pair-list CC input) label themselves."""
     out = members.join(comps, members.rep_id == comps.node, "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col("rep_id"))
     return out.select(
@@ -802,6 +815,33 @@ def dedup_clusters(
         cluster.alias("cluster_id"),
         (F.col(id_col) == cluster).alias("is_representative"),
     )
+
+
+def blocked_dedup_clusters_full(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    small_graph_cap: int = 0,
+) -> DataFrame:
+    """Oracle-bearing twin of the FULL :func:`dedup_clusters` shape
+    (VERDICT r12 #3): exact-dup collapse → representatives → connected
+    components → member expansion with the keep flag, identical code
+    path at every stage (:func:`exact_collapse`,
+    :func:`_representatives`, :func:`_expand_members` are the same
+    functions dedup_clusters calls) — except the candidate edges come
+    from the SQL-expressible md5-prefix blocking graph instead of the
+    Spark-specific MinHash/LSH family, so a DuckDB oracle replays the
+    ENTIRE composition and hash-checks (doc_id, cluster_id,
+    is_representative). This closes the last un-hash-gated residue of
+    dedup_clusters: the blocked twin gated only the CC loop's labels;
+    this one also gates the collapse → reps pre-stage and the
+    expansion/keep-flag tail."""
+    members = caching.persist_tracked(exact_collapse(docs, text_col, id_col))
+    reps = _representatives(docs, members, id_col)
+    comps = blocked_dedup_clusters(
+        reps, text_col, id_col, small_graph_cap=small_graph_cap
+    ).withColumnRenamed("doc_id", "node")
+    return _expand_members(members, comps, id_col)
 
 
 def blocking_prefix_len(n_docs: int, target_block: int = 16, floor: int = 3) -> int:

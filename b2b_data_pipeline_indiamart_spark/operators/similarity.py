@@ -2119,6 +2119,16 @@ def cluster_label_purity(
     cl = assigned.select("__aid", F.col("cell").alias("cluster")).join(
         lab, F.col("__aid") == F.col("__lid")
     )
+    return _purity_readout(cl, label_col)
+
+
+def _purity_readout(cl: DataFrame, label_col: str) -> DataFrame:
+    """Per-cluster size / majority label / purity over a
+    (cluster, label)-per-vector frame. Shared by
+    :func:`cluster_label_purity` (trained k-means, rows-only) and
+    :func:`cluster_label_purity_seeded` (oracle-bearing twin), so the
+    twin's hash gate covers this exact readout code. Majority ties
+    break toward the SMALLER label (max on (count, -label))."""
     per_label = cl.groupBy("cluster", label_col).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2139,6 +2149,55 @@ def cluster_label_purity(
             ),
         )
     )
+
+
+def cluster_label_purity_seeded(
+    emb: DataFrame,
+    n_seeds: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Oracle-bearing twin of :func:`cluster_label_purity` (VERDICT
+    r12 #3, the ann_ivf_portable discipline): the "centroids" are the
+    ``n_seeds`` lowest-id vectors (no Lloyd training), assignment is
+    argmax cosine rounded to 6dp BEFORE ranking with seed-id
+    tie-break — every step SQL-expressible, so a DuckDB oracle
+    replays assignment AND the purity readout and hash-checks the
+    output. The readout is the SAME code path the trained production
+    key uses (:func:`_purity_readout`), so its math is value-gated
+    here; only Lloyd iteration itself stays rows-only.
+
+    Scale shape: seeds broadcast (n_seeds × dim floats), assignment
+    is a map-side crossJoin + per-vector window on the
+    high-cardinality vector id, readout two combining aggregates —
+    never wider than n_seeds × labels. Cluster ids are seed vec_ids
+    (longs), not 0..k-1 cell indexes.
+    """
+    v = emb.select(
+        F.col(id_col).alias("__vid"),
+        as_double_array(F.col(vec_col)).alias("__e"),
+        F.col(label_col),
+    )
+    seeds = (
+        v.join(F.broadcast(_lowest_ids(v, "__vid", n_seeds)), "__vid")
+        .select(F.col("__vid").alias("__cid"), F.col("__e").alias("__se"))
+    )
+    sims = v.crossJoin(F.broadcast(seeds)).select(
+        "__vid",
+        label_col,
+        "__cid",
+        round_half_up(cosine(F.col("__e"), F.col("__se")), 6).alias("__sim"),
+    )
+    w = Window.partitionBy("__vid").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    cl = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__cid").alias("cluster"), label_col)
+    )
+    return _purity_readout(cl, label_col)
 
 
 def ood_scores(

@@ -1296,7 +1296,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _blocked_cc_sql(rounds: int = 24) -> str:
+def _blocked_cc_sql(rounds: int = 24, full: bool = False) -> str:
     """Generate the dedup_clusters_blocked oracle: min-label connected
     components over the md5-prefix blocking graph as a FIXED-round
     hook + pointer-jump CTE chain (Shiloach–Vishkin shape).
@@ -1329,19 +1329,57 @@ def _blocked_cc_sql(rounds: int = 24) -> str:
     last round still changed any label (a component deeper than the
     fixed chain covers), the oracle errors loudly instead of emitting
     silently wrong labels that would read as a Spark-side mismatch.
+
+    ``full=True`` (VERDICT r12 #3, key dedup_clusters_full_portable)
+    restates the ENTIRE dedup_clusters composition instead of the
+    bare CC labels: the node set is the exact-dup REPRESENTATIVES
+    (min doc_id per coalesced md5(normalized text) group — the
+    '__null__' sentinel mirrors dedup.exact_collapse; representatives
+    of contentless docs keep a NULL blocking hash, so they never
+    edge), the prefix auto-sizing counts representatives (that is
+    what the Spark side's blocking sees), and the tail expands labels
+    back through the membership map with the keep flag:
+    (doc_id, cluster_id, is_representative).
     """
+    if full:
+        base = (
+            "    WITH mem AS MATERIALIZED (\n"
+            f"      SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+            f"             coalesce(md5({_NORM}), '__null__') AS ch\n"
+            "      FROM documents\n"
+            "    ),\n"
+            "    rep AS MATERIALIZED (\n"
+            "      SELECT ch, min(doc_id) AS rep_id FROM mem GROUP BY ch\n"
+            "    ),\n"
+            "    p AS (\n"
+            "      -- sizing counts REPRESENTATIVES: the Spark side blocks\n"
+            "      -- the collapsed corpus (dedup.blocking_prefix_len)\n"
+            "      SELECT GREATEST(3, CAST(CEIL(LN(GREATEST(COUNT(*), 17) / 16.0)"
+            " / LN(16)) AS INT)) AS l\n"
+            "      FROM rep\n"
+            "    ),\n"
+            "    d AS (\n"
+            "      SELECT rep_id AS doc_id,\n"
+            "             CASE WHEN ch = '__null__' THEN NULL ELSE ch END AS h\n"
+            "      FROM rep\n"
+            "    ),\n"
+        )
+    else:
+        base = (
+            "    WITH p AS (\n"
+            "      -- same sizing as dedup.blocking_prefix_len: expected block ~16\n"
+            "      -- docs, prefix floored at the historical 3 hex chars\n"
+            "      SELECT GREATEST(3, CAST(CEIL(LN(GREATEST(COUNT(*), 17) / 16.0)"
+            " / LN(16)) AS INT)) AS l\n"
+            "      FROM documents\n"
+            "    ),\n"
+            "    d AS (\n"
+            f"      SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({_NORM}) AS h"
+            " FROM documents\n"
+            "    ),\n"
+        )
     p = (
-        "    WITH p AS (\n"
-        "      -- same sizing as dedup.blocking_prefix_len: expected block ~16\n"
-        "      -- docs, prefix floored at the historical 3 hex chars\n"
-        "      SELECT GREATEST(3, CAST(CEIL(LN(GREATEST(COUNT(*), 17) / 16.0)"
-        " / LN(16)) AS INT)) AS l\n"
-        "      FROM documents\n"
-        "    ),\n"
-        "    d AS (\n"
-        f"      SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({_NORM}) AS h"
-        " FROM documents\n"
-        "    ),\n"
+        base +
         "    edges AS MATERIALIZED (\n"
         "      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b\n"
         "        ON substr(a.h, 1, (SELECT l FROM p))"
@@ -1371,25 +1409,40 @@ def _blocked_cc_sql(rounds: int = 24) -> str:
             f"      FROM hook{k} a JOIN hook{k} b ON a.l = b.v\n"
             f"    )"
         )
-    chain.append(
-        # ADVICE r12: a component needing more than `rounds` rounds
-        # (>~2^rounds effective nodes) would otherwise yield silently
-        # wrong labels that read as a Spark-side parity failure. Cheap
-        # fixpoint guard: the final round must be a no-op vs its
-        # predecessor, else error() aborts the oracle loudly at the
-        # real cause. (DuckDB evaluates the CASE branch lazily and the
-        # uncorrelated scalar subquery once — verified on 1.0.0.)
-        f"\n    SELECT v AS doc_id,\n"
-        f"           CASE WHEN (SELECT count(*) FROM lab{rounds} a\n"
+    # ADVICE r12: a component needing more than `rounds` rounds
+    # (>~2^rounds effective nodes) would otherwise yield silently
+    # wrong labels that read as a Spark-side parity failure. Cheap
+    # fixpoint guard: the final round must be a no-op vs its
+    # predecessor, else error() aborts the oracle loudly at the
+    # real cause. (DuckDB evaluates the CASE branch lazily and the
+    # uncorrelated scalar subquery once — verified on 1.0.0.)
+    guarded_label = (
+        f"CASE WHEN (SELECT count(*) FROM lab{rounds} a\n"
         f"                      JOIN lab{rounds - 1} b\n"
         f"                        ON a.v = b.v AND a.l <> b.l) = 0\n"
         f"                THEN l\n"
         f"                ELSE CAST(error('blocked-CC oracle: fixed "
         f"{rounds}-round hook+jump chain did not converge — raise "
         f"rounds') AS BIGINT)\n"
-        f"           END AS cluster_id\n"
-        f"    FROM lab{rounds} ORDER BY doc_id"
+        f"           END"
     )
+    if full:
+        chain.append(
+            f",\n    final AS (\n"
+            f"      SELECT v, {guarded_label} AS l FROM lab{rounds}\n"
+            f"    )\n"
+            f"    SELECT m.doc_id AS doc_id, f.l AS cluster_id,\n"
+            f"           m.doc_id = f.l AS is_representative\n"
+            f"    FROM mem m JOIN rep r USING (ch)\n"
+            f"    JOIN final f ON r.rep_id = f.v\n"
+            f"    ORDER BY doc_id"
+        )
+    else:
+        chain.append(
+            f"\n    SELECT v AS doc_id,\n"
+            f"           {guarded_label} AS cluster_id\n"
+            f"    FROM lab{rounds} ORDER BY doc_id"
+        )
     return "".join(chain)
 
 
@@ -1411,6 +1464,23 @@ def dedup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop's per-round sync floor, by design."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.blocked_dedup_clusters(docs).orderBy("doc_id")
+
+
+@_register("dedup_clusters_full_portable", _blocked_cc_sql(full=True))
+def dedup_clusters_full_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL dedup_clusters composition, hash-checkable end to end
+    (VERDICT r12 #3): exact-dup collapse → representatives → connected
+    components → member expansion with the keep flag, where the
+    candidate edges are the SQL-expressible md5-prefix blocking graph.
+    dedup_clusters_blocked gates the CC loop's labels; THIS key also
+    gates the collapse/representative pre-stage and the
+    expansion/is_representative tail — the same functions
+    (dedup.exact_collapse, dedup._representatives,
+    dedup._expand_members) the production LSH-graph dedup_clusters
+    calls, leaving only the LSH pair source itself rows-only (covered
+    by docs_minhash_portable + docs_jaccard_portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.blocked_dedup_clusters_full(docs).orderBy("doc_id")
 
 
 @_register("events_approx_users")  # rows-only: HLL++ sketch is engine-specific
@@ -7994,6 +8064,58 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin are pytest-checked."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cluster_label_purity(emb, dim=64, n_clusters=8).orderBy(
+        "cluster"
+    )
+
+
+@_register(
+    "embedding_cluster_purity_portable",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, e AS se FROM v
+              WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    sims AS (
+      SELECT v.vec_id, v.label, s.cid,
+             round(CASE WHEN sqrt(list_dot_product(v.e, v.e))
+                             * sqrt(list_dot_product(se, se)) > 0
+                        THEN list_dot_product(v.e, se)
+                             / (sqrt(list_dot_product(v.e, v.e))
+                                * sqrt(list_dot_product(se, se)))
+                   END, 6) AS sim
+      FROM v CROSS JOIN seeds s
+    ),
+    cells AS (SELECT vec_id, label, cluster FROM (
+      SELECT vec_id, label, cid AS cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid ASC) AS rn
+      FROM sims) WHERE rn = 1),
+    cl AS (SELECT cluster, label, count(*) AS n FROM cells GROUP BY 1, 2),
+    agg AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_vecs
+            FROM cl GROUP BY 1),
+    top AS (SELECT cluster, label AS majority_label, n AS top_n FROM (
+      SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY n DESC, label ASC) AS rn
+      FROM cl) WHERE rn = 1)
+    SELECT a.cluster, n_vecs, CAST(majority_label AS INT) AS majority_label,
+           round(CAST(top_n AS DOUBLE) / n_vecs, 4) AS purity
+    FROM agg a JOIN top USING (cluster)
+    """,
+)
+def embedding_cluster_purity_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-bearing twin of embedding_cluster_purity (VERDICT r12
+    #3, the ann_ivf_portable discipline): seed "centroids" are the 8
+    lowest-id vectors (no Lloyd training), assignment is argmax
+    6dp-rounded cosine with seed-id tie-break, and the purity readout
+    is the SAME Spark code path the trained production key runs
+    (similarity._purity_readout) — so per-cluster size, majority label
+    (smaller-label tie-break) and 4dp purity all hash-check against
+    DuckDB. Only Lloyd iteration itself remains rows-only, and it is
+    separately pinned by numpy-reference tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_label_purity_seeded(emb, n_seeds=8).orderBy(
         "cluster"
     )
 

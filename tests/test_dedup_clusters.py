@@ -173,3 +173,36 @@ def test_driver_union_find_null_endpoints_match_loop(spark):
     caching.release_cached()
     assert fast == loop
     assert (5, 5) in fast and (None, None) in fast
+
+
+def test_blocked_dedup_clusters_full_expansion_and_flags(spark):
+    """VERDICT r12 #3: the full-composition twin must run the SAME
+    collapse → CC → expansion path as dedup_clusters. Exact copies
+    always share every blocking key, so each copy group lands in one
+    cluster; every cluster has exactly one representative and it is
+    the cluster minimum."""
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "completely different content about volcanic geology and ash"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, "  " + a + "  "),  # normalize-equal copies
+         (4, b), (5, b), (6, "a unique third text about fugues")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup.blocked_dedup_clusters_full(docs).collect()}
+    caching.release_cached()
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    # exact-dup groups collapse into one cluster each
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"]
+    assert rows[4]["cluster_id"] == rows[5]["cluster_id"]
+    # one representative per cluster, and it is the cluster minimum
+    clusters = {}
+    for did, r in rows.items():
+        clusters.setdefault(r["cluster_id"], []).append(
+            (did, r["is_representative"])
+        )
+    for cid, members in clusters.items():
+        reps = [d for d, flag in members if flag]
+        assert reps == [cid] == [min(d for d, _ in members)]

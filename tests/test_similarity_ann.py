@@ -283,3 +283,34 @@ def test_ann_matryoshka_recall_and_exact_order(spark, sf_medium):
         ).collect()
     )
     assert recall(full) == 1.0
+
+
+def test_cluster_label_purity_seeded_hand_corpus(spark):
+    """VERDICT r12 #3: the oracle-bearing purity twin — seeds are the
+    n_seeds lowest-id vectors, assignment is argmax 6dp cosine with
+    seed-id tie-break, readout is the shared _purity_readout path.
+    Hand-checkable corpus: vec 0/1 are orthogonal seeds; 10,11 hug
+    seed 0; 12 hugs seed 1; labels make cluster 0 purity 2/3."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.0, 1.0], 8),
+            (10, [0.9, 0.1], 7),
+            (11, [0.8, 0.05], 9),
+            (12, [0.1, 0.9], 8),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = {
+        r["cluster"]: r
+        for r in similarity.cluster_label_purity_seeded(
+            emb, n_seeds=2
+        ).collect()
+    }
+    assert set(rows) == {0, 1}
+    c0, c1 = rows[0], rows[1]
+    assert c0["n_vecs"] == 3 and c1["n_vecs"] == 2
+    # cluster 0 members: labels 7,7,9 -> majority 7, purity 2/3
+    assert c0["majority_label"] == 7 and abs(c0["purity"] - 0.6667) < 1e-9
+    # cluster 1 members: labels 8,8 -> majority 8, purity 1.0
+    assert c1["majority_label"] == 8 and c1["purity"] == 1.0
