@@ -743,3 +743,97 @@ def test_scd2_asof_join_point_in_time(spark):
     ]
     # every fact row appears exactly once (non-overlap invariant)
     assert out.count() == facts.count()
+
+
+# ----------------------------------------- lake-maintenance crash injection
+
+
+def test_compact_parquet_crash_injection_every_swap_state(spark, tmp_path):
+    """VERDICT r12 #6: kill the compactor at each point of the
+    park-aside swap sequence and re-run — every crash state recovers
+    with zero row loss and no double-count. States injected on disk
+    exactly as the documented sequence would leave them:
+    (1) died mid-tmp-write (stale partial _compacting next to src);
+    (2) died between rename(src→aside) and rename(tmp→src) — src
+        missing, COMPLETE copies at both _compacting and _pre_compact;
+    (3) died after rename(tmp→src), before delete(aside) — new src
+        plus a superseded _pre_compact."""
+    import os
+    import shutil
+
+    from b2b_data_pipeline_indiamart_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.range(512).selectExpr("id", "id * 3 AS v").repartition(
+        16
+    ).write.parquet(lake)
+    want = sorted(tuple(r) for r in spark.read.parquet(lake).collect())
+
+    def rows():
+        return sorted(tuple(r) for r in spark.read.parquet(lake).collect())
+
+    # (1) stale partial tmp from a crashed write: one orphan file that
+    # is not even valid parquet — the re-run's overwrite must replace it
+    os.makedirs(lake + "_compacting", exist_ok=True)
+    with open(lake + "_compacting/part-00000.snappy.parquet", "wb") as f:
+        f.write(b"\x00garbage, not parquet\x00")
+    assert compact_parquet(spark, lake, target_file_bytes=1 << 30) == 1
+    assert rows() == want
+    assert not os.path.exists(lake + "_compacting")
+    assert not os.path.exists(lake + "_pre_compact")
+
+    # (2) died between the two renames: src gone; tmp holds the fully
+    # written NEW copy, aside holds the OLD copy
+    spark.range(512).selectExpr("id", "id * 3 AS v").coalesce(
+        1
+    ).write.parquet(lake + "_compacting")
+    os.rename(lake, lake + "_pre_compact")
+    assert not os.path.exists(lake)
+    assert compact_parquet(spark, lake, target_file_bytes=1 << 30) == 1
+    assert rows() == want
+    assert not os.path.exists(lake + "_compacting")
+    assert not os.path.exists(lake + "_pre_compact")
+
+    # (3) died before delete(aside): src is the new copy, aside the
+    # superseded old one — re-run must drop aside, never resurrect it
+    shutil.copytree(lake, lake + "_pre_compact")
+    assert compact_parquet(spark, lake, target_file_bytes=1 << 30) == 1
+    assert rows() == want
+    assert not os.path.exists(lake + "_pre_compact")
+
+
+def test_upsert_partitions_crash_rerun_no_double_count(spark, tmp_path):
+    """VERDICT r12 #6: a crashed dynamic-overwrite upsert leaves a
+    stale _temporary tree; re-running the same batch must (a) ignore
+    the orphan, (b) replace exactly its own partitions — same row
+    count, no duplicates — and (c) leave other partitions untouched."""
+    import os
+
+    from b2b_data_pipeline_indiamart_spark.sources.sinks import (
+        upsert_partitions,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0)],
+        "id long, day string, v double",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    fix = spark.createDataFrame(
+        [(1, "d1", 11.0), (2, "d1", 21.0)], "id long, day string, v double"
+    )
+    # crash leftovers: an uncommitted _temporary tree from a dead job
+    os.makedirs(path + "/_temporary/0/task_000", exist_ok=True)
+    with open(path + "/_temporary/0/task_000/part-0.parquet", "wb") as f:
+        f.write(b"dead")
+
+    upsert_partitions(fix, path, ["day"])
+    upsert_partitions(fix, path, ["day"])  # replayed epoch: idempotent
+    got = sorted(
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "d1", 11.0), (2, "d1", 21.0), (3, "d2", 30.0)]

@@ -113,6 +113,9 @@ def build(out_dir, k: int = 10, spark=None) -> None:
             SparkSession.builder.master("local[8]")
             .config("spark.sql.shuffle.partitions", "8")
             .config("spark.ui.enabled", "false")
+            # sf10 (k=100) writes 60M-row lineitem partitions; the
+            # 1g local-mode default heap OOMs in the parquet writer
+            .config("spark.driver.memory", "20g")
             .appName("scale-up")
             .getOrCreate()
         )
@@ -204,7 +207,10 @@ def build(out_dir, k: int = 10, spark=None) -> None:
                     )
             out = out.drop("__rep")
         n = out.count()
-        (out.repartition(8)
+        # write partitions scale with the replica count so per-task
+        # row volume stays ~sf1-sized at any k (k=10 keeps the
+        # historical 8 files; k=100 writes 80)
+        (out.repartition(max(8, (k * 8) // 10))
             .write.mode("overwrite")
             .parquet(str(out_dir / f"{t}.parquet")))
         print(f"{t}: {n} rows", flush=True)
