@@ -1,0 +1,172 @@
+"""Streaming near-dup sink soak receipt (VERDICT r12 #5).
+
+The streaming suite proves SEMANTICS (exactly-once, restart-under-load,
+watermark drops); this tool records the missing operational numbers for
+the near-dup suppression sink (streaming/jobs.py:start_neardup_suppress_sink)
+under a sustained run:
+
+- per-epoch wall latency (p50 / p99) across N epochs,
+- sustained throughput (docs/sec over the whole soak),
+- signature-store growth curve (rows + bytes per epoch — must stay
+  bounded by ADMITTED docs, i.e. linear in uniques, flat under a
+  duplicate storm).
+
+Workload: deterministic generator (hashlib-derived words, no RNG) —
+each epoch is one JSONL file of ``--docs`` documents: ~70% unique,
+~20% near-dups of earlier docs (one word mutated), ~10% exact dups of
+earlier docs, so within-batch suppression, cross-batch suppression and
+the exact-collapse path all stay hot. Epochs are fed one file at a
+time (maxFilesPerTrigger=1) and latency measured around
+processAllAvailable — the foreachBatch epoch is the unit of work, so
+this is the sink's real per-batch cost, not a trigger artifact.
+
+Usage: python tools/stream_soak.py [--epochs 20] [--docs 1000]
+Prints one JSON line per epoch and a final summary line for NOTES.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+VOCAB = [
+    hashlib.md5(f"w{i}".encode()).hexdigest()[:8] for i in range(4096)
+]
+
+
+def make_doc(doc_id: int) -> str:
+    """Deterministic ~40-word document unique to doc_id."""
+    h = hashlib.md5(f"doc{doc_id}".encode()).digest()
+    words = []
+    state = int.from_bytes(h[:8], "big")
+    for i in range(40):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        words.append(VOCAB[state % len(VOCAB)])
+    return " ".join(words)
+
+
+def epoch_rows(epoch: int, docs_per_epoch: int) -> list:
+    rows = []
+    base = epoch * docs_per_epoch
+    for j in range(docs_per_epoch):
+        did = base + j
+        bucket = did % 10
+        if epoch > 0 and bucket < 1:  # 10% exact dup of an earlier doc
+            src = did % base
+            rows.append((did, make_doc(src)))
+        elif epoch > 0 and bucket < 3:  # 20% near-dup (one word changed)
+            src = did % base
+            words = make_doc(src).split(" ")
+            words[did % len(words)] = VOCAB[did % len(VOCAB)]
+            rows.append((did, " ".join(words)))
+        else:
+            rows.append((did, make_doc(did)))
+    return rows
+
+
+def du_bytes(path: Path) -> int:
+    return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--docs", type=int, default=1000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import types as T
+
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        read_event_stream,
+        start_neardup_suppress_sink,
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="soak_"))
+    src = work / "docs"
+    src.mkdir()
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName("neardup-soak")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = read_event_stream(
+        spark, str(src), schema=schema, max_files_per_trigger=1
+    )
+    out_dir, state_dir = work / "out", work / "state"
+    q = start_neardup_suppress_sink(
+        stream,
+        str(out_dir),
+        str(work / "ckpt"),
+        str(state_dir),
+        str(work / "ledger"),
+        threshold=0.8,
+    )
+    latencies = []
+    t_start = time.perf_counter()
+    try:
+        for e in range(args.epochs):
+            p = src / f"b{e:04d}.json"
+            with open(p, "w") as f:
+                for did, text in epoch_rows(e, args.docs):
+                    f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            lat = round(time.perf_counter() - t0, 3)
+            latencies.append(lat)
+            sig_rows = spark.read.parquet(str(state_dir / "sigs")).count()
+            rec = {
+                "epoch": e,
+                "latency_sec": lat,
+                "docs_per_sec": round(args.docs / lat, 1),
+                "sig_store_rows": sig_rows,
+                "sig_store_bytes": du_bytes(state_dir / "sigs"),
+                "band_store_bytes": du_bytes(state_dir / "bands"),
+            }
+            print(json.dumps(rec), flush=True)
+    finally:
+        q.stop()
+    total = time.perf_counter() - t_start
+    lat_sorted = sorted(latencies)
+    n = len(lat_sorted)
+    admitted = spark.read.parquet(str(out_dir)).count()
+    summary = {
+        "metric": "neardup_soak",
+        "epochs": args.epochs,
+        "docs_per_epoch": args.docs,
+        "total_docs": args.epochs * args.docs,
+        "admitted_docs": admitted,
+        "sustained_docs_per_sec": round(args.epochs * args.docs / total, 1),
+        "epoch_latency_p50": lat_sorted[n // 2],
+        "epoch_latency_p99": lat_sorted[min(n - 1, int(n * 0.99))],
+        "final_sig_store_rows": spark.read.parquet(
+            str(state_dir / "sigs")
+        ).count(),
+        "final_state_bytes": du_bytes(state_dir),
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
