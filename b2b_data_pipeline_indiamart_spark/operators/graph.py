@@ -42,6 +42,20 @@ _RANK_SCALE = 10
 #: above it the wedge probe falls back to a keyed semi-join
 _TRIANGLE_BROADCAST_EDGE_CAP = 5_000_000
 
+#: triangle_stats wedge-slice budget (rows per closure semi-join).
+#: Above the broadcast gate the wedge-candidate stream (Σ C(outdeg,2)
+#: rows) becomes a real EXCHANGE; its size is data-dependent and can
+#: dwarf the input by orders of magnitude (the sf10 co-purchase graph:
+#: 120M edges → ~3.5B wedges → ~77 GB of shuffle spill, which filled
+#: local disk — round 13). The estimate is one cheap aggregate over
+#: the oriented edges, and when it exceeds this budget the closure is
+#: processed in deterministic src-hash SLICES — exactly the same rows
+#: probed, counts summed, so results are identical while the shuffle
+#: high-water stays ~budget × 20 B. On a cluster the aggregate disk
+#: across executors absorbs the unsliced exchange; the slicing is the
+#: bounded-single-box execution mode of the same plan.
+_TRIANGLE_WEDGE_SLICE_ROWS = 250_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -382,12 +396,37 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("rd"),
         )
     )
-    w1 = e.select("src", F.col("dst").alias("x"), F.col("rd").alias("rx"))
-    w2 = e.select("src", F.col("dst").alias("y"), F.col("rd").alias("ry"))
-    wedge_cand = w1.join(w2, "src").filter(
-        (F.col("rx") < F.col("ry"))
-        | ((F.col("rx") == F.col("ry")) & (F.col("x") < F.col("y")))
-    )
+    # wedge volume estimate (Σ C(outdeg, 2)) — one cheap aggregate
+    # over the persisted oriented edges. Above the broadcast gate the
+    # wedge stream is a real exchange; when it would exceed the slice
+    # budget, close it in deterministic src-hash slices (identical
+    # rows probed, per-slice counts summed) so one box's local disk
+    # bounds the high-water instead of the data (round 13: the sf10
+    # co-purchase graph's unsliced 3.5B-row wedge shuffle filled disk).
+    slices = 1
+    if not gate:
+        est = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .agg(F.sum(F.expr("od * (od - 1) div 2")).alias("w"))
+            .first()["w"]
+            or 0
+        )
+        slices = max(1, -(-int(est) // _TRIANGLE_WEDGE_SLICE_ROWS))
+
+    def _wedges(edge_frame: DataFrame) -> DataFrame:
+        w1 = edge_frame.select(
+            "src", F.col("dst").alias("x"), F.col("rd").alias("rx")
+        )
+        w2 = edge_frame.select(
+            "src", F.col("dst").alias("y"), F.col("rd").alias("ry")
+        )
+        return w1.join(w2, "src").filter(
+            (F.col("rx") < F.col("ry"))
+            | ((F.col("rx") == F.col("ry")) & (F.col("x") < F.col("y")))
+        )
+
+    wedge_cand = _wedges(e)
     # closure probe key: when node ids fit in 32 bits (checked on the
     # cached edge frame — one tiny agg job), pack (x, y) into ONE long
     # (x·2³² + y, exact) so the 41M-probe semi-join hashes a single
@@ -406,20 +445,45 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             and mr["hi"] < 2_147_483_648
         )
     if packable:
-        pk = (F.col("x") * F.lit(4_294_967_296) + F.col("y")).alias("__xy")
-        wedge_cand = wedge_cand.select(pk)
+        def _project(wc: DataFrame) -> DataFrame:
+            return wc.select(
+                (F.col("x") * F.lit(4_294_967_296) + F.col("y")).alias("__xy")
+            )
+
         closer = e.select(
             (F.col("src") * F.lit(4_294_967_296) + F.col("dst")).alias("__xy")
         )
         join_keys = ["__xy"]
     else:
-        wedge_cand = wedge_cand.select("x", "y")
+        def _project(wc: DataFrame) -> DataFrame:
+            return wc.select("x", "y")
+
         closer = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
         join_keys = ["x", "y"]
     if gate:
         closer = F.broadcast(closer)
-    closed = wedge_cand.join(closer, join_keys, "left_semi")
-    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    if slices == 1:
+        closed = _project(wedge_cand).join(closer, join_keys, "left_semi")
+        tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    else:
+        # sliced closure: every wedge belongs to exactly ONE src slice,
+        # so the per-slice semi-join counts partition the unsliced
+        # count exactly; the per-slice .first() is a loop-control
+        # SCALAR collect (slices rows total), never data-scale
+        total = 0
+        for i in range(slices):
+            sl = e.filter(
+                F.pmod(F.xxhash64("src"), F.lit(slices)) == F.lit(i)
+            )
+            total += (
+                _project(_wedges(sl))
+                .join(closer, join_keys, "left_semi")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .first()["n"]
+            )
+        tri = e0.sparkSession.createDataFrame(
+            [(total,)], "n_triangles long"
+        )
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("long").alias("n_wedges"),

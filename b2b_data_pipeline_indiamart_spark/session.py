@@ -44,7 +44,12 @@ def get_spark(app_name: str = "b2b-pipeline-spark", master: str | None = None) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: local mode runs all 32 task slots in the ONE driver JVM
+        # and task retries are off (maxFailures=1), so a transient
+        # GCLocker allocation failure in a heavy stage is fatal — at
+        # 8g the sf10 wedge-closure stage died this way (round 13).
+        # On a real cluster this is per-executor memory, not driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -168,3 +168,26 @@ def test_bm25_idf_is_lucene_form(spark):
     flip rankings)."""
     n, dfreq = 10, 10
     assert math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0) > 0
+
+
+def test_triangle_stats_sliced_closure_matches_unsliced(spark, monkeypatch):
+    """Round 13: above the broadcast gate, a wedge stream larger than
+    the slice budget closes in deterministic src-hash slices — the
+    bounded-local-disk execution of the SAME plan. Force both gates
+    tiny so a hand-checkable graph runs the sliced path, and pin the
+    result equal to the normal (broadcast, unsliced) run."""
+    from b2b_data_pipeline_indiamart_spark.operators import caching, graph
+
+    # K5 plus a pendant: C(5,3)=10 triangles
+    nodes = range(5)
+    edges = [(a, b) for a in nodes for b in nodes if a < b] + [(4, 99)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    [want] = graph.triangle_stats(pairs).collect()
+    caching.release_cached()
+    assert want["n_triangles"] == 10
+
+    monkeypatch.setattr(graph, "_TRIANGLE_BROADCAST_EDGE_CAP", 0)
+    monkeypatch.setattr(graph, "_TRIANGLE_WEDGE_SLICE_ROWS", 3)
+    [got] = graph.triangle_stats(pairs).collect()
+    caching.release_cached()
+    assert tuple(got) == tuple(want)
