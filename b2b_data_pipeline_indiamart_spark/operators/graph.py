@@ -469,7 +469,16 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         # sliced closure: every wedge belongs to exactly ONE src slice,
         # so the per-slice semi-join counts partition the unsliced
         # count exactly; the per-slice .first() is a loop-control
-        # SCALAR collect (slices rows total), never data-scale
+        # SCALAR collect (slices rows total), never data-scale.
+        # The closure side is exchanged + sorted ONCE and cached in
+        # that shape: InMemoryTableScan preserves hash partitioning
+        # and sort order (plan-verified), so each slice's sort-merge
+        # semi-join pays an exchange only on its OWN wedge stream —
+        # without this the full edge set re-shuffles and re-sorts
+        # every slice (measured +30%: 308 s → 238 s at sf10).
+        closer = caching.persist_tracked(
+            closer.repartition(*join_keys).sortWithinPartitions(*join_keys)
+        )
         total = 0
         for i in range(slices):
             sl = e.filter(
