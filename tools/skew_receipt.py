@@ -69,6 +69,9 @@ def build_tables(spark, n_fact: int):
             key.alias("k"),
             (F.pmod(F.xxhash64("id", F.lit("v")), F.lit(1000)) / 10.0)
             .alias("v"),
+            # a real payload so per-partition BYTES (what AQE's skew
+            # detector sees) track the row skew
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
         )
     )
     dim = spark.range(N_DIM_KEYS).select(
@@ -79,10 +82,17 @@ def build_tables(spark, n_fact: int):
 
 
 def timed_join(tag: str, joined) -> dict:
+    from pyspark.sql import functions as F
+
+    # materialize through an explicit aggregate frame so the plan we
+    # scrape afterwards IS the executed (AQE-final) plan — a bare
+    # .count() executes a different QueryExecution and the join df's
+    # own plan would still read isFinalPlan=false with no skew marks
+    cnt = joined.agg(F.count(F.lit(1)).alias("n"))
     t0 = time.perf_counter()
-    n = joined.count()
+    n = cnt.collect()[0]["n"]
     wall = round(time.perf_counter() - t0, 3)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    plan = cnt._jdf.queryExecution().executedPlan().toString()
     skewed = len(re.findall(r"skew=true", plan))
     rec = {"config": tag, "wall_sec": wall, "rows": n,
            "skew_marked_joins": skewed}
@@ -91,7 +101,7 @@ def timed_join(tag: str, joined) -> dict:
 
 
 def main() -> None:
-    n_fact = int(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1 else 8_000_000
+    n_fact = int(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1 else 64_000_000
     from pyspark.sql import SparkSession
 
     from b2b_data_pipeline_indiamart_spark.operators.skew import (
@@ -117,6 +127,17 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", str(on).lower())
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.enabled", str(on).lower()
+        )
+        # skew thresholds sized to THIS box's partitions (defaults
+        # assume 256MB+ cluster partitions): a partition 5x the median
+        # and >32MB splits — the same relative tuning a production
+        # cluster applies
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32MB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB"
         )
 
     out = []
