@@ -44,13 +44,20 @@ VOCAB = [
 
 
 def make_doc(doc_id: int) -> str:
-    """Deterministic ~40-word document unique to doc_id."""
-    h = hashlib.md5(f"doc{doc_id}".encode()).digest()
+    """Deterministic ~40-word document unique to doc_id.
+
+    Each word index is an INDEPENDENT hash of (doc_id, position).
+    The first version drew words from a mod-2^64 LCG reduced mod 4096:
+    the low 12 bits of such an LCG are themselves a full-period
+    mod-2^12 LCG, so every document was a 40-word window of the SAME
+    4096-long periodic word sequence — seeds at nearby phases were
+    genuine near-duplicates and same-phase seeds exact copies, and the
+    sink (correctly) suppressed ~58% of a nominally all-unique epoch.
+    """
     words = []
-    state = int.from_bytes(h[:8], "big")
     for i in range(40):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        words.append(VOCAB[state % len(VOCAB)])
+        h = hashlib.md5(f"doc{doc_id}:w{i}".encode()).digest()
+        words.append(VOCAB[int.from_bytes(h[:8], "big") % len(VOCAB)])
     return " ".join(words)
 
 
