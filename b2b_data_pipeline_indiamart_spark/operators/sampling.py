@@ -489,3 +489,44 @@ def l_diversity_report(
         .otherwise(F.lit(0.0))
         .alias("exposed_row_share"),
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment.
+
+    A row's split is a pure function of ``md5(seed:stratum:id)``: the
+    8-hex-char prefix lands below ``train_frac`` → ``train``, below
+    ``train_frac + val_frac`` → ``val``, else ``test`` — the same
+    md5-threshold discipline as :func:`stratified_sample`, so the
+    assignment is exactly reproducible under retries, repartitioning,
+    AQE re-plans, and in any engine with md5 (the oracle restates the
+    identical expression). Hashing inside the stratum key means
+    adding a NEW stratum never reshuffles existing rows' splits, and
+    membership needs no global state: map-only, zero shuffle, holds
+    unchanged at any corpus size. Adds ``split_key`` (audit) and
+    ``split`` columns."""
+    if not (0.0 < train_frac and 0.0 <= val_frac
+            and train_frac + val_frac < 1.0):
+        raise ValueError("need 0 < train_frac, 0 <= val_frac, sum < 1")
+    key = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(seed), F.col(strata_col), F.col(id_col).cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+    split = (
+        F.when(key < F.lit(_rate_to_hex(train_frac)), F.lit("train"))
+        .when(key < F.lit(_rate_to_hex(train_frac + val_frac)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split_key", key).withColumn("split", split)

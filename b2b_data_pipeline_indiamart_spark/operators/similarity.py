@@ -2269,3 +2269,128 @@ def ood_scores(
         .otherwise(F.lit(0.0))
         .alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (training-free dimensionality
+# reduction). PCA (pca_variance / embedding_pca_project) learns the optimal
+# subspace but needs a covariance pass + driver eigensolve; the JL sparse
+# sign matrix needs NO pass over the data at all — the projection matrix is
+# a pure function of (seed, i, j), ships as a few-KB literal inside the
+# plan, and the projection itself is a map-only Catalyst expression. At
+# 100 TB that means zero training state, zero extra scans, and the same
+# plan on every executor; distance distortion is bounded by the JL lemma
+# (Achlioptas 2003: entries +1/-1/0 w.p. 1/6, 1/6, 2/3, scaled sqrt(3/k)).
+# --------------------------------------------------------------------------
+
+
+def rp_sign_matrix(
+    dim: int, out_dim: int, seed: str = "rp-v1"
+) -> list[list[int]]:
+    """Deterministic Achlioptas sparse-sign matrix: entry (i, j) is
+    +1 / -1 / 0 with probability 1/6 / 1/6 / 2/3, derived from the
+    md5 of ``seed:i:j`` — no RNG state, so any engine or runtime that
+    re-derives the matrix gets the identical literal."""
+    import hashlib
+
+    mat: list[list[int]] = []
+    for i in range(dim):
+        row = []
+        for j in range(out_dim):
+            h = int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16
+            )
+            m = h % 6
+            row.append(1 if m == 0 else (-1 if m == 1 else 0))
+        mat.append(row)
+    return mat
+
+
+def rp_project(
+    emb: DataFrame,
+    dim: int = 64,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp-v1",
+) -> DataFrame:
+    """Project ``vec_col`` (array<float/double>, length ``dim``) to a
+    rounded ``out_dim``-d array via the JL sparse sign matrix.
+
+    Map-only: each output coordinate is one sequential-fold dot
+    product against a literal sign column — 16 codegen'd expressions,
+    no shuffle, no UDF, no training. Values are 4dp-rounded so the
+    projection is value-comparable across engines (the oracle restates
+    the same matrix as SQL list literals)."""
+    import math
+
+    mat = rp_sign_matrix(dim, out_dim, seed)
+    scale = math.sqrt(3.0 / out_dim)
+    e = as_double_array(F.col(vec_col))
+    comps = [
+        round_half_up(
+            F.lit(scale)
+            * dot(e, F.array(*[F.lit(float(mat[i][j])) for i in range(dim)])),
+            4,
+        )
+        for j in range(out_dim)
+    ]
+    return emb.select(F.col(id_col), F.array(*comps).alias("rp"))
+
+
+def rp_distortion_report(
+    emb: DataFrame,
+    dim: int = 64,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp-v1",
+    max_id: int = 60,
+) -> DataFrame:
+    """Squared-distance distortion histogram of the JL projection over
+    all pairs of the ``id < max_id`` slice: ratio = ||P(a)-P(b)||² /
+    ||a-b||², bucketed at 0.1 width, with per-bucket min/max ratio.
+
+    The pair set is BOUNDED (max_id chooses it), so the self-join is a
+    broadcast of a fixed-size slice — the report costs O(max_id²)
+    regardless of corpus size; the projection being audited is the
+    map-only one served by :func:`rp_project`. The distances reuse the
+    ROUNDED projected values (the materialized output, not a private
+    higher-precision copy), so the report audits what downstream
+    actually consumes."""
+    proj = rp_project(emb, dim, out_dim, vec_col, id_col, seed)
+    base = (
+        emb.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("e")
+        )
+        .filter(F.col(id_col) < max_id)
+        .join(proj, id_col)
+    )
+    a = base.select(
+        F.col(id_col).alias("ida"), F.col("e").alias("ea"), F.col("rp").alias("pa")
+    )
+    b = base.select(
+        F.col(id_col).alias("idb"), F.col("e").alias("eb"), F.col("rp").alias("pb")
+    )
+    diff_full = F.zip_with("ea", "eb", lambda x, y: x - y)
+    diff_proj = F.zip_with("pa", "pb", lambda x, y: x - y)
+    pairs = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select(
+            dot(diff_full, diff_full).alias("d2_full"),
+            dot(diff_proj, diff_proj).alias("d2_proj"),
+        )
+        .filter(F.col("d2_full") > 0)
+        .select((F.col("d2_proj") / F.col("d2_full")).alias("ratio"))
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("ratio") * 10).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            round_half_up(F.min("ratio"), 4).alias("min_ratio"),
+            round_half_up(F.max("ratio"), 4).alias("max_ratio"),
+        )
+        .orderBy("bucket")
+    )

@@ -10535,3 +10535,141 @@ def embedding_lsh_buckets_portable(
             F.col("embedding"), 64, n_planes=8, seed=42
         ).alias("bucket"),
     )
+
+
+# ==========================================================================
+# Round 13 — training-free JL random projection + deterministic dataset
+# splits (engine-native §6 additions; the reference has no vector or
+# split machinery).
+# ==========================================================================
+
+
+def _rp_col_sql(dim: int, out_dim: int, seed: str = "rp-v1") -> list[str]:
+    """One DuckDB list literal per OUTPUT dimension — column j of the
+    same md5-derived Achlioptas matrix similarity.rp_sign_matrix
+    builds, so both engines project against identical literals."""
+    mat = similarity.rp_sign_matrix(dim, out_dim, seed)
+    return [
+        "[" + ", ".join(f"{float(mat[i][j]):.1f}" for i in range(dim)) + "]"
+        for j in range(out_dim)
+    ]
+
+
+def _rp_proj_sql(dim: int = 64, out_dim: int = 16) -> str:
+    cols = _rp_col_sql(dim, out_dim)
+    comps = ",\n           ".join(
+        f"round(sqrt(3.0/{out_dim}) * list_dot_product(e, {c}), 4)"
+        for c in cols
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT vec_id, [{comps}] AS rp
+    FROM v
+    """
+
+
+@_register("embedding_rp_project", _rp_proj_sql())
+def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64d → 16d
+    (operators/similarity.rp_project, Achlioptas sparse-sign matrix).
+    The TRAINING-FREE counterpart to embedding_pca_project: PCA needs
+    a covariance pass + driver eigensolve whose centroids are
+    rows-only; the JL matrix is a pure function of (seed, i, j) and
+    ships as a literal, so this key is fully value-oracled — every
+    projected coordinate hash-matches DuckDB. Plan: map-only, one
+    embedding scan, 16 codegen'd sequential-fold dot products per
+    row, ZERO shuffle — the 4× footprint cut with zero training state
+    at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.rp_project(emb)
+
+
+@_register(
+    "embedding_rp_distortion",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS ({_rp_proj_sql().strip()}),
+    s AS (SELECT v.vec_id, e, rp FROM v JOIN p USING (vec_id)
+          WHERE v.vec_id < 60),
+    pr AS (
+      SELECT list_dot_product(
+               list_transform(range(1, 65), i -> a.e[i] - b.e[i]),
+               list_transform(range(1, 65), i -> a.e[i] - b.e[i])) AS d2_full,
+             list_dot_product(
+               list_transform(range(1, 17), i -> a.rp[i] - b.rp[i]),
+               list_transform(range(1, 17), i -> a.rp[i] - b.rp[i])) AS d2_proj
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    ),
+    r AS (SELECT d2_proj / d2_full AS ratio FROM pr WHERE d2_full > 0)
+    SELECT CAST(floor(ratio * 10) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(ratio), 4) AS min_ratio,
+           round(max(ratio), 4) AS max_ratio
+    FROM r GROUP BY bucket
+    """,
+)
+def embedding_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distortion audit (operators/similarity.rp_distortion_report):
+    squared-distance ratio ||P(a)−P(b)||²/||a−b||² over all pairs of
+    the vec_id<60 slice, histogrammed at 0.1 width with per-bucket
+    min/max — the QA readout that tells a pipeline whether 16d is
+    enough before swapping rp_project into an ANN prefilter. The pair
+    set is chosen by a FIXED id slice, so the self-join is a broadcast
+    of a bounded frame and the report costs O(60²) at any corpus
+    size; ratios reuse the 4dp-rounded projection actually served, so
+    the audit measures what downstream consumes. Both engines fold
+    the difference dot products sequentially → bit-identical ratios,
+    value-oracled end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.rp_distortion_report(emb)
+
+
+@_register(
+    "docs_train_val_split",
+    f"""
+    WITH k AS (SELECT source, n_chars,
+                      substr(md5('split-v1:' || source || ':'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8) AS key
+               FROM documents),
+    s AS (SELECT source, n_chars,
+                 CASE WHEN key < '{sampling._rate_to_hex(0.8)}' THEN 'train'
+                      WHEN key < '{sampling._rate_to_hex(0.9)}' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM k),
+    g AS (SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM s GROUP BY 1, 2),
+    t AS (SELECT source, sum(n_docs) AS tot FROM g GROUP BY source)
+    SELECT source, split, n_docs, n_chars,
+           round(n_docs * 1.0 / tot, 4) AS share
+    FROM g JOIN t USING (source)
+    """,
+)
+def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 80/10/10 train/val/test split report
+    (operators/sampling.train_val_test_split): membership is a pure
+    md5(seed:source:doc_id) threshold, so the split is identical
+    under retries, repartitioning, AQE, and across engines — the
+    property rand()-based splits lose at scale — and adding a new
+    source never reassigns existing rows. Report = per-(source,
+    split) doc/char counts + within-source share: the assignment
+    itself is map-only zero-shuffle; the report adds one keyed
+    aggregate on a (sources × 3)-row frame."""
+    docs = _t(spark, sf_dir, "documents")
+    assigned = sampling.train_val_test_split(docs, "doc_id", "source")
+    g = assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = g.groupBy("source").agg(F.sum("n_docs").alias("__tot"))
+    return (
+        g.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            "n_chars",
+            round_half_up(F.col("n_docs") / F.col("__tot"), 4).alias("share"),
+        )
+        .orderBy("source", "split")
+    )

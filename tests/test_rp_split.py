@@ -1,0 +1,120 @@
+"""JL random projection + deterministic dataset split (round 13).
+
+Operator-level invariants beyond the oracle hash gate
+(tests/test_oracle_parity.py covers value parity for all three keys):
+matrix derivation, JL distortion actually bounded, split stability
+under stratum addition / repartitioning, and fraction sanity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from b2b_data_pipeline_indiamart_spark.operators.sampling import (
+    train_val_test_split,
+)
+from b2b_data_pipeline_indiamart_spark.operators.similarity import (
+    rp_distortion_report,
+    rp_project,
+    rp_sign_matrix,
+)
+
+
+def test_rp_sign_matrix_deterministic_and_sparse():
+    a = rp_sign_matrix(64, 16)
+    b = rp_sign_matrix(64, 16)
+    assert a == b
+    flat = [v for row in a for v in row]
+    assert set(flat) <= {-1, 0, 1}
+    # Achlioptas: ~2/3 zeros; allow a generous band for 1024 draws.
+    zero_share = flat.count(0) / len(flat)
+    assert 0.55 < zero_share < 0.78
+    # a different seed must give a different matrix
+    assert rp_sign_matrix(64, 16, seed="rp-v2") != a
+
+
+def test_rp_project_shape_and_determinism(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    out = rp_project(emb)
+    rows = {r["vec_id"]: r["rp"] for r in out.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(v) == 16 for v in rows.values())
+    again = {
+        r["vec_id"]: r["rp"]
+        for r in rp_project(emb.repartition(7)).collect()
+    }
+    assert rows == again  # partition-invariant, bit-exact
+
+
+def test_rp_distortion_bounded(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    rep = rp_distortion_report(emb).collect()
+    n_vec = emb.filter(F.col("vec_id") < 60).count()
+    assert sum(r["n_pairs"] for r in rep) == n_vec * (n_vec - 1) // 2
+    # JL with k=16: squared-distance ratios concentrate around 1;
+    # no pair should be catastrophically distorted.
+    assert all(0.0 <= r["min_ratio"] for r in rep)
+    assert all(r["max_ratio"] < 4.0 for r in rep)
+    lo = min(r["bucket"] for r in rep)
+    hi = max(r["bucket"] for r in rep)
+    assert lo <= 10 <= hi + 1  # mass brackets ratio = 1.0
+
+
+def test_rp_project_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    row = emb.orderBy("vec_id").first()
+    mat = np.array(rp_sign_matrix(64, 16), dtype=np.float64)
+    e = np.array(row["embedding"], dtype=np.float64)
+    want = math.sqrt(3.0 / 16) * (e @ mat)
+    got = (
+        rp_project(emb)
+        .filter(F.col("vec_id") == row["vec_id"])
+        .first()["rp"]
+    )
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_split_fractions_and_stability(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = train_val_test_split(docs, "doc_id", "source")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    # binomial check at n=500: 80% train within a wide band
+    assert 0.70 < counts.get("train", 0) / total < 0.90
+
+    # repartition-invariance of the assignment
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in train_val_test_split(docs.repartition(13), "doc_id", "source")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+    # adding a NEW stratum must not move existing rows: assignment for
+    # source X is a function of (X, id) only.
+    half = docs.filter(F.col("source") != "web")
+    sub = {
+        (r["doc_id"], r["split"])
+        for r in train_val_test_split(half, "doc_id", "source")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert sub <= a
+
+
+def test_split_rejects_bad_fractions(spark, sf_small):
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, "doc_id", "source", train_frac=0.9,
+                             val_frac=0.2)
