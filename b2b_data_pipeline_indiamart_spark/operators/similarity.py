@@ -2394,3 +2394,45 @@ def rp_distortion_report(
         )
         .orderBy("bucket")
     )
+
+
+def ann_rp(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 64,
+    dim: int = 64,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp-v1",
+) -> DataFrame:
+    """Two-stage retrieval with the JL random projection as stage 1:
+    shortlist by cosine over the SERVED 4dp-rounded 16-d projection
+    (:func:`rp_project`), exact full-dimension re-rank via
+    :func:`_exact_rerank` — the :func:`ann_matryoshka` contract with
+    the prefix slice swapped for a projection that needs no
+    MRL-trained embedding model.
+
+    Scale shape: like matryoshka there is NO trained state — the sign
+    matrix is a literal — so the coarse index never needs re-training
+    as the corpus grows; stage 1 moves 16 doubles per row instead of
+    64 (4× cheaper flops AND shuffled bytes), stage 2 touches full
+    vectors for |Q| × shortlist rows only. Unlike matryoshka it works
+    on embeddings that were NOT MRL-trained: JL preserves pairwise
+    geometry of ANY vector family, so this is the drop-in coarse
+    stage for arbitrary embedding columns.
+
+    Output: (query_id, neighbor_id, cos_sim 4dp, rnk) — the
+    :func:`brute_force_topk` contract, so recall pins compare
+    directly."""
+    pe = rp_project(emb, dim, out_dim, vec_col, id_col, seed).withColumnRenamed(
+        "rp", "__pv"
+    )
+    pq = rp_project(
+        queries, dim, out_dim, vec_col, id_col, seed
+    ).withColumnRenamed("rp", "__pv")
+    cand = brute_force_topk(
+        pe, pq, k=shortlist, vec_col="__pv", id_col=id_col
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(emb, queries, cand, k, vec_col, id_col)

@@ -10673,3 +10673,193 @@ def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@_register(
+    "ann_rp",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    p AS ({_rp_proj_sql().strip()}),
+    pq AS (SELECT vec_id AS query_id, rp AS prq FROM p WHERE vec_id < 5),
+    s1 AS (
+      SELECT pq.query_id, p.vec_id AS neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(prq, prq))
+                             * sqrt(list_dot_product(rp, rp)) > 0
+                        THEN list_dot_product(prq, rp)
+                             / (sqrt(list_dot_product(prq, prq))
+                                * sqrt(list_dot_product(rp, rp)))
+                   END, 4) AS pcos
+      FROM p CROSS JOIN pq WHERE p.vec_id <> pq.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pcos DESC, neighbor_id ASC) AS srnk
+        FROM s1
+      ) WHERE srnk <= 64
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                             * sqrt(list_dot_product(n.e, n.e)) > 0
+                        THEN list_dot_product(q.qe, n.e)
+                             / (sqrt(list_dot_product(q.qe, q.qe))
+                                * sqrt(list_dot_product(n.e, n.e)))
+                   END, 4) AS cos_sim
+      FROM shortlist s
+      JOIN q ON q.query_id = s.query_id
+      JOIN v n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM exact
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN with the JL random projection as the coarse stage
+    (operators/similarity.ann_rp): shortlist-64 by cosine over the
+    served 16-d rp_project output, exact full-dim re-rank to top-10 —
+    the ann_matryoshka contract for embeddings that were NOT
+    MRL-trained (JL preserves pairwise geometry of any vector family).
+    Zero trained state end to end, so unlike IVF/PQ this serving path
+    is FULLY value-oracled: both stages hash-match DuckDB. Stage 1
+    moves 16 doubles/row instead of 64; stage 2 touches |Q|×64 full
+    vectors only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_rp(emb, queries, k=10, shortlist=64).orderBy(
+        "query_id", "rnk"
+    )
+
+
+@_register(
+    "docs_split_leakage",
+    f"""
+    WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, {_NORM} AS s
+                FROM documents),
+    d AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(length(s) - 4, 1) + 1),
+                   i -> substr(s, i, 5))) AS g
+          FROM d0 WHERE s IS NOT NULL),
+    e AS (SELECT doc_id, p.i AS perm,
+                 ('0x' || substr(md5(CAST(p.i AS VARCHAR) || ':' || sh),
+                                 1, 8))::BIGINT AS hv
+          FROM (SELECT doc_id, unnest(g) AS sh FROM d)
+          CROSS JOIN (SELECT unnest(range(0, 16)) AS i) p),
+    sig AS (SELECT doc_id, perm, min(hv) AS mh FROM e GROUP BY 1, 2),
+    band AS (SELECT doc_id, perm // 4 AS band,
+                    md5(string_agg(CAST(mh AS VARCHAR), ','
+                                   ORDER BY perm)) AS bkey
+             FROM sig GROUP BY doc_id, perm // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM band a JOIN band b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    ver AS (SELECT id_a, id_b FROM cand
+            JOIN d da ON da.doc_id = id_a
+            JOIN d db ON db.doc_id = id_b
+            WHERE CAST(len(list_intersect(da.g, db.g)) AS DOUBLE)
+                  / (len(da.g) + len(db.g) - len(list_intersect(da.g, db.g)))
+                  >= 0.6),
+    sp AS (SELECT doc_id,
+                  CASE WHEN substr(md5('split-v1:' || source || ':'
+                                       || CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{sampling._rate_to_hex(0.8)}' THEN 'train'
+                       WHEN substr(md5('split-v1:' || source || ':'
+                                       || CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{sampling._rate_to_hex(0.9)}' THEN 'val'
+                       ELSE 'test' END AS split
+           FROM d0 WHERE s IS NOT NULL)
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS is_leaky
+    FROM ver JOIN sp sa ON sa.doc_id = ver.id_a
+             JOIN sp sb ON sb.doc_id = ver.id_b
+    GROUP BY 1, 2
+    """,
+)
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: NEAR-duplicate pairs (portable
+    MinHash banding → candidate pairs → exact shingle-Jaccard ≥ 0.6
+    verify, the dedup_minhash_lsh machinery on its oracle-bearing
+    md5 twin) whose two documents landed in DIFFERENT dataset splits
+    (operators/sampling.train_val_test_split) — every such pair is an
+    eval leak, the failure mode splitting before deduplicating
+    creates. Same-split rows are the benign baseline; is_leaky marks
+    the cross-split mass the pipeline must fix by deduping FIRST
+    (corpus_prep_e2e) or splitting whole near-dup clusters. Scale
+    shape inherits the LSH law: banding shuffle ∝ corpus × 4 bands
+    (never corpus²), exact verification only on bucket-collided
+    candidates, report collapses to ≤ 6 split-combination rows."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_portable(docs)
+    bands = sigs.groupBy(
+        "doc_id", F.floor(F.col("perm") / 4).cast("long").alias("band")
+    ).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bkey")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    d = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            dedup.normalize_doc(F.col("text")).alias("__norm"),
+        )
+        .filter(F.col("__norm").isNotNull())
+        .select("doc_id", dedup.char_shingles(F.col("__norm"), 5).alias("g"))
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    uni = F.size("g_a") + F.size("g_b") - inter
+    ver = (
+        cand.join(d.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a")), "id_a")
+        .join(d.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b")), "id_b")
+        .filter((inter / F.when(uni > 0, uni)) >= 0.6)
+        .select("id_a", "id_b")
+    )
+    sp = sampling.train_val_test_split(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source"),
+        "doc_id",
+        "source",
+    ).select("doc_id", "split")
+    lab = (
+        ver.join(sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")), "id_a")
+        .join(sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")), "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return (
+        lab.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leaky"),
+        )
+        .orderBy("split_a", "split_b")
+    )
