@@ -142,6 +142,14 @@ EXTENDED_KEYS = [
     "ann_recall_report",  # composes exact + LSH + seeded-IVF
     "events_dedup_window",
     "price_bands_tdigest_portable",  # r10: explicit digest twin
+    # r13 additions: the JL projection family (map-only projection,
+    # bounded-pair distortion audit, two-stage retriever) and the
+    # split/leakage pair — rp_project tracks the map-only floor,
+    # ann_rp/docs_split_leakage carry real shuffle + gemm cost
+    "embedding_rp_project",
+    "ann_rp",
+    "docs_train_val_split",
+    "docs_split_leakage",
 ]
 
 
