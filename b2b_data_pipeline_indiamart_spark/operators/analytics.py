@@ -363,3 +363,168 @@ def poisson_bootstrap_lift(
         round_half_up(F.col("__lo"), 4).alias("ci_lo"),
         round_half_up(F.col("__hi"), 4).alias("ci_hi"),
     )
+
+
+def ols_two_feature(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_scale: int = 2,
+    x1_scale: int = 0,
+    x2_scale: int = 2,
+) -> DataFrame:
+    """Two-feature OLS (`y ≈ β0 + β1·x1 + β2·x2`) fit distributively
+    via SUFFICIENT STATISTICS — the map-reduce formulation of linear
+    regression: one combining aggregate collects the ten normal-
+    equation moments (n, Σx, Σy, Σxx, Σxy, …) and the 2×2 centered
+    system is solved in closed form (Cramer) on the 1-row result. No
+    iteration, no driver-side data movement — the classic "ML as an
+    aggregate" pattern that scales to any row count at one shuffle-free
+    pass (partial aggregation is map-side; the final reduce is 10
+    numbers).
+
+    Exactness: inputs are decimal-quantized doubles recovered to
+    BIGINTs (``money_ints`` at the stated scales); every second-moment
+    product is widened to decimal(38,0) BEFORE summing so the moments
+    are exact integers in any summation order and both engines. The
+    closed-form solve then runs in doubles with one fixed expression
+    tree — deterministic because every input double is the cast of the
+    same exact integer.
+
+    Output (1 row): n_rows, beta_x1, beta_x2, intercept (4dp),
+    r2 (6dp).
+    """
+    c1 = money_ints(x1_col, x1_scale)
+    c2 = money_ints(x2_col, x2_scale)
+    cy = money_ints(y_col, y_scale)
+
+    def _wide(a: Column, b: Column) -> Column:
+        return (a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast(
+            "decimal(38,0)"
+        )
+
+    m = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c1.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(c2.cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum(cy.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(_wide(c1, c1)).cast("double").alias("s11"),
+        F.sum(_wide(c1, c2)).cast("double").alias("s12"),
+        F.sum(_wide(c2, c2)).cast("double").alias("s22"),
+        F.sum(_wide(c1, cy)).cast("double").alias("s1y"),
+        F.sum(_wide(c2, cy)).cast("double").alias("s2y"),
+        F.sum(_wide(cy, cy)).cast("double").alias("syy"),
+    )
+    k1 = float(10**x1_scale)
+    k2 = float(10**x2_scale)
+    ky = float(10**y_scale)
+    n = F.col("n")
+    a11 = (F.col("s11") - F.col("s1") * F.col("s1") / n) / F.lit(k1 * k1)
+    a12 = (F.col("s12") - F.col("s1") * F.col("s2") / n) / F.lit(k1 * k2)
+    a22 = (F.col("s22") - F.col("s2") * F.col("s2") / n) / F.lit(k2 * k2)
+    b1 = (F.col("s1y") - F.col("s1") * F.col("sy") / n) / F.lit(k1 * ky)
+    b2 = (F.col("s2y") - F.col("s2") * F.col("sy") / n) / F.lit(k2 * ky)
+    tss = (F.col("syy") - F.col("sy") * F.col("sy") / n) / F.lit(ky * ky)
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (a11 * b2 - a12 * b1) / det
+    beta0 = (
+        F.col("sy") / (F.lit(ky) * n)
+        - beta1 * (F.col("s1") / (F.lit(k1) * n))
+        - beta2 * (F.col("s2") / (F.lit(k2) * n))
+    )
+    r2 = (beta1 * b1 + beta2 * b2) / tss
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        round_half_up(beta1, 4).alias("beta_x1"),
+        round_half_up(beta2, 4).alias("beta_x2"),
+        round_half_up(beta0, 4).alias("intercept"),
+        round_half_up(r2, 6).alias("r2"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test between two groups of
+    an INTEGER-valued column: D = max over values of |F_a(v) − F_b(v)|
+    plus the asymptotic p-value (Numerical-Recipes small-sample
+    correction on the effective n).
+
+    Scale shape: the statistic needs both empirical CDFs on the merged
+    value grid — per-value conditional counts (ONE shuffle on the
+    value, map-side combine collapses the row grain to the
+    distinct-value grain) and two distributed prefix scans
+    (ranking.global_cumsum; no single-reducer window at any
+    cardinality). D is maximized on exact cross-multiplied integers
+    (|cum_a·n_b − cum_b·n_a|, decimal-widened) so the max and the
+    final single division are engine/partitioning independent.
+
+    Output (1 row): group_a, group_b, n_a, n_b, ks_d (6dp),
+    p_value (6dp).
+    """
+    from . import caching
+    from .ranking import global_cumsum
+
+    f = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).alias("isa"),
+    )
+    per_v = caching.persist_tracked(
+        f.groupBy("v").agg(
+            F.sum(F.when(F.col("isa"), 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(~F.col("isa"), 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    cum = global_cumsum(per_v, [F.col("v").asc()], "ca", "cuma")
+    cum = global_cumsum(cum, [F.col("v").asc()], "cb", "cumb")
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cuma").cast("decimal(19,0)") * F.col("nb")
+                - F.col("cumb").cast("decimal(19,0)") * F.col("na")
+            )
+            .cast("decimal(38,0)")
+            .alias("dnum")
+        )
+        .agg(F.max("dnum").alias("dmax"))
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    d = F.col("dmax").cast("double") / (nad * nbd)
+    ne = nad * nbd / (nad + nbd)
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    l2 = lam * lam
+    p = F.lit(2.0) * (
+        F.exp(F.lit(-2.0) * l2)
+        - F.exp(F.lit(-8.0) * l2)
+        + F.exp(F.lit(-18.0) * l2)
+        - F.exp(F.lit(-32.0) * l2)
+        + F.exp(F.lit(-50.0) * l2)
+    )
+    return (
+        tot.crossJoin(F.broadcast(dmax))
+        .select(
+            F.lit(group_a).alias("group_a"),
+            F.lit(group_b).alias("group_b"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            round_half_up(d, 6).alias("ks_d"),
+            round_half_up(
+                F.greatest(F.lit(0.0), F.least(F.lit(1.0), p)), 6
+            ).alias("p_value"),
+        )
+    )

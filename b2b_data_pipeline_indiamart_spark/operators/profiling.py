@@ -317,3 +317,106 @@ def diff_snapshots(
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_cols"),
     ).filter(F.col("status") != "unchanged")
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    period_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    period of a numeric column — the standard ML-ops distribution-
+    drift monitor (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    ``period_col`` must hold exactly the labels 'ref' / 'cur'. Bin
+    edges are the reference period's exact interpolated ``n_bins``-iles
+    ROUNDED to 2dp before any cut (the price_percentile_bands
+    discipline: a last-ulp percentile disagreement can never move a
+    row across a bin edge). Shares are Laplace-smoothed
+    (+0.5 per bin) so an empty bin contributes a finite term.
+
+    Scale shape: edges are one combining aggregate broadcast back as a
+    1-row frame (the 100 TB swap is approx_percentile — same plan
+    shape); the bin assignment is a map-side expression (sum of edge
+    comparisons); counts shuffle once on the ≤``n_bins`` bin key. The
+    cross-bin PSI total sums 1e-6-scaled integers of the rounded
+    per-bin terms (exact in any order) — never raw doubles.
+
+    Output (≤ n_bins rows): bin (1-based), ref_count, cur_count,
+    p_ref/p_cur (6dp), psi_contrib (6dp), psi_total (6dp, repeated).
+    """
+    qs = [round(i / n_bins, 6) for i in range(1, n_bins)]
+    edges = df.filter(F.col(period_col) == "ref").agg(
+        *[
+            round_half_up(
+                F.expr(f"percentile({value_col}, {q})"), 2
+            ).alias(f"e{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bin_expr = F.lit(1)
+    for i in range(1, n_bins):
+        bin_expr = bin_expr + F.when(
+            F.col(value_col) > F.col(f"e{i}"), 1
+        ).otherwise(0)
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        F.col(period_col).alias("p"), bin_expr.cast("int").alias("bin")
+    )
+    from . import caching
+
+    # ≤ n_bins rows, but its lineage is a full scan: persist so the
+    # totals pass and the scoring pass reuse one materialization
+    counts = caching.persist_tracked(
+        binned.groupBy("bin").agg(
+            F.sum(F.when(F.col("p") == "ref", 1).otherwise(0))
+            .cast("long")
+            .alias("ref_count"),
+            F.sum(F.when(F.col("p") == "cur", 1).otherwise(0))
+            .cast("long")
+            .alias("cur_count"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ref_count").alias("nr"), F.sum("cur_count").alias("nc")
+    )
+    half_bins = 0.5 * n_bins
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_count",
+        "cur_count",
+        (
+            (F.col("ref_count") + F.lit(0.5))
+            / (F.col("nr") + F.lit(half_bins))
+        ).alias("pr"),
+        (
+            (F.col("cur_count") + F.lit(0.5))
+            / (F.col("nc") + F.lit(half_bins))
+        ).alias("pc"),
+    )
+    from ..functions.rounding import money_ints
+
+    scored = scored.withColumn(
+        "contrib_micro",
+        money_ints(
+            (F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr")),
+            6,
+        ),
+    )
+    total = scored.agg(F.sum("contrib_micro").alias("tot_micro"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "ref_count",
+            "cur_count",
+            round_half_up(F.col("pr"), 6).alias("p_ref"),
+            round_half_up(F.col("pc"), 6).alias("p_cur"),
+            round_half_up(F.col("contrib_micro") / F.lit(1000000.0), 6).alias(
+                "psi_contrib"
+            ),
+            round_half_up(F.col("tot_micro") / F.lit(1000000.0), 6).alias(
+                "psi_total"
+            ),
+        )
+    )

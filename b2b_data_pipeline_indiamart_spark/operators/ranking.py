@@ -201,6 +201,67 @@ def global_cumsum(
     )
 
 
+def global_cummin(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "cummin",
+) -> DataFrame:
+    """Exact running MIN over a global total order — the prefix-min
+    sibling of :func:`global_cumsum`, same two-phase distributed scan
+    (min is associative, so the partition-offset trick applies
+    verbatim with ``least`` in place of ``+``).
+
+    Range-repartition on ``order_cols`` (must be a TOTAL order), local
+    running min per partition via a __pid-partitioned window (P
+    parallel tasks), then a P-row metadata collect turns per-partition
+    minima into exclusive prefix-min offsets (NULL for the first
+    partition — ``least`` is NULL-tolerant only via coalesce, handled
+    below), broadcast back and combined map-side.
+    ``min(x) OVER (ORDER BY …)`` semantics exactly, at any scale.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    base = caching.persist_tracked(
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__local", F.min(value_col).over(w))
+    min_type = dict(local.dtypes)["__local"]
+    parts = sorted(
+        base.groupBy("__pid").agg(F.min(value_col).alias("t")).collect(),
+        key=lambda row: row["__pid"],
+    )
+    if not parts:
+        return base.drop("__pid").withColumn(
+            out_col, F.lit(None).cast(min_type)
+        )
+    offsets, acc = [], None
+    for row in parts:
+        offsets.append((row["__pid"], acc))
+        t = row["t"]
+        if t is not None:
+            acc = t if acc is None else min(acc, t)
+    off_df = spark.createDataFrame(offsets, f"__pid INT, __off {min_type}")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            F.when(F.col("__off").isNull(), F.col("__local")).otherwise(
+                F.least(F.col("__local"), F.col("__off"))
+            ),
+        )
+        .drop("__pid", "__local", "__off")
+    )
+
+
 def global_ntile_many(
     df: DataFrame,
     n: int,

@@ -841,3 +841,189 @@ def weekly_users_hll_rollup(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         )
     )
+
+
+def seasonal_decompose_daily(events: DataFrame, period: int = 7) -> DataFrame:
+    """Additive seasonal-trend decomposition of the daily event count
+    (classical decomposition, the moving-average core of STL):
+    ``trend`` = centered ``period``-day moving average (full windows
+    only), ``seasonal`` = zero-mean day-of-week effect estimated from
+    the detrended series, ``resid`` = count − trend − seasonal.
+
+    Exactness discipline (the exact_sum playbook): the detrended
+    series is carried as the INTEGER ``period·n − trend_sum`` so the
+    per-dow effect is one exact BIGINT sum divided ONCE; the zero-mean
+    adjustment recovers 1e-6-scaled integers (``money_ints``) so the
+    cross-dow mean is again an exact integer sum — no double is ever
+    summed across rows, so the result is independent of partitioning
+    and engine.
+
+    Scale shape: NO global window. The centered moving average uses
+    the explode-to-target-slots trick (same as ewma_hourly /
+    events_sliding): each daily row contributes to its ±half-window
+    neighbor slots, re-aggregated by equi-key — one hash shuffle on
+    the day grain. The dow-effect table (≤7 rows) and the cross-dow
+    mean (1 row) are broadcast. Day indices are true calendar days
+    (epoch-day arithmetic), so calendar gaps yield incomplete windows
+    (NULL trend) instead of silently shifted ones.
+
+    Output: (day 'yyyy-MM-dd', dow_iso 1=Mon..7=Sun, n_events,
+    trend 4dp, seasonal 4dp, resid 4dp; trend/resid NULL on the
+    edge/gap days whose centered window is incomplete).
+    """
+    from . import caching
+
+    half = period // 2
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # feeds both the slot-explode branch and the join-back: persist so
+    # the events scan + day rollup runs once
+    daily = caching.persist_tracked(daily.select(
+        "day",
+        "n",
+        F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("didx"),
+    ))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("didx") - half, F.col("didx") + half)
+        ).alias("tgt"),
+        F.col("n").alias("src_n"),
+    )
+    win = contrib.groupBy("tgt").agg(
+        F.sum("src_n").alias("tsum"), F.count(F.lit(1)).alias("cw")
+    )
+    base = daily.join(
+        win.filter(F.col("cw") == period).select(
+            F.col("tgt").alias("didx"), "tsum"
+        ),
+        "didx",
+        "left",
+    ).withColumn(
+        # exact integer detrended series, scaled by `period`
+        "det_p",
+        F.col("n") * period - F.col("tsum"),
+    )
+    # ISO dow from epoch-day arithmetic (1970-01-01 was a Thursday =
+    # ISO 4): engine-neutral, no locale/firstday ambiguity.
+    base = base.withColumn(
+        "dow_iso", ((F.col("didx") + F.lit(3)) % 7 + 1).cast("int")
+    )
+    dow_eff = (
+        base.filter(F.col("tsum").isNotNull())
+        .groupBy("dow_iso")
+        .agg(F.sum("det_p").alias("sdow"), F.count(F.lit(1)).alias("cdow"))
+        .select(
+            "dow_iso",
+            money_ints(
+                F.col("sdow") / (F.lit(float(period)) * F.col("cdow")), 6
+            ).alias("seas_micro"),
+        )
+    )
+    mean_eff = dow_eff.agg(
+        F.sum("seas_micro").alias("summ"),
+        F.count(F.lit(1)).alias("ndw"),
+    )
+    out = (
+        base.join(F.broadcast(dow_eff), "dow_iso", "left")
+        .crossJoin(F.broadcast(mean_eff))
+        .withColumn(
+            "seasonal_raw",
+            (
+                F.col("seas_micro") * F.col("ndw") - F.col("summ")
+            ).cast("double")
+            / (F.col("ndw") * F.lit(1000000.0)),
+        )
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow_iso",
+        F.col("n").alias("n_events"),
+        round_half_up(F.col("tsum") / F.lit(float(period)), 4).alias("trend"),
+        round_half_up(F.col("seasonal_raw"), 4).alias("seasonal"),
+        round_half_up(
+            F.col("n")
+            - F.col("tsum") / F.lit(float(period))
+            - F.col("seasonal_raw"),
+            4,
+        ).alias("resid"),
+    )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    event_type: str = "error",
+    slack_sigmas: float = 0.5,
+) -> DataFrame:
+    """One-sided CUSUM drift detector over the daily count of one
+    event type — the classic Page test for an upward level shift,
+    `C_t = max(0, C_{t-1} + (x_t − k))` with reference value
+    ``k = mean + slack_sigmas·std`` (global moments).
+
+    The recursion is NOT a window-expressible fold, but its closed
+    form is: with ``S_t = Σ_{j≤t}(x_j − k)``, ``C_t = S_t −
+    min(0, min_{j≤t} S_j)`` — a running sum and a running min, both
+    associative prefix scans. Executed as two distributed two-phase
+    scans (ranking.global_cumsum / global_cummin) over the day order:
+    no single-reducer window at ANY series length.
+
+    Exactness: x and k are carried as 1e-6-scaled BIGINTs (k is one
+    deterministic double rounded once), so both prefix scans sum exact
+    integers — partitioning/engine independent; moments come from
+    exact Σx / Σx² (decimal-widened).
+
+    Output: (day 'yyyy-MM-dd', n_events, cusum 4dp, is_peak 0/1 — the
+    argmax day(s), i.e. the detected change point).
+    """
+    from .ranking import global_cummin, global_cumsum
+
+    daily = (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    ).select(
+        money_ints(
+            F.col("sx") / F.col("n")
+            + F.lit(slack_sigmas)
+            * F.sqrt(
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                )
+                / (F.col("n") - F.lit(1))
+            ),
+            6,
+        ).alias("k_micro")
+    )
+    d = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "x",
+        (F.col("x") * F.lit(1000000) - F.col("k_micro")).alias("delta"),
+    )
+    s = global_cumsum(d, [F.col("day").asc()], "delta", "s_run")
+    s = global_cummin(s, [F.col("day").asc()], "s_run", "s_min")
+    s = s.withColumn(
+        "cusum_micro",
+        F.col("s_run") - F.least(F.lit(0).cast("long"), F.col("s_min")),
+    )
+    peak = s.agg(F.max("cusum_micro").alias("peak_micro"))
+    return (
+        s.crossJoin(F.broadcast(peak))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("n_events"),
+            round_half_up(F.col("cusum_micro") / F.lit(1000000.0), 4).alias(
+                "cusum"
+            ),
+            (F.col("cusum_micro") == F.col("peak_micro"))
+            .cast("int")
+            .alias("is_peak"),
+        )
+    )

@@ -10863,3 +10863,377 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# ==========================================================================
+# §2H — round-13 additions: time-series decomposition / changepoint,
+# distributed-ML sufficient statistics, distribution tests, drift
+# monitoring, sparse all-pairs similarity
+# ==========================================================================
+
+
+@_register(
+    "events_stl_decompose",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS didx
+      FROM events GROUP BY 1
+    ),
+    contrib AS (
+      SELECT daily.didx + u.o AS tgt, n AS src_n
+      FROM daily, UNNEST(range(-3, 4)) AS u(o)
+    ),
+    win AS (SELECT tgt, sum(src_n) AS tsum, count(*) AS cw
+            FROM contrib GROUP BY tgt),
+    base AS (
+      SELECT d.day, d.n, d.didx,
+             CASE WHEN w.cw = 7 THEN w.tsum END AS tsum,
+             CAST(((d.didx + 3) % 7) + 1 AS INT) AS dow_iso
+      FROM daily d LEFT JOIN win w ON w.tgt = d.didx
+    ),
+    det AS (SELECT dow_iso, n * 7 - tsum AS det_p FROM base
+            WHERE tsum IS NOT NULL),
+    dow_eff AS (
+      SELECT dow_iso,
+             CAST(floor((sum(det_p) / (7.0 * count(*))) * 1000000.0 + 0.5)
+                  AS BIGINT) AS seas_micro
+      FROM det GROUP BY dow_iso
+    ),
+    mean_eff AS (SELECT sum(seas_micro) AS summ, count(*) AS ndw
+                 FROM dow_eff)
+    SELECT strftime(b.day, '%Y-%m-%d') AS day, b.dow_iso,
+           b.n AS n_events,
+           round(b.tsum / 7.0, 4) AS trend,
+           round(CAST(e.seas_micro * m.ndw - m.summ AS DOUBLE)
+                 / (m.ndw * 1000000.0), 4) AS seasonal,
+           round(b.n - b.tsum / 7.0
+                 - CAST(e.seas_micro * m.ndw - m.summ AS DOUBLE)
+                   / (m.ndw * 1000000.0), 4) AS resid
+    FROM base b LEFT JOIN dow_eff e USING (dow_iso)
+    CROSS JOIN mean_eff m
+    """,
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal-trend decomposition of the daily
+    event series (operators/temporal.seasonal_decompose_daily):
+    centered 7-day moving-average trend, zero-mean day-of-week
+    seasonal effect from the detrended series, residual — the
+    moving-average core of STL, the step before any anomaly/forecast
+    model on event volume. No global window at any series length: the
+    centered MA is the explode-to-target-slots equi-join (ewma_hourly
+    pattern) and the dow/mean frames are ≤7-row broadcasts; all
+    cross-row sums are exact integers (detrended series carried as
+    ``7n − trend_sum``; dow effects as 1e-6-scaled BIGINTs)."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.seasonal_decompose_daily(events)
+
+
+@_register(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM daily
+    ),
+    k AS (
+      SELECT CAST(floor((sx / n + 0.5 * sqrt((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx / n) / (n - 1)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS k_micro
+      FROM st
+    ),
+    d AS (SELECT day, x, x * 1000000 - k_micro AS delta
+          FROM daily CROSS JOIN k),
+    s AS (SELECT day, x, sum(delta) OVER (ORDER BY day) AS s_run FROM d),
+    m AS (SELECT day, x, s_run,
+                 min(s_run) OVER (ORDER BY day) AS s_min FROM s),
+    c AS (SELECT day, x,
+                 s_run - least(CAST(0 AS BIGINT), s_min) AS cusum_micro
+          FROM m),
+    p AS (SELECT max(cusum_micro) AS peak FROM c)
+    SELECT strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+           round(cusum_micro / 1000000.0, 4) AS cusum,
+           CAST(cusum_micro = peak AS INT) AS is_peak
+    FROM c CROSS JOIN p
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM drift detector on the daily 'error'
+    count (operators/temporal.cusum_changepoint): the
+    ``C_t = max(0, C_{t-1} + (x_t − k))`` recursion executed via its
+    closed form ``S_t − min(0, min_{j≤t} S_j)`` — two associative
+    prefix scans (ranking.global_cumsum / global_cummin), so the
+    detector has NO single-reducer stage at any series length. The
+    oracle's ORDER-BY windows are the single-node statement of the
+    same scans. Exact-integer discipline throughout (1e-6-scaled
+    reference value, BIGINT running sums)."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.cusum_changepoint(events, event_type="error")
+
+
+@_register(
+    "lineitem_ols_price",
+    """
+    WITH r AS (
+      SELECT CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS c1,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS c2,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(c1) AS DOUBLE) AS s1,
+             CAST(sum(c2) AS DOUBLE) AS s2,
+             CAST(sum(cy) AS DOUBLE) AS sy,
+             CAST(sum(CAST(c1 AS HUGEINT) * c1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(c1 AS HUGEINT) * c2) AS DOUBLE) AS s12,
+             CAST(sum(CAST(c2 AS HUGEINT) * c2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(c1 AS HUGEINT) * cy) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(c2 AS HUGEINT) * cy) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(cy AS HUGEINT) * cy) AS DOUBLE) AS syy
+      FROM r
+    ),
+    f AS (
+      SELECT n, s1, s2, sy,
+             (s11 - s1 * s1 / n) / 1.0 AS a11,
+             (s12 - s1 * s2 / n) / 100.0 AS a12,
+             (s22 - s2 * s2 / n) / 10000.0 AS a22,
+             (s1y - s1 * sy / n) / 100.0 AS b1,
+             (s2y - s2 * sy / n) / 10000.0 AS b2,
+             (syy - sy * sy / n) / 10000.0 AS tss
+      FROM m
+    ),
+    sol AS (
+      SELECT n, s1, s2, sy, b1, b2, tss,
+             (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+             (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS beta2
+      FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(beta1, 4) AS beta_x1,
+           round(beta2, 4) AS beta_x2,
+           round(sy / (100.0 * n) - beta1 * (s1 / (1.0 * n))
+                 - beta2 * (s2 / (100.0 * n)), 4) AS intercept,
+           round((beta1 * b1 + beta2 * b2) / tss, 6) AS r2
+    FROM sol
+    """,
+)
+def lineitem_ols_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of extended price on (quantity, discount) via
+    distributed sufficient statistics
+    (operators/analytics.ols_two_feature) — 'ML as one combining
+    aggregate': ten exact normal-equation moments (decimal-widened
+    integer sums, order/partitioning independent), closed-form 2×2
+    Cramer solve on the 1-row result. Zero shuffles beyond the final
+    10-number reduce; scales to any row count in one pass. Sanity at
+    every SF: β_qty ≈ the mean per-unit price, β_disc ≈ 0 (TPC-H
+    prices are quantity-driven, discount-independent), r2 ≈ 0.9."""
+    li = _tp(spark, sf_dir, "lineitem")
+    return analytics.ols_two_feature(
+        li,
+        y_col="l_extendedprice",
+        x1_col="l_quantity",
+        x2_col="l_discount",
+        y_scale=2,
+        x1_scale=0,
+        x2_scale=2,
+    )
+
+
+@_register(
+    "docs_length_ks",
+    """
+    WITH f AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, source = 'src0' AS isa
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    per_v AS (
+      SELECT v,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM f GROUP BY v
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM per_v),
+    cum AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+                   sum(cb) OVER (ORDER BY v) AS cumb FROM per_v),
+    dm AS (SELECT max(abs(CAST(cuma AS HUGEINT) * nb
+                          - CAST(cumb AS HUGEINT) * na)) AS dmax
+           FROM cum CROSS JOIN tot),
+    z AS (
+      SELECT na, nb,
+             CAST(dmax AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d,
+             CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS ne
+      FROM tot CROSS JOIN dm
+    ),
+    lamc AS (SELECT na, nb, d,
+                    (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS lam
+             FROM z)
+    SELECT 'src0' AS group_a, 'src1' AS group_b,
+           na AS n_a, nb AS n_b,
+           round(d, 6) AS ks_d,
+           round(greatest(0.0, least(1.0,
+             2.0 * (exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+                    + exp(-18.0 * lam * lam) - exp(-32.0 * lam * lam)
+                    + exp(-50.0 * lam * lam)))), 6) AS p_value
+    FROM lamc
+    """,
+)
+def docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test between the doc-length
+    distributions of two sources (operators/analytics.ks_two_sample)
+    — the distribution-equality gate for 'did this source's length
+    profile shift between crawls'. Both empirical CDFs come from two
+    distributed prefix scans on the distinct-value grain (never a
+    single-reducer window); D maximizes exact cross-multiplied
+    integers, so the statistic is engine/partitioning independent;
+    the p-value is the standard asymptotic series on the
+    effective-n-corrected λ (rounded 6dp, the ln/exp precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.ks_two_sample(
+        docs, "source", "n_chars", "src0", "src1"
+    )
+
+
+@_register(
+    "orders_price_psi",
+    """
+    WITH lab AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN year(o_orderdate) <= 1997 THEN 'ref'
+                  ELSE 'cur' END AS p
+      FROM orders
+    ),
+    e AS (SELECT round(quantile_cont(v, 0.1), 2) AS e1,
+                 round(quantile_cont(v, 0.2), 2) AS e2,
+                 round(quantile_cont(v, 0.3), 2) AS e3,
+                 round(quantile_cont(v, 0.4), 2) AS e4,
+                 round(quantile_cont(v, 0.5), 2) AS e5,
+                 round(quantile_cont(v, 0.6), 2) AS e6,
+                 round(quantile_cont(v, 0.7), 2) AS e7,
+                 round(quantile_cont(v, 0.8), 2) AS e8,
+                 round(quantile_cont(v, 0.9), 2) AS e9
+          FROM lab WHERE p = 'ref'),
+    binned AS (
+      SELECT p,
+             CAST(1 + (CASE WHEN v > e1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v > e3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v > e5 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v > e7 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS INT) AS bin
+      FROM lab CROSS JOIN e
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN p = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_count,
+             CAST(sum(CASE WHEN p = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cur_count
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(ref_count) AS nr, sum(cur_count) AS nc FROM counts),
+    scored AS (
+      SELECT bin, ref_count, cur_count,
+             (ref_count + 0.5) / (nr + 5.0) AS pr,
+             (cur_count + 0.5) / (nc + 5.0) AS pc
+      FROM counts CROSS JOIN tot
+    ),
+    mic AS (SELECT bin, ref_count, cur_count, pr, pc,
+                   CAST(floor(((pc - pr) * ln(pc / pr)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS contrib_micro
+            FROM scored),
+    t2 AS (SELECT sum(contrib_micro) AS tot_micro FROM mic)
+    SELECT bin, ref_count, cur_count,
+           round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+           round(contrib_micro / 1000000.0, 6) AS psi_contrib,
+           round(tot_micro / 1000000.0, 6) AS psi_total
+    FROM mic CROSS JOIN t2
+    """,
+)
+def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    reference period (≤1997) vs current (≥1998)
+    (operators/profiling.psi_drift) — the standard ML-ops drift
+    monitor for 'did the feature distribution my model was fit on
+    shift'. Reference-decile edges (exact interpolated percentile,
+    2dp-rounded BEFORE the cut — the price_percentile_bands
+    discipline) broadcast as one row; bin assignment is a map-side
+    expression; PSI totals sum 1e-6-scaled integers, never raw
+    doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    lab = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.year("o_orderdate") <= 1997, "ref")
+        .otherwise("cur")
+        .alias("p"),
+    )
+    return profiling.psi_drift(lab, "v", "p", n_bins=10)
+
+
+@_register(
+    "docs_allpairs_cosine",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+    tok AS (SELECT doc_id AS dd, unnest(toks) AS token FROM t),
+    tf AS (SELECT dd, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    ndoc AS (SELECT CAST(count(DISTINCT dd) AS BIGINT) AS nd FROM tf),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq
+            FROM tf GROUP BY 1),
+    kept AS (SELECT token, dfreq, nd FROM dfq CROSS JOIN ndoc
+             WHERE dfreq >= 2
+               AND dfreq <= greatest(2, least(
+                     CAST(floor(0.2 * nd) AS BIGINT), 10000))),
+    ii AS (SELECT token, dd,
+                  CAST(floor((tf * (ln(CAST(nd + 1 AS DOUBLE)
+                                       / (dfreq + 1)) + 1.0))
+                             * 1000.0 + 0.5) AS BIGINT) AS w
+           FROM tf JOIN kept USING (token)),
+    norms AS (SELECT dd, sum(CAST(w AS HUGEINT) * w) AS nsq
+              FROM ii GROUP BY dd),
+    pairs AS (SELECT a.dd AS da, b.dd AS db,
+                     CAST(count(*) AS BIGINT) AS n_shared_tokens,
+                     sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+              FROM ii a JOIN ii b
+                ON a.token = b.token AND a.dd < b.dd
+              GROUP BY 1, 2),
+    sc AS (SELECT da, db, n_shared_tokens,
+                  round(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na.nsq AS DOUBLE))
+                           * sqrt(CAST(nb.nsq AS DOUBLE))), 4) AS cosine
+           FROM pairs
+           JOIN norms na ON na.dd = pairs.da
+           JOIN norms nb ON nb.dd = pairs.db)
+    SELECT da AS doc_a, db AS doc_b, n_shared_tokens, cosine
+    FROM sc WHERE cosine >= 0.6
+    ORDER BY cosine DESC, da, db LIMIT 100
+    """,
+)
+def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine near-dup search via an
+    inverted-index self-join (operators/textstats.tfidf_allpairs; the
+    Bayardo all-pairs / VERNICA-join shape) — the exact sparse-vector
+    leg of the near-dup family: no signatures, no missed pairs within
+    the indexed term space. Document-frequency pruning (df < 2 can't
+    pair; df > min(0.2·N, 10k) is boilerplate with ~zero IDF) bounds
+    the per-token join fan-out — the same explicit-cap role as
+    LSH_MAX_BUCKET_DEFAULT. Weights are 1e-3-quantized BIGINTs so dot
+    products and norms are exact integer sums; top-k is ORDER
+    BY + LIMIT (TakeOrderedAndProject) on a (cos, a, b) total order."""
+    docs = _tp(spark, sf_dir, "documents")
+    return textstats.tfidf_allpairs(docs)
