@@ -528,3 +528,146 @@ def ks_two_sample(
             ).alias("p_value"),
         )
     )
+
+
+def forecast_backtest_monthly(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Backtest of the two standard forecasting BASELINES on the
+    monthly revenue series — naive (last month's value) and
+    seasonal-naive (same month last year) — reporting MAE, SMAPE and
+    mean bias per model. This is the forecast-EVALUATION operator
+    (any model that can't beat seasonal-naive on a backtest shouldn't
+    ship); it complements the trend-fit keys (nation_revenue_trend,
+    q6_forecast_revenue) with the accounting they must clear.
+
+    Scale shape: the series is pre-aggregated to the month grain
+    (exact integer cents), lags are EQUI-joins on the month index
+    (idx = y·12+m; idx−1 / idx−12) — calendar-true under gaps, no
+    windows of any kind. Error terms are exact integer cents; SMAPE
+    terms are 1e-6-quantized before the cross-month sum (exact in any
+    order).
+
+    Output (2 rows): model, n_months, mae (2dp), smape (6dp),
+    bias (2dp).
+    """
+    from ..functions.rounding import money_ints, round_half_up
+
+    monthly = (
+        orders.groupBy(
+            (F.year(date_col) * 12 + F.month(date_col) - 1).alias("idx")
+        )
+        .agg(F.sum(money_ints(value_col, 2)).alias("rev"))
+    )
+    from . import caching
+
+    monthly = caching.persist_tracked(monthly)
+
+    def _eval(lag: int, name: str) -> DataFrame:
+        f = monthly.select(
+            (F.col("idx") + lag).alias("idx"), F.col("rev").alias("fc")
+        )
+        j = monthly.join(f, "idx").select(
+            F.lit(name).alias("model"),
+            F.abs(F.col("fc") - F.col("rev")).alias("abs_err"),
+            (F.col("fc") - F.col("rev")).alias("err"),
+            money_ints(
+                F.lit(2.0)
+                * F.abs(F.col("fc") - F.col("rev")).cast("double")
+                / (F.abs(F.col("fc")) + F.abs(F.col("rev"))).cast("double"),
+                6,
+            ).alias("smape_micro"),
+        )
+        return j.groupBy("model").agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            round_half_up(
+                F.sum("abs_err") / F.count(F.lit(1)) / F.lit(100.0), 2
+            ).alias("mae"),
+            round_half_up(
+                F.sum("smape_micro") / F.count(F.lit(1)) / F.lit(1000000.0),
+                6,
+            ).alias("smape"),
+            round_half_up(
+                F.sum("err") / F.count(F.lit(1)) / F.lit(100.0), 2
+            ).alias("bias"),
+        )
+
+    return _eval(1, "naive").unionByName(_eval(12, "seasonal_naive"))
+
+
+def funnel_wilson(events: DataFrame, z: float = 1.96) -> DataFrame:
+    """Per-step funnel conversion rates WITH Wilson 95% score
+    intervals — the uncertainty-aware readout of events_user_funnel
+    (a 3%-vs-4% step difference means nothing without the interval;
+    Wilson stays valid near 0/1 where the Wald interval collapses).
+
+    Same scale shape as the funnel itself: one user-grain conditional
+    first-occurrence aggregate, a single-row reduce, and the interval
+    arithmetic as fixed closed-form expressions on exact counts — the
+    2-row output is assembled from one broadcast-sized frame.
+
+    Output (2 rows): step, n_prev, n_conv, rate (6dp), ci_low (6dp),
+    ci_high (6dp).
+    """
+    from ..functions.rounding import round_half_up
+
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("t_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    clicked = (F.col("t_click") > F.col("t_view")).cast("long")
+    bought = (
+        (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_buy") > F.col("t_click"))
+    ).cast("long")
+    agg = per_user.agg(
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_view"),
+        F.sum(F.coalesce(clicked, F.lit(0))).cast("long").alias("n_click"),
+        F.sum(F.coalesce(bought, F.lit(0))).cast("long").alias("n_buy"),
+    )
+
+    def _step(name: str, prev_c: str, conv_c: str) -> DataFrame:
+        nprev = F.col(prev_c).cast("double")
+        p = F.col(conv_c).cast("double") / nprev
+        # z² as lit(z)*lit(z), NOT a Python-precomputed literal: the
+        # decimal spelling of z*z can parse to a double 1 ulp away
+        # from the IEEE product, and the oracle must square the same
+        # literal the same way
+        z2 = F.lit(z) * F.lit(z)
+        denom = F.lit(1.0) + z2 / nprev
+        center = (p + z2 / (F.lit(2.0) * nprev)) / denom
+        half = (
+            F.lit(z)
+            * F.sqrt(
+                p * (F.lit(1.0) - p) / nprev
+                + z2 / (F.lit(4.0) * nprev * nprev)
+            )
+            / denom
+        )
+        return agg.select(
+            F.lit(name).alias("step"),
+            F.col(prev_c).alias("n_prev"),
+            F.col(conv_c).alias("n_conv"),
+            round_half_up(p, 6).alias("rate"),
+            round_half_up(
+                F.greatest(F.lit(0.0), center - half), 6
+            ).alias("ci_low"),
+            round_half_up(
+                F.least(F.lit(1.0), center + half), 6
+            ).alias("ci_high"),
+        )
+
+    return _step("view_to_click", "n_view", "n_click").unionByName(
+        _step("click_to_purchase", "n_click", "n_buy")
+    )

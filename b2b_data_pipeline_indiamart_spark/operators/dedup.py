@@ -1532,3 +1532,101 @@ def minhash_portable(
         .groupBy(id_col, "perm")
         .agg(F.min("__h").alias("minhash"))
     )
+
+
+def shingle_containment(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_shingles: int = 20,
+    min_containment: float = 0.5,
+    max_df: int = 1000,
+    top: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-dup search: shingle-set containment
+    ``C(A→B) = |S_A ∩ S_B| / |S_A|`` — the quote/inclusion detector
+    (Broder's resemblance-vs-containment distinction). A short doc
+    embedded verbatim in a long one has LOW Jaccard (the union is
+    dominated by B) but containment ≈ 1; the symmetric near-dup family
+    (MinHash/SimHash/ngram_jaccard) structurally misses exactly these
+    pairs, which is why containment is its own operator.
+
+    Scale shape: inverted-index self-join on the shingle STRING (the
+    engine-portable spelling; the xxhash64-packed fast path lives in
+    the LSH operators), one intersection count per unordered pair,
+    BOTH directed containments emitted from that single pass. Shingles
+    with document frequency > ``max_df`` are pruned before the join —
+    the LSH-bucket-cap role; with boilerplate shingles dropped the
+    reported containment is a LOWER bound (denominator stays the full
+    shingle count), which only ever suppresses, never invents, a pair.
+    Docs with < ``min_shingles`` shingles are excluded as the contained
+    side (containment over a tiny set is noise).
+
+    Output (≤ top rows): doc_a (contained), doc_b (container),
+    n_shingles_a, n_common, containment (4dp), ordered by
+    (containment desc, doc_a, doc_b).
+    """
+    from . import caching
+
+    d = _with_normalized(docs, text_col, id_col).filter(
+        F.col("__norm").isNotNull()
+    )
+    sh = caching.persist_tracked(
+        d.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(char_shingles(F.col("__norm"), n))
+            ).alias("g"),
+        )
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))
+    idx = sh.join(
+        dfreq.filter(F.col("dfreq") <= max_df).select("g"), "g"
+    )
+    inter = (
+        idx.select("g", F.col("doc").alias("ia"))
+        .join(idx.select("g", F.col("doc").alias("ib")), "g")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    both = inter.join(
+        sizes.select(F.col("doc").alias("ia"), F.col("n_sh").alias("sa")),
+        "ia",
+    ).join(
+        sizes.select(F.col("doc").alias("ib"), F.col("n_sh").alias("sb")),
+        "ib",
+    )
+    directed = both.select(
+        F.col("ia").alias("doc_a"),
+        F.col("ib").alias("doc_b"),
+        F.col("sa").alias("n_shingles_a"),
+        "n_common",
+    ).unionByName(
+        both.select(
+            F.col("ib").alias("doc_a"),
+            F.col("ia").alias("doc_b"),
+            F.col("sb").alias("n_shingles_a"),
+            "n_common",
+        )
+    )
+    from ..functions.rounding import round_half_up
+
+    return (
+        directed.filter(F.col("n_shingles_a") >= min_shingles)
+        .withColumn(
+            "containment",
+            round_half_up(
+                F.col("n_common").cast("double") / F.col("n_shingles_a"), 4
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(min_containment))
+        .orderBy(
+            F.col("containment").desc(),
+            F.col("doc_a").asc(),
+            F.col("doc_b").asc(),
+        )
+        .limit(top)
+    )

@@ -420,3 +420,87 @@ def psi_drift(
             ),
         )
     )
+
+
+def control_chart_monthly(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Shewhart individuals/moving-range (X-MR) control chart over
+    monthly revenue — the SPC complement of the CUSUM detector (CUSUM
+    finds small sustained shifts; the 3σ chart flags single large
+    excursions). σ is estimated from the mean moving range / d₂
+    (d₂ = 1.128 for n = 2), the standard individuals-chart estimator,
+    robust to slow trend that would inflate a direct stddev.
+
+    Scale shape: month-grain pre-aggregation to exact integer cents,
+    the moving range via an EQUI-join on the month index (no window),
+    chart constants from one broadcast 1-row reduce; limits are fixed
+    closed-form expressions of exact integer sums.
+
+    Output (one row per month): month 'yyyy-MM', revenue (2dp),
+    moving_range (2dp, NULL for the first/gap-following month),
+    center (2dp), ucl (2dp), lcl (2dp), out_of_control (0/1).
+    """
+    from . import caching
+    from ..functions.rounding import money_ints, round_half_up
+
+    monthly = caching.persist_tracked(
+        orders.groupBy(
+            (F.year(date_col) * 12 + F.month(date_col) - 1).alias("idx")
+        ).agg(F.sum(money_ints(value_col, 2)).alias("rev"))
+    )
+    prev = monthly.select(
+        (F.col("idx") + 1).alias("idx"), F.col("rev").alias("prev_rev")
+    )
+    with_mr = monthly.join(prev, "idx", "left").withColumn(
+        "mr", F.abs(F.col("rev") - F.col("prev_rev"))
+    )
+    consts = with_mr.agg(
+        F.sum("rev").alias("srev"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mr").alias("smr"),
+        F.sum(F.when(F.col("mr").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nmr"),
+    ).select(
+        (F.col("srev") / F.col("n")).alias("center_c"),
+        (
+            F.col("smr").cast("double") / F.col("nmr") / F.lit(1.128)
+        ).alias("sigma_c"),
+    )
+    out = with_mr.crossJoin(F.broadcast(consts))
+    month_str = F.concat_ws(
+        "-",
+        F.floor(F.col("idx") / 12).cast("string"),
+        F.lpad((F.col("idx") % 12 + 1).cast("string"), 2, "0"),
+    )
+    return out.select(
+        month_str.alias("month"),
+        round_half_up(F.col("rev") / F.lit(100.0), 2).alias("revenue"),
+        round_half_up(F.col("mr") / F.lit(100.0), 2).alias("moving_range"),
+        round_half_up(F.col("center_c") / F.lit(100.0), 2).alias("center"),
+        round_half_up(
+            (F.col("center_c") + F.lit(3.0) * F.col("sigma_c"))
+            / F.lit(100.0),
+            2,
+        ).alias("ucl"),
+        round_half_up(
+            (F.col("center_c") - F.lit(3.0) * F.col("sigma_c"))
+            / F.lit(100.0),
+            2,
+        ).alias("lcl"),
+        (
+            (
+                F.col("rev")
+                > F.col("center_c") + F.lit(3.0) * F.col("sigma_c")
+            )
+            | (
+                F.col("rev")
+                < F.col("center_c") - F.lit(3.0) * F.col("sigma_c")
+            )
+        )
+        .cast("int")
+        .alias("out_of_control"),
+    )

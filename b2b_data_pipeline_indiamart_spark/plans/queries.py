@@ -11237,3 +11237,199 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY + LIMIT (TakeOrderedAndProject) on a (cos, a, b) total order."""
     docs = _tp(spark, sf_dir, "documents")
     return textstats.tfidf_allpairs(docs)
+
+
+#: exact-cents monthly revenue spine shared by the backtest / control
+#: chart oracles (idx = year·12 + month − 1, calendar-true under gaps)
+_MONTHLY_REV_SQL = """
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS idx,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+"""
+
+
+@_register(
+    "orders_forecast_backtest",
+    f"""
+    WITH monthly AS ({_MONTHLY_REV_SQL}),
+    ev AS (
+      SELECT 'naive' AS model, a.rev AS actual, f.rev AS fc
+      FROM monthly a JOIN monthly f ON a.idx = f.idx + 1
+      UNION ALL
+      SELECT 'seasonal_naive' AS model, a.rev AS actual, f.rev AS fc
+      FROM monthly a JOIN monthly f ON a.idx = f.idx + 12
+    ),
+    terms AS (
+      SELECT model, abs(fc - actual) AS abs_err, fc - actual AS err,
+             CAST(floor((2.0 * CAST(abs(fc - actual) AS DOUBLE)
+                         / CAST(abs(fc) + abs(actual) AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS smape_micro
+      FROM ev
+    )
+    SELECT model, CAST(count(*) AS BIGINT) AS n_months,
+           round(sum(abs_err) / count(*) / 100.0, 2) AS mae,
+           round(sum(smape_micro) / count(*) / 1000000.0, 6) AS smape,
+           round(sum(err) / count(*) / 100.0, 2) AS bias
+    FROM terms GROUP BY model
+    """,
+)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the naive and seasonal-naive forecasting baselines
+    on monthly revenue (operators/analytics.forecast_backtest_monthly)
+    — MAE / SMAPE / bias per model, the accounting any real forecast
+    must clear before replacing a baseline. Lags are equi-joins on the
+    month index (calendar-true under gaps, no windows); error terms
+    are exact integer cents and 1e-6-quantized SMAPE terms, so every
+    cross-month sum is order/engine independent."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.forecast_backtest_monthly(orders)
+
+
+@_register(
+    "orders_control_chart",
+    f"""
+    WITH monthly AS ({_MONTHLY_REV_SQL}),
+    wm AS (SELECT m.idx, m.rev, abs(m.rev - p.rev) AS mr
+           FROM monthly m LEFT JOIN monthly p ON m.idx = p.idx + 1),
+    c AS (SELECT sum(rev) / count(*) AS center_c,
+                 CAST(sum(mr) AS DOUBLE) / count(mr) / 1.128 AS sigma_c
+          FROM wm)
+    SELECT concat(CAST(idx // 12 AS VARCHAR), '-',
+                  lpad(CAST(idx % 12 + 1 AS VARCHAR), 2, '0')) AS month,
+           round(rev / 100.0, 2) AS revenue,
+           round(mr / 100.0, 2) AS moving_range,
+           round(center_c / 100.0, 2) AS center,
+           round((center_c + 3.0 * sigma_c) / 100.0, 2) AS ucl,
+           round((center_c - 3.0 * sigma_c) / 100.0, 2) AS lcl,
+           CAST((rev > center_c + 3.0 * sigma_c
+                 OR rev < center_c - 3.0 * sigma_c) AS INT)
+             AS out_of_control
+    FROM wm CROSS JOIN c
+    """,
+)
+def orders_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals/moving-range control chart over monthly
+    revenue (operators/profiling.control_chart_monthly) — the SPC
+    complement of events_cusum_changepoint: 3σ limits flag single
+    large excursions, with σ estimated from the mean moving range /
+    d₂ (1.128), robust to slow trend. Month-grain exact-cents
+    pre-aggregation; the moving range is an equi-join on the month
+    index; chart constants are one broadcast 1-row reduce."""
+    orders = _t(spark, sf_dir, "orders")
+    return profiling.control_chart_monthly(orders)
+
+
+@_register(
+    "events_funnel_wilson",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_view,
+             CAST(sum(coalesce(CAST(t_click > t_view AS INT), 0))
+                  AS BIGINT) AS n_click,
+             CAST(sum(coalesce(CAST(t_click > t_view
+                                    AND t_buy > t_click AS INT), 0))
+                  AS BIGINT) AS n_buy
+      FROM pu
+    ),
+    s AS (
+      SELECT 'view_to_click' AS step, n_view AS n_prev,
+             n_click AS n_conv FROM a
+      UNION ALL
+      SELECT 'click_to_purchase' AS step, n_click AS n_prev,
+             n_buy AS n_conv FROM a
+    ),
+    w AS (
+      SELECT step, n_prev, n_conv,
+             CAST(n_conv AS DOUBLE) / CAST(n_prev AS DOUBLE) AS p,
+             CAST(n_prev AS DOUBLE) AS nprev
+      FROM s
+    ),
+    x AS (
+      SELECT step, n_prev, n_conv, p, nprev,
+             (p + (1.96 * 1.96) / (2.0 * nprev))
+               / (1.0 + (1.96 * 1.96) / nprev) AS center,
+             1.96 * sqrt(p * (1.0 - p) / nprev
+                         + (1.96 * 1.96) / (4.0 * nprev * nprev))
+               / (1.0 + (1.96 * 1.96) / nprev) AS half
+      FROM w
+    )
+    SELECT step, n_prev, n_conv,
+           round(p, 6) AS rate,
+           round(greatest(0.0, center - half), 6) AS ci_low,
+           round(least(1.0, center + half), 6) AS ci_high
+    FROM x
+    """,
+)
+def events_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rates with Wilson 95% score intervals
+    (operators/analytics.funnel_wilson) — the uncertainty-aware
+    readout of events_user_funnel (Wilson stays valid near 0/1 where
+    the Wald interval collapses; a step-rate comparison without an
+    interval is noise). One user-grain conditional first-occurrence
+    aggregate, a 1-row reduce, closed-form intervals on exact counts;
+    z² is squared from the same 1.96 literal in both engines (a
+    precomputed decimal spelling can be 1 ulp off the IEEE product)."""
+    events = _t(spark, sf_dir, "events")
+    return analytics.funnel_wilson(events)
+
+
+@_register(
+    "docs_containment",
+    f"""
+    WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc, {_NORM} AS s
+                FROM documents),
+    d AS (SELECT doc, list_distinct(list_transform(
+            range(1, GREATEST(length(s) - 4, 1) + 1),
+            i -> substr(s, i, 5))) AS g
+          FROM d0 WHERE s IS NOT NULL),
+    sh AS (SELECT doc, unnest(g) AS g FROM d),
+    sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc),
+    dfq AS (SELECT g FROM (SELECT g, count(*) AS dfreq FROM sh GROUP BY g)
+            WHERE dfreq <= 1000),
+    idx AS (SELECT sh.doc, sh.g FROM sh JOIN dfq USING (g)),
+    inter AS (SELECT a.doc AS ia, b.doc AS ib,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM idx a JOIN idx b ON a.g = b.g AND a.doc < b.doc
+              GROUP BY 1, 2),
+    paired AS (SELECT inter.ia, inter.ib, inter.n_common,
+                      sa.n_sh AS sa, sb.n_sh AS sb
+               FROM inter
+               JOIN sizes sa ON sa.doc = inter.ia
+               JOIN sizes sb ON sb.doc = inter.ib),
+    directed AS (
+      SELECT ia AS doc_a, ib AS doc_b, sa AS n_shingles_a, n_common
+      FROM paired
+      UNION ALL
+      SELECT ib AS doc_a, ia AS doc_b, sb AS n_shingles_a, n_common
+      FROM paired
+    ),
+    sc AS (SELECT doc_a, doc_b, n_shingles_a, n_common,
+                  round(CAST(n_common AS DOUBLE) / n_shingles_a, 4)
+                    AS containment
+           FROM directed WHERE n_shingles_a >= 20)
+    SELECT doc_a, doc_b, n_shingles_a, n_common, containment
+    FROM sc WHERE containment >= 0.5
+    ORDER BY containment DESC, doc_a, doc_b LIMIT 100
+    """,
+)
+def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set containment search
+    (operators/dedup.shingle_containment): C(A→B) = |S_A∩S_B|/|S_A|,
+    Broder's containment — the quote/inclusion detector the symmetric
+    near-dup family (MinHash/Jaccard/SimHash) structurally misses (a
+    short doc verbatim inside a long one has low Jaccard, containment
+    ≈ 1). Inverted-index self-join on the shingle string with a
+    document-frequency cap (the LSH-bucket-cap role; under the cap
+    the reported containment is a lower bound), both directed scores
+    from one unordered-pair pass, top-k via ORDER BY + LIMIT."""
+    docs = _tp(spark, sf_dir, "documents")
+    return dedup.shingle_containment(docs)

@@ -150,6 +150,19 @@ EXTENDED_KEYS = [
     "ann_rp",
     "docs_train_val_split",
     "docs_split_leakage",
+    # r13 wave 2: the stats/drift/similarity families — containment
+    # and all-pairs cosine carry real inverted-index join cost; the
+    # rest track the aggregate-only floor
+    "events_stl_decompose",
+    "events_cusum_changepoint",
+    "lineitem_ols_price",
+    "docs_length_ks",
+    "orders_price_psi",
+    "docs_allpairs_cosine",
+    "orders_forecast_backtest",
+    "orders_control_chart",
+    "events_funnel_wilson",
+    "docs_containment",
 ]
 
 

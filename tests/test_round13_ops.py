@@ -287,3 +287,164 @@ def test_tfidf_allpairs_partitioning_invariant(spark, sf_small):
         map(tuple, tfidf_allpairs(docs.repartition(13)).collect())
     )
     assert a == b
+
+
+# ----------------------------------------------------- containment
+def _containment(spark, docs, **kw):
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
+        shingle_containment,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    return shingle_containment(df, **kw)
+
+
+def test_containment_finds_quote_jaccard_misses(spark):
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    long_doc = (
+        "completely unrelated preamble with many extra words here "
+        + quote
+        + " and then a very long tail of additional unrelated filler "
+        "text that keeps going on and on diluting the union badly "
+        "with yet more words and even more words after that too"
+    )
+    docs = [(0, quote), (1, long_doc), (2, "nothing in common at all")]
+    out = _containment(spark, docs, min_shingles=10, min_containment=0.8)
+    rows = {(r["doc_a"], r["doc_b"]): r["containment"] for r in out.collect()}
+    # quote (A) is contained in long_doc (B): C(A→B) ≈ 1
+    assert (0, 1) in rows and rows[(0, 1)] > 0.9
+    # the reverse direction is NOT contained
+    assert (1, 0) not in rows
+    # exact Jaccard of the pair is far below the containment —
+    # the asymmetry is the point of the operator
+    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
+        char_shingles,
+        normalize_doc,
+    )
+
+    d = spark.createDataFrame(docs[:2], "doc_id LONG, text STRING").select(
+        "doc_id", char_shingles(normalize_doc(F.col("text")), 5).alias("g")
+    )
+    g0, g1 = [set(r["g"]) for r in d.orderBy("doc_id").collect()]
+    jac = len(g0 & g1) / len(g0 | g1)
+    assert jac < 0.5
+
+
+def test_containment_min_shingles_gate(spark):
+    docs = [(0, "tiny text"), (1, "tiny text plus much more content here")]
+    out = _containment(spark, docs, min_shingles=20, min_containment=0.5)
+    # doc 0 has < 20 shingles: excluded as the contained side
+    assert all(r["doc_a"] != 0 for r in out.collect())
+
+
+def test_containment_df_cap_lower_bounds(spark):
+    # a shingle shared by every doc is pruned by max_df; containment
+    # computed over the remaining shingles only ever DROPS
+    shared = "zzzz common prefix string "
+    docs = [(i, shared + f"unique tail number {i} " * 3) for i in range(6)]
+    full = _containment(
+        spark, docs, min_shingles=5, min_containment=0.05, max_df=1000
+    ).collect()
+    capped = _containment(
+        spark, docs, min_shingles=5, min_containment=0.05, max_df=3
+    ).collect()
+    f = {(r["doc_a"], r["doc_b"]): r["containment"] for r in full}
+    c = {(r["doc_a"], r["doc_b"]): r["containment"] for r in capped}
+    assert set(c) <= set(f)
+    assert all(c[k] <= f[k] + 1e-9 for k in c)
+
+
+# ----------------------------------------------- forecast backtest
+def test_forecast_backtest_perfect_seasonal_series(spark):
+    # monthly revenue that repeats exactly every 12 months:
+    # seasonal-naive error = 0, naive error > 0
+    from b2b_data_pipeline_indiamart_spark.operators.analytics import (
+        forecast_backtest_monthly,
+    )
+
+    rows = []
+    oid = 0
+    for y in (1995, 1996, 1997):
+        for m in range(1, 13):
+            amount = 100.0 + 50.0 * (m % 3)  # within-year variation
+            rows.append((oid, f"{y}-{m:02d}-15", amount))
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_orderdate STRING, o_totalprice DOUBLE"
+    ).select(
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    out = {r["model"]: r for r in forecast_backtest_monthly(df).collect()}
+    assert out["seasonal_naive"]["mae"] == 0.0
+    assert out["seasonal_naive"]["smape"] == 0.0
+    assert out["seasonal_naive"]["n_months"] == 24
+    assert out["naive"]["n_months"] == 35
+    assert out["naive"]["mae"] > 0
+
+
+# --------------------------------------------------- control chart
+def test_control_chart_flags_planted_excursion(spark):
+    rows = []
+    oid = 0
+    for i in range(24):
+        y, m = 1995 + i // 12, i % 12 + 1
+        amount = 1000.0 + (9000.0 if i == 17 else 0.0)
+        rows.append((oid, f"{y}-{m:02d}-10", amount))
+        oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_orderdate STRING, o_totalprice DOUBLE"
+    ).select(
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    from b2b_data_pipeline_indiamart_spark.operators.profiling import (
+        control_chart_monthly,
+    )
+
+    out = {r["month"]: r for r in control_chart_monthly(df).collect()}
+    assert len(out) == 24
+    flagged = [m for m, r in out.items() if r["out_of_control"] == 1]
+    assert flagged == ["1996-06"]
+    assert out["1995-01"]["moving_range"] is None  # first month has no MR
+    # limits are symmetric around the center
+    r = out["1995-02"]
+    assert abs((r["ucl"] - r["center"]) - (r["center"] - r["lcl"])) < 0.02
+
+
+# ---------------------------------------------------------- wilson
+def test_funnel_wilson_matches_closed_form(spark):
+    # 100 users view; 60 click after view; 30 purchase after click
+    rows = []
+    for u in range(100):
+        rows.append((u, "2024-01-01 10:00:00", "view"))
+        if u < 60:
+            rows.append((u, "2024-01-01 11:00:00", "click"))
+        if u < 30:
+            rows.append((u, "2024-01-01 12:00:00", "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts STRING, event_type STRING"
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    from b2b_data_pipeline_indiamart_spark.operators.analytics import (
+        funnel_wilson,
+    )
+
+    out = {r["step"]: r for r in funnel_wilson(df).collect()}
+    s1 = out["view_to_click"]
+    assert (s1["n_prev"], s1["n_conv"]) == (100, 60)
+    assert s1["rate"] == 0.6
+
+    def wilson(k, n, z=1.96):
+        p = k / n
+        den = 1 + z * z / n
+        c = (p + z * z / (2 * n)) / den
+        h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+        return c - h, c + h
+
+    lo, hi = wilson(60, 100)
+    assert abs(s1["ci_low"] - lo) < 1e-6 and abs(s1["ci_high"] - hi) < 1e-6
+    s2 = out["click_to_purchase"]
+    assert (s2["n_prev"], s2["n_conv"]) == (60, 30)
+    assert s2["ci_low"] < 0.5 < s2["ci_high"]
