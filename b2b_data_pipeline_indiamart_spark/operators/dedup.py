@@ -1538,8 +1538,8 @@ def shingle_containment(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 5,
-    min_shingles: int = 20,
+    n: int = 3,
+    min_shingles: int = 8,
     min_containment: float = 0.5,
     max_df: int = 1000,
     top: int = 100,
@@ -1551,6 +1551,17 @@ def shingle_containment(
     dominated by B) but containment ≈ 1; the symmetric near-dup family
     (MinHash/SimHash/ngram_jaccard) structurally misses exactly these
     pairs, which is why containment is its own operator.
+
+    Shingles are WORD ``n``-grams, not character n-grams — a measured
+    scale decision, not a style one: char 5-grams are near-universal
+    across documents (median df 31 at a 500-doc corpus, Σdf² = 15.6 M
+    join rows), so at corpus scale virtually every shingle saturates
+    the df cap and the index self-join goes quadratic (the sf10
+    budget breach that motivated this form); word 3-grams over the
+    same corpus have median df 1 and Σdf² = 54 K — 290× less join
+    volume, and the df law stays bounded by dup-cluster size rather
+    than by alphabet statistics. Word n-grams are also the standard
+    containment unit for quote detection (verbatim word sequences).
 
     Scale shape: inverted-index self-join on the shingle STRING (the
     engine-portable spelling; the xxhash64-packed fast path lives in
@@ -1569,16 +1580,32 @@ def shingle_containment(
     """
     from . import caching
 
-    d = _with_normalized(docs, text_col, id_col).filter(
-        F.col("__norm").isNotNull()
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
+    grams = toks.select(
+        "doc",
+        F.when(
+            F.size("__toks") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(F.col("__toks"), i + j)
+                            for j in range(n)
+                        ],
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
     )
     sh = caching.persist_tracked(
-        d.select(
-            F.col(id_col).alias("doc"),
-            F.explode(
-                F.array_distinct(char_shingles(F.col("__norm"), n))
-            ).alias("g"),
-        )
+        grams.select("doc", F.explode("g").alias("g"))
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))

@@ -11190,7 +11190,7 @@ def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
     t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
     tok AS (SELECT doc_id AS dd, unnest(toks) AS token FROM t),
-    tf AS (SELECT dd, token, CAST(count(*) AS BIGINT) AS tf
+    tf AS MATERIALIZED (SELECT dd, token, CAST(count(*) AS BIGINT) AS tf
            FROM tok GROUP BY 1, 2),
     ndoc AS (SELECT CAST(count(DISTINCT dd) AS BIGINT) AS nd FROM tf),
     dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq
@@ -11199,7 +11199,7 @@ def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE dfreq >= 2
                AND dfreq <= greatest(2, least(
                      CAST(floor(0.2 * nd) AS BIGINT), 10000))),
-    ii AS (SELECT token, dd,
+    ii AS MATERIALIZED (SELECT token, dd,
                   CAST(floor((tf * (ln(CAST(nd + 1 AS DOUBLE)
                                        / (dfreq + 1)) + 1.0))
                              * 1000.0 + 0.5) AS BIGINT) AS w
@@ -11386,11 +11386,13 @@ def events_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc, {_NORM} AS s
                 FROM documents),
-    d AS (SELECT doc, list_distinct(list_transform(
-            range(1, GREATEST(length(s) - 4, 1) + 1),
-            i -> substr(s, i, 5))) AS g
-          FROM d0 WHERE s IS NOT NULL),
-    sh AS (SELECT doc, unnest(g) AS g FROM d),
+    dt AS (SELECT doc, {_TOKS} AS t FROM d0 WHERE s IS NOT NULL),
+    d AS (SELECT doc, list_distinct(CASE WHEN len(t) >= 3
+            THEN list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE [] END) AS g
+          FROM dt),
+    sh AS MATERIALIZED (SELECT doc, unnest(g) AS g FROM d),
     sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_sh
               FROM sh GROUP BY doc),
     dfq AS (SELECT g FROM (SELECT g, count(*) AS dfreq FROM sh GROUP BY g)
@@ -11415,7 +11417,7 @@ def events_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc AS (SELECT doc_a, doc_b, n_shingles_a, n_common,
                   round(CAST(n_common AS DOUBLE) / n_shingles_a, 4)
                     AS containment
-           FROM directed WHERE n_shingles_a >= 20)
+           FROM directed WHERE n_shingles_a >= 8)
     SELECT doc_a, doc_b, n_shingles_a, n_common, containment
     FROM sc WHERE containment >= 0.5
     ORDER BY containment DESC, doc_a, doc_b LIMIT 100

@@ -315,17 +315,13 @@ def test_containment_finds_quote_jaccard_misses(spark):
     assert (0, 1) in rows and rows[(0, 1)] > 0.9
     # the reverse direction is NOT contained
     assert (1, 0) not in rows
-    # exact Jaccard of the pair is far below the containment —
-    # the asymmetry is the point of the operator
-    from b2b_data_pipeline_indiamart_spark.operators.dedup import (
-        char_shingles,
-        normalize_doc,
-    )
+    # exact Jaccard of the pair (same word-3gram space) is far below
+    # the containment — the asymmetry is the point of the operator
+    def grams3(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
 
-    d = spark.createDataFrame(docs[:2], "doc_id LONG, text STRING").select(
-        "doc_id", char_shingles(normalize_doc(F.col("text")), 5).alias("g")
-    )
-    g0, g1 = [set(r["g"]) for r in d.orderBy("doc_id").collect()]
+    g0, g1 = grams3(quote), grams3(long_doc)
     jac = len(g0 & g1) / len(g0 | g1)
     assert jac < 0.5
 
