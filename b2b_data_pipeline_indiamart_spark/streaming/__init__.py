@@ -7,6 +7,8 @@ from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
     view_click_attribution,
     read_event_stream,
     running_user_totals,
+    psi_reference,
+    start_drift_monitor_sink,
     start_memory_sink,
     start_incremental_rollup,
     start_neardup_suppress_sink,
@@ -31,4 +33,6 @@ __all__ = [
     "start_incremental_rollup",
     "start_neardup_suppress_sink",
     "start_parquet_ingest",
+    "psi_reference",
+    "start_drift_monitor_sink",
 ]

@@ -1108,3 +1108,113 @@ def start_scd2_dimension_sink(
         .outputMode("update")
         .start()
     )
+
+
+def psi_reference(
+    df: DataFrame, value_col: str = "value", n_bins: int = 10
+) -> "tuple[list[float], list[int]]":
+    """Freeze a PSI reference from a batch frame: exact-percentile bin
+    edges (2dp-rounded BEFORE the cut — operators/profiling.psi_drift's
+    discipline) plus per-bin counts, returned as plain Python lists.
+
+    This is the trained-state-shipped-as-literals pattern (same as the
+    PQ/IVF codebooks): the reference is computed ONCE on the training
+    window and embedded in the streaming plan as constants, so the
+    monitor itself adds no scan of historical data to any microbatch.
+    """
+    qs = [round(i / n_bins, 6) for i in range(1, n_bins)]
+    edge_row = df.agg(
+        *[
+            F.round(F.expr(f"percentile({value_col}, {q})"), 2).alias(
+                f"e{i}"
+            )
+            for i, q in enumerate(qs, start=1)
+        ]
+    ).collect()[0]
+    edges = [float(edge_row[f"e{i}"]) for i in range(1, n_bins)]
+    bin_expr = F.lit(1)
+    for e in edges:
+        bin_expr = bin_expr + F.when(F.col(value_col) > e, 1).otherwise(0)
+    counts = {
+        r["bin"]: r["c"]
+        for r in df.select(bin_expr.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    return edges, [int(counts.get(b, 0)) for b in range(1, n_bins + 1)]
+
+
+def start_drift_monitor_sink(
+    events: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    ref_edges: "list[float]",
+    ref_counts: "list[int]",
+    value_col: str = "value",
+    alarm_threshold: float = 0.25,
+) -> StreamingQuery:
+    """Per-microbatch Population Stability Index monitor — the
+    streaming form of ``orders_price_psi`` / profiling.psi_drift: each
+    epoch's ``value`` distribution is binned against the FROZEN
+    reference edges (broadcast literals, map-side expression) and its
+    PSI vs the reference shares is appended to a queryable parquet
+    metrics table, with an alarm flag at the standard 0.25
+    "significant shift" band.
+
+    Scale shape per epoch: one conditional-sum aggregate collapses the
+    batch to ≤ n_bins rows; the PSI arithmetic runs on those ≤ 10
+    numbers driver-side (metadata scale — loop-control math, not data
+    movement). Exactly-once without a ledger: the metrics table is
+    PARTITIONED BY epoch and written via the partition-grain upsert,
+    so a replayed microbatch rewrites its own epoch partition with
+    identical content (the start_incremental_rollup idempotence
+    argument — the write unit IS the update unit).
+
+    Output table: epoch=N partitions with (n_rows, psi, drifted).
+    """
+    import math as _math
+
+    from ..sources.sinks import upsert_partitions
+
+    n_bins = len(ref_counts)
+    n_ref = sum(ref_counts)
+    half = 0.5 * n_bins
+    ref_shares = [(c + 0.5) / (n_ref + half) for c in ref_counts]
+    bin_expr = F.lit(1)
+    for e in ref_edges:
+        bin_expr = bin_expr + F.when(F.col(value_col) > F.lit(e), 1).otherwise(
+            0
+        )
+    spark = events.sparkSession
+
+    def score_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            batch_df.select(bin_expr.cast("int").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        if not rows:
+            return
+        counts = {r["bin"]: r["c"] for r in rows}
+        n_cur = sum(counts.values())
+        psi = 0.0
+        for b in range(1, n_bins + 1):
+            pc = (counts.get(b, 0) + 0.5) / (n_cur + half)
+            pr = ref_shares[b - 1]
+            psi += (pc - pr) * _math.log(pc / pr)
+        out = spark.createDataFrame(
+            [(int(epoch_id), int(n_cur), round(psi, 6),
+              bool(psi > alarm_threshold))],
+            "epoch LONG, n_rows LONG, psi DOUBLE, drifted BOOLEAN",
+        )
+        upsert_partitions(out, output_dir, ["epoch"])
+
+    return (
+        events.writeStream.foreachBatch(score_epoch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

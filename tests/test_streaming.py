@@ -1437,3 +1437,59 @@ def test_streaming_scd2_sink_crash_states_both_dirs_and_stale_aside(
         (2, True): "US", (3, True): "BR",
     }
     assert not os.path.exists(snap_dir + "__aside")
+
+
+def test_streaming_drift_monitor_psi(spark, tmp_path):
+    """The PSI drift monitor: an epoch drawn from the reference
+    distribution scores near zero; a shifted epoch crosses the 0.25
+    alarm band — and the metrics table is epoch-partitioned parquet
+    (the idempotent partition-upsert write unit)."""
+    from b2b_data_pipeline_indiamart_spark.streaming import (
+        psi_reference,
+        read_event_stream,
+        start_drift_monitor_sink,
+    )
+
+    # reference: value = i % 200 over 2000 rows (deterministic)
+    ref = spark.createDataFrame(
+        [(float(i % 200),) for i in range(2000)], "value DOUBLE"
+    )
+    edges, counts = psi_reference(ref, "value")
+    assert len(edges) == 9 and len(counts) == 10
+    assert sum(counts) == 2000
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "psi")
+    ck = str(tmp_path / "ck")
+    # epoch 0: same distribution; epoch 1: +500 shift (total drift)
+    _write_events(
+        src / "b1.json",
+        [(f"2026-01-01T10:{i % 60:02d}:00", i, "view", float(i % 200))
+         for i in range(600)],
+    )
+    q = start_drift_monitor_sink(
+        read_event_stream(spark, str(src), max_files_per_trigger=1),
+        out,
+        ck,
+        ref_edges=edges,
+        ref_counts=counts,
+    )
+    q.processAllAvailable()
+    _write_events(
+        src / "b2.json",
+        [(f"2026-01-01T11:{i % 60:02d}:00", i, "view", 500.0 + i % 50)
+         for i in range(600)],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["epoch"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 2
+    same, shifted = rows[0], rows[1]
+    assert same["n_rows"] == 600 and shifted["n_rows"] == 600
+    assert same["psi"] < 0.1 and same["drifted"] is False
+    assert shifted["psi"] > 0.25 and shifted["drifted"] is True
+    # every shifted value lands in the top bin: PSI ≈ the max-drift
+    # regime, well above the alarm band, sanity of the closed form
+    assert shifted["psi"] > 1.0
