@@ -87,14 +87,37 @@ def main() -> None:
         .appName("full-parity")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        # driver testdata ships single files; scale_up.py output (sf1)
-        # is a directory of part files — glob in that case
-        p = f"{sf}/{t}.parquet"
-        if Path(p).is_dir():
-            p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    import os as _os
+
+    def _connect():
+        # Bound DuckDB's buffer pool and temp spill, and rebuild the
+        # connection periodically (below): the r13 sf1 sweep showed a
+        # single long-lived connection accumulating buffer-pool state
+        # across ~200 heavy MATERIALIZED oracles until a recursive-CTE
+        # key spilled ~75 GB of temp, filled the disk, and poisoned
+        # every subsequent key with spurious OOMs — environmental
+        # failures masquerading as parity failures.
+        c = duckdb.connect()
+        c.execute(
+            "SET memory_limit = "
+            f"'{_os.environ.get('SPARK_GRAFT_PARITY_DUCK_MEM', '32GB')}'"
+        )
+        c.execute(
+            "SET max_temp_directory_size = "
+            f"'{_os.environ.get('SPARK_GRAFT_PARITY_DUCK_TMP', '40GiB')}'"
+        )
+        for t in TABLES:
+            # driver testdata ships single files; scale_up.py output
+            # (sf1) is a directory of part files — glob in that case
+            p = f"{sf}/{t}.parquet"
+            if Path(p).is_dir():
+                p = f"{p}/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+        return c
+
+    con = _connect()
 
     # Optional per-key wall budget (seconds). At the tiled sf1 point a
     # few pair-family DuckDB oracles go quadratic (tiling multiplies
@@ -157,7 +180,14 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     t0 = time.time()
-    for key, fn in keys.items():
+    for n_done, (key, fn) in enumerate(keys.items()):
+        if n_done and n_done % 40 == 0:
+            # fresh connection every 40 keys — see _connect()
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = _connect()
         rec: dict = {}
         t_key = time.time()
 
