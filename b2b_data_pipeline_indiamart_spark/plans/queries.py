@@ -1358,9 +1358,19 @@ def _blocked_cc_sql(rounds: int = 24, full: bool = False) -> str:
             " / LN(16)) AS INT)) AS l\n"
             "      FROM rep\n"
             "    ),\n"
-            "    d AS (\n"
+            "    d AS MATERIALIZED (\n"
+            "      -- blocking keys PRECOMPUTED as plain columns: a scalar\n"
+            "      -- subquery inside the join predicate can defeat DuckDB's\n"
+            "      -- hash-join planning (observed: the rep-derived variant\n"
+            "      -- planned the 50k x 50k self-join blockwise-NL at sf1 —\n"
+            "      -- 2.5e9 probes, OOM — while the same text over the raw\n"
+            "      -- table hash-joined in seconds); equality on a stored\n"
+            "      -- column is unambiguous in every engine\n"
             "      SELECT rep_id AS doc_id,\n"
-            "             CASE WHEN ch = '__null__' THEN NULL ELSE ch END AS h\n"
+            "             substr(CASE WHEN ch = '__null__' THEN NULL ELSE ch"
+            " END, 1, (SELECT l FROM p)) AS k1,\n"
+            "             substr(CASE WHEN ch = '__null__' THEN NULL ELSE ch"
+            " END, (SELECT l FROM p) + 1, (SELECT l FROM p)) AS k2\n"
             "      FROM rep\n"
             "    ),\n"
         )
@@ -1373,23 +1383,23 @@ def _blocked_cc_sql(rounds: int = 24, full: bool = False) -> str:
             " / LN(16)) AS INT)) AS l\n"
             "      FROM documents\n"
             "    ),\n"
-            "    d AS (\n"
-            f"      SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({_NORM}) AS h"
-            " FROM documents\n"
+            "    d AS MATERIALIZED (\n"
+            "      -- blocking keys precomputed as columns (see full variant)\n"
+            f"      SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+            f"             substr(md5({_NORM}), 1, (SELECT l FROM p)) AS k1,\n"
+            f"             substr(md5({_NORM}), (SELECT l FROM p) + 1,"
+            " (SELECT l FROM p)) AS k2\n"
+            "      FROM documents\n"
             "    ),\n"
         )
     p = (
         base +
         "    edges AS MATERIALIZED (\n"
         "      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b\n"
-        "        ON substr(a.h, 1, (SELECT l FROM p))"
-        " = substr(b.h, 1, (SELECT l FROM p))\n"
-        "        AND a.doc_id <> b.doc_id\n"
+        "        ON a.k1 = b.k1 AND a.doc_id <> b.doc_id\n"
         "      UNION\n"
         "      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b\n"
-        "        ON substr(a.h, (SELECT l FROM p) + 1, (SELECT l FROM p))\n"
-        "           = substr(b.h, (SELECT l FROM p) + 1, (SELECT l FROM p))\n"
-        "        AND a.doc_id <> b.doc_id\n"
+        "        ON a.k2 = b.k2 AND a.doc_id <> b.doc_id\n"
         "    ),\n"
         "    lab0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM d)"
     )
