@@ -638,7 +638,11 @@ def funnel_wilson(events: DataFrame, z: float = 1.96) -> DataFrame:
     )
 
     def _step(name: str, prev_c: str, conv_c: str) -> DataFrame:
-        nprev = F.col(prev_c).cast("double")
+        # NULL-out a zero denominator explicitly: non-ANSI Spark would
+        # give NULL for x/0 but DuckDB's IEEE double division gives
+        # inf/NaN — the guard (NULLIF in the oracle) makes BOTH
+        # engines serve NULL rate on an empty previous step
+        nprev = F.when(F.col(prev_c) > 0, F.col(prev_c).cast("double"))
         p = F.col(conv_c).cast("double") / nprev
         # z² as lit(z)*lit(z), NOT a Python-precomputed literal: the
         # decimal spelling of z*z can parse to a double 1 ulp away

@@ -466,8 +466,12 @@ def control_chart_monthly(
         .alias("nmr"),
     ).select(
         (F.col("srev") / F.col("n")).alias("center_c"),
-        (
-            F.col("smr").cast("double") / F.col("nmr") / F.lit(1.128)
+        # explicit zero guard (NULLIF in the oracle): with a single
+        # month there is no moving range, and both engines must agree
+        # on NULL sigma rather than rely on NULL/0 engine behavior
+        F.when(
+            F.col("nmr") > 0,
+            F.col("smr").cast("double") / F.col("nmr") / F.lit(1.128),
         ).alias("sigma_c"),
     )
     out = with_mr.crossJoin(F.broadcast(consts))

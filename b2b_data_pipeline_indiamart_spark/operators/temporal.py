@@ -987,7 +987,13 @@ def cusum_changepoint(
     stats = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        # widen-first: cast BEFORE squaring so long*long cannot wrap
+        # (the oracle does CAST(x AS HUGEINT) * x)
+        F.sum(
+            (F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
     ).select(
         money_ints(
             F.col("sx") / F.col("n")

@@ -812,8 +812,15 @@ def tfidf_allpairs(
             .alias("w"),
         )
     )
+    # widen-first (the ols_two_feature._wide discipline): cast BEFORE
+    # multiplying so w*w cannot wrap a BIGINT under non-ANSI Spark —
+    # the DuckDB oracle widens to HUGEINT before its multiply
     norms = ii.groupBy("d").agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("nsq")
+        F.sum(
+            (F.col("w").cast("decimal(19,0)") * F.col("w").cast("decimal(19,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("nsq")
     )
     a = ii.select(
         "token", F.col("d").alias("da"), F.col("w").alias("wa")

@@ -10578,7 +10578,18 @@ def _rp_proj_sql(dim: int = 64, out_dim: int = 16) -> str:
     """
 
 
-@_register("embedding_rp_project", _rp_proj_sql())
+def _rp_proj_long_sql(dim: int = 64, out_dim: int = 16) -> str:
+    """Long-form (vec_id, dim, coord) restatement of _rp_proj_sql —
+    hashable scalar columns only (the driver canonicalizer cannot
+    sort an array column)."""
+    return f"""
+    WITH p AS ({_rp_proj_sql(dim, out_dim).strip()})
+    SELECT vec_id, CAST(u.i - 1 AS INT) AS dim, rp[u.i] AS coord
+    FROM p, UNNEST(range(1, len(rp) + 1)) AS u(i)
+    """
+
+
+@_register("embedding_rp_project", _rp_proj_long_sql())
 def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection 64d → 16d
     (operators/similarity.rp_project, Achlioptas sparse-sign matrix).
@@ -10589,9 +10600,17 @@ def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected coordinate hash-matches DuckDB. Plan: map-only, one
     embedding scan, 16 codegen'd sequential-fold dot products per
     row, ZERO shuffle — the 4× footprint cut with zero training state
-    at any corpus size."""
+    at any corpus size. Served LONG FORM (vec_id, dim, coord) via
+    posexplode so every output column is a hashable scalar — the
+    driver canonicalizer sorts columns with pandas and cannot factor
+    an array column; internal consumers (ann_rp,
+    embedding_rp_distortion) keep the array shape via
+    similarity.rp_project directly."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.rp_project(emb)
+    proj = similarity.rp_project(emb)
+    return proj.select(
+        "vec_id", F.posexplode("rp").alias("dim", "coord")
+    ).withColumn("dim", F.col("dim").cast("int"))
 
 
 @_register(
@@ -11302,7 +11321,8 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm AS (SELECT m.idx, m.rev, abs(m.rev - p.rev) AS mr
            FROM monthly m LEFT JOIN monthly p ON m.idx = p.idx + 1),
     c AS (SELECT sum(rev) / count(*) AS center_c,
-                 CAST(sum(mr) AS DOUBLE) / count(mr) / 1.128 AS sigma_c
+                 CAST(sum(mr) AS DOUBLE) / NULLIF(count(mr), 0) / 1.128
+                   AS sigma_c
           FROM wm)
     SELECT concat(CAST(idx // 12 AS VARCHAR), '-',
                   lpad(CAST(idx % 12 + 1 AS VARCHAR), 2, '0')) AS month,
@@ -11358,8 +11378,9 @@ def orders_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT step, n_prev, n_conv,
-             CAST(n_conv AS DOUBLE) / CAST(n_prev AS DOUBLE) AS p,
-             CAST(n_prev AS DOUBLE) AS nprev
+             CAST(n_conv AS DOUBLE)
+               / NULLIF(CAST(n_prev AS DOUBLE), 0) AS p,
+             NULLIF(CAST(n_prev AS DOUBLE), 0) AS nprev
       FROM s
     ),
     x AS (

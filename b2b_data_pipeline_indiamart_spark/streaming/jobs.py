@@ -1122,10 +1122,16 @@ def psi_reference(
     window and embedded in the streaming plan as constants, so the
     monitor itself adds no scan of historical data to any microbatch.
     """
+    from ..functions.rounding import round_half_up
+
     qs = [round(i / n_bins, 6) for i in range(1, n_bins)]
+    # round_half_up, NOT F.round: the batch psi_drift rounds edges with
+    # floor(x*100+0.5), and a percentile landing exactly on a rounding
+    # boundary must freeze the SAME edge here or boundary rows shift
+    # bins between the batch and streaming PSI paths
     edge_row = df.agg(
         *[
-            F.round(F.expr(f"percentile({value_col}, {q})"), 2).alias(
+            round_half_up(F.expr(f"percentile({value_col}, {q})"), 2).alias(
                 f"e{i}"
             )
             for i, q in enumerate(qs, start=1)
@@ -1179,6 +1185,13 @@ def start_drift_monitor_sink(
     from ..sources.sinks import upsert_partitions
 
     n_bins = len(ref_counts)
+    if len(ref_edges) != n_bins - 1:
+        raise ValueError(
+            f"drift monitor: {n_bins} ref_counts needs exactly "
+            f"{n_bins - 1} ref_edges, got {len(ref_edges)} — a "
+            "swapped/truncated reference would silently mis-bin every "
+            "microbatch"
+        )
     n_ref = sum(ref_counts)
     half = 0.5 * n_bins
     ref_shares = [(c + 0.5) / (n_ref + half) for c in ref_counts]

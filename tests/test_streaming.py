@@ -1493,3 +1493,27 @@ def test_streaming_drift_monitor_psi(spark, tmp_path):
     # every shifted value lands in the top bin: PSI ≈ the max-drift
     # regime, well above the alarm band, sanity of the closed form
     assert shifted["psi"] > 1.0
+
+
+def test_drift_monitor_rejects_mismatched_reference(spark, tmp_path):
+    """A swapped/truncated edges-counts pair must fail LOUDLY at sink
+    construction (r14 ADVICE): n counts needs exactly n-1 edges, else
+    every microbatch would silently mis-bin."""
+    import pytest as _pytest
+
+    from b2b_data_pipeline_indiamart_spark.streaming import (
+        read_event_stream,
+        start_drift_monitor_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    with _pytest.raises(ValueError, match="ref_edges"):
+        start_drift_monitor_sink(
+            stream,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            ref_edges=[1.0, 2.0],  # truncated: 10 counts need 9 edges
+            ref_counts=[10] * 10,
+        )
