@@ -2200,6 +2200,71 @@ def cluster_label_purity_seeded(
     return _purity_readout(cl, label_col)
 
 
+def semdedup_seeded(
+    emb: DataFrame,
+    n_seeds: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Oracle-bearing twin of :func:`semdedup_kmeans` — the FULL
+    SemDeDup composition (cluster assignment → within-cluster keep
+    rule) with every step SQL-statable: "centroids" are the
+    ``n_seeds`` lowest-id vectors (no Lloyd training), assignment is
+    argmax 6dp-rounded cosine with seed-id tie-break (the
+    :func:`cluster_label_purity_seeded` discipline), and the keep
+    rule is the IDENTICAL :func:`semdedup` code path the trained
+    production key runs (blocked gemm pairs, drop iff a lower-id
+    same-cluster vector has 4dp cosine ≥ threshold). Only Lloyd
+    iteration itself remains rows-only — the assignment math, the
+    pair scan, and the exists-based keep decision are all value-gated
+    here end to end.
+
+    Scale shape: seeds broadcast (n_seeds × dim floats), assignment
+    is a map-side crossJoin + per-vector window keyed on the vector
+    id, the pair scan is the blocked gemm (shuffle O(N · n_blocks),
+    per-task memory bounded by the largest cluster's block pair).
+
+    Output: (id_col, cluster, kept) — cluster is the seed vec_id.
+    """
+    v = emb.select(
+        F.col(id_col).cast("long").alias("__vid"),
+        as_double_array(F.col(vec_col)).alias("__e"),
+    )
+    seeds = v.join(F.broadcast(_lowest_ids(v, "__vid", n_seeds)), "__vid").select(
+        F.col("__vid").alias("__cid"), F.col("__e").alias("__se")
+    )
+    sims = v.crossJoin(F.broadcast(seeds)).select(
+        "__vid",
+        "__cid",
+        round_half_up(cosine(F.col("__e"), F.col("__se")), 6).alias("__sim"),
+    )
+    w = Window.partitionBy("__vid").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    cells = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__vid", F.col("__cid").alias("__cluster"))
+    )
+    clustered = (
+        emb.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+        )
+        .join(cells, F.col(id_col) == F.col("__vid"))
+        .select(id_col, vec_col, "__cluster")
+    )
+    return semdedup(
+        clustered,
+        "__cluster",
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        n_blocks=n_blocks,
+    )
+
+
 def ood_scores(
     emb: DataFrame,
     dim: int,

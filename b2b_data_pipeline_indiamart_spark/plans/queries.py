@@ -8175,7 +8175,98 @@ ORACLE["corpus_prep_semantic"] = f"""
 """
 
 
-@_register("docs_bpe_tokenize")  # rows-only (iterative merge training)
+def _bpe_tokenize_sql(n_merges: int = 50, vocab_cap: int = 65536) -> str:
+    """Full BPE train+apply restated as ONE DuckDB query (VERDICT r13
+    #5): the 50-step merge training loop is UNROLLED as 50 chained
+    (pair-count → argmax → fold-apply) CTE triples over the capped
+    distinct-word table, and per-word segmentation is a recursive CTE
+    that merges the leftmost lowest-rank pair one step at a time —
+    exactly textstats.bpe_segment's loop, terminating when no trained
+    pair remains (bounded by word length). The one-merge application
+    is a list_reduce left-fold (merge current symbol into the
+    accumulator tail iff the tail,current pair is the chosen merge),
+    which reproduces the trainer's left-to-right non-overlapping
+    in-place scan. Every v/b CTE is MATERIALIZED — each is referenced
+    twice and inlining would recompute the whole chain per reference.
+    """
+    parts = []
+    for m in range(1, n_merges + 1):
+        prev = f"v{m-1}"
+        parts.append(f"""
+    p{m} AS (
+      SELECT syms[CAST(u.i AS INT)] AS s1, syms[CAST(u.i AS INT)+1] AS s2,
+             sum(wf) AS cnt
+      FROM {prev}, unnest(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2),
+    b{m} AS MATERIALIZED (SELECT s1, s2 FROM p{m}
+             ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1),
+    v{m} AS MATERIALIZED (
+      SELECT tok, wf,
+             CASE WHEN b.s1 IS NULL THEN syms ELSE
+               list_reduce(list_transform(syms, s -> [s]),
+                 (acc, x) -> CASE WHEN acc[-1] = b.s1 AND x[1] = b.s2
+                             THEN list_slice(acc, 1, len(acc)-1)
+                                  || [acc[-1] || x[1]]
+                             ELSE acc || x END)
+             END AS syms
+      FROM {prev} LEFT JOIN b{m} b ON TRUE)""")
+    ranks_union = "\n      UNION ALL ".join(
+        f"SELECT s1, s2, {m - 1} AS r FROM b{m}"
+        for m in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH RECURSIVE dn AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    inst AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM dn WHERE s IS NOT NULL),
+    v0 AS MATERIALIZED (
+      SELECT tok, wf,
+             list_transform(range(1, length(tok)+1),
+               i -> substr(tok, CAST(i AS INT), 1)) AS syms
+      FROM (SELECT tok, CAST(count(*) AS BIGINT) AS wf
+            FROM inst GROUP BY tok HAVING length(tok) >= 2
+            ORDER BY wf DESC, tok ASC LIMIT {vocab_cap})),
+    {",".join(parts)},
+    rmap AS MATERIALIZED (
+      SELECT map(list(s1 || chr(31) || s2 ORDER BY r),
+                 list(r ORDER BY r)) AS mp
+      FROM ({ranks_union})),
+    words_all AS (SELECT DISTINCT tok FROM inst),
+    seg AS (
+      SELECT tok, list_transform(range(1, length(tok)+1),
+                    i -> substr(tok, CAST(i AS INT), 1)) AS syms
+      FROM words_all
+      UNION ALL
+      SELECT tok,
+             list_slice(syms, 1, bi-1) || [syms[bi] || syms[bi+1]]
+               || list_slice(syms, bi+2, len(syms)) AS syms
+      FROM (
+        SELECT tok, syms,
+               CAST(list_filter(cands, x -> x.r =
+                      list_min(list_transform(cands, c -> c.r)))[1].i
+                 AS INT) AS bi
+        FROM (
+          SELECT tok, syms,
+                 list_filter(
+                   list_transform(range(1, len(syms)),
+                     i -> {{'i': CAST(i AS INT),
+                           'r': (mp[syms[CAST(i AS INT)] || chr(31)
+                                 || syms[CAST(i AS INT)+1]])[1]}}),
+                   x -> x.r IS NOT NULL) AS cands
+          FROM seg CROSS JOIN rmap)
+        WHERE len(cands) > 0)),
+    segn AS (SELECT tok, CAST(min(len(syms)) AS INT) AS n_sub
+             FROM seg GROUP BY tok)
+    SELECT inst.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+           round(CAST(sum(n_sub) AS DOUBLE) / count(*), 4)
+             AS avg_subwords_per_word
+    FROM inst JOIN segn USING (tok)
+    GROUP BY inst.doc_id
+    """
+
+
+@_register("docs_bpe_tokenize", _bpe_tokenize_sql())
 def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer train + apply (textstats.bpe_train_merges /
     bpe_tokenize_docs): 50 merges trained on the capped distinct-word
@@ -8183,9 +8274,13 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer's framing), then per-doc subword counts with segmentation
     computed once per DISTINCT word. Extends docs_bpe_pairs (the
     single-merge argmax statistic) to the whole training loop.
-    Rows-only: the iterative merge recurrence isn't SQL-expressible —
-    determinism, merge-list order, and concat-preservation are
-    pytest-pinned."""
+    GRADUATED to a full value oracle in r14: the merge recurrence IS
+    SQL-statable after all — training unrolls as 50 chained
+    argmax+fold CTEs and segmentation is a bounded recursive CTE (see
+    _bpe_tokenize_sql) — so merge order, tie-breaks ((count desc,
+    pair asc) = ORDER BY cnt DESC, s1, s2), and every per-doc subword
+    count hash-check against DuckDB; the pytest determinism pins
+    remain."""
     docs = _tp(spark, sf_dir, "documents")
     merges = textstats.bpe_train_merges(docs, n_merges=50)
     return textstats.bpe_tokenize_docs(docs, merges).orderBy("doc_id")
@@ -11466,3 +11561,63 @@ def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one unordered-pair pass, top-k via ORDER BY + LIMIT."""
     docs = _tp(spark, sf_dir, "documents")
     return dedup.shingle_containment(docs)
+
+
+# ==========================================================================
+# Round 14 — graduating the last mechanically-oracle-able rows-only keys
+# (VERDICT r13 #5): the full SemDeDup composition with seeded centroids,
+# and the full BPE train+apply loop as an unrolled SQL oracle.
+# ==========================================================================
+
+
+@_register(
+    "semdedup_seeded_portable",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, e AS se FROM v
+              WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    sims AS (
+      SELECT v.vec_id, s.cid,
+             round(CASE WHEN sqrt(list_dot_product(v.e, v.e))
+                             * sqrt(list_dot_product(se, se)) > 0
+                        THEN list_dot_product(v.e, se)
+                             / (sqrt(list_dot_product(v.e, v.e))
+                                * sqrt(list_dot_product(se, se)))
+                   END, 6) AS sim
+      FROM v CROSS JOIN seeds s
+    ),
+    cells AS (SELECT vec_id, cluster FROM (
+      SELECT vec_id, cid AS cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid ASC) AS rn
+      FROM sims) WHERE rn = 1),
+    cv AS (SELECT c.vec_id, c.cluster, v.e
+           FROM cells c JOIN v ON c.vec_id = v.vec_id),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS did
+      FROM cv a JOIN cv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e)) > 0
+                       THEN list_dot_product(a.e, b.e)
+                            / (sqrt(list_dot_product(a.e, a.e))
+                               * sqrt(list_dot_product(b.e, b.e)))
+                  END, 4) >= 0.3
+    )
+    SELECT cv.vec_id, cv.cluster, (d.did IS NULL) AS kept
+    FROM cv LEFT JOIN dropped d ON cv.vec_id = d.did
+    """,
+)
+def semdedup_seeded_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing twin of semdedup_kmeans (VERDICT r13 #5) — the
+    FULL SemDeDup composition value-gated end to end
+    (operators/similarity.semdedup_seeded): seeded "centroids" (the 8
+    lowest-id vectors, no Lloyd), argmax 6dp-cosine assignment with
+    seed-id tie-break, then the IDENTICAL within-cluster keep rule
+    the trained key runs (similarity.semdedup: blocked-gemm pairs,
+    drop iff a lower-id same-cluster vector has 4dp cosine ≥ 0.3).
+    With semdedup_by_label gating the keep rule on a given assignment
+    and this key gating assignment + keep TOGETHER, only the Lloyd
+    iteration itself remains rows-only (numpy-pinned)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup_seeded(emb, n_seeds=8, threshold=0.3)

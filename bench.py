@@ -163,6 +163,9 @@ EXTENDED_KEYS = [
     "orders_control_chart",
     "events_funnel_wilson",
     "docs_containment",
+    # r14 addition: the graduated SemDeDup composition twin carries
+    # the blocked-gemm pair cost (docs_bpe_tokenize already tracked)
+    "semdedup_seeded_portable",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Round-14 operator tests: the seeded SemDeDup composition twin and
+the unrolled-SQL BPE trainer oracle."""
+
+from __future__ import annotations
+
+import duckdb
+
+from b2b_data_pipeline_indiamart_spark.operators import caching, similarity
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_semdedup_seeded_lowest_id_survives(spark, sf_small):
+    """The exists-based keep rule guarantees the lowest-id member of
+    every cluster's near-dup set survives — in particular the lowest
+    id in each cluster can never be dropped."""
+    out = similarity.semdedup_seeded(_emb(spark, sf_small)).collect()
+    lowest = {}
+    for r in out:
+        if r["cluster"] not in lowest or r["vec_id"] < lowest[r["cluster"]]:
+            lowest[r["cluster"]] = r["vec_id"]
+    by_id = {r["vec_id"]: r for r in out}
+    for cid, vid in lowest.items():
+        assert by_id[vid]["kept"] is True, (cid, vid)
+    caching.release_cached()
+
+
+def test_semdedup_seeded_total_and_partition_invariant(spark, sf_small):
+    """One row per input vector, clusters are seed vec_ids, and the
+    result is invariant to input partitioning (block assignment picks
+    WHERE a pair is scored, never which pairs exist)."""
+    emb = _emb(spark, sf_small)
+    base = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in similarity.semdedup_seeded(emb).collect()
+    )
+    seed_ids = {
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()
+    }
+    assert len(base) == emb.count()
+    assert {c for (_, c, _) in base} <= seed_ids
+    rep = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in similarity.semdedup_seeded(emb.repartition(13)).collect()
+    )
+    assert base == rep
+    caching.release_cached()
+
+
+def test_bpe_sql_trainer_matches_python_on_hand_corpus(tmp_path):
+    """The unrolled-CTE SQL trainer (queries._bpe_tokenize_sql) must
+    reproduce textstats.bpe_train_merges + bpe_segment exactly on a
+    hand corpus with known tie-breaks and cascading merges."""
+    import pandas as pd
+
+    from b2b_data_pipeline_indiamart_spark.operators.textstats import (
+        bpe_segment,
+    )
+    from b2b_data_pipeline_indiamart_spark.plans.queries import (
+        _bpe_tokenize_sql,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "aaaa aaaa abab",  # runs exercise left-to-right greed
+                "banana bandana banana",
+                "steel STEEL steel price",  # case folding
+                "x aaaa",  # length-1 word excluded from training
+            ],
+        }
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')"
+    )
+    oracle = (
+        con.execute(_bpe_tokenize_sql(n_merges=10))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # python reference: same training loop as bpe_train_merges
+    toks = []
+    for t in docs["text"]:
+        toks.extend(t.lower().split())
+    from collections import Counter
+
+    wf = Counter(t for t in toks if len(t) >= 2)
+    vocab = [([*t], w) for t, w in sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))]
+    merges = []
+    for _ in range(10):
+        counts: dict = {}
+        for syms, w in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + w
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for syms, _ in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+    ranks = {p: i for i, p in enumerate(merges)}
+    for _, row in oracle.iterrows():
+        did = row["doc_id"]
+        words = docs.loc[docs.doc_id == did, "text"].iloc[0].lower().split()
+        n_sub = sum(len(bpe_segment(w, ranks)) for w in words)
+        assert row["n_words"] == len(words), did
+        assert row["n_subwords"] == n_sub, (did, row["n_subwords"], n_sub)
