@@ -12,6 +12,9 @@ from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
     start_memory_sink,
     start_incremental_rollup,
     start_neardup_suppress_sink,
+    start_embedding_neardup_suppress_sink,
+    read_embedding_neardup_store,
+    embedding_state_schema,
     start_parquet_ingest,
     stateful_sessionize,
     streaming_decontaminate,
@@ -32,6 +35,9 @@ __all__ = [
     "start_memory_sink",
     "start_incremental_rollup",
     "start_neardup_suppress_sink",
+    "start_embedding_neardup_suppress_sink",
+    "read_embedding_neardup_store",
+    "embedding_state_schema",
     "start_parquet_ingest",
     "psi_reference",
     "start_drift_monitor_sink",

@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.rounding import round_half_up
 from ..operators.dedup import LSH_MAX_BUCKET_DEFAULT
 
 
@@ -809,6 +810,222 @@ def start_neardup_suppress_sink(
 
     return (
         docs.writeStream.foreachBatch(suppress_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def embedding_state_schema(id_field) -> "T.StructType":
+    """Explicit schema for the embedding near-dup state store
+    (``state_dir/vecs/epoch=<e>/cell=<c>``): one (id, v) row per
+    ADMITTED vector plus the two directory-encoded partition columns.
+    Explicit for the same reason as :func:`neardup_state_schemas` —
+    an empty store directory must not wedge the stream on schema
+    inference."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            id_field,
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("epoch", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+
+def read_embedding_neardup_store(
+    spark,
+    state_dir: str,
+    id_field,
+    *,
+    exclude_epoch: int | None = None,
+    cells: "list[int] | None" = None,
+) -> DataFrame:
+    """Admitted-vector state store, pruned to the probe's cells.
+
+    Layout ``state_dir/vecs/epoch=<e>/cell=<c>`` makes BOTH predicates
+    partition filters: the in-flight-epoch exclusion and — the 100 TB
+    seam — the batch's cell set (the IVF probe discipline: a
+    micro-batch compares only against vectors routed to its own
+    cells, ∝ matching cells, never ∝ corpus)."""
+    schema = embedding_state_schema(id_field)
+    df = spark.read.schema(schema).parquet(f"{state_dir}/vecs")
+    if exclude_epoch is not None:
+        df = df.filter(F.col("epoch") != exclude_epoch)
+    if cells is not None:
+        df = df.filter(F.col("cell").isin(cells))
+    return df.drop("epoch")
+
+
+def start_embedding_neardup_suppress_sink(
+    vecs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    ledger_dir: str,
+    *,
+    centroids: "list[list[float]]",
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> StreamingQuery:
+    """Streaming SEMANTIC near-dup suppression — the embedding half of
+    the ingest-side dedup story (VERDICT r13 #7): the cosine/SemDeDup
+    analogue of :func:`start_neardup_suppress_sink`, probing a
+    persistent cell-bucketed vector store so every micro-batch is
+    checked against the corpus admitted SO FAR.
+
+    ``centroids`` is the trained-state-shipped-as-literals seam (the
+    PQ/IVF codebook pattern): k-means cells trained OFFLINE on a
+    backfill (operators/similarity.kmeans_centroids) and passed in as
+    plain lists, so the streaming plan carries no training step and
+    every epoch routes with the identical broadcast gemm the batch
+    keys use (operators/similarity.ivf_assign).
+
+    Per epoch (foreachBatch):
+
+    1. nearest-centroid cell assignment (map-only Arrow gemm,
+       centroid matrix task-broadcast — no shuffle);
+    2. within-batch suppression: the IDENTICAL
+       operators/similarity.semdedup keep rule the batch
+       `semdedup_kmeans` / `semdedup_seeded_portable` keys run —
+       a vector is dropped iff a LOWER-ID batch vector in its cell
+       has 4dp cosine ≥ ``threshold`` (blocked-gemm pairs, exists-
+       based, lowest id of every near-dup set survives);
+    3. cross-batch suppression: batch survivors probe the admitted
+       store pruned to the batch's OWN cells (partition filter — the
+       IVF probe shape), 4dp cosine ≥ threshold against any admitted
+       same-cell vector suppresses the batch vector (admitted state
+       always wins: arrival order is the stream's total order, the
+       same asymmetry as the MinHash sink);
+    4. admitted vectors append to ``output_dir/epoch=<id>`` and the
+       state store; an epoch-ledger marker makes replays idempotent
+       (retried epochs overwrite their own directories; the state
+       read excludes the in-flight epoch so a replay cannot suppress
+       a vector against its own half-written state).
+
+    Scale shape: state grows ONE (id, vector) row per ADMITTED vector
+    — the minimum any exact-memory semantic dedup needs (the
+    approximate-memory variant would store SQ8-quantized vectors at
+    4× less, at the cost of quantization-boundary false verdicts);
+    the per-epoch probe is batch × admitted-in-matching-cells, the
+    standard IVF trade — cell count sizes the probe, and a skewed
+    cell is the same hazard (and fix: more cells / split the hot
+    cell) as any IVF index. Suppression math is 4dp-rounded cosine in
+    BOTH the within-batch and cross-batch legs, so stream decisions
+    reconcile with a batch backfill over the same corpus
+    (tests pin stream ≡ batch semdedup under ordered arrival).
+    """
+    from ..operators import caching, similarity
+
+    def _fs_and_path(spark, path_str: str):
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        return path.getFileSystem(hconf), path
+
+    def suppress_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, marker = _fs_and_path(spark, f"{ledger_dir}/epoch-{epoch_id}")
+        if fs.exists(marker):  # replay of a committed epoch
+            return
+        pos = caching.mark()
+        batch = batch_df.persist()
+        try:
+            if not batch.take(1):
+                fs.mkdirs(marker.getParent())
+                fs.createNewFile(marker)
+                return
+            # (1) route to cells with the batch keys' assignment gemm
+            assigned = similarity.ivf_assign(
+                batch, centroids, vec_col=vec_col, id_col=id_col,
+                out_id="__aid",
+            )
+            clustered = caching.persist_tracked(
+                batch.select(
+                    F.col(id_col).cast("long").alias(id_col),
+                    F.col(vec_col),
+                )
+                .join(
+                    assigned.select("__aid", "cell"),
+                    F.col(id_col) == F.col("__aid"),
+                )
+                .select(id_col, vec_col, F.col("cell").alias("__cell"))
+            )
+            # (2) within-batch: the batch semdedup keep rule verbatim
+            batch_sup = (
+                similarity.semdedup(
+                    clustered, "__cell", vec_col=vec_col, id_col=id_col,
+                    threshold=threshold,
+                )
+                .filter(~F.col("kept"))
+                .select(id_col)
+            )
+            survivors = caching.persist_tracked(
+                clustered.join(batch_sup, id_col, "left_anti").select(
+                    id_col,
+                    similarity.as_double_array(F.col(vec_col)).alias("__v"),
+                    "__cell",
+                )
+            )
+            # (3) cross-batch probe, pruned to the batch's own cells
+            sup = batch_sup
+            id_field = clustered.schema[id_col]
+            state_fs, state_path = _fs_and_path(spark, f"{state_dir}/vecs")
+            if state_fs.exists(state_path):
+                probe_cells = [
+                    r["__cell"]
+                    for r in survivors.select("__cell").distinct().collect()
+                ]
+                state = read_embedding_neardup_store(
+                    spark, state_dir, id_field,
+                    exclude_epoch=epoch_id, cells=probe_cells,
+                ).select(
+                    F.col("v").alias("__sv"),
+                    F.col("cell").alias("__cell"),
+                )
+                sup_state = (
+                    survivors.join(state, "__cell")
+                    .filter(
+                        round_half_up(
+                            similarity.cosine(F.col("__v"), F.col("__sv")),
+                            4,
+                        )
+                        >= threshold
+                    )
+                    .select(id_col)
+                )
+                sup = sup.unionByName(sup_state)
+            admitted = batch.join(sup.distinct(), id_col, "left_anti")
+            admitted.write.mode("overwrite").parquet(
+                f"{output_dir}/epoch={epoch_id}"
+            )
+            # extend the state from the WRITTEN output so the two
+            # writes cannot diverge under a lazy recomputation
+            admitted_ids = spark.read.parquet(
+                f"{output_dir}/epoch={epoch_id}"
+            ).select(F.col(id_col).cast("long").alias(id_col))
+            (
+                survivors.join(admitted_ids, id_col)
+                .select(
+                    id_col,
+                    F.col("__v").alias("v"),
+                    F.col("__cell").alias("cell"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{state_dir}/vecs/epoch={epoch_id}")
+            )
+            fs.mkdirs(marker.getParent())
+            fs.createNewFile(marker)
+        finally:
+            caching.release_from(pos)
+            batch.unpersist()
+
+    return (
+        vecs.writeStream.foreachBatch(suppress_epoch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()

@@ -1517,3 +1517,189 @@ def test_drift_monitor_rejects_mismatched_reference(spark, tmp_path):
             ref_edges=[1.0, 2.0],  # truncated: 10 counts need 9 edges
             ref_counts=[10] * 10,
         )
+
+
+# ---------------------------------------------------------------- round 14
+# Embedding (semantic) near-dup suppression sink
+
+
+def _write_vecs(path, rows):
+    with open(path, "w") as f:
+        for vid, vec in rows:
+            f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+
+
+def _vec_stream(spark, src):
+    from pyspark.sql import types as T
+
+    from b2b_data_pipeline_indiamart_spark.streaming import read_event_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return read_event_stream(
+        spark, str(src), schema=schema, max_files_per_trigger=1
+    )
+
+
+_CENTROIDS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+
+def test_streaming_embedding_neardup_across_batches(spark, tmp_path):
+    """Semantic near-dup suppression: within-batch lowest-id keep,
+    cross-batch suppression against the persistent cell-bucketed
+    store, and stream admissions ≡ batch semdedup on the full corpus
+    under ordered arrival."""
+    from b2b_data_pipeline_indiamart_spark.operators import (
+        caching,
+        similarity,
+    )
+    from b2b_data_pipeline_indiamart_spark.streaming import (
+        start_embedding_neardup_suppress_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = [
+        (1, [1.0, 0.0, 0.0, 0.0]),       # cell 0, admitted
+        (2, [0.999, 0.01, 0.0, 0.0]),    # near-dup of 1 -> suppressed
+        (3, [0.0, 1.0, 0.0, 0.0]),       # cell 1, admitted
+        (4, [0.6, 0.0, 0.8, 0.0]),       # cell 0 but dissimilar, kept
+    ]
+    b2 = [
+        (10, [0.998, 0.02, 0.0, 0.0]),   # near-dup of ADMITTED 1 -> out
+        (11, [0.0, 0.999, 0.02, 0.0]),   # near-dup of ADMITTED 3 -> out
+        (12, [0.0, 0.6, 0.0, 0.8]),      # cell 1, dissimilar, kept
+    ]
+    _write_vecs(src / "b1.json", b1)
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    q = start_embedding_neardup_suppress_sink(
+        _vec_stream(spark, src),
+        out,
+        str(tmp_path / "ck"),
+        state,
+        str(tmp_path / "ledger"),
+        centroids=_CENTROIDS,
+        threshold=0.9,
+    )
+    try:
+        q.processAllAvailable()
+        _write_vecs(src / "b2.json", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = sorted(
+        r["vec_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert admitted == [1, 3, 4, 12]
+
+    # stream ≡ batch: the same corpus through the batch composition
+    # (fixed-centroid assignment + similarity.semdedup) keeps the
+    # same ids under ordered arrival
+    all_rows = spark.createDataFrame(
+        [(i, v) for i, v in b1 + b2],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = similarity.ivf_assign(
+        all_rows, _CENTROIDS, out_id="__aid"
+    ).select("__aid", "cell")
+    clustered = all_rows.join(
+        assigned, all_rows["vec_id"] == assigned["__aid"]
+    ).select("vec_id", "embedding", "cell")
+    batch_kept = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup(
+            clustered, "cell", threshold=0.9
+        ).collect()
+        if r["kept"]
+    )
+    assert batch_kept == admitted
+    # state store: one row per admitted vector, cell-partitioned
+    svecs = spark.read.parquet(f"{state}/vecs")
+    assert svecs.count() == 4
+    caching.release_cached()
+
+
+def test_streaming_embedding_neardup_replay_is_idempotent(spark, tmp_path):
+    """A committed epoch replay is a no-op (ledger marker), and the
+    state read excludes the in-flight epoch."""
+    from b2b_data_pipeline_indiamart_spark.streaming import (
+        start_embedding_neardup_suppress_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_vecs(src / "b1.json", [(1, [1.0, 0.0, 0.0, 0.0])])
+    out = str(tmp_path / "out")
+
+    def start():
+        return start_embedding_neardup_suppress_sink(
+            _vec_stream(spark, src),
+            out,
+            str(tmp_path / "ck"),
+            str(tmp_path / "state"),
+            str(tmp_path / "ledger"),
+            centroids=_CENTROIDS,
+            threshold=0.9,
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart over the same source: epoch 0 is in the ledger, the
+    # replay must not duplicate output or state
+    q = start()
+    try:
+        _write_vecs(src / "b2.json", [(2, [0.0, 1.0, 0.0, 0.0])])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        r["vec_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [1, 2]
+
+
+def test_streaming_embedding_neardup_probe_prunes_cells(spark, tmp_path):
+    """The cross-batch probe's state scan must prune to the batch's
+    cell set via partition filters (the IVF probe seam)."""
+    from pyspark.sql import types as T
+
+    from b2b_data_pipeline_indiamart_spark.streaming import (
+        read_embedding_neardup_store,
+        start_embedding_neardup_suppress_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_vecs(
+        src / "b1.json",
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+    )
+    state = str(tmp_path / "state")
+    q = start_embedding_neardup_suppress_sink(
+        _vec_stream(spark, src),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        state,
+        str(tmp_path / "ledger"),
+        centroids=_CENTROIDS,
+        threshold=0.9,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    id_field = T.StructField("vec_id", T.LongType())
+    pruned = read_embedding_neardup_store(
+        spark, state, id_field, cells=[0]
+    )
+    assert [r["vec_id"] for r in pruned.collect()] == [1]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan

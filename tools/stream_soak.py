@@ -84,11 +84,61 @@ def du_bytes(path: Path) -> int:
     return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
 
 
+# ---------------------------------------------------------------- embedding
+# Deterministic vector workload for the SEMANTIC (embedding) near-dup
+# sink — same epoch mix as the text workload: ~70% unique vectors,
+# ~20% near-dups of earlier vectors (tiny perturbation, cosine stays
+# ≥ ~0.999), ~10% exact dups. Random 64-d hash vectors are near-
+# orthogonal (cos ≈ 0), so uniques never cross a 0.9 threshold.
+
+VEC_DIM = 64
+N_CELLS = 16
+
+
+def make_vec(vec_id: int) -> list:
+    """Deterministic 64-d vector unique to vec_id: each coordinate an
+    independent hash of (vec_id, i) mapped into [-1, 1]."""
+    out = []
+    for i in range(VEC_DIM):
+        h = hashlib.md5(f"vec{vec_id}:d{i}".encode()).digest()
+        out.append(round(int.from_bytes(h[:8], "big") / 2**63 - 1.0, 6))
+    return out
+
+
+def soak_centroids() -> list:
+    """Offline-trained-centroid stand-in: 16 deterministic hash
+    vectors (the sink only needs SOME fixed routing literals; cell
+    balance is a quality knob, not a correctness one)."""
+    return [make_vec(10**9 + c) for c in range(N_CELLS)]
+
+
+def epoch_vec_rows(epoch: int, docs_per_epoch: int) -> list:
+    rows = []
+    base = epoch * docs_per_epoch
+    for j in range(docs_per_epoch):
+        vid = base + j
+        bucket = vid % 10
+        if epoch > 0 and bucket < 1:  # 10% exact dup of an earlier vec
+            rows.append((vid, make_vec(vid % base)))
+        elif epoch > 0 and bucket < 3:  # 20% near-dup (one coord nudged)
+            v = make_vec(vid % base)
+            v[vid % VEC_DIM] = round(v[vid % VEC_DIM] + 0.01, 6)
+            rows.append((vid, v))
+        else:
+            rows.append((vid, make_vec(vid)))
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--docs", type=int, default=1000)
+    ap.add_argument(
+        "--mode", choices=["minhash", "embedding"], default="minhash"
+    )
     args = ap.parse_args()
+    if args.mode == "embedding":
+        return main_embedding(args)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import types as T
@@ -167,6 +217,102 @@ def main() -> None:
         "epoch_latency_p99": lat_sorted[min(n - 1, int(n * 0.99))],
         "final_sig_store_rows": spark.read.parquet(
             str(state_dir / "sigs")
+        ).count(),
+        "final_state_bytes": du_bytes(state_dir),
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+
+
+def main_embedding(args) -> None:
+    """Soak the SEMANTIC near-dup sink (VERDICT r13 #7): per-epoch
+    latency, sustained vectors/sec, and state growth (must stay one
+    row per ADMITTED vector — linear in uniques, flat under the
+    duplicate storm)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import types as T
+
+    from b2b_data_pipeline_indiamart_spark.streaming.jobs import (
+        read_event_stream,
+        start_embedding_neardup_suppress_sink,
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="soak_emb_"))
+    src = work / "vecs"
+    src.mkdir()
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName("embedding-neardup-soak")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = read_event_stream(
+        spark, str(src), schema=schema, max_files_per_trigger=1
+    )
+    out_dir, state_dir = work / "out", work / "state"
+    q = start_embedding_neardup_suppress_sink(
+        stream,
+        str(out_dir),
+        str(work / "ckpt"),
+        str(state_dir),
+        str(work / "ledger"),
+        centroids=soak_centroids(),
+        threshold=0.9,
+    )
+    latencies = []
+    t_start = time.perf_counter()
+    try:
+        for e in range(args.epochs):
+            p = src / f"b{e:04d}.json"
+            with open(p, "w") as f:
+                for vid, vec in epoch_vec_rows(e, args.docs):
+                    f.write(
+                        json.dumps({"vec_id": vid, "embedding": vec}) + "\n"
+                    )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            lat = round(time.perf_counter() - t0, 3)
+            latencies.append(lat)
+            state_rows = spark.read.parquet(str(state_dir / "vecs")).count()
+            rec = {
+                "epoch": e,
+                "latency_sec": lat,
+                "vecs_per_sec": round(args.docs / lat, 1),
+                "state_rows": state_rows,
+                "state_bytes": du_bytes(state_dir),
+            }
+            print(json.dumps(rec), flush=True)
+    finally:
+        q.stop()
+    total = time.perf_counter() - t_start
+    lat_sorted = sorted(latencies)
+    n = len(lat_sorted)
+    admitted = spark.read.parquet(str(out_dir)).count()
+    summary = {
+        "metric": "embedding_neardup_soak",
+        "epochs": args.epochs,
+        "vecs_per_epoch": args.docs,
+        "total_vecs": args.epochs * args.docs,
+        "admitted_vecs": admitted,
+        "sustained_vecs_per_sec": round(
+            args.epochs * args.docs / total, 1
+        ),
+        "epoch_latency_p50": lat_sorted[n // 2],
+        "epoch_latency_p99": lat_sorted[min(n - 1, int(n * 0.99))],
+        "final_state_rows": spark.read.parquet(
+            str(state_dir / "vecs")
         ).count(),
         "final_state_bytes": du_bytes(state_dir),
     }
