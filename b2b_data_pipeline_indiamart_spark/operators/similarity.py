@@ -678,6 +678,161 @@ def brute_force_topk(
     )
 
 
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): select ``k`` of the ``shortlist`` most-relevant
+    candidates iteratively, each pick maximizing
+    ``lam·rel − (1−lam)·max_sim_to_already_selected`` — the
+    redundancy-penalized retrieval every RAG/context-packing pipeline
+    wants when the plain top-k is ten paraphrases of one passage.
+
+    Scale shape: stage 1 is the exact broadcast-query shortlist
+    (:func:`brute_force_topk` — corpus scanned once, shuffle ≤ corpus
+    rows on query_id); stage 2 is per-query and BOUNDED — the
+    shortlist×shortlist pair cosines are Catalyst expressions
+    (sequential-fold dot products, 4dp, the oracle's exact form) over
+    ≤ |Q|·s² broadcast-joined rows, and the greedy selection itself
+    runs in one applyInPandas cogroup per query over ≤ s candidates
+    (k ≤ s ≤ 64 — driver-free, embarrassingly parallel across
+    queries, never corpus-sized). Selection compares RAW doubles
+    ``0.7·rel − 0.3·ms`` computed from 4dp-rounded inputs, so both
+    engines argmax identical IEEE values; ties break (score desc, id
+    asc). Rank 1 is the pure-relevance pick (score = rel).
+
+    Output: (query_id, neighbor_id, mmr_rank, cos_sim, mmr_score 4dp).
+    """
+    import math
+
+    import pandas as pd
+
+    rel = brute_force_topk(
+        emb, queries, k=shortlist, vec_col=vec_col, id_col=id_col
+    )
+    from . import caching
+
+    rel = caching.persist_tracked(rel)
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("__mid"),
+        as_double_array(F.col(vec_col)).alias("__mv"),
+    )
+    members = rel.select("query_id", "neighbor_id").join(
+        vecs, F.col("neighbor_id") == F.col("__mid")
+    ).select("query_id", "neighbor_id", "__mv")
+    members = caching.persist_tracked(members)
+    a = members.select(
+        F.col("query_id").alias("__qa"),
+        F.col("neighbor_id").alias("a"),
+        F.col("__mv").alias("__va"),
+    )
+    b = members.select(
+        F.col("query_id").alias("__qb"),
+        F.col("neighbor_id").alias("b"),
+        F.col("__mv").alias("__vb"),
+    )
+    ps = (
+        a.join(
+            b,
+            (F.col("__qa") == F.col("__qb")) & (F.col("a") != F.col("b")),
+        )
+        .select(
+            F.col("__qa").alias("query_id"),
+            "a",
+            "b",
+            round_half_up(cosine(F.col("__va"), F.col("__vb")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    # derive (1 − lam) at RUNTIME from the same lam literal, matching
+    # the oracle's `(1 - CAST(0.7 AS DOUBLE))` — the z² discipline,
+    # with a DuckDB twist caught by this key's first parity run: a
+    # bare SQL `0.7` parses as DECIMAL, making `(1 - 0.7)` the exact
+    # decimal 0.3 (≡ the 0.3 double literal), 1 ulp from IEEE
+    # 1.0-0.7 = 0.30000000000000004 — enough to flip a score sitting
+    # on a 4dp rounding boundary; the CAST forces both engines onto
+    # the identical double derivation
+    lam_c, div_c = float(lam), float(1.0 - lam)
+
+    def _mmr(key, rel_pdf: "pd.DataFrame", ps_pdf: "pd.DataFrame"):
+        if rel_pdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "query_id", "neighbor_id", "mmr_rank", "cos_sim",
+                    "mmr_score",
+                ]
+            )
+        qid = int(rel_pdf["query_id"].iloc[0])
+        cand = {
+            int(r.neighbor_id): float(r.cos_sim)
+            for r in rel_pdf.itertuples()
+            if not (isinstance(r.cos_sim, float) and math.isnan(r.cos_sim))
+        }
+        sims: dict = {}
+        for r in ps_pdf.itertuples():
+            if not (isinstance(r.sim, float) and math.isnan(r.sim)):
+                sims[(int(r.a), int(r.b))] = float(r.sim)
+        selected: list = []
+        out = []
+        for rank in range(1, min(k, len(cand)) + 1):
+            best_id, best_score = None, None
+            for nid in sorted(cand):
+                if rank == 1:
+                    score = cand[nid]
+                else:
+                    ms = [
+                        sims[(nid, t)] for t in selected if (nid, t) in sims
+                    ]
+                    score = (
+                        lam_c * cand[nid] - div_c * max(ms) if ms else None
+                    )
+                # (score desc NULLS LAST, id asc) — ids ascend in this
+                # loop, so strict > keeps the lowest id on exact ties
+                if best_score is None or (
+                    score is not None and score > best_score
+                ):
+                    if score is not None or best_id is None:
+                        best_id, best_score = nid, score
+            r = cand.pop(best_id)
+            selected.append(best_id)
+            sc = r if rank == 1 else best_score
+            out.append(
+                (
+                    qid,
+                    best_id,
+                    rank,
+                    r,
+                    None
+                    if sc is None
+                    else math.floor(sc * 10000.0 + 0.5) / 10000.0,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "query_id", "neighbor_id", "mmr_rank", "cos_sim",
+                "mmr_score",
+            ],
+        )
+
+    return (
+        rel.groupBy("query_id")
+        .cogroup(ps.groupBy("query_id"))
+        .applyInPandas(
+            _mmr,
+            "query_id long, neighbor_id long, mmr_rank int, "
+            "cos_sim double, mmr_score double",
+        )
+    )
+
+
 def cosine_range_search(
     emb: DataFrame,
     queries: DataFrame,

@@ -11570,6 +11570,103 @@ def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
+def _mmr_sql(k: int = 10, shortlist: int = 30, lam: float = 0.7) -> str:
+    """MMR greedy selection unrolled as ``k`` chained argmax CTEs (the
+    _bpe_tokenize_sql discipline): pick 1 is pure relevance; pick j
+    scores every remaining shortlist member ``0.7·rel − 0.3·max(sim
+    to selected)`` on RAW doubles from 4dp-rounded inputs and takes
+    (score DESC, id ASC). short/ps are MATERIALIZED — referenced by
+    every step."""
+    cos = (
+        "round(CASE WHEN sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})) > 0"
+        " THEN list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))) END, 4)"
+    )
+    steps = []
+    for j in range(2, k + 1):
+        prev = f"sel{j-1}"
+        steps.append(f"""
+    avail{j} AS (
+      SELECT s.query_id, s.neighbor_id, s.rel FROM short s
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} t
+                        WHERE t.query_id = s.query_id
+                          AND t.neighbor_id = s.neighbor_id)),
+    scored{j} AS (
+      SELECT a.query_id, a.neighbor_id, a.rel, max(p.sim) AS ms
+      FROM avail{j} a
+      JOIN {prev} t ON t.query_id = a.query_id
+      JOIN ps p ON p.query_id = a.query_id
+                AND p.a = a.neighbor_id AND p.b = t.neighbor_id
+      GROUP BY 1, 2, 3),
+    pick{j} AS (
+      SELECT query_id, neighbor_id, rel, {j} AS mmr_rank,
+             CAST(0.7 AS DOUBLE) * rel - (1 - CAST(0.7 AS DOUBLE)) * ms AS mmr_score
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY CAST(0.7 AS DOUBLE) * rel - (1 - CAST(0.7 AS DOUBLE)) * ms DESC, neighbor_id ASC) AS rn
+            FROM scored{j}) WHERE rn = 1),
+    sel{j} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM {prev}
+      UNION ALL SELECT query_id, neighbor_id FROM pick{j})""")
+    picks_union = "\n      UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, mmr_rank, rel, mmr_score "
+        f"FROM pick{j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {cos.format(a="qe", b="v.e")} AS rel
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+    short AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, neighbor_id ASC) AS rn
+        FROM scored) WHERE rn <= {shortlist}),
+    sv AS (SELECT s.query_id, s.neighbor_id, v.e
+           FROM short s JOIN v ON v.vec_id = s.neighbor_id),
+    ps AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+             {cos.format(a="a.e", b="b.e")} AS sim
+      FROM sv a JOIN sv b ON a.query_id = b.query_id
+                         AND a.neighbor_id <> b.neighbor_id),
+    pick1 AS (
+      SELECT query_id, neighbor_id, rel, 1 AS mmr_rank,
+             CAST(rel AS DOUBLE) AS mmr_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, neighbor_id ASC) AS rn
+            FROM short) WHERE rn = 1),
+    sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM pick1),
+    {",".join(steps)}
+    SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+           rel AS cos_sim, round(mmr_score, 4) AS mmr_score
+    FROM ({picks_union})
+    """
+
+
+@_register("ann_mmr_rerank", _mmr_sql())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 for query vectors vec_id < 5
+    (operators/similarity.mmr_rerank; Carbonell & Goldstein 1998):
+    exact broadcast-query shortlist-30, then greedy selection
+    maximizing 0.7·relevance − 0.3·max-similarity-to-selected — the
+    redundancy-penalized retrieval a RAG/context-packing pipeline
+    wants when plain top-k returns ten paraphrases of one passage.
+    The selection runs per query over the BOUNDED shortlist
+    (applyInPandas cogroup — never corpus-sized); pair cosines are
+    Catalyst sequential-fold expressions rounded 4dp, so the greedy
+    argmax compares identical IEEE doubles in both engines and the
+    oracle unrolls the identical 10 picks as chained CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.mmr_rerank(emb, queries, k=10, shortlist=30)
+
+
 @_register(
     "semdedup_seeded_portable",
     """

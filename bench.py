@@ -163,9 +163,11 @@ EXTENDED_KEYS = [
     "orders_control_chart",
     "events_funnel_wilson",
     "docs_containment",
-    # r14 addition: the graduated SemDeDup composition twin carries
-    # the blocked-gemm pair cost (docs_bpe_tokenize already tracked)
+    # r14 additions: the graduated SemDeDup composition twin carries
+    # the blocked-gemm pair cost (docs_bpe_tokenize already tracked);
+    # MMR tracks the shortlist + bounded-pair + cogroup select path
     "semdedup_seeded_portable",
+    "ann_mmr_rerank",
 ]
 
 

@@ -120,3 +120,50 @@ def test_bpe_sql_trainer_matches_python_on_hand_corpus(tmp_path):
         n_sub = sum(len(bpe_segment(w, ranks)) for w in words)
         assert row["n_words"] == len(words), did
         assert row["n_subwords"] == n_sub, (did, row["n_subwords"], n_sub)
+
+
+def test_mmr_rerank_diversifies(spark, sf_small):
+    """MMR contract: rank 1 equals the plain top-1; every later pick
+    is a shortlist member; and the selected set's max pairwise
+    similarity is ≤ the plain top-k's (the whole point of the
+    redundancy penalty)."""
+    import itertools
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    mmr = similarity.mmr_rerank(emb, queries, k=10, shortlist=30)
+    topk = similarity.brute_force_topk(emb, queries, k=10)
+    mmr_rows = mmr.collect()
+    top_rows = topk.collect()
+    top1 = {
+        r["query_id"]: r["neighbor_id"] for r in top_rows if r["rnk"] == 1
+    }
+    by_q: dict = {}
+    for r in mmr_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    def max_pair_sim(ids):
+        return max(
+            cos(vecs[a], vecs[b]) for a, b in itertools.combinations(ids, 2)
+        )
+
+    topk_ids: dict = {}
+    for r in top_rows:
+        topk_ids.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["mmr_rank"])
+        assert rows[0]["neighbor_id"] == top1[qid]
+        assert len(rows) == 10
+        picked = [r["neighbor_id"] for r in rows]
+        assert max_pair_sim(picked) <= max_pair_sim(topk_ids[qid]) + 1e-9
+    caching.release_cached()
