@@ -833,6 +833,74 @@ def mmr_rerank(
     )
 
 
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection (Gonzalez
+    1985; Sener & Savarese 2018 for training-data curation): start
+    from the lowest-id vector, then repeatedly pick the vector whose
+    4dp-rounded cosine DISTANCE to its nearest already-selected
+    center is LARGEST — the k-point subset that best covers the
+    corpus geometry, the diversity-first dual of MMR's
+    relevance-first selection.
+
+    Scale shape: k bounded iterations; each is ONE map-only corpus
+    pass (the ≤ k selected centers ride as plan literals — the
+    codebook seam) ending in a TakeOrderedAndProject(1) + a 1-row
+    loop-control collect (the kmeans/pagerank driver-loop pattern —
+    metadata scale, never data movement). Total work k × corpus × k
+    dots; no shuffle anywhere. Distances are min-of-4dp values, so
+    both engines argmax identical doubles; ties (dist desc, id asc).
+
+    Output (k rows): (center_rank, id, min_dist — NULL for rank 1).
+    """
+    spark = emb.sparkSession
+    v = emb.select(
+        F.col(id_col).cast("long").alias("__kid"),
+        as_double_array(F.col(vec_col)).alias("__kv"),
+    )
+    first = v.orderBy(F.col("__kid").asc()).limit(1).collect()[0]
+    centers = [(int(first["__kid"]), [float(x) for x in first["__kv"]])]
+    out = [(1, centers[0][0], None)]
+    for rank in range(2, k + 1):
+        dists = [
+            round_half_up(
+                F.lit(1.0)
+                - cosine(
+                    F.col("__kv"),
+                    F.array(*[F.lit(float(x)) for x in cvec]),
+                ),
+                4,
+            )
+            for _, cvec in centers
+        ]
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            v.filter(~F.col("__kid").isin([cid for cid, _ in centers]))
+            .select("__kid", "__kv", md.alias("__md"))
+            .orderBy(F.col("__md").desc(), F.col("__kid").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        row = pick[0]
+        centers.append((int(row["__kid"]), [float(x) for x in row["__kv"]]))
+        out.append(
+            (
+                rank,
+                int(row["__kid"]),
+                None if row["__md"] is None else float(row["__md"]),
+            )
+        )
+    return spark.createDataFrame(
+        out, f"center_rank int, {id_col} long, min_dist double"
+    )
+
+
 def cosine_range_search(
     emb: DataFrame,
     queries: DataFrame,

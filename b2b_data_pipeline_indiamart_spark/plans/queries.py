@@ -11649,6 +11649,69 @@ def _mmr_sql(k: int = 10, shortlist: int = 30, lam: float = 0.7) -> str:
     """
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """Greedy k-center selection unrolled as k−1 chained argmax CTEs
+    (the _mmr_sql discipline): center 1 is the lowest id; step j takes
+    the vector maximizing min(4dp cosine distance to selected), ties
+    (dist DESC, id ASC). Distances are minima of 4dp-ROUNDED values,
+    so both engines compare identical doubles."""
+    cosd = (
+        "round(1 - CASE WHEN sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(s.e, s.e)) > 0"
+        " THEN list_dot_product(v.e, s.e)"
+        " / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(s.e, s.e))) END, 4)"
+    )
+    steps = []
+    for j in range(2, k + 1):
+        prev = f"sel{j-1}"
+        steps.append(f"""
+    scored{j} AS (
+      SELECT v.vec_id, v.e, min({cosd}) AS md
+      FROM v JOIN {prev} s ON TRUE
+      WHERE v.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY 1, 2),
+    pick{j} AS (
+      SELECT vec_id, e, md FROM (
+        SELECT *, row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+        FROM scored{j}) WHERE rn = 1),
+    sel{j} AS MATERIALIZED (
+      SELECT vec_id, e FROM {prev}
+      UNION ALL SELECT vec_id, e FROM pick{j}),
+    out{j} AS (SELECT {j} AS center_rank, vec_id, md AS min_dist
+               FROM pick{j})""")
+    outs = "\n      UNION ALL ".join(
+        f"SELECT * FROM out{j}" for j in range(1, k + 1)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    sel1 AS MATERIALIZED (SELECT vec_id, e FROM v
+                          ORDER BY vec_id ASC LIMIT 1),
+    out1 AS (SELECT 1 AS center_rank, vec_id,
+                    CAST(NULL AS DOUBLE) AS min_dist FROM sel1),
+    {",".join(steps)}
+    SELECT CAST(center_rank AS INT) AS center_rank, vec_id, min_dist
+    FROM ({outs})
+    """
+
+
+@_register("embedding_kcenter_coreset", _kcenter_sql())
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset of 8 vectors
+    (operators/similarity.kcenter_coreset; Gonzalez 1985, Sener &
+    Savarese 2018) — diversity-first data selection for training
+    subsets: start at the lowest id, then repeatedly take the vector
+    FARTHEST (4dp cosine distance) from its nearest selected center.
+    k bounded map-only corpus passes with the selected centers as
+    plan literals (the codebook seam), each ending in
+    TakeOrderedAndProject(1) + a 1-row loop-control collect (the
+    kmeans/pagerank pattern); the oracle unrolls the identical greedy
+    recurrence as chained argmax CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_coreset(emb, k=8)
+
+
 @_register("ann_mmr_rerank", _mmr_sql())
 def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10 for query vectors vec_id < 5

@@ -168,6 +168,7 @@ EXTENDED_KEYS = [
     # MMR tracks the shortlist + bounded-pair + cogroup select path
     "semdedup_seeded_portable",
     "ann_mmr_rerank",
+    "embedding_kcenter_coreset",
 ]
 
 

@@ -167,3 +167,41 @@ def test_mmr_rerank_diversifies(spark, sf_small):
         picked = [r["neighbor_id"] for r in rows]
         assert max_pair_sim(picked) <= max_pair_sim(topk_ids[qid]) + 1e-9
     caching.release_cached()
+
+
+def test_kcenter_coreset_greedy_property(spark, sf_small):
+    """k-center contract: center 1 is the lowest id; center 2 is the
+    brute-force farthest vector from center 1 (4dp cosine distance,
+    tie lowest id); every later center's min_dist is non-increasing
+    (greedy farthest-point always shrinks coverage radius)."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    out = sorted(
+        similarity.kcenter_coreset(emb, k=8).collect(),
+        key=lambda r: r["center_rank"],
+    )
+    assert len(out) == 8
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    first = min(vecs)
+    assert out[0]["vec_id"] == first and out[0]["min_dist"] is None
+
+    def cosd(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        if na * nb <= 0:
+            return None
+        return math.floor((1 - num / (na * nb)) * 10000.0 + 0.5) / 10000.0
+
+    best = max(
+        ((vid, cosd(v, vecs[first])) for vid, v in vecs.items()
+         if vid != first and cosd(v, vecs[first]) is not None),
+        key=lambda t: (t[1], -t[0]),
+    )
+    assert (out[1]["vec_id"], out[1]["min_dist"]) == best
+    dists = [r["min_dist"] for r in out[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
