@@ -205,3 +205,50 @@ def test_kcenter_coreset_greedy_property(spark, sf_small):
     assert (out[1]["vec_id"], out[1]["min_dist"]) == best
     dists = [r["min_dist"] for r in out[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_pandas_compare_path_matches_repr_path(spark, sf_medium):
+    """tools/full_parity's big-output Arrow/pandas compare (r14: the
+    repr-tuple canon OOM-killed a sf10 shard at 6 M rows) must reach
+    the same verdict as the repr path — both on an equal pair and on
+    a value-perturbed pair."""
+    import sys
+    from pathlib import Path
+
+    import duckdb as _duck
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.full_parity import _comparable, _pandas_compare
+
+    from b2b_data_pipeline_indiamart_spark.catalog import TABLES
+    from b2b_data_pipeline_indiamart_spark.plans import ORACLE, QUERIES
+
+    con = _duck.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_medium}/{t}.parquet')"
+        )
+    for key in ["dedup_keep_first", "events_props_parse", "doc_quality"]:
+        sdf = QUERIES[key](spark, sf_medium)
+        rec = _pandas_compare(sdf, con, ORACLE[key])
+        # repr path on the same pair
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(ORACLE[key])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        repr_match = _comparable(sdf.columns, srows) == _comparable(
+            dcols, drows
+        )
+        assert rec["hash_match"] is True and repr_match is True, (key, rec)
+    # perturbed oracle must FAIL the pandas path too
+    sdf = QUERIES["doc_quality"](spark, sf_medium)
+    bad = (
+        "SELECT * REPLACE (n_tokens + 1 AS n_tokens) FROM "
+        f"({ORACLE['doc_quality']})"
+    )
+    rec = _pandas_compare(sdf, con, bad)
+    assert rec["hash_match"] is False
+    from b2b_data_pipeline_indiamart_spark.operators import caching
+
+    caching.release_cached()

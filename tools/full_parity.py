@@ -39,6 +39,60 @@ def _comparable(cols, rows):
 #: driver-side anti-pattern the engine bans)
 _BIG_ROWS = 2_000_000
 
+#: ORACLE outputs above this size switch from the repr-tuple canon
+#: (python objects: a 6 M-row orders-grain key at sf10 ballooned a
+#: shard past 48 GB RSS and got it OOM-killed — r14) to the Arrow /
+#: pandas path below: both sides land as columnar frames, are sorted
+#: with pandas.sort_values over every column (the DRIVER's own
+#: canonicalizer), and compared column-vectorized. Overridable for
+#: equivalence testing via SPARK_GRAFT_PARITY_BIG_ORACLE_ROWS.
+_BIG_ORACLE_ROWS = 500_000
+
+
+def _pandas_compare(sdf, con, sql):
+    """Memory-safe hash-compare for big oracle outputs: Spark side via
+    toArrow() (columnar, ~50× smaller than Row objects), DuckDB side
+    via .arrow(); both sorted by every column with pandas.sort_values
+    (NaN last, the driver canon) and compared vectorized. Returns the
+    same record shape as the repr-tuple path; equivalence of the two
+    paths is pinned by tests/test_round14_ops.py on small data."""
+    import numpy as np
+
+    spd = sdf.toArrow().to_pandas()
+    res = con.execute(sql)
+    dpd = res.arrow().to_pandas()
+    scols, dcols = sorted(spd.columns), sorted(dpd.columns)
+    rec = {
+        "rows_match": len(spd) == len(dpd),
+        "schema_match": scols == dcols,
+        "hash_match": False,
+        "spark_rows": int(len(spd)),
+        "oracle_rows": int(len(dpd)),
+        "err": None,
+        "pandas_compared": True,
+    }
+    if not (rec["rows_match"] and rec["schema_match"]):
+        return rec
+    spd = spd[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
+    dpd = dpd[dcols].sort_values(dcols, kind="mergesort").reset_index(drop=True)
+    for c in scols:
+        a, b = spd[c], dpd[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            av, bv = a.astype("float64").values, b.astype("float64").values
+            # exact equality after the registry's own rounding; NaN==NaN;
+            # -0.0 == 0.0 under IEEE ==, matching the repr(+0.0) collapse
+            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+        else:
+            av, bv = a.values, b.values
+            eq = (av == bv) | (
+                (a.isna().values if hasattr(a, "isna") else False)
+                & (b.isna().values if hasattr(b, "isna") else False)
+            )
+        if not bool(np.all(eq)):
+            return rec
+    rec["hash_match"] = True
+    return rec
+
 
 def _fingerprint(df):
     """Order-independent determinism fingerprint computed ON the
@@ -207,6 +261,18 @@ def main() -> None:
                     "err": "no_oracle",
                     "fingerprinted": True,
                 }
+            if key in ORACLE:
+                big_cut = int(
+                    _os.environ.get(
+                        "SPARK_GRAFT_PARITY_BIG_ORACLE_ROWS",
+                        str(_BIG_ORACLE_ROWS),
+                    )
+                )
+                n_oracle = con.execute(
+                    f"SELECT count(*) FROM ({ORACLE[key]})"
+                ).fetchone()[0]
+                if n_oracle > big_cut:
+                    return _pandas_compare(sdf, con, ORACLE[key])
             srows = [tuple(r) for r in sdf.collect()]
             if key in ORACLE:
                 res = con.execute(ORACLE[key])
