@@ -137,6 +137,10 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", nparts)
         .config("spark.driver.memory", mem)
+        # the Arrow big-output path collects up to ~10 M-row frames
+        # (1-2 GB serialized) — the 1 GB default records a spurious
+        # FAIL (maxResultSize) instead of a verdict
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .appName("full-parity")
         .getOrCreate()
