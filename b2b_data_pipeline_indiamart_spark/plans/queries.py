@@ -7933,18 +7933,20 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "customer_pareto_curve",
     """
-    WITH c AS (SELECT o_custkey AS custkey, round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS rev
+    WITH c AS (SELECT o_custkey AS custkey,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
                FROM orders GROUP BY 1),
-    d AS (SELECT custkey, rev,
-                 ntile(10) OVER (ORDER BY rev DESC, custkey ASC) AS decile
+    d AS (SELECT custkey, cents,
+                 ntile(10) OVER (ORDER BY cents DESC, custkey ASC) AS decile
           FROM c),
     g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
-                 sum(rev) AS rev FROM d GROUP BY decile),
-    t AS (SELECT sum(rev) AS total FROM g)
-    SELECT decile, n_customers, round(rev, 2) AS revenue,
-           round(sum(rev) OVER (ORDER BY decile ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 / total, 4) AS cum_share
+                 sum(cents) AS cents FROM d GROUP BY decile),
+    t AS (SELECT sum(cents) AS total FROM g)
+    SELECT decile, n_customers,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(sum(cents) OVER (ORDER BY decile ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(total AS DOUBLE), 4) AS cum_share
     FROM g CROSS JOIN t
     """,
 )
@@ -7964,30 +7966,38 @@ def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_ntile
 
     orders = _t(spark, sf_dir, "orders")
+    # exact integer cents END TO END (r14: the sf10 sweep caught the
+    # per-decile sum of 150k 2dp DOUBLES diverging from the oracle by
+    # a partial-order last-cent wobble at ~6e11 magnitude — never sum
+    # rounded doubles across rows; sum the cents, divide ONCE)
     c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        exact_sum(money_ints("o_totalprice"), 2).alias("rev")
+        F.sum(money_ints("o_totalprice")).alias("__cents")
     )
     d = global_ntile(
-        c, 10, [F.col("rev").desc(), F.col("custkey").asc()], "decile"
+        c, 10, [F.col("__cents").desc(), F.col("custkey").asc()], "decile"
     )
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("rev").alias("__rev"),
+        F.sum(F.col("__cents").cast("decimal(38,0)")).alias("__cents"),
     )
-    t = g.agg(F.sum("__rev").alias("__total"))
+    t = g.agg(F.sum("__cents").alias("__total"))
     w = Window.orderBy(F.col("decile").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
         g.join(F.broadcast(t))
-        .withColumn("__cum", F.sum("__rev").over(w))
+        .withColumn("__cum", F.sum("__cents").over(w))
         .select(
             "decile",
             "n_customers",
-            round_half_up(F.col("__rev"), 2).alias("revenue"),
-            round_half_up(F.col("__cum") / F.col("__total"), 4).alias(
-                "cum_share"
-            ),
+            round_half_up(
+                F.col("__cents").cast("double") / F.lit(100.0), 2
+            ).alias("revenue"),
+            round_half_up(
+                F.col("__cum").cast("double")
+                / F.col("__total").cast("double"),
+                4,
+            ).alias("cum_share"),
         )
     )
 

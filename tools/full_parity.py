@@ -156,6 +156,16 @@ def main() -> None:
         # every subsequent key with spurious OOMs — environmental
         # failures masquerading as parity failures.
         c = duckdb.connect()
+        # PRIVATE spill dir per process: concurrent sweeps sharing the
+        # cwd-relative default `.tmp` clean up each other's files and
+        # abort the whole process with a C++ IOException (r14 shard
+        # crash) — collision-proof the temp path
+        import tempfile as _tf
+
+        c.execute(
+            "SET temp_directory = "
+            f"'{_tf.mkdtemp(prefix='duck_parity_tmp_')}'"
+        )
         c.execute(
             "SET memory_limit = "
             f"'{_os.environ.get('SPARK_GRAFT_PARITY_DUCK_MEM', '32GB')}'"
