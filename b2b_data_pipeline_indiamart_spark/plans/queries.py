@@ -4138,10 +4138,12 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_yoy_growth",
     """
     WITH a AS (SELECT o_orderpriority AS priority, year(o_orderdate) AS yr,
-                      sum(o_totalprice) AS rev
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
                FROM orders GROUP BY 1, 2)
-    SELECT priority, CAST(yr AS INT) AS order_year, round(rev, 2) AS revenue,
-           round(100.0 * (rev - lag(rev) OVER w) / lag(rev) OVER w, 2) AS yoy_pct
+    SELECT priority, CAST(yr AS INT) AS order_year,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(100.0 * (CAST(cents - lag(cents) OVER w AS DOUBLE))
+                 / CAST(lag(cents) OVER w AS DOUBLE), 2) AS yoy_pct
     FROM a WINDOW w AS (PARTITION BY priority ORDER BY yr)
     """,
 )
@@ -4151,17 +4153,27 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     over priorities × years rows (dozens), not orders, so the sort is
     free at any scale and the window partition spec is never empty."""
     orders = _t(spark, sf_dir, "orders")
+    # exact integer cents at the (priority, year) grain (r14: the
+    # sf10 sweep caught sibling keys' raw-double sums diverging at
+    # ~1e11 magnitude; this one agreed by luck — same fix)
     a = orders.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.year("o_orderdate").alias("yr"),
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(money_ints("o_totalprice")).alias("__cents"))
     w = Window.partitionBy("priority").orderBy("yr")
-    prev = F.lag("rev").over(w)
+    prev = F.lag("__cents").over(w)
     return a.select(
         "priority",
         F.col("yr").cast("int").alias("order_year"),
-        round_half_up(F.col("rev"), 2).alias("revenue"),
-        round_half_up(F.lit(100.0) * (F.col("rev") - prev) / prev, 2).alias("yoy_pct"),
+        round_half_up(
+            F.col("__cents").cast("double") / F.lit(100.0), 2
+        ).alias("revenue"),
+        round_half_up(
+            F.lit(100.0)
+            * (F.col("__cents") - prev).cast("double")
+            / prev.cast("double"),
+            2,
+        ).alias("yoy_pct"),
     )
 
 
@@ -7715,12 +7727,13 @@ def docs_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT CAST(month(o_orderdate) AS INT) AS month,
-             sum(o_totalprice) AS rev
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders GROUP BY 1
     ),
-    t AS (SELECT avg(rev) AS avg_rev FROM m)
-    SELECT month, round(rev, 2) AS revenue,
-           round(rev / avg_rev, 4) AS seasonal_index
+    t AS (SELECT sum(cents) AS total, count(*) AS n_months FROM m)
+    SELECT month, round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(cents AS DOUBLE) * CAST(n_months AS DOUBLE)
+                 / CAST(total AS DOUBLE), 4) AS seasonal_index
     FROM m CROSS JOIN t
     """,
 )
@@ -7730,14 +7743,27 @@ def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the 12-row month grain, a one-row broadcast for the average —
     the shape every seasonal-adjustment job starts from."""
     orders = _t(spark, sf_dir, "orders")
+    # exact integer cents to the month grain (r14: the sf10 sweep
+    # caught sum-of-raw-doubles diverging between engines at ~6e11) —
+    # revenue and the index are single divisions of exact integers
     m = orders.groupBy(F.month("o_orderdate").cast("int").alias("month")).agg(
-        F.sum("o_totalprice").alias("rev")
+        F.sum(money_ints("o_totalprice")).alias("__cents")
     )
-    t = m.agg(F.avg("rev").alias("avg_rev"))
+    t = m.agg(
+        F.sum(F.col("__cents").cast("decimal(38,0)")).alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return m.join(F.broadcast(t)).select(
         "month",
-        round_half_up(F.col("rev"), 2).alias("revenue"),
-        round_half_up(F.col("rev") / F.col("avg_rev"), 4).alias("seasonal_index"),
+        round_half_up(
+            F.col("__cents").cast("double") / F.lit(100.0), 2
+        ).alias("revenue"),
+        round_half_up(
+            F.col("__cents").cast("double")
+            * F.col("__n").cast("double")
+            / F.col("__total").cast("double"),
+            4,
+        ).alias("seasonal_index"),
     )
 
 
