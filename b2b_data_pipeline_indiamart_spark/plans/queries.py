@@ -2320,9 +2320,34 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(docs, "lang", "doc_id", {"en": 0.25})
 
 
-@_register(
-    "docs_pack_sequences",
-    f"""
+
+def _packed_fold_sql(seg: int = 512, cap: int = 256) -> str:
+    """Greedy next-fit packing recurrence as a SEGMENTED LIST FOLD
+    (r14, VERDICT r13 #6): the row-per-iteration recursive CTE scans
+    the whole materialized doc table once per packed rank — ~62k
+    iterations x 500k rows at sf10, hours of oracle time — while the
+    recurrence itself only needs sequential access. This form folds
+    ``seg`` docs per recursive step with one list_reduce (iterations
+    / seg), carrying [end_bin, end_fill, out_b1, out_f1, ...] in a
+    FLAT BIGINT[] accumulator (DuckDB 1.0's list_reduce silently
+    drops accumulated LIST FIELDS inside a STRUCT accumulator — the
+    flat encoding is the workaround, pinned by the prototype and the
+    cross-form equality at sf0.01/sf1). 28 s -> 1.6 s at sf1;
+    feasible (11.6 s) at sf10 where the row form blew a 2400 s
+    budget. Ends in relation ``packedf``: (doc_id, n_tokens,
+    pack_bucket, bin_id, bin_fill)."""
+    step = (
+        "[CASE WHEN acc[2] > 0 AND acc[2] + x[1] > {cap} "
+        "THEN acc[1] + 1 ELSE acc[1] END, "
+        "CASE WHEN acc[2] > 0 AND acc[2] + x[1] > {cap} "
+        "THEN x[1] ELSE acc[2] + x[1] END]"
+    ).format(cap=cap)
+    fold = (
+        "list_reduce([[s0, s1]] || list_transform(toks, x -> "
+        f"[CAST(x AS BIGINT)]), (acc, x) -> {step} || "
+        f"list_slice(acc, 3, len(acc)) || {step})"
+    )
+    return f"""
     WITH RECURSIVE n AS (
       SELECT doc_id, {_NORM} AS s FROM documents
     ),
@@ -2332,32 +2357,48 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id % 8 AS INT) AS pack_bucket
       FROM n
     ),
-    -- MATERIALIZED: t feeds the RECURSIVE term, which executes once
-    -- per packed row-rank (n/8 iterations); inlined, the norm+tokenize
-    -- chain would re-run over the whole corpus EVERY iteration
-    -- (~312 M regex tokenizations at sf1 — the r11/r12 600 s budget
-    -- breach was this, not the sequential recurrence itself)
     t AS MATERIALIZED (
       SELECT doc_id, n_tokens, pack_bucket,
-             row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn
+             row_number() OVER (PARTITION BY pack_bucket
+                                ORDER BY doc_id) AS rn
       FROM src
     ),
-    packed AS (
-      SELECT doc_id, n_tokens, pack_bucket, rn,
-             CAST(0 AS BIGINT) AS bin_id,
-             n_tokens AS bin_fill
-      FROM t WHERE rn = 1
+    agg AS MATERIALIZED (
+      SELECT pack_bucket, CAST(floor((rn - 1) / {seg}) AS INT) AS sg,
+             list(n_tokens ORDER BY rn) AS toks,
+             list(doc_id ORDER BY rn) AS dids
+      FROM t GROUP BY 1, 2
+    ),
+    packseg AS (
+      SELECT pack_bucket, sg, dids, toks, st FROM (
+        SELECT a.pack_bucket, a.sg, a.dids, a.toks,
+               (SELECT {fold} FROM (SELECT CAST(0 AS BIGINT) AS s0,
+                                           CAST(0 AS BIGINT) AS s1,
+                                           a.toks AS toks)) AS st
+        FROM agg a WHERE a.sg = 0)
       UNION ALL
-      SELECT t.doc_id, t.n_tokens, t.pack_bucket, t.rn,
-             CASE WHEN p.bin_fill > 0 AND p.bin_fill + t.n_tokens > 256
-                  THEN p.bin_id + 1 ELSE p.bin_id END,
-             CASE WHEN p.bin_fill > 0 AND p.bin_fill + t.n_tokens > 256
-                  THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
-      FROM t JOIN packed p ON t.pack_bucket = p.pack_bucket AND t.rn = p.rn + 1
-    )
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pack_bucket,
-           bin_id, CAST(bin_fill AS BIGINT) AS bin_fill
-    FROM packed
+      SELECT pack_bucket, sg, dids, toks, st FROM (
+        SELECT a.pack_bucket, a.sg, a.dids, a.toks,
+               (SELECT {fold} FROM (SELECT p.st[1] AS s0, p.st[2] AS s1,
+                                           a.toks AS toks)) AS st
+        FROM packseg p JOIN agg a
+          ON a.pack_bucket = p.pack_bucket AND a.sg = p.sg + 1)
+    ),
+    packedf AS (
+      SELECT dids[CAST(u.i AS INT)] AS doc_id,
+             CAST(toks[CAST(u.i AS INT)] AS BIGINT) AS n_tokens,
+             pack_bucket,
+             st[CAST(2 * u.i + 1 AS INT)] AS bin_id,
+             st[CAST(2 * u.i + 2 AS INT)] AS bin_fill
+      FROM packseg, unnest(range(1, len(dids) + 1)) AS u(i)
+    )"""
+
+
+@_register(
+    "docs_pack_sequences",
+    _packed_fold_sql() + """
+    SELECT doc_id, n_tokens, pack_bucket, bin_id, bin_fill
+    FROM packedf
     """,
 )
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6998,46 +7039,14 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "docs_pack_efficiency",
-    f"""
-    WITH RECURSIVE n AS (
-      SELECT doc_id, {_NORM} AS s FROM documents
-    ),
-    src AS (
-      SELECT doc_id,
-             coalesce(len({_TOKS}), 0) AS n_tokens,
-             CAST(doc_id % 8 AS INT) AS pack_bucket
-      FROM n
-    ),
-    -- MATERIALIZED: t feeds the RECURSIVE term, which executes once
-    -- per packed row-rank (n/8 iterations); inlined, the norm+tokenize
-    -- chain would re-run over the whole corpus EVERY iteration
-    -- (~312 M regex tokenizations at sf1 — the r11/r12 600 s budget
-    -- breach was this, not the sequential recurrence itself)
-    t AS MATERIALIZED (
-      SELECT doc_id, n_tokens, pack_bucket,
-             row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn
-      FROM src
-    ),
-    packed AS (
-      SELECT doc_id, n_tokens, pack_bucket, rn,
-             CAST(0 AS BIGINT) AS bin_id,
-             n_tokens AS bin_fill
-      FROM t WHERE rn = 1
-      UNION ALL
-      SELECT t.doc_id, t.n_tokens, t.pack_bucket, t.rn,
-             CASE WHEN p.bin_fill > 0 AND p.bin_fill + t.n_tokens > 256
-                  THEN p.bin_id + 1 ELSE p.bin_id END,
-             CASE WHEN p.bin_fill > 0 AND p.bin_fill + t.n_tokens > 256
-                  THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
-      FROM t JOIN packed p ON t.pack_bucket = p.pack_bucket AND t.rn = p.rn + 1
-    )
+    _packed_fold_sql() + """
     SELECT pack_bucket,
            CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(sum(n_tokens) * 1.0 / (count(DISTINCT bin_id) * 256), 4)
              AS utilization
-    FROM packed GROUP BY pack_bucket
+    FROM packedf GROUP BY pack_bucket
     """,
 )
 def docs_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
