@@ -328,6 +328,23 @@ def main() -> None:
                 "oracle_rows": None,
                 "err": err,
             }
+            # a heavy key can kill the JVM (executor OOM / interrupted
+            # shutdown); every later key then fails in milliseconds and
+            # the artifact fills with spurious FAILs (two r14 sweep
+            # cascades). Probe the session; if it is dead, write the
+            # partial artifact and ABORT so a resume run (ok-keys
+            # parsed from the log) continues on a fresh JVM.
+            try:
+                spark.range(1).count()
+            except Exception:  # noqa: BLE001
+                out[key] = rec
+                print(f"{key}: FAIL (session dead — aborting sweep)",
+                      flush=True)
+                (REPO / f"PARITY_FULL_{tag}.json").write_text(json.dumps(
+                    {"summary": {"partial": True, "aborted": "dead JVM",
+                                 "keys_done": len(out)},
+                     "keys": out}, indent=1))
+                raise SystemExit(2)
         out[key] = rec
         if rec.get("fingerprinted"):
             status = "ok (fingerprint)"
