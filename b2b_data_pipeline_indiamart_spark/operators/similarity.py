@@ -113,7 +113,7 @@ def cosine_neardup_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_blocks: int = 8,
+    n_blocks: int | None = 8,
     within: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via distributed block-pair gemm.
@@ -160,7 +160,22 @@ def cosine_neardup_blocked(
         F.col(id_col).cast("long").alias("id"),
         as_double_array(F.col(vec_col)).alias("v"),
         grp,
-    ).withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+    )
+    if n_blocks is None:
+        # auto-size so the per-task pair matrix stays bounded: with a
+        # pinned n_blocks the block side grows with the corpus and the
+        # gemm's similarity matrix grows with its SQUARE — at sf10
+        # (200k vecs / 8 blocks) each task materialized a 25k×25k
+        # float64 matrix (5 GB) and 32 concurrent tasks OOM-killed the
+        # JVM (r14). Output is invariant to n_blocks by construction
+        # (block assignment picks WHERE a pair is scored, never which
+        # pairs exist), so sizing it from a 1-scalar count is free:
+        # block side ≤ ~4k ⇒ sim matrix ≤ ~128 MB/task.
+        n_rows = v.count()
+        n_blocks = max(4, -(-n_rows // 4000))
+    v = v.withColumn(
+        "blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+    )
     if within is not None:
         # SQL equality semantics: null clusters never pair
         v = v.filter(F.col("grp").isNotNull())

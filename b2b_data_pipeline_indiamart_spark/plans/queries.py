@@ -1699,7 +1699,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity.lsh_bucketed_pairs`` is the O(corpus)-shuffle
     approximate path when N² compute itself is too big."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_blocked(emb, threshold=0.35)
+    # n_blocks=None: auto-size blocks from the corpus count so the
+    # per-task gemm matrix stays ~128 MB at ANY scale (r14: the
+    # pinned 8 blocks OOM'd at sf10 where one block pair is 25k^2)
+    return similarity.cosine_neardup_blocked(
+        emb, threshold=0.35, n_blocks=None
+    )
 
 
 @_register(
@@ -7235,7 +7240,9 @@ def embedding_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only union, zero-degree vectors survive the left join, and
     the histogram is a tiny degree-grain aggregate."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_neardup_blocked(emb, threshold=0.3).select(
+    pairs = similarity.cosine_neardup_blocked(
+        emb, threshold=0.3, n_blocks=None  # auto-size (r14, see embedding_neardup)
+    ).select(
         "id_a", "id_b"
     )
     both = pairs.select(F.col("id_a").alias("vid")).unionAll(

@@ -283,6 +283,29 @@ def main_embedding(args) -> None:
                     )
             t0 = time.perf_counter()
             q.processAllAvailable()
+            # processAllAvailable can return before the just-written
+            # file is visible to the source's listing under heavy CPU
+            # contention (r14: a contended soak silently skipped 14 of
+            # 20 files; ledger counting does not work either — empty
+            # no-data batches also write markers). Sync on the
+            # query's own progress: total input rows must reach the
+            # rows written so far.
+            expected = (e + 1) * args.docs
+            deadline = time.perf_counter() + 300
+
+            def _committed():
+                return sum(
+                    pr["numInputRows"] for pr in q.recentProgress
+                )
+
+            while (
+                _committed() < expected
+                and time.perf_counter() < deadline
+            ):
+                time.sleep(0.2)
+                q.processAllAvailable()
+            if _committed() < expected:
+                raise RuntimeError(f"epoch {e} never committed")
             lat = round(time.perf_counter() - t0, 3)
             latencies.append(lat)
             state_rows = spark.read.parquet(str(state_dir / "vecs")).count()
