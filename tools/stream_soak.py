@@ -284,27 +284,30 @@ def main_embedding(args) -> None:
             t0 = time.perf_counter()
             q.processAllAvailable()
             # processAllAvailable can return before the just-written
-            # file is visible to the source's listing under heavy CPU
-            # contention (r14: a contended soak silently skipped 14 of
-            # 20 files; ledger counting does not work either — empty
-            # no-data batches also write markers). Sync on the
-            # query's own progress: total input rows must reach the
-            # rows written so far.
-            expected = (e + 1) * args.docs
+            # file is visible to the source's listing (r14: a
+            # contended soak silently skipped 14 of 20 files; ledger
+            # counting fails too — empty batches also write markers —
+            # and numInputRows is unreliably 0 for some file batches).
+            # Sync on the SOURCE OFFSET: the file-source log offset is
+            # the number of committed file entries, so file e is
+            # processed exactly when max(endOffset.logOffset) >= e.
             deadline = time.perf_counter() + 300
 
-            def _committed():
-                return sum(
-                    pr["numInputRows"] for pr in q.recentProgress
-                )
+            def _file_offset():
+                off = -1
+                for pr in q.recentProgress:
+                    end = pr["sources"][0]["endOffset"]
+                    if isinstance(end, dict):
+                        off = max(off, end.get("logOffset", -1))
+                return off
 
             while (
-                _committed() < expected
+                _file_offset() < e
                 and time.perf_counter() < deadline
             ):
                 time.sleep(0.2)
                 q.processAllAvailable()
-            if _committed() < expected:
+            if _file_offset() < e:
                 raise RuntimeError(f"epoch {e} never committed")
             lat = round(time.perf_counter() - t0, 3)
             latencies.append(lat)
