@@ -182,10 +182,12 @@ def main() -> None:
     t_start = time.perf_counter()
     try:
         for e in range(args.epochs):
-            p = src / f"b{e:04d}.json"
-            with open(p, "w") as f:
+            # atomic rename into the watched dir (see embedding mode)
+            tmp = work / f"b{e:04d}.json.tmp"
+            with open(tmp, "w") as f:
                 for did, text in epoch_rows(e, args.docs):
                     f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+            tmp.rename(src / f"b{e:04d}.json")
             t0 = time.perf_counter()
             q.processAllAvailable()
             lat = round(time.perf_counter() - t0, 3)
@@ -275,12 +277,20 @@ def main_embedding(args) -> None:
     t_start = time.perf_counter()
     try:
         for e in range(args.epochs):
-            p = src / f"b{e:04d}.json"
-            with open(p, "w") as f:
+            # write OUTSIDE the watched dir, then rename atomically:
+            # the continuously-triggering file source lists the
+            # just-created file mid-write, consumes its offset with
+            # 0/partial rows, and NEVER re-reads a seen path (r14:
+            # this silently dropped most 1000-vec epochs — vector gen
+            # is slow enough that the source almost always won the
+            # race; the same discipline any production ingest needs)
+            tmp = work / f"b{e:04d}.json.tmp"
+            with open(tmp, "w") as f:
                 for vid, vec in epoch_vec_rows(e, args.docs):
                     f.write(
                         json.dumps({"vec_id": vid, "embedding": vec}) + "\n"
                     )
+            tmp.rename(src / f"b{e:04d}.json")
             t0 = time.perf_counter()
             q.processAllAvailable()
             # processAllAvailable can return before the just-written
@@ -294,11 +304,16 @@ def main_embedding(args) -> None:
             deadline = time.perf_counter() + 300
 
             def _file_offset():
+                # endOffset is a STRINGIFIED dict in PySpark (single
+                # quotes — not JSON); pull the number out directly
+                import re as _re
+
                 off = -1
                 for pr in q.recentProgress:
                     end = pr["sources"][0]["endOffset"]
-                    if isinstance(end, dict):
-                        off = max(off, end.get("logOffset", -1))
+                    m = _re.search(r"logOffset\D*(\d+)", str(end))
+                    if m:
+                        off = max(off, int(m.group(1)))
                 return off
 
             while (
