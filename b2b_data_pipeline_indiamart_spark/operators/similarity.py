@@ -853,6 +853,7 @@ def kcenter_coreset(
     k: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "running_min",
 ) -> DataFrame:
     """Greedy k-center (farthest-point) coreset selection (Gonzalez
     1985; Sener & Savarese 2018 for training-data curation): start
@@ -862,58 +863,128 @@ def kcenter_coreset(
     corpus geometry, the diversity-first dual of MMR's
     relevance-first selection.
 
-    Scale shape: k bounded iterations; each is ONE map-only corpus
-    pass (the ≤ k selected centers ride as plan literals — the
-    codebook seam) ending in a TakeOrderedAndProject(1) + a 1-row
-    loop-control collect (the kmeans/pagerank driver-loop pattern —
-    metadata scale, never data movement). Total work k × corpus × k
-    dots; no shuffle anywhere. Distances are min-of-4dp values, so
-    both engines argmax identical doubles; ties (dist desc, id asc).
+    Scale shape (``method="running_min"``, the default): carry ONE
+    persisted (id, vec, min_dist) frame; each of the k rounds updates
+    it with ``least(carried, dist-to-newest-center)`` — a single dot
+    per row per round, O(k·corpus) total — then argmaxes via
+    TakeOrderedAndProject(1) + a 1-row loop-control collect (the
+    kmeans/pagerank driver-loop pattern — metadata scale, never data
+    movement). No shuffle anywhere; the previous round's persist is
+    released only after the next frame is materialized, so each round
+    is one map-only scan of the cached frame regardless of k.
 
-    Output (k rows): (center_rank, id, min_dist — NULL for rank 1).
+    ``method="kpass"`` is the original formulation (re-least() over
+    all selected centers every round, O(k²·corpus) dots) kept as the
+    equality pin for the incremental form: ``least`` is associative
+    and null-skipping in both shapes, so the two paths produce
+    identical 4dp distances, picks, and tie-breaks.
+
+    Distances are min-of-4dp values, so both engines argmax identical
+    doubles; ties (dist desc NULLS LAST, id asc). Output (≤ k rows):
+    (center_rank, id, min_dist — NULL for rank 1). Empty corpus →
+    empty frame (same schema), no driver error.
     """
     spark = emb.sparkSession
+    schema = f"center_rank int, {id_col} long, min_dist double"
     v = emb.select(
         F.col(id_col).cast("long").alias("__kid"),
         as_double_array(F.col(vec_col)).alias("__kv"),
     )
-    first = v.orderBy(F.col("__kid").asc()).limit(1).collect()[0]
+    first_rows = v.orderBy(F.col("__kid").asc()).limit(1).collect()
+    if not first_rows:
+        return spark.createDataFrame([], schema)
+    first = first_rows[0]
     centers = [(int(first["__kid"]), [float(x) for x in first["__kv"]])]
     out = [(1, centers[0][0], None)]
-    for rank in range(2, k + 1):
-        dists = [
-            round_half_up(
-                F.lit(1.0)
-                - cosine(
-                    F.col("__kv"),
-                    F.array(*[F.lit(float(x)) for x in cvec]),
-                ),
-                4,
-            )
-            for _, cvec in centers
-        ]
-        md = dists[0] if len(dists) == 1 else F.least(*dists)
-        pick = (
-            v.filter(~F.col("__kid").isin([cid for cid, _ in centers]))
-            .select("__kid", "__kv", md.alias("__md"))
-            .orderBy(F.col("__md").desc(), F.col("__kid").asc())
-            .limit(1)
-            .collect()
+
+    def _dist_to(cvec):
+        return round_half_up(
+            F.lit(1.0)
+            - cosine(
+                F.col("__kv"),
+                F.array(*[F.lit(float(x)) for x in cvec]),
+            ),
+            4,
         )
-        if not pick:
-            break
-        row = pick[0]
-        centers.append((int(row["__kid"]), [float(x) for x in row["__kv"]]))
-        out.append(
-            (
-                rank,
-                int(row["__kid"]),
-                None if row["__md"] is None else float(row["__md"]),
+
+    if method == "kpass":
+        for rank in range(2, k + 1):
+            dists = [_dist_to(cvec) for _, cvec in centers]
+            md = dists[0] if len(dists) == 1 else F.least(*dists)
+            pick = (
+                v.filter(
+                    ~F.col("__kid").isin([cid for cid, _ in centers])
+                )
+                .select("__kid", "__kv", md.alias("__md"))
+                .orderBy(F.col("__md").desc(), F.col("__kid").asc())
+                .limit(1)
+                .collect()
             )
-        )
-    return spark.createDataFrame(
-        out, f"center_rank int, {id_col} long, min_dist double"
+            if not pick:
+                break
+            row = pick[0]
+            centers.append(
+                (int(row["__kid"]), [float(x) for x in row["__kv"]])
+            )
+            out.append(
+                (
+                    rank,
+                    int(row["__kid"]),
+                    None if row["__md"] is None else float(row["__md"]),
+                )
+            )
+        return spark.createDataFrame(out, schema)
+
+    # running_min: one persisted frame carrying the min distance so far
+    cur = (
+        v.filter(F.col("__kid") != centers[0][0])
+        .select("__kid", "__kv", _dist_to(centers[0][1]).alias("__md"))
+        .persist()
     )
+    prev = None
+    try:
+        for rank in range(2, k + 1):
+            pick = (
+                cur.orderBy(F.col("__md").desc(), F.col("__kid").asc())
+                .limit(1)
+                .collect()
+            )
+            # the global top-1 scan materialized every partition of
+            # `cur` into its persist — the parent frame is now safe
+            # to release without forcing a lineage recompute
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not pick:
+                break
+            row = pick[0]
+            cid = int(row["__kid"])
+            out.append(
+                (
+                    rank,
+                    cid,
+                    None if row["__md"] is None else float(row["__md"]),
+                )
+            )
+            if rank < k:
+                cvec = [float(x) for x in row["__kv"]]
+                prev = cur
+                cur = (
+                    cur.filter(F.col("__kid") != cid)
+                    .select(
+                        "__kid",
+                        "__kv",
+                        F.least(F.col("__md"), _dist_to(cvec)).alias(
+                            "__md"
+                        ),
+                    )
+                    .persist()
+                )
+    finally:
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(out, schema)
 
 
 def cosine_range_search(

@@ -4189,7 +4189,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT priority, CAST(yr AS INT) AS order_year,
            round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
            round(100.0 * (CAST(cents - lag(cents) OVER w AS DOUBLE))
-                 / CAST(lag(cents) OVER w AS DOUBLE), 2) AS yoy_pct
+                 / CAST(NULLIF(lag(cents) OVER w, 0) AS DOUBLE), 2) AS yoy_pct
     FROM a WINDOW w AS (PARTITION BY priority ORDER BY yr)
     """,
 )
@@ -4215,9 +4215,12 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__cents").cast("double") / F.lit(100.0), 2
         ).alias("revenue"),
         round_half_up(
-            F.lit(100.0)
-            * (F.col("__cents") - prev).cast("double")
-            / prev.cast("double"),
+            F.when(
+                prev != 0,
+                F.lit(100.0)
+                * (F.col("__cents") - prev).cast("double")
+                / prev.cast("double"),
+            ),
             2,
         ).alias("yoy_pct"),
     )
@@ -11625,8 +11628,8 @@ def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mmr_sql(k: int = 10, shortlist: int = 30, lam: float = 0.7) -> str:
     """MMR greedy selection unrolled as ``k`` chained argmax CTEs (the
     _bpe_tokenize_sql discipline): pick 1 is pure relevance; pick j
-    scores every remaining shortlist member ``0.7·rel − 0.3·max(sim
-    to selected)`` on RAW doubles from 4dp-rounded inputs and takes
+    scores every remaining shortlist member ``lam·rel − (1−lam)·
+    max(sim to selected)`` on RAW doubles from 4dp-rounded inputs and takes
     (score DESC, id ASC). short/ps are MATERIALIZED — referenced by
     every step."""
     cos = (
@@ -11654,10 +11657,10 @@ def _mmr_sql(k: int = 10, shortlist: int = 30, lam: float = 0.7) -> str:
       GROUP BY 1, 2, 3),
     pick{j} AS (
       SELECT query_id, neighbor_id, rel, {j} AS mmr_rank,
-             CAST(0.7 AS DOUBLE) * rel - (1 - CAST(0.7 AS DOUBLE)) * ms AS mmr_score
+             CAST({lam!r} AS DOUBLE) * rel - (1 - CAST({lam!r} AS DOUBLE)) * ms AS mmr_score
       FROM (SELECT *, row_number() OVER (
               PARTITION BY query_id
-              ORDER BY CAST(0.7 AS DOUBLE) * rel - (1 - CAST(0.7 AS DOUBLE)) * ms DESC, neighbor_id ASC) AS rn
+              ORDER BY CAST({lam!r} AS DOUBLE) * rel - (1 - CAST({lam!r} AS DOUBLE)) * ms DESC, neighbor_id ASC) AS rn
             FROM scored{j}) WHERE rn = 1),
     sel{j} AS MATERIALIZED (
       SELECT query_id, neighbor_id FROM {prev}

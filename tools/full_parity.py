@@ -49,27 +49,69 @@ _BIG_ROWS = 2_000_000
 _BIG_ORACLE_ROWS = 500_000
 
 
+def _arrow_kind(t):
+    """Normalized logical kind of an Arrow type, mirroring the
+    repr-tuple canon's equivalence classes: Python ints compare equal
+    regardless of width (int64 == HUGEINT/decimal-scale-0), floats
+    are their own class (repr(5.0) != repr(5)), bools are NOT ints
+    (repr(True) != '1'), decimals with scale > 0 are distinct from
+    floats (str('5.00') != repr(5.0))."""
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return "int" if t.scale == 0 else "decimal"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return str(t)
+
+
 def _pandas_compare(sdf, con, sql):
     """Memory-safe hash-compare for big oracle outputs: Spark side via
     toArrow() (columnar, ~50× smaller than Row objects), DuckDB side
     via .arrow(); both sorted by every column with pandas.sort_values
     (NaN last, the driver canon) and compared vectorized. Returns the
     same record shape as the repr-tuple path; equivalence of the two
-    paths is pinned by tests/test_round14_ops.py on small data."""
+    paths is pinned by tests/test_round14_ops.py on small data.
+
+    schema_match requires column NAMES and normalized logical KINDS
+    (int vs float vs bool vs decimal vs string, from the Arrow
+    schemas — null-robust, unlike pandas dtypes) to agree, so a
+    Spark BIGINT vs oracle DOUBLE (5 vs 5.0) fails here exactly as
+    it would under the repr-tuple canon; the per-column dtype pairs
+    are recorded in the artifact for audit."""
     import numpy as np
 
-    spd = sdf.toArrow().to_pandas()
+    sat = sdf.toArrow()
     res = con.execute(sql)
-    dpd = res.arrow().to_pandas()
+    dat = res.arrow()
+    skinds = {f.name: _arrow_kind(f.type) for f in sat.schema}
+    dkinds = {f.name: _arrow_kind(f.type) for f in dat.schema}
+    spd = sat.to_pandas()
+    dpd = dat.to_pandas()
     scols, dcols = sorted(spd.columns), sorted(dpd.columns)
     rec = {
         "rows_match": len(spd) == len(dpd),
-        "schema_match": scols == dcols,
+        "schema_match": scols == dcols
+        and all(skinds[c] == dkinds[c] for c in scols),
         "hash_match": False,
         "spark_rows": int(len(spd)),
         "oracle_rows": int(len(dpd)),
         "err": None,
         "pandas_compared": True,
+        "dtypes": {
+            c: [skinds.get(c), dkinds.get(c)]
+            for c in sorted(set(scols) | set(dcols))
+        },
     }
     if not (rec["rows_match"] and rec["schema_match"]):
         return rec
