@@ -1353,6 +1353,88 @@ def cdc_chunk_report(
     )
 
 
+def repeated_substring_runs(
+    docs: DataFrame,
+    k: int = 3,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Variable-length exact repeated-substring detection — the
+    suffix-array-grade extension of :func:`span_dup_report`
+    (Lee et al. 2021 §4: scrub any substring of ≥ ~50 tokens that
+    repeats in the corpus; VERDICT r14 #10). Fixed non-overlapping
+    windows miss a long shared run that straddles window boundaries
+    and cannot report the run's true extent; this operator recovers
+    MAXIMAL duplicated token ranges via seed-and-extend:
+
+    1. every STRIDE-1 ``k``-token shingle (position ``p``, 0-based)
+       is hashed; a shingle whose text occurs in ≥ 2 distinct
+       documents marks position ``p`` as a duplicated SEED — exactly
+       the suffix-array "repeated prefix of length ≥ k" predicate;
+    2. maximal runs of CONSECUTIVE seed positions merge by
+       gaps-and-islands (``p − row_number()`` per document — the same
+       island trick the sessionizer uses); a run of ``m`` consecutive
+       seeds is an exactly-repeated substring of ``m + k − 1`` tokens
+       (every k-window inside it repeats elsewhere);
+    3. runs shorter than ``min_len`` tokens drop (production ≈ 50;
+       the default suits the synthetic vocabulary).
+
+    Sharing is CROSS-document (distinct-doc count ≥ 2), matching the
+    span/CDC family; a run repeated only within one document does not
+    flag. The reported runs are the deterministic lower bound of the
+    true longest-repeated-substring set: every reported range is
+    genuinely repeated token-for-token somewhere else.
+
+    Scale shape: the shingle table is one map-only
+    sequence/transform/posexplode projection (corpus-token grain,
+    8-byte hashes); ONE keyed shuffle counts distinct docs per
+    shingle; the hit join reuses that partitioning; the island window
+    partitions by the high-cardinality doc id (never global). No
+    driver trips; output rows = qualifying runs.
+
+    Output: (doc_id, start_pos, run_len) — one row per maximal
+    duplicated run, positions 0-based in the normalized token stream.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = word_tokens(F.col(text_col))
+    nsh = F.size("__toks") - F.lit(k - 1)
+    piece = lambda i: F.xxhash64(  # noqa: E731 — slice is 1-based
+        F.array_join(F.slice(F.col("__toks"), i + 1, k), " ")
+    )
+    sh = caching.persist_tracked(
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), nsh - 1), piece)
+            ).alias("__p", "__sh"),
+        )
+    )
+    shared = (
+        sh.groupBy("__sh")
+        .agg(F.countDistinct(id_col).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= 2)
+        .select("__sh")
+    )
+    hits = sh.join(shared, "__sh").select(id_col, "__p")
+    w = W.partitionBy(id_col).orderBy("__p")
+    islands = hits.select(
+        id_col, "__p", (F.col("__p") - F.row_number().over(w)).alias("__g")
+    )
+    return (
+        islands.groupBy(id_col, "__g")
+        .agg(
+            F.min("__p").cast("int").alias("start_pos"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("int").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .select(id_col, "start_pos", "run_len")
+    )
+
+
 def editdist_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -612,6 +612,214 @@ def ann_ivf_seeded_topk(
     )
 
 
+def ann_ivf_lloyd_seeded_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_seeds: int = 16,
+    n_iters: int = 2,
+    n_probe: int = 4,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF routing with ``n_iters`` UNROLLED spherical-Lloyd updates
+    from the deterministic 16-lowest-id seed — the oracle-bearing twin
+    that value-gates the TRAINED k-means path (:func:`ann_ivf_topk` /
+    :func:`kmeans_centroids`) which :func:`ann_ivf_seeded_topk`'s
+    training-free twin could not reach (VERDICT r14 #3a).
+
+    Every Lloyd step is engine-portable by the exact-integer
+    discipline: (1) assignment ranks 6dp-ROUNDED cosines (cid
+    tie-break) against the current centroid literals; (2) the centroid
+    update averages UNIT vectors whose coordinates are quantized to
+    BIGINT first (``floor(u·1e6 + 0.5)``), so the per-(cell, dim) sums
+    are exact in any addition order; (3) the new centroid component is
+    ONE float composition of those exact integers —
+    ``round6(S_j / sqrt(Σ_j S_j²))`` (the Σ S_j² runs in arbitrary-
+    precision ints on the driver / HUGEINT in the oracle) — so both
+    engines materialize bit-identical centroid lists for the next
+    step. A cell that captures no members simply drops (with real
+    embeddings every seed captures at least itself; the drop rule is
+    stated so both engines agree even in the degenerate case); an
+    all-zero cell sum yields a zero centroid.
+
+    Scale shape: the quantized unit projection is computed once and
+    persisted; each iteration is one broadcast-literal assignment pass
+    (corpus × n_seeds 6dp cosines, window partitioned by the
+    high-cardinality vector id) plus a (cell, dim)-grain BIGINT
+    aggregate of which only n_seeds × dim rows reach the driver
+    (metadata scale — the kmeans partial-sum pattern). Routing tail
+    (probe → candidate equi-join → 4dp re-rank) is identical to
+    :func:`ann_ivf_seeded_topk`.
+    """
+    import math
+
+    spark = emb.sparkSession
+    v = emb.select(
+        F.col(id_col).alias("__vid"), as_double_array(F.col(vec_col)).alias("__e")
+    )
+    dim = len(v.select("__e").first()["__e"])
+    seed_rows = (
+        v.join(F.broadcast(_lowest_ids(v, "__vid", n_seeds)), "__vid")
+        .orderBy("__vid")
+        .collect()
+    )
+    # iteration-0 "centroids" are the raw seed vectors (cosine is
+    # normalization-invariant, so assignment 1 matches the seeded twin)
+    cents: "list[tuple[int, list[float]]]" = [
+        (int(r["__vid"]), [float(x) for x in r["__e"]]) for r in seed_rows
+    ]
+
+    uq = (
+        _unit_projection(v, "__e", "__vid", "__uid")
+        .select(
+            "__uid",
+            F.posexplode(F.col("__unit")).alias("__j", "__u"),
+        )
+        .select(
+            "__uid",
+            "__j",
+            F.floor(F.col("__u") * F.lit(1.0e6) + F.lit(0.5))
+            .cast("long")
+            .alias("__q"),
+        )
+        .persist()
+    )
+
+    def assign(side: DataFrame, cent_df: DataFrame, out_id: str, n: int) -> DataFrame:
+        sims = side.crossJoin(F.broadcast(cent_df)).select(
+            F.col("__vid").alias(out_id),
+            F.col("__cid"),
+            round_half_up(cosine(F.col("__e"), F.col("__ce")), 6).alias("__sim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__sim").desc(), F.col("__cid").asc()
+        )
+        return (
+            sims.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(out_id, F.col("__cid").alias("cell"))
+        )
+
+    def cent_frame() -> DataFrame:
+        return spark.createDataFrame(
+            [(c, vec) for c, vec in cents], "__cid long, __ce array<double>"
+        )
+
+    try:
+        for _ in range(n_iters):
+            cells = assign(v, cent_frame(), "__uid", 1)
+            sums = (
+                uq.join(cells, "__uid")
+                .groupBy("cell", "__j")
+                .agg(F.sum("__q").alias("__s"))
+                .collect()
+            )
+            by_cell: "dict[int, dict[int, int]]" = {}
+            for r in sums:
+                by_cell.setdefault(int(r["cell"]), {})[int(r["__j"])] = int(r["__s"])
+            new_cents = []
+            for cell in sorted(by_cell):
+                s = [by_cell[cell].get(j, 0) for j in range(dim)]
+                ss = sum(x * x for x in s)  # exact python int (HUGEINT twin)
+                if ss > 0:
+                    root = math.sqrt(float(ss))
+                    vec = [
+                        math.floor((float(x) / root) * 1.0e6 + 0.5) / 1.0e6
+                        for x in s
+                    ]
+                else:
+                    vec = [0.0] * dim
+                new_cents.append((cell, vec))
+            cents = new_cents
+    finally:
+        uq.unpersist()
+
+    trained = cent_frame()
+    corpus = assign(v, trained, "neighbor_id", 1).join(
+        v.select(F.col("__vid").alias("neighbor_id"), F.col("__e").alias("cv")),
+        "neighbor_id",
+    )
+    probes = (
+        assign(
+            v.join(queries.select(F.col(id_col).alias("__vid")), "__vid"),
+            trained,
+            "query_id",
+            n_probe,
+        )
+        .join(
+            v.select(F.col("__vid").alias("query_id"), F.col("__e").alias("qv")),
+            "query_id",
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def pca_eigen_invariants(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Oracle-bearing eigensolve gate (VERDICT r14 #3b): eigenvalue
+    invariants of the hash-verified quantized covariance —
+    ``Σλᵢ = tr(C)`` and ``Σλᵢ² = ‖C‖²_F`` — as a 2-row frame whose
+    values come from the DRIVER-SIDE eigensolve, while the DuckDB
+    oracle computes the SAME quantities directly from the covariance
+    cells in SQL (no eigensolve needed: both identities are exact in
+    real arithmetic). A hash match therefore pins the numpy
+    ``eigvalsh`` step — previously the one un-gated link in the
+    PCA/OOD chain — to ~1e-13 (the 6dp round absorbs the eigensolve's
+    O(n·eps·‖C‖) backward error; a broken solve moves the sums far
+    beyond it).
+
+    Scale shape: the covariance assembly is
+    :func:`embedding_cov_quantized` (exact BIGINT sums, one keyed
+    shuffle); only the dim(dim+1)/2 = 2080 covariance cells reach the
+    driver, and the 64×64 eigenproblem is metadata-scale numpy.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    cells = embedding_cov_quantized(
+        emb, dim=dim, vec_col=vec_col, id_col=id_col
+    ).collect()
+    C = np.zeros((dim, dim), dtype=np.float64)
+    for r in cells:
+        i, j, c = int(r["i"]), int(r["j"]), float(r["cov_q"])
+        C[i, j] = c
+        C[j, i] = c
+    lam = np.linalg.eigvalsh(C)
+    tr = float(np.sum(lam))
+    fr = float(np.sum(lam * lam))
+
+    def r6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1.0e6 + 0.5) / 1.0e6
+
+    return spark.createDataFrame(
+        [("frobenius_sq", r6(fr)), ("trace", r6(tr))],
+        "invariant string, value double",
+    )
+
+
 def _normed_projection(
     df: DataFrame,
     vec_col: str,

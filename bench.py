@@ -169,6 +169,14 @@ EXTENDED_KEYS = [
     "semdedup_seeded_portable",
     "ann_mmr_rerank",
     "embedding_kcenter_coreset",
+    # r15 additions: the Lloyd-unrolled IVF twin carries two full
+    # assignment passes + exact-integer centroid updates; the
+    # invariants key tracks the quantized-covariance shuffle; the
+    # repeated-substring key carries the stride-1 shingle explode +
+    # distinct-doc shuffle + island window
+    "ann_ivf_lloyd_portable",
+    "embedding_pca_invariants",
+    "docs_repeated_substring",
 ]
 
 
@@ -361,9 +369,22 @@ def main() -> None:
         }))
 
     canary_end = canary_seconds(spark)
+    # Canary-normalized total (VERDICT r14 #2): the canary is pure
+    # all-core JVM CPU, so its slowdown vs the pinned idle band is a
+    # direct estimate of the box's load factor during the run;
+    # dividing the measured total by it says what an idle box would
+    # have measured. ESTIMATE ONLY — the 2x gate reads `value`; the
+    # normalized field exists so a loaded grading box cannot
+    # masquerade as a code regression in the history tables
+    # (BASELINE.md r14b). Never normalized upward: a faster-than-idle
+    # canary clamps the factor to 1.
+    load_factor = max(
+        1.0, (canary_start + canary_end) / 2.0 / CANARY_IDLE_SEC
+    )
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
@@ -372,6 +393,8 @@ def main() -> None:
             max(canary_start, canary_end)
             > CANARY_IDLE_SEC * CANARY_CONTENDED_FACTOR
         ),
+        "canary_load_factor": round(load_factor, 2),
+        "canary_normalized_value": round(total / load_factor, 3),
     }
     print(json.dumps(out))
     spark.stop()

@@ -112,20 +112,47 @@ def soak_centroids() -> list:
     return [make_vec(10**9 + c) for c in range(N_CELLS)]
 
 
-def epoch_vec_rows(epoch: int, docs_per_epoch: int) -> list:
+def make_drift_vec(vec_id: int) -> list:
+    """Drift-segment vector: a different hash namespace AND a strong
+    common component on the first 8 coordinates — the planted
+    DISTRIBUTION SHIFT. Drift vectors are novel (admitted), mutually
+    more similar than the base population, and concentrate into few
+    cells: exactly the hot-cell / novel-content regime an ingest dedup
+    sink meets when the upstream corpus changes character."""
+    out = []
+    for i in range(VEC_DIM):
+        h = hashlib.md5(f"drift{vec_id}:d{i}".encode()).digest()
+        x = int.from_bytes(h[:8], "big") / 2**63 - 1.0
+        if i < 8:
+            x = x * 0.3 + 0.9  # shared direction: the shifted mode
+        out.append(round(x, 6))
+    return out
+
+
+def epoch_vec_rows(
+    epoch: int, docs_per_epoch: int, drift: bool = False, drift_start: int = 0
+) -> list:
+    """Epoch workload: ~70% unique / 20% near-dup / 10% exact dup.
+    Drift epochs keep the same mix but draw from the shifted family,
+    with dup sources confined to the drift segment (fresh content
+    never collides with the base population)."""
     rows = []
     base = epoch * docs_per_epoch
+    gen = make_drift_vec if drift else make_vec
+    # dup sources must come from the same family's already-seen range
+    low = drift_start * docs_per_epoch if drift else 0
+    seen = base - low
     for j in range(docs_per_epoch):
         vid = base + j
         bucket = vid % 10
-        if epoch > 0 and bucket < 1:  # 10% exact dup of an earlier vec
-            rows.append((vid, make_vec(vid % base)))
-        elif epoch > 0 and bucket < 3:  # 20% near-dup (one coord nudged)
-            v = make_vec(vid % base)
+        if seen > 0 and bucket < 1:  # 10% exact dup of an earlier vec
+            rows.append((vid, gen(low + (vid % seen))))
+        elif seen > 0 and bucket < 3:  # 20% near-dup (one coord nudged)
+            v = gen(low + (vid % seen))
             v[vid % VEC_DIM] = round(v[vid % VEC_DIM] + 0.01, 6)
             rows.append((vid, v))
         else:
-            rows.append((vid, make_vec(vid)))
+            rows.append((vid, gen(vid)))
     return rows
 
 
@@ -136,6 +163,10 @@ def main() -> None:
     ap.add_argument(
         "--mode", choices=["minhash", "embedding"], default="minhash"
     )
+    # planted drift segment (embedding mode): epochs in
+    # [drift_at, drift_at + drift_len) draw from the shifted family
+    ap.add_argument("--drift-at", type=int, default=-1)
+    ap.add_argument("--drift-len", type=int, default=20)
     args = ap.parse_args()
     if args.mode == "embedding":
         return main_embedding(args)
@@ -274,6 +305,7 @@ def main_embedding(args) -> None:
         threshold=0.9,
     )
     latencies = []
+    linear_violations: list = []
     t_start = time.perf_counter()
     try:
         for e in range(args.epochs):
@@ -284,9 +316,15 @@ def main_embedding(args) -> None:
             # this silently dropped most 1000-vec epochs — vector gen
             # is slow enough that the source almost always won the
             # race; the same discipline any production ingest needs)
+            in_drift = (
+                args.drift_at >= 0
+                and args.drift_at <= e < args.drift_at + args.drift_len
+            )
             tmp = work / f"b{e:04d}.json.tmp"
             with open(tmp, "w") as f:
-                for vid, vec in epoch_vec_rows(e, args.docs):
+                for vid, vec in epoch_vec_rows(
+                    e, args.docs, drift=in_drift, drift_start=args.drift_at
+                ):
                     f.write(
                         json.dumps({"vec_id": vid, "embedding": vec}) + "\n"
                     )
@@ -327,10 +365,22 @@ def main_embedding(args) -> None:
             lat = round(time.perf_counter() - t0, 3)
             latencies.append(lat)
             state_rows = spark.read.parquet(str(state_dir / "vecs")).count()
+            admitted_so_far = spark.read.parquet(str(out_dir)).count()
+            # THE growth law under soak: state carries exactly one row
+            # per ADMITTED vector — linear in uniques, flat under the
+            # duplicate storm, NO leak under drift (strict equality,
+            # checked every epoch, not just at the end)
+            if state_rows != admitted_so_far:
+                linear_violations.append(
+                    {"epoch": e, "state_rows": state_rows,
+                     "admitted": admitted_so_far}
+                )
             rec = {
                 "epoch": e,
+                "drift": in_drift,
                 "latency_sec": lat,
                 "vecs_per_sec": round(args.docs / lat, 1),
+                "admitted_so_far": admitted_so_far,
                 "state_rows": state_rows,
                 "state_bytes": du_bytes(state_dir),
             }
@@ -345,6 +395,8 @@ def main_embedding(args) -> None:
         "metric": "embedding_neardup_soak",
         "epochs": args.epochs,
         "vecs_per_epoch": args.docs,
+        "drift_at": args.drift_at,
+        "drift_len": args.drift_len if args.drift_at >= 0 else 0,
         "total_vecs": args.epochs * args.docs,
         "admitted_vecs": admitted,
         "sustained_vecs_per_sec": round(
@@ -356,6 +408,8 @@ def main_embedding(args) -> None:
             str(state_dir / "vecs")
         ).count(),
         "final_state_bytes": du_bytes(state_dir),
+        "state_rows_equal_admitted_every_epoch": not linear_violations,
+        "linearity_violations": linear_violations[:10],
     }
     print(json.dumps(summary), flush=True)
     spark.stop()
