@@ -167,3 +167,24 @@ def test_repeated_substring_registry_key_runs(spark, sf_small):
     ]
     assert all(r["run_len"] >= 8 for r in rows)
     caching.release_cached()
+
+
+def test_soak_reference_model_matches_committed_receipt():
+    """The 560-epoch drift-soak receipt (SOAK_r15_drift.jsonl) must
+    match the pure-python reference model of the sink semantics
+    epoch-for-epoch: 559/560 exact, the single +1 (epoch 3) being a
+    cell-boundary probe miss — the documented IVF false-negative —
+    and state_rows == admitted at EVERY epoch (strict linearity in
+    uniques through the planted drift segment at 500-524)."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    from tools.soak_model import check
+
+    res = check(str(repo / "SOAK_r15_drift.jsonl"), 100, 500, 25)
+    assert res["epochs"] == 560
+    assert res["exact_match"] >= res["epochs"] - 1
+    assert res["state_equals_admitted_every_epoch"]
+    assert res["observed_total"] - res["model_total"] <= 1
