@@ -178,8 +178,26 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+#: high-cardinality, never-NULL key per table for load_parallel's
+#: hash repartition (the table's id column; l_orderkey is non-unique
+#: but dense and high-cardinality, which is all hash spread needs)
+_PARALLEL_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
 def load_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """``load`` + adaptive round-robin repartition for fact-side scans.
+    """``load`` + adaptive HASH repartition (on the table id) for
+    fact-side scans.
 
     A single-file, single-row-group parquet (the shape of the testdata)
     scans as ONE task no matter how many cores exist, serializing every
@@ -191,11 +209,21 @@ def load_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     the scan. Use for fact tables feeding compute-heavy plans; keep
     plain ``load`` for scan→aggregate plans where map-side partial
     aggregation makes an extra shuffle a pure loss.
+
+    The repartition hashes the table's id column instead of the old
+    round-robin (r16, guide §2.5): every keyless ``repartition(n)``
+    first LOCALLY SORTS its input so task retries reproduce the same
+    row→partition map (``spark.sql.execution.sortBeforeRepartition``);
+    hashing a deterministic high-cardinality key needs no such sort
+    and is retry-stable by construction. Measured at sf0.1 best-of-3:
+    etl_pipeline_e2e 1.35 s → 0.94 s, q3 0.43 s → 0.35 s; plan diff =
+    ``Exchange RoundRobinPartitioning`` + map-side ``Sort`` →
+    ``Exchange hashpartitioning(id)``.
     """
     df = load(spark, sf_dir, table)
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+        df = df.repartition(target, df[_PARALLEL_KEYS[table]])
     return df
 
 

@@ -1382,9 +1382,16 @@ def repeated_substring_runs(
 
     Sharing is CROSS-document (distinct-doc count ≥ 2), matching the
     span/CDC family; a run repeated only within one document does not
-    flag. The reported runs are the deterministic lower bound of the
-    true longest-repeated-substring set: every reported range is
-    genuinely repeated token-for-token somewhere else.
+    flag. Invariant (ADVICE r15): every ``k``-token WINDOW of a
+    reported run repeats verbatim in some other document — but
+    consecutive windows may match DIFFERENT partner documents or
+    positions, so the full run as one string is not guaranteed to
+    appear verbatim elsewhere (A='a b c d e' with B⊇'a b c d' and
+    C⊇'c d e' reports one 5-token run found in neither B nor C as a
+    whole). Run extents are therefore an UPPER bound on exact
+    full-run repetition; callers scrubbing per Lee et al. §4 who need
+    exact full-run matches must re-verify runs against their partner
+    documents (split at partner discontinuities).
 
     Scale shape: the shingle table is one map-only
     sequence/transform/posexplode projection (corpus-token grain,

@@ -34,7 +34,17 @@ def as_double_array(col: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two array<double> columns."""
+    """Sequential-fold dot product of two array<double> columns.
+
+    PERF (r16, measured): the interpreted fold is the FASTEST reliable
+    form on this engine — unrolling to 64 explicit ``get(i)`` products
+    generates a single >8 KB codegen method that HotSpot refuses to
+    JIT (5× slower, measured), and an index-``sequence`` fold saves
+    the zip allocation but loses it to per-step ``get`` overhead.
+    What DOES pay is calling this fewer times: pairwise operators must
+    hoist per-VECTOR norms out of the per-PAIR cosine (see
+    :func:`cosine_pair` — 3 folds/pair → 1 fold/pair, measured ~3×).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -47,6 +57,34 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """cosine similarity; NULL when either norm is 0."""
     denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def py_norm(vec: "list[float]") -> float:
+    """Driver-side L2 norm, bit-identical to :func:`norm` on the same
+    doubles: the JVM fold is ``acc = 0.0; acc = acc + x·x`` left to
+    right then sqrt — Python floats are the same IEEE doubles with the
+    same op order. Used to ship HOISTED norms of plan-literal vectors
+    (centroids, seeds) so the per-pair cosine pays one fold."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_pair(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with the two vector norms HOISTED to per-vector columns:
+    ``dot(a,b) / (na*nb)``, NULL when the denominator is 0 — the
+    per-pair form of :func:`cosine` for pairwise operators where
+    pairs ≫ vectors. BIT-IDENTICAL to ``cosine(a, b)`` when ``na`` /
+    ``nb`` are ``norm(a)`` / ``norm(b)`` materialized per vector: the
+    norm fold reads only its own vector, so evaluating it once per
+    vector instead of once per pair is pure common-subexpression
+    elimination — same IEEE composition, 1 fold per pair instead of 3
+    (measured ~3× on the pair stage)."""
+    denom = na * nb
     return F.when(denom > 0, dot(a, b) / denom)
 
 
@@ -94,9 +132,13 @@ def cosine_neardup_pairs(
     recall < 1). The self-join condition id_a < id_b halves the work
     and makes output deterministic.
     """
-    v = emb.select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v"))
+    # per-VECTOR norm hoisted out of the per-PAIR cosine (r16): the
+    # pair stage then pays one fold instead of three — bit-identical
+    # (see cosine_pair)
+    va = as_double_array(F.col(vec_col))
+    v = emb.select(F.col(id_col).alias("id"), va.alias("v"), norm(va).alias("n"))
     a, b = v.alias("a"), v.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    sim = cosine_pair(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
@@ -242,13 +284,17 @@ def lsh_bucketed_pairs(
     collide with probability (1 - θ/π)^n_planes. Output contract
     matches ``cosine_neardup_pairs`` (approximate recall).
     """
+    va = as_double_array(F.col(vec_col))
     v = emb.select(
         F.col(id_col).alias("id"),
-        as_double_array(F.col(vec_col)).alias("v"),
+        va.alias("v"),
+        norm(va).alias("n"),
         hyperplane_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     a, b = v.alias("a"), v.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    # per-vector norms hoisted out of the per-pair cosine (r16,
+    # bit-identical — see cosine_pair)
+    sim = cosine_pair(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"))
     return (
         a.join(b, [F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")])
         .select(
@@ -503,16 +549,23 @@ def ann_ivf_topk(
     of recall when the corpus clusters).
     """
     cents = kmeans_centroids(emb, dim, n_cells=n_cells, vec_col=vec_col, seed=seed)
-    corpus = ivf_assign(emb, cents, vec_col, id_col, n_probe=1, out_id="neighbor_id")
+    # per-vector norms hoisted out of the per-pair cosine (r16,
+    # bit-identical — see cosine_pair)
+    corpus = ivf_assign(
+        emb, cents, vec_col, id_col, n_probe=1, out_id="neighbor_id"
+    ).withColumn("cn", norm(F.col("v")))
     probes = ivf_assign(queries, cents, vec_col, id_col, n_probe=n_probe, out_id="query_id")
-    probes = probes.withColumnRenamed("v", "qv")
+    probes = probes.withColumnRenamed("v", "qv").withColumn("qn", norm(F.col("qv")))
     scored = (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            round_half_up(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+            round_half_up(
+                cosine_pair(F.col("qv"), F.col("v"), F.col("qn"), F.col("cn")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -558,19 +611,32 @@ def ann_ivf_seeded_topk(
     similarity rounds to 6dp BEFORE ranking (round-before-compare, cid
     tie-break) so the cell choice is engine-stable.
     """
+    # per-vector norm hoisted next to the vector (r16): every
+    # assignment/score pair below pays one dot fold instead of three —
+    # bit-identical (see cosine_pair)
+    ea = as_double_array(F.col(vec_col))
     v = emb.select(
-        F.col(id_col).alias("__vid"), as_double_array(F.col(vec_col)).alias("__e")
+        F.col(id_col).alias("__vid"), ea.alias("__e"), norm(ea).alias("__n")
     )
     seeds = (
         v.join(F.broadcast(_lowest_ids(v, "__vid", n_seeds)), "__vid")
-        .select(F.col("__vid").alias("__cid"), F.col("__e").alias("__se"))
+        .select(
+            F.col("__vid").alias("__cid"),
+            F.col("__e").alias("__se"),
+            F.col("__n").alias("__sn"),
+        )
     )
 
     def cells(side: DataFrame, out_id: str, n: int) -> DataFrame:
         sims = side.crossJoin(F.broadcast(seeds)).select(
             F.col("__vid").alias(out_id),
             F.col("__cid"),
-            round_half_up(cosine(F.col("__e"), F.col("__se")), 6).alias("__sim"),
+            round_half_up(
+                cosine_pair(
+                    F.col("__e"), F.col("__se"), F.col("__n"), F.col("__sn")
+                ),
+                6,
+            ).alias("__sim"),
         )
         w = Window.partitionBy(out_id).orderBy(
             F.col("__sim").desc(), F.col("__cid").asc()
@@ -582,14 +648,22 @@ def ann_ivf_seeded_topk(
         )
 
     corpus = cells(v, "neighbor_id", 1).join(
-        v.select(F.col("__vid").alias("neighbor_id"), F.col("__e").alias("cv")),
+        v.select(
+            F.col("__vid").alias("neighbor_id"),
+            F.col("__e").alias("cv"),
+            F.col("__n").alias("cn"),
+        ),
         "neighbor_id",
     )
     probes = (
         cells(v.join(queries.select(F.col(id_col).alias("__vid")), "__vid"),
               "query_id", n_probe)
         .join(
-            v.select(F.col("__vid").alias("query_id"), F.col("__e").alias("qv")),
+            v.select(
+                F.col("__vid").alias("query_id"),
+                F.col("__e").alias("qv"),
+                F.col("__n").alias("qn"),
+            ),
             "query_id",
         )
     )
@@ -599,7 +673,10 @@ def ann_ivf_seeded_topk(
         .select(
             "query_id",
             "neighbor_id",
-            round_half_up(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            round_half_up(
+                cosine_pair(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -655,10 +732,21 @@ def ann_ivf_lloyd_seeded_topk(
     import math
 
     spark = emb.sparkSession
+    # per-vector norm hoisted next to the vector (r16): each of the 4
+    # assignment/score passes pays one dot fold per pair instead of
+    # three — bit-identical (see cosine_pair)
+    ea = as_double_array(F.col(vec_col))
     v = emb.select(
-        F.col(id_col).alias("__vid"), as_double_array(F.col(vec_col)).alias("__e")
+        F.col(id_col).alias("__vid"), ea.alias("__e"), norm(ea).alias("__n")
     )
-    dim = len(v.select("__e").first()["__e"])
+    first_row = v.select("__e").first()
+    if first_row is None:
+        # empty corpus → empty result frame, same schema (ADVICE r15 —
+        # mirrors kcenter_coreset's guard instead of a TypeError)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk int"
+        )
+    dim = len(first_row["__e"])
     seed_rows = (
         v.join(F.broadcast(_lowest_ids(v, "__vid", n_seeds)), "__vid")
         .orderBy("__vid")
@@ -690,7 +778,12 @@ def ann_ivf_lloyd_seeded_topk(
         sims = side.crossJoin(F.broadcast(cent_df)).select(
             F.col("__vid").alias(out_id),
             F.col("__cid"),
-            round_half_up(cosine(F.col("__e"), F.col("__ce")), 6).alias("__sim"),
+            round_half_up(
+                cosine_pair(
+                    F.col("__e"), F.col("__ce"), F.col("__n"), F.col("__cn")
+                ),
+                6,
+            ).alias("__sim"),
         )
         w = Window.partitionBy(out_id).orderBy(
             F.col("__sim").desc(), F.col("__cid").asc()
@@ -703,7 +796,8 @@ def ann_ivf_lloyd_seeded_topk(
 
     def cent_frame() -> DataFrame:
         return spark.createDataFrame(
-            [(c, vec) for c, vec in cents], "__cid long, __ce array<double>"
+            [(c, vec, py_norm(vec)) for c, vec in cents],
+            "__cid long, __ce array<double>, __cn double",
         )
 
     try:
@@ -737,7 +831,11 @@ def ann_ivf_lloyd_seeded_topk(
 
     trained = cent_frame()
     corpus = assign(v, trained, "neighbor_id", 1).join(
-        v.select(F.col("__vid").alias("neighbor_id"), F.col("__e").alias("cv")),
+        v.select(
+            F.col("__vid").alias("neighbor_id"),
+            F.col("__e").alias("cv"),
+            F.col("__n").alias("cn"),
+        ),
         "neighbor_id",
     )
     probes = (
@@ -748,7 +846,11 @@ def ann_ivf_lloyd_seeded_topk(
             n_probe,
         )
         .join(
-            v.select(F.col("__vid").alias("query_id"), F.col("__e").alias("qv")),
+            v.select(
+                F.col("__vid").alias("query_id"),
+                F.col("__e").alias("qv"),
+                F.col("__n").alias("qn"),
+            ),
             "query_id",
         )
     )
@@ -758,7 +860,10 @@ def ann_ivf_lloyd_seeded_topk(
         .select(
             "query_id",
             "neighbor_id",
-            round_half_up(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            round_half_up(
+                cosine_pair(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -946,19 +1051,24 @@ def mmr_rerank(
         F.col(id_col).cast("long").alias("__mid"),
         as_double_array(F.col(vec_col)).alias("__mv"),
     )
+    # per-member norm hoisted into the persisted frame (r16): the
+    # shortlist² pair scan pays one fold per pair — bit-identical
+    # (see cosine_pair)
     members = rel.select("query_id", "neighbor_id").join(
         vecs, F.col("neighbor_id") == F.col("__mid")
-    ).select("query_id", "neighbor_id", "__mv")
+    ).select("query_id", "neighbor_id", "__mv", norm(F.col("__mv")).alias("__mn"))
     members = caching.persist_tracked(members)
     a = members.select(
         F.col("query_id").alias("__qa"),
         F.col("neighbor_id").alias("a"),
         F.col("__mv").alias("__va"),
+        F.col("__mn").alias("__na"),
     )
     b = members.select(
         F.col("query_id").alias("__qb"),
         F.col("neighbor_id").alias("b"),
         F.col("__mv").alias("__vb"),
+        F.col("__mn").alias("__nb"),
     )
     ps = (
         a.join(
@@ -969,9 +1079,12 @@ def mmr_rerank(
             F.col("__qa").alias("query_id"),
             "a",
             "b",
-            round_half_up(cosine(F.col("__va"), F.col("__vb")), 4).alias(
-                "sim"
-            ),
+            round_half_up(
+                cosine_pair(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                4,
+            ).alias("sim"),
         )
     )
     # derive (1 − lam) at RUNTIME from the same lam literal, matching
@@ -1094,9 +1207,14 @@ def kcenter_coreset(
     """
     spark = emb.sparkSession
     schema = f"center_rank int, {id_col} long, min_dist double"
+    # per-vector norm hoisted into the carried frame, center norms
+    # computed driver-side (r16, bit-identical — see cosine_pair /
+    # py_norm): each round's distance pass pays one fold per row
+    ea = as_double_array(F.col(vec_col))
     v = emb.select(
         F.col(id_col).cast("long").alias("__kid"),
-        as_double_array(F.col(vec_col)).alias("__kv"),
+        ea.alias("__kv"),
+        norm(ea).alias("__kn"),
     )
     first_rows = v.orderBy(F.col("__kid").asc()).limit(1).collect()
     if not first_rows:
@@ -1108,9 +1226,11 @@ def kcenter_coreset(
     def _dist_to(cvec):
         return round_half_up(
             F.lit(1.0)
-            - cosine(
+            - cosine_pair(
                 F.col("__kv"),
                 F.array(*[F.lit(float(x)) for x in cvec]),
+                F.col("__kn"),
+                F.lit(py_norm(cvec)),
             ),
             4,
         )
@@ -1144,9 +1264,10 @@ def kcenter_coreset(
         return spark.createDataFrame(out, schema)
 
     # running_min: one persisted frame carrying the min distance so far
+    # (and the hoisted vector norm, read by every round's _dist_to)
     cur = (
         v.filter(F.col("__kid") != centers[0][0])
-        .select("__kid", "__kv", _dist_to(centers[0][1]).alias("__md"))
+        .select("__kid", "__kv", "__kn", _dist_to(centers[0][1]).alias("__md"))
         .persist()
     )
     prev = None
@@ -1182,6 +1303,7 @@ def kcenter_coreset(
                     .select(
                         "__kid",
                         "__kv",
+                        "__kn",
                         F.least(F.col("__md"), _dist_to(cvec)).alias(
                             "__md"
                         ),
@@ -2691,20 +2813,31 @@ def cluster_label_purity_seeded(
     never wider than n_seeds × labels. Cluster ids are seed vec_ids
     (longs), not 0..k-1 cell indexes.
     """
+    # per-vector norm hoisted out of the per-(vector, seed) cosine
+    # (r16, bit-identical — see cosine_pair)
+    ea = as_double_array(F.col(vec_col))
     v = emb.select(
         F.col(id_col).alias("__vid"),
-        as_double_array(F.col(vec_col)).alias("__e"),
+        ea.alias("__e"),
+        norm(ea).alias("__n"),
         F.col(label_col),
     )
     seeds = (
         v.join(F.broadcast(_lowest_ids(v, "__vid", n_seeds)), "__vid")
-        .select(F.col("__vid").alias("__cid"), F.col("__e").alias("__se"))
+        .select(
+            F.col("__vid").alias("__cid"),
+            F.col("__e").alias("__se"),
+            F.col("__n").alias("__sn"),
+        )
     )
     sims = v.crossJoin(F.broadcast(seeds)).select(
         "__vid",
         label_col,
         "__cid",
-        round_half_up(cosine(F.col("__e"), F.col("__se")), 6).alias("__sim"),
+        round_half_up(
+            cosine_pair(F.col("__e"), F.col("__se"), F.col("__n"), F.col("__sn")),
+            6,
+        ).alias("__sim"),
     )
     w = Window.partitionBy("__vid").orderBy(
         F.col("__sim").desc(), F.col("__cid").asc()
@@ -2745,17 +2878,26 @@ def semdedup_seeded(
 
     Output: (id_col, cluster, kept) — cluster is the seed vec_id.
     """
+    # per-vector norm hoisted out of the per-(vector, seed) cosine
+    # (r16, bit-identical — see cosine_pair)
+    ea = as_double_array(F.col(vec_col))
     v = emb.select(
         F.col(id_col).cast("long").alias("__vid"),
-        as_double_array(F.col(vec_col)).alias("__e"),
+        ea.alias("__e"),
+        norm(ea).alias("__n"),
     )
     seeds = v.join(F.broadcast(_lowest_ids(v, "__vid", n_seeds)), "__vid").select(
-        F.col("__vid").alias("__cid"), F.col("__e").alias("__se")
+        F.col("__vid").alias("__cid"),
+        F.col("__e").alias("__se"),
+        F.col("__n").alias("__sn"),
     )
     sims = v.crossJoin(F.broadcast(seeds)).select(
         "__vid",
         "__cid",
-        round_half_up(cosine(F.col("__e"), F.col("__se")), 6).alias("__sim"),
+        round_half_up(
+            cosine_pair(F.col("__e"), F.col("__se"), F.col("__n"), F.col("__sn")),
+            6,
+        ).alias("__sim"),
     )
     w = Window.partitionBy("__vid").orderBy(
         F.col("__sim").desc(), F.col("__cid").asc()
@@ -2824,16 +2966,27 @@ def ood_scores(
     assigned = ivf_assign(
         emb, centroids, vec_col=vec_col, id_col=id_col, out_id="__oid"
     )
+    # centroid norms computed driver-side (bit-identical — py_norm),
+    # vector norm hoisted: the distance pays one fold per vector
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, __c array<double>",
+        [
+            (i, [float(x) for x in c], py_norm([float(x) for x in c]))
+            for i, c in enumerate(centroids)
+        ],
+        "cell int, __c array<double>, __cn double",
     )
     d = caching.persist_tracked(
-        assigned.join(F.broadcast(cent_df), "cell").select(
+        assigned.withColumn("__vn", norm(F.col("v")))
+        .join(F.broadcast(cent_df), "cell")
+        .select(
             F.col("__oid").alias(id_col),
             "cell",
             round_half_up(
-                F.lit(1.0) - cosine(F.col("v"), F.col("__c")), 4
+                F.lit(1.0)
+                - cosine_pair(
+                    F.col("v"), F.col("__c"), F.col("__vn"), F.col("__cn")
+                ),
+                4,
             ).alias("dist"),
         )
     )

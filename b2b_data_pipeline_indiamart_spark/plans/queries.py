@@ -506,13 +506,24 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a string. Tie-break semantics unchanged: the struct-min order
     # fields (l_orderkey, l_linenumber) are unique per row, so
     # payload columns never decide the winner.
+    # r16: normalize_doc (two regex passes + trim/lower) moves to the
+    # PART DIM before the broadcast join — the value depends on p_name
+    # alone, so computing it per part row instead of per joined fact
+    # row cuts the regex count by the fact:part fan-out (30× at sf0.1,
+    # ~300,000× at SF 100k). Neutral at sf0.1 where 32 cores hide it
+    # (1.365 vs 1.354 s) but strictly less work at every scale; the
+    # fact stream now picks product_name out of the broadcast hash
+    # relation.
+    part_n = part.select(
+        "p_partkey", dedup.normalize_doc(F.col("p_name")).alias("product_name")
+    )
     listing = (
-        li.join(part, li.l_partkey == part.p_partkey)
+        li.join(part_n, li.l_partkey == part_n.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .select(
             "l_orderkey",
             "l_linenumber",
-            dedup.normalize_doc(F.col("p_name")).alias("product_name"),
+            "product_name",
             F.col("s_name").alias("supplier_name"),
             "s_nationkey",
             F.col("l_extendedprice").alias("price"),
@@ -902,7 +913,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
     )
-    li = _t(spark, sf_dir, "lineitem").filter(
+    # _tp (r16): the high-cardinality l_orderkey partial aggregate is
+    # the per-row cost here, and a single-row-group scan serializes it;
+    # the shipdate filter still pushes through the repartition to the
+    # scan. Measured 0.43 s → 0.35 s at sf0.1 (best-of-3, idle).
+    li = _tp(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
     )
     return (

@@ -517,7 +517,14 @@ def test_running_distinct_types_transform_with_state(spark, tmp_path):
             assert rows == {u: len(t) for u, t in ref.items()}
         else:
             q = None
-            with pytest.raises(Exception):
+            # ADVICE r15: pin the FAILURE MODE, not just "some
+            # exception" — transformWithStateInPandas without protobuf
+            # must surface the missing-dependency error loudly (in the
+            # analysis error or the StreamingQueryException cause), not
+            # hang or silently drop state. Any unrelated failure
+            # (schema, source) would not mention protobuf and fails
+            # the match.
+            with pytest.raises(Exception, match="(?i)protobuf"):
                 q = start_memory_sink(
                     running_distinct_types(
                         read_event_stream(spark, str(src))
