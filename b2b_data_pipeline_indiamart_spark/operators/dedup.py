@@ -952,6 +952,25 @@ def word_tokens(col) -> F.Column:
     return F.filter(F.split(normalize_doc(col), r"\s+"), lambda t: t != "")
 
 
+def let_once(bound: F.Column, body) -> F.Column:
+    """Evaluate ``bound`` ONCE per row and feed the value to ``body``
+    (a let-binding): the value rides a 1-element array through a
+    ``transform`` whose lambda variable is a true runtime binding.
+
+    Why (r16): a multiply-referenced alias materialized in its own
+    Project is not always a barrier — the optimizer can collapse the
+    Projects and re-inline the aliased expression at EVERY reference,
+    including references inside lambda bodies, where an expression
+    like ``element_at(<tokenizer chain>, i)`` then re-runs the whole
+    regex/split chain PER ARRAY ELEMENT (measured: the containment
+    shingle stage spent ~46 s of its 48 s cold time re-tokenizing per
+    gram element at sf0.1). The lambda binding is opaque to that
+    rewrite. Zero shuffle — the in-expression alternative to
+    ``_with_normalized``'s repartition barrier.
+    """
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document → (id, simhash).
 
@@ -1652,9 +1671,11 @@ def shingle_containment(
     than by alphabet statistics. Word n-grams are also the standard
     containment unit for quote detection (verbatim word sequences).
 
-    Scale shape: inverted-index self-join on the shingle STRING (the
-    engine-portable spelling; the xxhash64-packed fast path lives in
-    the LSH operators), one intersection count per unordered pair,
+    Scale shape: inverted-index self-join on a DOUBLE xxhash64 of the
+    shingle (16-byte shuffle keys instead of the shingle string — r16;
+    equivalent unless two distinct shingles collide on both 64-bit
+    hashes, ~2⁻¹²⁸ per pair, while the DuckDB oracle keeps grouping
+    raw text), one intersection count per unordered pair,
     BOTH directed containments emitted from that single pass. Shingles
     with document frequency > ``max_df`` are pruned before the join —
     the LSH-bucket-cap role; with boilerplate shingles dropped the
@@ -1669,42 +1690,68 @@ def shingle_containment(
     """
     from . import caching
 
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        word_tokens(F.col(text_col)).alias("__toks"),
-    )
-    grams = toks.select(
-        "doc",
-        F.when(
-            F.size("__toks") >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[
-                            F.element_at(F.col("__toks"), i + j)
-                            for j in range(n)
-                        ],
-                    ),
-                )
-            ),
+    def _grams_of(toks: F.Column) -> F.Column:
+        return (
+            F.when(
+                F.size(toks) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at(toks, i + j) for j in range(n)],
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("g"),
+
+    # let_once: the tokenizer chain must bind ONCE per row — without
+    # the binding the optimizer inlined it into the gram lambda and
+    # re-tokenized per element (~46 of the 48 s cold at sf0.1 — r16)
+    grams = docs.select(
+        F.col(id_col).alias("doc"),
+        let_once(word_tokens(F.col(text_col)), _grams_of).alias("g"),
     )
+    # r16 (guide §2.3 — shuffle keys, not payloads): the inverted
+    # index only ever uses the shingle as an IDENTITY (df count, cap
+    # filter, intersection join), so after the per-doc array_distinct
+    # (exact, on strings) the shingle text is replaced by TWO
+    # independent xxhash64 keys — 16 bytes crossing the three shuffles
+    # instead of a ~25-byte word-3-gram string, and long-key hash/
+    # compare instead of string. Equivalence: identical output unless
+    # two DISTINCT shingles collide on BOTH 64-bit hashes
+    # (~2⁻¹²⁸ per pair — the doubled-hash discipline VERDICT r15
+    # suggested for the shingle-key family; the DuckDB oracle keeps
+    # grouping raw shingle text).
     sh = caching.persist_tracked(
-        grams.select("doc", F.explode("g").alias("g"))
+        grams.select("doc", F.explode("g").alias("gs")).select(
+            "doc",
+            F.xxhash64("gs").alias("g1"),
+            F.xxhash64(F.lit(1), F.col("gs")).alias("g2"),
+        )
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))
-    idx = sh.join(
-        dfreq.filter(F.col("dfreq") <= max_df).select("g"), "g"
+    # r16 rework of the intersection: instead of df-counting shingles,
+    # joining the cap filter back, and SELF-JOINING the inverted index
+    # (3 exchanges of the index + a size-estimate-driven join pick that
+    # flipped to a 3.5M-row broadcast once the keys narrowed), group
+    # each shingle's doc list ONCE and expand its C(n,2) pairs in-plan
+    # with the shared array_pairs kernel (part_copurchase's). The df
+    # cap bounds the expansion at C(max_df, 2) per shingle — the same
+    # rows the capped self-join produced, shingle by shingle, so
+    # n_common per pair is identical.
+    from .analytics import array_pairs
+
+    docsets = (
+        sh.groupBy("g1", "g2")
+        .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .select("ds")
     )
     inter = (
-        idx.select("g", F.col("doc").alias("ia"))
-        .join(idx.select("g", F.col("doc").alias("ib")), "g")
-        .filter(F.col("ia") < F.col("ib"))
+        array_pairs(docsets, "ds", "ia", "ib")
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
@@ -1715,19 +1762,28 @@ def shingle_containment(
         sizes.select(F.col("doc").alias("ib"), F.col("n_sh").alias("sb")),
         "ib",
     )
+    # both directed rows from ONE pass over the pair table (the old
+    # unionByName of two selects re-ran the whole intersection subtree
+    # per branch); the final (containment, doc_a, doc_b) sort is total,
+    # so row order changes cannot move the LIMIT cut
     directed = both.select(
-        F.col("ia").alias("doc_a"),
-        F.col("ib").alias("doc_b"),
-        F.col("sa").alias("n_shingles_a"),
-        "n_common",
-    ).unionByName(
-        both.select(
-            F.col("ib").alias("doc_a"),
-            F.col("ia").alias("doc_b"),
-            F.col("sb").alias("n_shingles_a"),
-            "n_common",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("doc_a"),
+                    F.col("ib").alias("doc_b"),
+                    F.col("sa").alias("n_shingles_a"),
+                    F.col("n_common").alias("n_common"),
+                ),
+                F.struct(
+                    F.col("ib").alias("doc_a"),
+                    F.col("ia").alias("doc_b"),
+                    F.col("sb").alias("n_shingles_a"),
+                    F.col("n_common").alias("n_common"),
+                ),
+            )
+        ).alias("__d")
+    ).select("__d.doc_a", "__d.doc_b", "__d.n_shingles_a", "__d.n_common")
     from ..functions.rounding import round_half_up
 
     return (

@@ -36,6 +36,13 @@ from . import caching
 #: iteration-boundary rounding — see module docstring
 _RANK_SCALE = 10
 
+#: pagerank frontier gate (see the broadcast_frontier note in
+#: _pagerank_loop): at or below this node count the per-iteration
+#: share table broadcasts; above it the loop uses partitioning-aligned
+#: shuffled-hash joins. Module constant so tests / A-B harnesses can
+#: force the big-graph path on small data.
+_PAGERANK_BROADCAST_NODE_CAP = 2_000_000
+
 #: triangle_stats broadcast gate: with at most this many (oriented)
 #: edges the closure edge set (~16 B/row + relation overhead) and the
 #: degree table stay comfortably inside a single executor broadcast —
@@ -252,7 +259,7 @@ def _pagerank_loop(
     # low-hundreds-of-MB band at the default max_iter=20. Above the
     # cap the partitioning-aligned join takes over — the right trade
     # once ranks no longer fit comfortably per executor.
-    broadcast_frontier = n_nodes <= 2_000_000
+    broadcast_frontier = n_nodes <= _PAGERANK_BROADCAST_NODE_CAP
     it = 0
     for it in range(1, max_iter + 1):
         shares = ranks.filter(F.col("deg").isNotNull()).select(
@@ -261,6 +268,14 @@ def _pagerank_loop(
         )
         if broadcast_frontier:
             shares = F.broadcast(shares)
+        else:
+            # r16 (guide §3.1): above the frontier cap both join
+            # inputs are already hash(s, p)-aligned, but a sort-merge
+            # join would still SORT the full edge cache EVERY
+            # iteration; a shuffled-hash join builds n_nodes/p-entry
+            # hash tables from the share table per task and streams
+            # the edges unsorted.
+            shares = shares.hint("shuffle_hash")
         contribs = (
             e.join(shares, "s")
             .groupBy(F.col("d").alias("node"))
@@ -269,7 +284,11 @@ def _pagerank_loop(
         pre_ids = caching.persistent_rdd_ids(spark)
         new_ranks = (
             ranks.select("node", "deg", F.col("rank").alias("prev"))
-            .join(contribs, "node", "left")
+            # shuffled-hash, build on the contribution side (≤ n_nodes
+            # rows): with both sides hash(node, p)-aligned the join
+            # adds no exchange either way, but SMJ would sort BOTH
+            # n_nodes-row frames every iteration (r16, guide §3.1)
+            .join(contribs.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 "deg",
@@ -389,13 +408,26 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # + the closure set): persist it, or each consumer re-runs the
     # orientation joins over the edge cache (measured ~2.5 s × 3 at
     # sf0.1). Released with the caller's release_cached().
-    e = caching.persist_tracked(
-        base.select(
-            F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("rd"),
-        )
+    oriented = base.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("rd"),
     )
+    if not gate:
+        # r16 (guide §2.4): above the broadcast gate the wedge
+        # self-join (w1 ⋈ w2 on src) is a sort-merge join — and on the
+        # sliced path EVERY slice re-exchanges + re-sorts its filter
+        # of the edge cache on BOTH sides. Persisting the cache
+        # already hash(src)-partitioned and src-sorted makes each
+        # slice's self-join exchange-free AND sort-free
+        # (InMemoryTableScan preserves partitioning and order, and a
+        # slice filter preserves both), and the Σ C(outdeg, 2) sizing
+        # aggregate becomes partition-local: one exchange at cache
+        # build replaces 2 × slices exchanges + sorts. Under the gate
+        # the self-join build side broadcasts, so the repartition
+        # would be pure cost — skipped.
+        oriented = oriented.repartition("src").sortWithinPartitions("src")
+    e = caching.persist_tracked(oriented)
     # wedge volume estimate (Σ C(outdeg, 2)) — one cheap aggregate
     # over the persisted oriented edges. Above the broadcast gate the
     # wedge stream is a real exchange; when it would exceed the slice
@@ -463,6 +495,16 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     if gate:
         closer = F.broadcast(closer)
     if slices == 1:
+        # r16 (guide §3.1): above the gate, the closure probe's STREAM
+        # side is the wedge-candidate table (Σ C(outdeg, 2) rows —
+        # orders of magnitude above the edge count), and a sort-merge
+        # semi-join SORTS that whole stream after exchanging it. The
+        # build side is only the oriented edge set (one packed long
+        # per edge), so a SHUFFLE_HASH semi-join builds |E|/p-entry
+        # hash tables per task and never sorts the wedge stream; the
+        # hint sits at the join site (hints do not survive a cache).
+        if not gate:
+            closer = closer.hint("shuffle_hash")
         closed = _project(wedge_cand).join(closer, join_keys, "left_semi")
         tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     else:
@@ -470,15 +512,18 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         # so the per-slice semi-join counts partition the unsliced
         # count exactly; the per-slice .first() is a loop-control
         # SCALAR collect (slices rows total), never data-scale.
-        # The closure side is exchanged + sorted ONCE and cached in
-        # that shape: InMemoryTableScan preserves hash partitioning
-        # and sort order (plan-verified), so each slice's sort-merge
-        # semi-join pays an exchange only on its OWN wedge stream —
-        # without this the full edge set re-shuffles and re-sorts
-        # every slice (measured +30%: 308 s → 238 s at sf10).
-        closer = caching.persist_tracked(
-            closer.repartition(*join_keys).sortWithinPartitions(*join_keys)
-        )
+        # The closure side is exchanged ONCE and cached in that shape
+        # (InMemoryTableScan preserves hash partitioning, and a slice
+        # filter preserves it too), so each slice's semi-join pays an
+        # exchange only on its OWN wedge stream — without this the
+        # full edge set re-shuffles every slice (measured +30%: 308 s
+        # → 238 s at sf10). r16: the per-slice semi-join is a
+        # SHUFFLE_HASH join (hinted at the join site — hints do not
+        # survive the cache), so the wedge stream is never SORTED and
+        # the cached closure side needs no sort either; the build
+        # tables are rebuilt per slice from the partitioned cache,
+        # which is |E|/p longs per task.
+        closer = caching.persist_tracked(closer.repartition(*join_keys))
         total = 0
         for i in range(slices):
             sl = e.filter(
@@ -486,7 +531,7 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             )
             total += (
                 _project(_wedges(sl))
-                .join(closer, join_keys, "left_semi")
+                .join(closer.hint("shuffle_hash"), join_keys, "left_semi")
                 .agg(F.count(F.lit(1)).cast("long").alias("n"))
                 .first()["n"]
             )

@@ -10992,7 +10992,15 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, report collapses to ≤ 6 split-combination rows."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_portable(docs)
-    bands = sigs.groupBy(
+    # persist the band table (r16): the candidate self-join below reads
+    # it on BOTH sides, and without the cache each side re-runs the
+    # whole md5-per-(shingle × 16 perms) signature pipeline — the same
+    # 2×-recompute trap lsh_candidate_pairs documents (measured there
+    # at ~2× the signature cost). Released by bench/driver cleanup via
+    # caching.release_cached().
+    from ..operators import caching as _caching
+
+    bands = _caching.persist_tracked(sigs.groupBy(
         "doc_id", F.floor(F.col("perm") / 4).cast("long").alias("band")
     ).agg(
         F.md5(
@@ -11004,7 +11012,7 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             )
         ).alias("bkey")
-    )
+    ))
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band", "bkey"
     )
@@ -11017,7 +11025,9 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    d = (
+    # persisted for the same reason: the verify stage joins the
+    # shingle-array table on BOTH pair sides
+    d = _caching.persist_tracked(
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             dedup.normalize_doc(F.col("text")).alias("__norm"),
