@@ -49,6 +49,18 @@ _PAGERANK_BROADCAST_NODE_CAP = 2_000_000
 #: above it the wedge probe falls back to a keyed semi-join
 _TRIANGLE_BROADCAST_EDGE_CAP = 5_000_000
 
+#: triangle_stats closure-build budget: max packed-long edge keys per
+#: task when the closure semi-join runs as a SHUFFLED-HASH join (r16).
+#: SHJ cannot spill its build side, so the closure side is
+#: repartitioned to ceil(n_edges / this) partitions — ~1.4M keys is a
+#: ~64 MB LongHashedRelation per task, which 32 concurrent local task
+#: slots sustain beside the edge cache (the unsized build at sf10 —
+#: 120M keys / 32 partitions — died with "Can't acquire 134217728
+#: bytes memory to build hash relation"). Scale-adaptive: partitions
+#: derive from the measured edge count, not from a constant tuned to
+#: either local mode or one cluster shape.
+_TRIANGLE_CLOSURE_KEYS_PER_TASK = 1_400_000
+
 #: triangle_stats wedge-slice budget (rows per closure semi-join).
 #: Above the broadcast gate the wedge-candidate stream (Σ C(outdeg,2)
 #: rows) becomes a real EXCHANGE; its size is data-dependent and can
@@ -268,14 +280,16 @@ def _pagerank_loop(
         )
         if broadcast_frontier:
             shares = F.broadcast(shares)
-        else:
-            # r16 (guide §3.1): above the frontier cap both join
-            # inputs are already hash(s, p)-aligned, but a sort-merge
-            # join would still SORT the full edge cache EVERY
-            # iteration; a shuffled-hash join builds n_nodes/p-entry
-            # hash tables from the share table per task and streams
-            # the edges unsorted.
-            shares = shares.hint("shuffle_hash")
+        # NOTE (r16): shuffled-hash hints on the loop's joins were
+        # measured 20% faster on the forced non-broadcast path at sf1
+        # (34 s → 27 s) but REVERTED: in the sf10 bench leg the
+        # rank-update build ("Can't acquire 134217728 bytes memory to
+        # build hash relation") died under AQE-coalesced build
+        # partitions + resident edge/checkpoint storage — SHJ cannot
+        # spill its build side, and an iterative loop that must
+        # survive 20 iterations under storage pressure needs
+        # sort-merge's graceful spill more than it needs the sort
+        # savings (guide §3.1's stated SHJ risk, observed).
         contribs = (
             e.join(shares, "s")
             .groupBy(F.col("d").alias("node"))
@@ -284,11 +298,7 @@ def _pagerank_loop(
         pre_ids = caching.persistent_rdd_ids(spark)
         new_ranks = (
             ranks.select("node", "deg", F.col("rank").alias("prev"))
-            # shuffled-hash, build on the contribution side (≤ n_nodes
-            # rows): with both sides hash(node, p)-aligned the join
-            # adds no exchange either way, but SMJ would sort BOTH
-            # n_nodes-row frames every iteration (r16, guide §3.1)
-            .join(contribs.hint("shuffle_hash"), "node", "left")
+            .join(contribs, "node", "left")
             .select(
                 "node",
                 "deg",
@@ -494,15 +504,28 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         join_keys = ["x", "y"]
     if gate:
         closer = F.broadcast(closer)
-    if slices == 1:
+    else:
         # r16 (guide §3.1): above the gate, the closure probe's STREAM
         # side is the wedge-candidate table (Σ C(outdeg, 2) rows —
         # orders of magnitude above the edge count), and a sort-merge
-        # semi-join SORTS that whole stream after exchanging it. The
-        # build side is only the oriented edge set (one packed long
-        # per edge), so a SHUFFLE_HASH semi-join builds |E|/p-entry
-        # hash tables per task and never sorts the wedge stream; the
-        # hint sits at the join site (hints do not survive a cache).
+        # semi-join SORTS that whole stream after exchanging it. Run
+        # it as a SHUFFLE_HASH semi-join instead — but SHJ cannot
+        # spill its build, so the closure side is pre-partitioned to
+        # keep every per-task build table under
+        # _TRIANGLE_CLOSURE_KEYS_PER_TASK packed longs (sf1: 12M
+        # edges → session width; sf10: 120M edges → ~86 partitions —
+        # the unsized 32-way build died on this box). The stream side
+        # is exchanged by EnsureRequirements to match; AQE cannot
+        # re-coalesce it against the fixed cache side.
+        p_sess = int(
+            e0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        closure_parts = max(
+            p_sess, -(-n_edges // _TRIANGLE_CLOSURE_KEYS_PER_TASK)
+        )
+        closer = closer.repartition(closure_parts, *join_keys)
+    if slices == 1:
+        # hint at the join site — hints do not survive a cache
         if not gate:
             closer = closer.hint("shuffle_hash")
         closed = _project(wedge_cand).join(closer, join_keys, "left_semi")
@@ -517,13 +540,11 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         # filter preserves it too), so each slice's semi-join pays an
         # exchange only on its OWN wedge stream — without this the
         # full edge set re-shuffles every slice (measured +30%: 308 s
-        # → 238 s at sf10). r16: the per-slice semi-join is a
-        # SHUFFLE_HASH join (hinted at the join site — hints do not
-        # survive the cache), so the wedge stream is never SORTED and
-        # the cached closure side needs no sort either; the build
-        # tables are rebuilt per slice from the partitioned cache,
-        # which is |E|/p longs per task.
-        closer = caching.persist_tracked(closer.repartition(*join_keys))
+        # → 238 s at sf10). r16: the per-slice semi-join is the same
+        # SHUFFLE_HASH shape as above (wedge stream never sorted; the
+        # cached closure side needs no sort either; per-task build
+        # bounded by the closure_parts sizing).
+        closer = caching.persist_tracked(closer)
         total = 0
         for i in range(slices):
             sl = e.filter(

@@ -343,15 +343,23 @@ def main() -> None:
             scale_up.build(sf1_dir, spark=spark)
         except Exception as exc:  # noqa: BLE001 — bench must still run
             sys.stderr.write(f"bench: sf1 build skipped: {exc}\n")
+    # The optional scale-point sections (sf1 / sf10) are SUPPLEMENTARY
+    # evidence: a failure there (an OOM on a box with less memory, a
+    # half-built warehouse dir) must never cost the driver its frozen
+    # sf0.1 headline line — r16: each section is fenced, logs to
+    # stderr, and the headline still prints LAST.
     if not keys_env and os.path.isdir(sf1_dir):
-        sf1 = time_keys(keys, sf1_dir, 2)
-        print(json.dumps({
-            "metric": "headline_queries_total_runtime_sf1",
-            "value": round(sum(sf1.values()), 3),
-            "unit": "sec",
-            "queries": sf1,
-            "sf": sf_from_dir(sf1_dir),
-        }))
+        try:
+            sf1 = time_keys(keys, sf1_dir, 2)
+            print(json.dumps({
+                "metric": "headline_queries_total_runtime_sf1",
+                "value": round(sum(sf1.values()), 3),
+                "unit": "sec",
+                "queries": sf1,
+                "sf": sf_from_dir(sf1_dir),
+            }))
+        except Exception as exc:  # noqa: BLE001 — headline must print
+            sys.stderr.write(f"bench: sf1 leg failed: {exc}\n")
 
     # Third scale point (VERDICT r12 #1): the de-tiled sf10 tables
     # (tools/scale_up.py 100) give a SECOND decade of data, so the
@@ -382,16 +390,19 @@ def main() -> None:
         # box). Heavy keys stay best-of-1: pagerank/triangle at sf10
         # are minutes each and their iterate-loop shape has no
         # cross-iteration cache reuse to measure.
-        sf10 = time_keys(keys, sf10_dir, 2)
-        heavy = time_keys(SF10_HEAVY_KEYS, sf10_dir, 1)
-        print(json.dumps({
-            "metric": "headline_queries_total_runtime_sf10",
-            "value": round(sum(sf10.values()), 3),
-            "unit": "sec",
-            "queries": sf10,
-            "heavy": heavy,
-            "sf": sf_from_dir(sf10_dir),
-        }))
+        try:
+            sf10 = time_keys(keys, sf10_dir, 2)
+            heavy = time_keys(SF10_HEAVY_KEYS, sf10_dir, 1)
+            print(json.dumps({
+                "metric": "headline_queries_total_runtime_sf10",
+                "value": round(sum(sf10.values()), 3),
+                "unit": "sec",
+                "queries": sf10,
+                "heavy": heavy,
+                "sf": sf_from_dir(sf10_dir),
+            }))
+        except Exception as exc:  # noqa: BLE001 — headline must print
+            sys.stderr.write(f"bench: sf10 leg failed: {exc}\n")
 
     canary_end = canary_seconds(spark)
     # Canary-normalized total (VERDICT r14 #2): the canary is pure
