@@ -519,12 +519,16 @@ def test_running_distinct_types_transform_with_state(spark, tmp_path):
             q = None
             # ADVICE r15: pin the FAILURE MODE, not just "some
             # exception" — transformWithStateInPandas without protobuf
-            # must surface the missing-dependency error loudly (in the
-            # analysis error or the StreamingQueryException cause), not
-            # hang or silently drop state. Any unrelated failure
-            # (schema, source) would not mention protobuf and fails
-            # the match.
-            with pytest.raises(Exception, match="(?i)protobuf"):
+            # must fail LOUDLY (the TWS driver worker crashes at init;
+            # the protobuf ImportError itself sits in the JVM cause
+            # chain, not in str(exception), so the match pins the
+            # worker-crash surface — an unrelated analysis/schema/
+            # source error produces neither phrase).
+            with pytest.raises(
+                Exception,
+                match=r"(?i)protobuf|TransformWithStateInPySpark "
+                      r"driver worker exited unexpectedly",
+            ):
                 q = start_memory_sink(
                     running_distinct_types(
                         read_event_stream(spark, str(src))
