@@ -223,7 +223,15 @@ def load_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = load(spark, sf_dir, table)
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, df[_PARALLEL_KEYS[table]])
+        key = _PARALLEL_KEYS.get(table)
+        if key is not None:
+            df = df.repartition(target, df[key])
+        else:
+            # ADVICE r16: a table wired through _tp without a registered
+            # parallel key must not fail at plan time — fall back to the
+            # keyless round-robin repartition (pays the local
+            # sortBeforeRepartition, but stays correct).
+            df = df.repartition(target)
     return df
 
 

@@ -737,7 +737,13 @@ def ann_ivf_lloyd_seeded_topk(
     # three — bit-identical (see cosine_pair)
     ea = as_double_array(F.col(vec_col))
     v = emb.select(
-        F.col(id_col).alias("__vid"), ea.alias("__e"), norm(ea).alias("__n")
+        # id cast to long (ADVICE r16): the empty-corpus guard below
+        # declares `query_id long, neighbor_id long`; casting here makes
+        # the non-empty path's schema match it for any integral id type
+        # (same discipline as kcenter_coreset / semdedup_seeded).
+        F.col(id_col).cast("long").alias("__vid"),
+        ea.alias("__e"),
+        norm(ea).alias("__n"),
     )
     first_row = v.select("__e").first()
     if first_row is None:

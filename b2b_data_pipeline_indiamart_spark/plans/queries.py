@@ -913,11 +913,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
     )
-    # _tp (r16): the high-cardinality l_orderkey partial aggregate is
-    # the per-row cost here, and a single-row-group scan serializes it;
-    # the shipdate filter still pushes through the repartition to the
-    # scan. Measured 0.43 s → 0.35 s at sf0.1 (best-of-3, idle).
-    li = _tp(spark, sf_dir, "lineitem").filter(
+    # _t (r17, VERDICT r16 #1): the r16 _tp hash-repartition was a
+    # scale regression shipped on sf0.1-only evidence. Both joins here
+    # are broadcasts and the partial aggregate is map-side, so the
+    # repartition exchange is the plan's ONLY full-fact shuffle — pure
+    # loss whenever the scan has enough inherent parallelism. Driver
+    # ground truth: sf0.1 0.79→1.04 s, sf10 3.55→13.5 s (and sf10 ran
+    # FASTER on 8 cores, where the partition gate skipped). Reverted.
+    li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
     )
     return (
