@@ -107,31 +107,27 @@ def doc_quality(
     toks = F.col("__toks")
     n_chars = F.length(s)
     n_tokens = F.size(toks)
-    # Character-class counts via translate() instead of regexp_replace()
-    # (r17, guide §4.2 in spirit — one cheap codegen'd char-map pass per
-    # count instead of a regex-engine rewrite of the whole string).
-    # EXACT on this domain: __norm is NULL or a lowercased, trimmed,
-    # single-space-collapsed string (clean_text), so the chars the old
-    # regexes could match beyond these sets — uppercase A-Z for `\w`,
-    # \t\n\x0B\f\r for `\s` — cannot occur. [0-9] and the Java-default
-    # ASCII `\w` are both ASCII-only, same as the translate lists.
-    n_digits = n_chars - F.length(F.translate(s, "0123456789", ""))
-    n_punct = F.length(
-        F.translate(s, "abcdefghijklmnopqrstuvwxyz0123456789_ ", "")
-    )
+    # NOTE (r17): translate()-based digit/punct counts and a
+    # translate-spaces token-length sum were shipped early this round
+    # on a "1.36× at sf1" reading and REVERTED after clean interleaved
+    # A/Bs on an idle box: all-translate measured 0.91× at sf0.1 and
+    # 0.77–0.88× at sf1 on the noop sink (4-variant matrix: all-regex
+    # 0.814 s, either half-change ~0.824 s, all-translate 0.922 s at
+    # sf1). Spark's translate builds a per-char dictionary probe;
+    # compiled Java regex over these simple ASCII classes is simply
+    # faster. The earlier number came from the box's slow-start phase
+    # (canary 0.385 → 0.121 s across that session) — order-unbalanced
+    # measurement, exactly what the interleaved protocol exists for.
+    n_digits = n_chars - F.length(F.regexp_replace(s, r"[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
     n_stop = _stopword_hits(toks, LANG_STOPWORDS["en"])
     safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
     safe_toks = F.when(n_tokens > 0, n_tokens.cast("double"))
     digit_ratio = F.coalesce(n_digits / safe_chars, F.lit(0.0))
     punct_ratio = F.coalesce(n_punct / safe_chars, F.lit(0.0))
     stop_ratio = F.coalesce(n_stop / safe_toks, F.lit(0.0))
-    # sum of token lengths = chars minus separators: the tokens are
-    # exactly the single-space-separated runs of __norm (trimmed, no
-    # empty tokens), so Σ len(tok) = n_chars − n_spaces. Replaces the
-    # interpreted aggregate() fold with a codegen'd translate+length;
-    # identical integer, hence identical double division.
     avg_tok_len = F.coalesce(
-        F.length(F.translate(s, " ", "")).cast("int") / safe_toks, F.lit(0.0)
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_toks, F.lit(0.0)
     )
     length_score = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
     quality = (
