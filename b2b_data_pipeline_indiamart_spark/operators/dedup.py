@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_half_up
@@ -650,26 +650,41 @@ def _connected_components_loop(
         .distinct()
         .localCheckpoint()
     )
-    base_ids = caching.persistent_rdd_ids(spark)
-    edges = _canonical_edges(raw, "a", "b").localCheckpoint()
-    prev_ids = caching.persistent_rdd_ids(spark) - base_ids
 
-    def _signature(e: DataFrame):
-        # Order-independent AND overflow-free: bit_xor over int64 never
-        # overflows, unlike F.sum(xxhash64(...)) which throws
-        # ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode on any
-        # non-trivial edge list (xxhash64 values are uniform over the
-        # full long range). count disambiguates xor collisions from
-        # even-multiplicity edge swaps; the per-column xors guard the
-        # (astronomically unlikely) pair-hash collision.
-        return tuple(
-            e.agg(
-                F.count(F.lit(1)),
-                F.bit_xor(F.xxhash64("u", "v")),
-                F.bit_xor("u"),
-                F.bit_xor("v"),
-            ).collect()[0]
+    # Signature metrics, order-independent AND overflow-free: bit_xor
+    # over int64 never overflows, unlike F.sum(xxhash64(...)) which
+    # throws ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode on
+    # any non-trivial edge list (xxhash64 values are uniform over the
+    # full long range). count disambiguates xor collisions from
+    # even-multiplicity edge swaps; the per-column xors guard the
+    # (astronomically unlikely) pair-hash collision.
+    #
+    # r17 (guide §2.6 — cut per-round job count): the signature is no
+    # longer its own post-checkpoint aggregate JOB; it rides the
+    # checkpoint materialization as an ``observe`` (CollectMetrics)
+    # node — one job per round instead of two, same four values over
+    # the same rows (verified: Observation populates under eager
+    # localCheckpoint).
+    def _sig_metrics():
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("hx"),
+            F.bit_xor("u").alias("xu"),
+            F.bit_xor("v").alias("xv"),
         )
+
+    def _sig_of(obs: Observation):
+        got = obs.get
+        return (got["n"], got["hx"], got["xu"], got["xv"])
+
+    base_ids = caching.persistent_rdd_ids(spark)
+    obs0 = Observation()
+    edges = (
+        _canonical_edges(raw, "a", "b")
+        .observe(obs0, *_sig_metrics())
+        .localCheckpoint()
+    )
+    prev_ids = caching.persistent_rdd_ids(spark) - base_ids
 
     def _star_round(e: DataFrame) -> DataFrame:
         """One lazy large-star + small-star pass (Kiveris et al.)."""
@@ -706,8 +721,9 @@ def _connected_components_loop(
     # convergence compare (both star steps are idempotent at the
     # fixpoint, so input == first-sync output means already converged)
     # and, more importantly, hands round 1 a live edge count so its
-    # shuffles are sized like every later round's.
-    prev_sig = _signature(edges)
+    # shuffles are sized like every later round's. Read off the
+    # checkpoint's own observation — no separate job.
+    prev_sig = _sig_of(obs0)
     n_edges = prev_sig[0]
     converged = False
     syncs = 0
@@ -715,8 +731,9 @@ def _connected_components_loop(
     # ONE star round per materialization (sync point) — see the
     # measured fused-rounds dead-end note above _cc_loop_partitions.
     # Each round's cost at small live-edge counts is per-sync fixed
-    # overhead (checkpoint job + signature collect + stage
-    # scheduling), which the live-edge shuffle sizing below minimizes.
+    # overhead (checkpoint job + stage scheduling), which the
+    # observe-fused signature and the live-edge shuffle sizing below
+    # minimize.
     while it < max_iterations:
         parts = _cc_loop_partitions(spark, n_edges)
         spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -728,7 +745,8 @@ def _connected_components_loop(
         # finally, and left on whenever the graph spans >1
         # partition, where skew-splitting star centers matters.
         spark.conf.set("spark.sql.adaptive.enabled", str(parts > 1).lower())
-        nxt = _star_round(edges)
+        obs = Observation()
+        nxt = _star_round(edges).observe(obs, *_sig_metrics())
         pre_ids = caching.persistent_rdd_ids(spark)
         ss = nxt.localCheckpoint()
         new_ids = caching.persistent_rdd_ids(spark) - pre_ids
@@ -739,13 +757,16 @@ def _connected_components_loop(
         edges = ss
         it += 1
         syncs += 1
+        # the signature rides every checkpoint for free now; the live
+        # edge count is therefore exact every round even when the
+        # convergence COMPARE runs only at check_every sync points
+        sig = _sig_of(obs)
+        n_edges = sig[0]
         if syncs % check_every == 0 or it >= max_iterations:
-            sig = _signature(edges)
             if sig == prev_sig:
                 converged = True
                 break
             prev_sig = sig
-            n_edges = sig[0]
     if not converged:
         # The final extraction below assumes the star fixpoint (every
         # node points at its component min); an exhausted iteration

@@ -41,7 +41,18 @@ _RANK_SCALE = 10
 #: share table broadcasts; above it the loop uses partitioning-aligned
 #: shuffled-hash joins. Module constant so tests / A-B harnesses can
 #: force the big-graph path on small data.
-_PAGERANK_BROADCAST_NODE_CAP = 2_000_000
+#: r17 (VERDICT r16 #8): lowered 2M → 200k on paired sf1/sf10 A/Bs.
+#: Both contribution-join sides are hash(·, p)-partitioned caches, so
+#: the non-broadcast path is exchange-free and (with the shuffle_hash
+#: hint below) sort-free; the broadcast only buys skipping a bounded
+#: n_nodes/p per-task hash build, while costing a FRESH n_nodes-row
+#: relation built and shipped EVERY iteration. Measured interleaved:
+#: 200k nodes (sf1) broadcast 17.1 s vs partitioned-SHJ 16.8 s (wash);
+#: 2M nodes (sf10) broadcast 146.8 s vs 133.1 s (1.10×) — outputs
+#: equal at sf0.01/sf0.1 (the per-iteration round_half_up snap makes
+#: both paths' sums land identically). Below 200k the per-iteration
+#: relation is trivially small and broadcast keeps the join map-only.
+_PAGERANK_BROADCAST_NODE_CAP = 200_000
 
 #: triangle_stats broadcast gate: with at most this many (oriented)
 #: edges the closure edge set (~16 B/row + relation overhead) and the
@@ -280,16 +291,21 @@ def _pagerank_loop(
         )
         if broadcast_frontier:
             shares = F.broadcast(shares)
-        # NOTE (r16): shuffled-hash hints on the loop's joins were
-        # measured 20% faster on the forced non-broadcast path at sf1
-        # (34 s → 27 s) but REVERTED: in the sf10 bench leg the
-        # rank-update build ("Can't acquire 134217728 bytes memory to
-        # build hash relation") died under AQE-coalesced build
-        # partitions + resident edge/checkpoint storage — SHJ cannot
-        # spill its build side, and an iterative loop that must
-        # survive 20 iterations under storage pressure needs
-        # sort-merge's graceful spill more than it needs the sort
-        # savings (guide §3.1's stated SHJ risk, observed).
+        else:
+            # r17 (VERDICT r16 #8, second attempt with a BOUNDED
+            # build): SHUFFLE_HASH on the CONTRIBUTION join's shares
+            # side only. Both sides are already hash(·, p)-partitioned
+            # caches (the edge cache and the checkpointed rank frame),
+            # so the join is exchange-free either way and the hint
+            # replaces the per-iteration SORT of the big edge cache
+            # with a hash build of n_nodes/p rows per task — bounded,
+            # deterministic (no fresh exchange for AQE to coalesce),
+            # ~a few MB at any p sized by the n_edges/50k rule. The
+            # r16 OOM came from the OTHER join: SHJ on the rank-update
+            # build (an AQE-coalescible fresh aggregate exchange) died
+            # at sf10 — that join stays sort-merge below (graceful
+            # spill under 20-iteration storage pressure, guide §3.1).
+            shares = shares.hint("shuffle_hash")
         contribs = (
             e.join(shares, "s")
             .groupBy(F.col("d").alias("node"))

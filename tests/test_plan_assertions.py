@@ -602,3 +602,31 @@ def test_pipeline_surface_plans_no_exact_percentile(spark, tmp_path):
     exact_frames = pl.analyze(featured, exact=True)
     kpi_plan = exact_frames["kpi_cards"]._jdf.queryExecution().toString()
     assert exact_pct.search(kpi_plan)
+
+
+def test_containment_tokenizes_once(spark, sf_small):
+    """ADVICE r16: ``let_once`` relies on lambda variables being opaque
+    to alias re-inlining — undocumented optimizer behavior. Pin the
+    effect, not the mechanism: the containment gram stage must
+    evaluate the tokenizer chain (regex normalize + split) ONCE per
+    row. Without the binding the optimizer re-inlines the chain at
+    every reference inside the gram lambda (``element_at(<chain>,
+    i+j)`` for each of the n=3 gram positions plus the size guards),
+    which showed up as ~46 s of per-element re-tokenization at sf0.1
+    (r16). Textual occurrence COUNTS are the wrong pin — the optimized
+    plan legitimately repeats the tokenizer chain once per consumer
+    subtree (persist is invisible to the logical plan) plus the
+    null-sentinel CASE and pushed-down filter copies. The load-bearing
+    invariant is WHERE the chain sits: with the binding intact, the
+    gram lambda indexes a lambda VARIABLE
+    (``element_at(lambda x_N, …)``); if a Spark upgrade re-inlines,
+    the lambda indexes the tokenizer chain itself
+    (``element_at(filter(split(…``) and this fails here instead of as
+    a 46-s bench regression."""
+    optimized = str(
+        QUERIES["docs_containment"](spark, sf_small)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    )
+    assert "element_at(filter(" not in optimized
+    assert "element_at(lambda" in optimized
