@@ -1872,8 +1872,14 @@ def ann_pq_seeded_topk(
     over the (vector, subspace) grain — high-cardinality keys, no
     global window, shuffle ∝ corpus · m.
     """
+    from . import caching
+
     dsub = dim // m
-    u = _unit_projection(emb, vec_col, id_col, "vid")
+    # persisted (r17, guide §5): u feeds the subspace explode, the
+    # seed lookup, and the recon score join; un-persisted, the twin's
+    # physical plan scanned the embeddings parquet 6× re-deriving the
+    # norm projection each time. Released per key by the caller.
+    u = caching.persist_tracked(_unit_projection(emb, vec_col, id_col, "vid"))
     subs = u.select(
         "vid",
         "__unit",
@@ -2163,8 +2169,19 @@ def ann_ivfpq_seeded_topk(
     Production ann_ivf_pq keeps trained residual codebooks + the LUT
     fast path; this twin value-gates the residual-quantization math.
     """
+    from . import caching
+
     dsub = dim // m
-    u = _unit_projection(emb, vec_col, id_col, "vid")
+    # r17 (guide §5): the unit projection and the residual frame feed
+    # MANY consumers each (seeds, both cell-assignment passes, the
+    # codeword slice, the encode slice, the probe side) and Spark
+    # reuses none of the identical subtrees — the un-persisted twin's
+    # physical plan scanned the embeddings parquet 29 TIMES, each scan
+    # re-deriving the norm projection (and for ``resid`` consumers the
+    # whole assignment window chain). Two tracked persists collapse
+    # that to one scan + one window pass; released per key via
+    # caching.release_cached().
+    u = caching.persist_tracked(_unit_projection(emb, vec_col, id_col, "vid"))
     seed_ids = _lowest_ids(u, "vid", n_seeds)
     seeds = u.join(F.broadcast(seed_ids), "vid").select(
         F.col("vid").alias("cid"), F.col("__unit").alias("su")
@@ -2185,8 +2202,10 @@ def ann_ivfpq_seeded_topk(
             .select(out_id, F.col("cid").alias("cell"))
         )
 
-    # residual of every vector to its own cell centroid
-    resid = (
+    # residual of every vector to its own cell centroid (persisted —
+    # see the note above: 3 downstream consumers, each of which would
+    # otherwise re-run the corpus-grain assignment window)
+    resid = caching.persist_tracked(
         cells(u, "vid", 1)
         .join(u, "vid")
         .join(F.broadcast(seeds.withColumnRenamed("cid", "cell")), "cell")

@@ -237,6 +237,7 @@ def test_customer_rfm_has_no_global_window(spark, sf_small):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_no_empty_partition_spec_window_anywhere(spark, sf_small):
     # registry-wide guard: any windowed operator must partition its
     # window (per-group sort), never sort the whole input on one
@@ -530,6 +531,7 @@ def test_weighted_sample_plans(spark, sf_small):
 # ------------------------------------------------------------------ round 14
 
 
+@pytest.mark.slow
 def test_registry_outputs_are_hashable_scalars(spark, sf_small):
     """Registry output-shape contract: NO queries() frame may expose an
     Array/Map/Struct-typed output column. The grading driver

@@ -29,6 +29,7 @@ FINITE = st.floats(
 )
 
 
+@pytest.mark.slow
 @SLOW
 @given(values=st.lists(FINITE, min_size=1, max_size=40), scale=st.integers(0, 4))
 def test_round_half_up_matches_duckdb_rewrite(spark, values, scale):
@@ -47,6 +48,7 @@ def test_round_half_up_matches_duckdb_rewrite(spark, values, scale):
     assert got == want
 
 
+@pytest.mark.slow
 @SLOW
 @given(texts=st.lists(st.text(max_size=60), min_size=1, max_size=20))
 def test_clean_text_total_and_idempotent(spark, texts):
@@ -63,6 +65,7 @@ def test_clean_text_total_and_idempotent(spark, texts):
     amount=st.integers(0, 10**9),
     unit=st.sampled_from(["Piece", "Set", "Unit", "Pair", "Kg"]),
 )
+@pytest.mark.slow
 def test_price_roundtrip(spark, amount, unit):
     """Formatting a price the IndiaMART way and parsing it back recovers
     the number and the unit (etl.py:109-126 semantics)."""
@@ -304,6 +307,7 @@ def test_global_cumsum_matches_window_form_property(spark, values, parts):
     assert got == ref
 
 
+@pytest.mark.slow
 @SLOW
 @given(texts=st.lists(st.text(max_size=80), min_size=1, max_size=15))
 def test_readability_total_and_bounded(spark, texts):
@@ -324,6 +328,7 @@ def test_readability_total_and_bounded(spark, texts):
         assert math.isfinite(r["flesch"])
 
 
+@pytest.mark.slow
 @SLOW
 @given(texts=st.lists(st.text(max_size=80), min_size=1, max_size=15))
 def test_quality_logit_prob_in_unit_interval(spark, texts):
@@ -347,6 +352,7 @@ def test_quality_logit_prob_in_unit_interval(spark, texts):
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_bpe_pair_counts_conservation(spark, texts):
     """Sum of all pair counts == sum over token instances of
     (len(token) - 1) for tokens of length >= 2 — the BPE trainer's
@@ -378,6 +384,7 @@ def test_bpe_pair_counts_conservation(spark, texts):
         max_size=4,
     )
 )
+@pytest.mark.slow
 def test_scd2_apply_reconstructs_change_history(spark, batches):
     """Folding N update batches through scd2_apply yields: (1) the
     is_current slice == each key's LAST seen value; (2) total versions
@@ -436,6 +443,7 @@ def test_scd2_apply_reconstructs_change_history(spark, batches):
     users=st.lists(st.integers(0, 10_000), min_size=1, max_size=60),
     dup=st.integers(1, 4),
 )
+@pytest.mark.slow
 def test_hll_portable_invariant_under_duplication(spark, users, dup):
     """The defining cardinality-sketch property: duplicating every row
     k times changes NOTHING — registers are maxima and the estimate is

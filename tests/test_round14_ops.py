@@ -4,6 +4,7 @@ the unrolled-SQL BPE trainer oracle."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from b2b_data_pipeline_indiamart_spark.operators import caching, similarity
 
@@ -257,6 +258,7 @@ def test_pandas_compare_path_matches_repr_path(spark, sf_medium):
 # ------------------------------------------------------------------ round 15
 
 
+@pytest.mark.slow
 def test_kcenter_running_min_equals_kpass_at_k32(spark, sf_small):
     """The O(k·corpus) running-min formulation (VERDICT r14 #7) must
     reproduce the O(k²·corpus) k-pass form EXACTLY — same picks, same

@@ -1088,6 +1088,7 @@ def test_dedup_stream_readmits_after_watermark_eviction(spark, tmp_path):
                    (9, "other", 0.0), (9, "other2", 0.0)]
 
 
+@pytest.mark.slow
 def test_streaming_neardup_suppression_across_batches(spark, tmp_path):
     """Streaming MinHash/LSH near-dup suppression: within-batch greedy
     keep-lowest-id, cross-batch suppression against the persistent
@@ -1208,6 +1209,7 @@ def test_streaming_neardup_suppression_across_batches(spark, tmp_path):
     assert len(glob.glob(str(tmp_path / "ledger" / "epoch-*"))) == 3
 
 
+@pytest.mark.slow
 def test_streaming_neardup_restart_under_load(spark, tmp_path):
     """VERDICT r11 #7: kill/restart the near-dup sink mid-stream and
     assert the band-bucketed state store gives exactly-once semantics
@@ -1338,6 +1340,7 @@ def test_streaming_neardup_legacy_state_layout_fails_fast(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1
 
 
+@pytest.mark.slow
 def test_streaming_neardup_exact_dup_storm_survives_bucket_cap(
     spark, tmp_path
 ):

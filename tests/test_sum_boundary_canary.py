@@ -391,6 +391,7 @@ def _ratio_composition(a: int, b: int, mult: int, scale: int) -> float:
     return math.floor(y) / float(scale)
 
 
+@pytest.mark.slow
 def test_exact_sum_cells_pin_the_float_composition(con_sf):
     from b2b_data_pipeline_indiamart_spark.plans import ORACLE
 
