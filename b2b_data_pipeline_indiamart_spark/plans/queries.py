@@ -2094,11 +2094,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; recall is ONE division, so the 4dp value is
     engine-stable. Composes three registered operators; each keeps its
     own distributed shape (broadcast queries, bucket equi-joins,
-    bounded windows)."""
+    bounded windows).
+
+    r17: the exact top-10 is persisted — it is consumed three times
+    (the n_queries rollup + one hits join per method), and each
+    consumption re-ran the full brute-force corpus scan (the key's
+    physical plan scanned embeddings 19×; the materialized frame is
+    50 rows). Released per key via caching.release_cached()."""
+    from ..operators import caching
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.brute_force_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id"
+    exact = caching.persist_tracked(
+        similarity.brute_force_topk(emb, queries, k=10).select(
+            "query_id", "neighbor_id"
+        )
     )
     methods = {
         "lsh": similarity.ann_lsh_topk(
@@ -7681,11 +7691,20 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick the cheapest prefix that clears its recall bar (each halving
     of the prefix halves stage-1 flops AND shuffled bytes). Hits
     total as integers; recall is one division, so the 4dp value is
-    engine-stable. Composes registered operators only."""
+    engine-stable. Composes registered operators only.
+
+    r17: exact persisted (50 materialized rows) — consumed four times
+    (n_queries + one hits join per prefix width), each of which
+    re-ran the brute-force corpus scan (24 embeddings scans in the
+    un-persisted physical plan)."""
+    from ..operators import caching
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.brute_force_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id"
+    exact = caching.persist_tracked(
+        similarity.brute_force_topk(emb, queries, k=10).select(
+            "query_id", "neighbor_id"
+        )
     )
     nq = exact.agg(
         F.countDistinct("query_id").cast("long").alias("n_queries")
