@@ -136,6 +136,16 @@ def build(out_dir, k: int = 10, spark=None) -> None:
     rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__rep")
     for t, (pk, fks) in KEYMAP.items():
         df = catalog.load(spark, SRC, t)
+        if k >= 1000 and (pk is not None or fks):
+            # k=1000 (sf100): the tiny sf0.1 source files coalesce into
+            # ONE input split under maxPartitionBytes, so the 1000x
+            # explode + shuffle-write of the biggest tables would run
+            # single-threaded. Spread the source across the session's
+            # cores first; row SET is unchanged (salts key on
+            # (__rep, position, word), never on partition). Gated at
+            # k>=1000 so sf1/sf10 rebuilds stay byte-identical to the
+            # committed bench provenance.
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         if pk is None and not fks:  # fixed dims: copy once, no tiling
             out = df
         else:
@@ -206,7 +216,13 @@ def build(out_dir, k: int = 10, spark=None) -> None:
                         "embedding", rotated.otherwise(F.col("embedding"))
                     )
             out = out.drop("__rep")
-        n = out.count()
+        if k >= 1000 and (pk is not None or fks):
+            # exact by construction (every source row tiles k times);
+            # running count() on the exploded frame would evaluate the
+            # 1000x salt/rotation projection a second time per table
+            n = catalog.load(spark, SRC, t).count() * k
+        else:
+            n = out.count()
         # write partitions scale with the replica count so per-task
         # row volume stays ~sf1-sized at any k (k=10 keeps the
         # historical 8 files; k=100 writes 80)
